@@ -1,0 +1,21 @@
+"""ontoma_spark — a from-scratch, PySpark-native knowledge-graph construction
+engine with the query and mapping capabilities of opentargets/OnToma.
+
+Not a port: the reference (/root/reference, OnToma 2.5.1) defines WHAT is
+computed — lexicon build, two-track label normalisation, equi-join entity
+mapping, score-tier selection — and this package re-expresses it Spark-first:
+
+* pure ``pyspark.sql.functions`` Column algebra for all normalisation
+  (no Spark NLP dependency, no per-row Python),
+* a Porter stemmer as a vectorized Arrow ``pandas_udf`` applied only to
+  deduplicated distinct labels (the reference's memoisation pattern,
+  ontoma.py:174-235),
+* broadcast-hash-join entity linking over document content (the graft's
+  mention extraction is new: JVM-side n-gram candidate generation, no UDF),
+* a fuzzy tier (blocked candidate join + TF-IDF cosine / Jaro-Winkler
+  pandas_udf) replacing OnToma's historical OLS/Zooma calls,
+* xref-closure union-find canonicalisation,
+* per-partition lineage checkpointing for resumable 100 TB-scale runs.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,5 @@
+from ontoma_spark.core.dataset import Dataset
+from ontoma_spark.core.schemas import SchemaValidationError, compare_struct_schemas
+from ontoma_spark.core.session import get_spark
+
+__all__ = ["Dataset", "SchemaValidationError", "compare_struct_schemas", "get_spark"]

@@ -1,0 +1,45 @@
+"""Schema-validated DataFrame wrapper.
+
+Fresh implementation of the reference's ``Dataset`` abstraction
+(src/ontoma/dataset/dataset.py:19-104): a DataFrame plus a declared
+StructType, validated eagerly on construction and on every reassignment.
+Schemas here are declared in code (StructType builders) rather than JSON
+resources — same nominal guarantee, less indirection.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+from ontoma_spark.core.schemas import validate_schema
+
+
+@dataclass
+class Dataset:
+    """A DataFrame with a declared, eagerly-enforced schema."""
+
+    _df: DataFrame
+    _schema: StructType = field(repr=False)
+
+    def __post_init__(self) -> None:
+        self.validate()
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @df.setter
+    def df(self, new_df: DataFrame) -> None:
+        self._df = new_df
+        self.validate()
+
+    @property
+    def schema(self) -> StructType:
+        return self._schema
+
+    def validate(self) -> None:
+        """Diff the observed DataFrame schema against the declared one."""
+        validate_schema(self._df.schema, self._schema)

@@ -1,0 +1,109 @@
+"""Recursive Spark-schema validation.
+
+Re-implements (fresh) the concept of the reference's nominal schema layer:
+an observed DataFrame schema is diffed against a declared ``StructType``
+(reference: src/ontoma/common/schemas.py:57-212 — duplicate columns,
+missing mandatory columns, unexpected columns, type mismatches with
+recursion into structs and arrays).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql.types import ArrayType, DataType, StructType
+
+
+class SchemaValidationError(Exception):
+    """Observed DataFrame schema does not satisfy the declared schema.
+
+    Carries the full list of discrepancies so callers see every problem at
+    once (reference: schemas.py:14-39).
+    """
+
+    def __init__(self, message: str, errors: list[str]) -> None:
+        self.errors = errors
+        detail = "\n".join(f"  - {e}" for e in errors)
+        super().__init__(f"{message}\n{detail}")
+
+
+def compare_struct_schemas(
+    observed: StructType,
+    expected: StructType,
+    path: str = "",
+) -> list[str]:
+    """Diff an observed struct schema against the expected one.
+
+    Checks, per struct level:
+      * duplicated column names on either side,
+      * mandatory (non-nullable) expected columns missing from observed,
+      * unexpected observed columns (not declared at all),
+      * element-type mismatches, recursing into nested structs and arrays.
+
+    Nullable expected columns may be absent. Observed nullability is not
+    required to match (Spark frequently widens nullability through joins
+    and aggregations); only names and types are enforced.
+
+    Returns:
+        List of human-readable discrepancy strings; empty means valid.
+    """
+    errors: list[str] = []
+    prefix = f"{path}." if path else ""
+
+    obs_names = [f.name for f in observed.fields]
+    exp_names = [f.name for f in expected.fields]
+    for name, cnt in Counter(obs_names).items():
+        if cnt > 1:
+            errors.append(f"duplicate observed column: {prefix}{name} (x{cnt})")
+    for name, cnt in Counter(exp_names).items():
+        if cnt > 1:
+            errors.append(f"duplicate expected column: {prefix}{name} (x{cnt})")
+
+    obs_by_name = {f.name: f for f in observed.fields}
+    exp_by_name = {f.name: f for f in expected.fields}
+
+    for name, exp_field in exp_by_name.items():
+        if name not in obs_by_name:
+            if not exp_field.nullable:
+                errors.append(f"missing mandatory column: {prefix}{name}")
+            continue
+        errors.extend(
+            _compare_types(
+                obs_by_name[name].dataType, exp_field.dataType, f"{prefix}{name}"
+            )
+        )
+
+    for name in obs_by_name:
+        if name not in exp_by_name:
+            errors.append(f"unexpected column: {prefix}{name}")
+
+    return errors
+
+
+def _compare_types(observed: DataType, expected: DataType, path: str) -> list[str]:
+    """Recursive type comparison for one column path."""
+    if isinstance(expected, StructType) and isinstance(observed, StructType):
+        return compare_struct_schemas(observed, expected, path)
+    if isinstance(expected, ArrayType) and isinstance(observed, ArrayType):
+        return _compare_types(
+            observed.elementType, expected.elementType, f"{path}[]"
+        )
+    if observed.typeName() != expected.typeName():
+        return [
+            f"type mismatch at {path}: observed {observed.simpleString()}, "
+            f"expected {expected.simpleString()}"
+        ]
+    if isinstance(expected, (StructType, ArrayType)):
+        # typeName matched but the other side is not the same container class
+        return [
+            f"container mismatch at {path}: observed {observed.simpleString()}, "
+            f"expected {expected.simpleString()}"
+        ]
+    return []
+
+
+def validate_schema(observed: StructType, expected: StructType) -> None:
+    """Raise SchemaValidationError if ``observed`` does not satisfy ``expected``."""
+    errors = compare_struct_schemas(observed, expected)
+    if errors:
+        raise SchemaValidationError("Schema validation failed", errors)

@@ -1,0 +1,27 @@
+from ontoma_spark.functions.text import (
+    clean_disease_label,
+    determine_track,
+    filter_crossref_blocklist,
+    format_identifier,
+    get_alternative_translations,
+    translate_greek_alphabet,
+    translate_special_characters,
+)
+from ontoma_spark.functions.normalize import (
+    normalise_entities,
+    symbol_signature,
+    term_signature_unstemmed,
+)
+
+__all__ = [
+    "clean_disease_label",
+    "determine_track",
+    "filter_crossref_blocklist",
+    "format_identifier",
+    "get_alternative_translations",
+    "normalise_entities",
+    "symbol_signature",
+    "term_signature_unstemmed",
+    "translate_greek_alphabet",
+    "translate_special_characters",
+]

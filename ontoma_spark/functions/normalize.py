@@ -1,0 +1,136 @@
+"""Two-track label normalisation as pure Spark SQL (+ one Arrow UDF).
+
+Re-expresses the reference's Spark NLP pipeline (nlp_pipeline.py:15-144 and
+signature assembly ontoma.py:199-224) without the spark-nlp dependency:
+
+term track   : tokenize on [-/:,;\\s] -> case-SENSITIVE stop-word removal
+               -> lowercase + strip [^\\w\\d\\s-/] per token -> Porter stem
+               -> distinct -> drop empties -> sort -> concat("")
+symbol track : tokenize on [:,;\\s]   -> lowercase + strip [^\\w\\d\\s-/,]
+               -> drop empties -> order-preserving concat("")
+
+The term-track ``array_sort`` makes matching word-order-insensitive
+("cancer of lung" == "lung cancer"); the symbol track preserves order and
+keeps '-'/'/' as token-internal chars before cleanup, so acronyms like
+"NSCLC" or "ALS" normalise stably (reference ontoma.py:203-224).
+
+Everything except the Porter stem is Catalyst Column algebra. The stem UDF
+only runs inside ``normalise_entities``'s distinct-labels branch — the
+reference's memoisation pattern (ontoma.py:174-235): at 10^12 corpus rows
+with ~10^5 distinct labels, the expensive pure function runs once per
+distinct (label, track) pair and is joined back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from ontoma_spark.functions.stemmer import stem_tokens
+
+# Spark NLP Tokenizer splits on whitespace plus setSplitChars
+# (nlp_pipeline.py:58-72): term adds - and /, symbol keeps them in-token.
+TERM_SPLIT_RE = r"[\s\-/:,;]+"
+SYMBOL_SPLIT_RE = r"[\s:,;]+"
+
+# Normalizer cleanup patterns (nlp_pipeline.py:74-99), applied per token.
+TERM_CLEAN_RE = r"[^\w\d\s]|-|/"
+SYMBOL_CLEAN_RE = r"[^\w\d\s]|-|/|,"
+
+# Google stop-word list + {a, i} + Capitalised variants, case-sensitive
+# (nlp_pipeline.py:18-31,83-90).
+GOOGLE_STOP_WORDS = (
+    "about above after again against all am an and any are aren't as at be because "
+    "been before being below between both but by can't cannot could couldn't did didn't do does doesn't doing don't down "
+    "during each few for from further had hadn't has hasn't have haven't having he he'd he'll he's her here here's hers "
+    "herself him himself his how how's i'd i'll i'm i've if in into is isn't it it's its itself let's me more most mustn't "
+    "my myself no nor not of off on once only or other ought our ours ourselves out over own same shan't she she'd she'll "
+    "she's should shouldn't so some such than that that's the their theirs them themselves then there there's these they "
+    "they'd they'll they're they've this those through to too under until up very was wasn't we we'd we'll we're we've "
+    "were weren't what what's when when's where where's which while who who's whom why why's with won't would wouldn't "
+    "you you'd you'll you're you've your yours yourself yourselves"
+).split()
+
+ALL_STOP_WORDS = (
+    ["a", "i"]
+    + GOOGLE_STOP_WORDS
+    + [w.capitalize() for w in GOOGLE_STOP_WORDS]
+)
+
+
+def _clean_tokens(tokens: Column, clean_re: str) -> Column:
+    """Lowercase each token and strip cleanup-pattern chars."""
+    return F.transform(
+        tokens, lambda x: F.lower(F.regexp_replace(x, clean_re, ""))
+    )
+
+
+def _non_empty(tokens: Column) -> Column:
+    return F.filter(tokens, lambda x: x.isNotNull() & (x != ""))
+
+
+def term_tokens_clean(label: Column) -> Column:
+    """Term track up to (not including) stemming: tokenize, stop-word
+    removal (case-sensitive, pre-lowercase), cleanup."""
+    tokens = F.split(label, TERM_SPLIT_RE)
+    tokens = F.array_except(tokens, F.lit(ALL_STOP_WORDS))
+    return _clean_tokens(tokens, TERM_CLEAN_RE)
+
+
+def term_signature_from_stemmed(stemmed: Column) -> Column:
+    """distinct -> drop empties -> sort -> concat('') (ontoma.py:203-211)."""
+    return F.array_join(
+        F.array_sort(_non_empty(F.array_distinct(stemmed))), ""
+    )
+
+
+def term_signature_unstemmed(label: Column) -> Column:
+    """Term-track signature WITHOUT stemming — pure Column expression.
+
+    Used where an ANSI-SQL oracle must reproduce the value exactly
+    (stemming is not SQL-expressible) and by callers that opt out of
+    stemming. Same algebra otherwise.
+    """
+    return term_signature_from_stemmed(term_tokens_clean(label))
+
+
+def symbol_signature(label: Column) -> Column:
+    """Symbol-track signature: order-preserving concat (ontoma.py:212-224)."""
+    tokens = F.split(label, SYMBOL_SPLIT_RE)
+    return F.array_join(_non_empty(_clean_tokens(tokens, SYMBOL_CLEAN_RE)), "")
+
+
+def normalise_distinct_labels(distinct: DataFrame, stem: bool = True) -> DataFrame:
+    """Compute ``entityLabelNormalised`` for distinct (label, track) pairs.
+
+    Input: columns ``entityLabel``, ``nlpPipelineTrack``. The Porter UDF
+    runs only here, on the deduplicated set.
+    """
+    term_clean = term_tokens_clean(F.col("entityLabel"))
+    term_final = stem_tokens(term_clean) if stem else term_clean
+    return distinct.withColumn(
+        "entityLabelNormalised",
+        F.when(
+            F.col("nlpPipelineTrack") == "term",
+            term_signature_from_stemmed(term_final),
+        ).when(
+            F.col("nlpPipelineTrack") == "symbol",
+            symbol_signature(F.col("entityLabel")),
+        ),
+    ).select("entityLabel", "nlpPipelineTrack", "entityLabelNormalised")
+
+
+def normalise_entities(df: DataFrame, stem: bool = True) -> DataFrame:
+    """Append ``entityLabelNormalised`` via the memoised dedupe pattern.
+
+    dedupe (entityLabel, nlpPipelineTrack) -> normalise once per pair ->
+    left-join back (reference ontoma.py:174-235). Catalyst auto-broadcasts
+    the distinct side when it fits ``autoBroadcastJoinThreshold``; for
+    larger inputs AQE picks a sort-merge — still far cheaper than running
+    the UDF per corpus row.
+    """
+    distinct = df.select("entityLabel", "nlpPipelineTrack").distinct()
+    normalised = normalise_distinct_labels(distinct, stem=stem)
+    return df.join(
+        normalised, on=["entityLabel", "nlpPipelineTrack"], how="left"
+    )

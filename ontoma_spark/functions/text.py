@@ -1,0 +1,133 @@
+"""Pure Column-expression text algebra.
+
+The reference's "query language" is a library of pure Column functions
+(src/ontoma/common/utils.py); everything here compiles to Catalyst
+expressions executed inside WholeStageCodegen — zero Python in the hot
+path. Semantics follow utils.py:40-235; implementation is fresh.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+# Greek -> latin transliteration (reference utils.py:85-102; per
+# rapidtables.com greek alphabet). One-to-one char map -> F.translate.
+GREEK_SRC = "αβγδεζηικλμνξπρτυω"
+GREEK_DST = "abgdezhiklmnxprtuo"
+
+# Latin-1 accent folding (reference utils.py:104-121).
+ACCENT_SRC = "àèìòùáéíóúâêîôûäëïöüÀÈÌÒÙÁÉÍÓÚÂÊÎÔÛÄËÏÖÜãåõøÃÅÕØçñýÇÑÝ"
+ACCENT_DST = "aeiouaeiouaeiouaeiouAEIOUAEIOUAEIOUAEIOUaaooAAOOcnyCNY"
+
+# Crossref junk prefixes (reference utils.py:206).
+CROSSREF_BLOCKLIST = [
+    "PMID", "DOI:", "ORCID", "PERSON", "ISBN", "WIKIPEDIA", "HTTP",
+    "QUANT", "UM-BBD_PATHWAYID",
+]
+
+
+def translate_greek_alphabet(label: Column) -> Column:
+    """Transliterate greek letters to latin (utils.py:85-102)."""
+    return F.translate(label, GREEK_SRC, GREEK_DST)
+
+
+def translate_special_characters(label: Column) -> Column:
+    """Fold Latin-1 accents to plain latin (utils.py:104-121)."""
+    return F.translate(label, ACCENT_SRC, ACCENT_DST)
+
+
+def get_alternative_translations(label: Column) -> Column:
+    """Two translation variants as an array (utils.py:123-148).
+
+    [accent-folded + greek-transliterated, greek-transliterated only].
+    Some "accents" are encoding mojibake whose bytes must instead be
+    dropped by the downstream cleanup regex, so both variants flow through
+    the pipeline (2x fan-out, collapsed by the final distinct/groupBy).
+    """
+    return F.array(
+        translate_special_characters(translate_greek_alphabet(label)),
+        translate_greek_alphabet(label),
+    )
+
+
+def uppercase_proportion(label: Column) -> Column:
+    """Share of uppercase among alphabetic chars; null if no letters
+    (utils.py:68-83)."""
+    num_upper = F.length(F.regexp_replace(label, "[^A-Z]", ""))
+    num_letters = F.length(F.regexp_replace(label, "[^A-Za-z]", ""))
+    return F.when(num_letters == 0, F.lit(None)).otherwise(num_upper / num_letters)
+
+
+def determine_track(label: Column) -> Column:
+    """Acronym heuristic -> 'symbol' | 'term' (utils.py:40-66).
+
+    'symbol' iff the label has no spaces AND (len <= 6 OR
+    (len <= 11 AND uppercase proportion > 0.5)).
+    """
+    is_symbol = ~label.contains(" ") & (
+        (F.length(label) <= 6)
+        | ((F.length(label) <= 11) & (uppercase_proportion(label) > 0.5))
+    )
+    return F.when(is_symbol, F.lit("symbol")).otherwise(F.lit("term"))
+
+
+def clean_disease_label(label: Column) -> Column:
+    """Strip '#'-segment prefixes and leading ICD-10 / Chapter codes
+    (utils.py:177-195)."""
+    return F.when(
+        label.contains("#"),
+        F.regexp_extract(
+            F.element_at(F.split(label, "#"), -1),
+            r"^(?:[A-Z]{1}[0-9]{2}[-.A-Z0-9]* |Chapter [IVX]+ )?(.+)$",
+            1,
+        ),
+    ).otherwise(label)
+
+
+def format_identifier(identifier: Column) -> Column:
+    """Canonicalise ontology identifiers (utils.py:216-235).
+
+    ``http://...#OMIM_123`` -> ``OMIM:123``; ``Orphanet_166`` ->
+    ``ORPHANET:166``; ``_`` -> ``:``; ORDO/ORPHA prefixes unified.
+    """
+    identifier = F.when(
+        F.length(F.regexp_extract(identifier, r"^.+:(.+_.+)$", 1)) > 1,
+        F.regexp_extract(identifier, r"^.+:(.+_.+)$", 1),
+    ).otherwise(identifier)
+    identifier = F.regexp_replace(identifier, "_", ":")
+    return F.regexp_replace(identifier, r"ORDO:|ORPHA:", "ORPHANET:")
+
+
+def filter_crossref_blocklist(df: DataFrame, col: str = "entityLabel") -> DataFrame:
+    """Drop rows whose crossref contains a junk prefix (utils.py:197-214)."""
+    cond = reduce(
+        lambda a, b: a | b,
+        [F.col(col).contains(p) for p in CROSSREF_BLOCKLIST],
+        F.lit(False),
+    )
+    return df.filter(~cond)
+
+
+def annotate_entity(
+    c: Column, track: str, score: float, source: str
+) -> Column:
+    """Lift array<string> -> array<struct<entityLabel, nlpPipelineTrack,
+    entityScore, entitySource>> (utils.py:14-38).
+
+    ``track='tbd'`` resolves per element via the acronym heuristic.
+    Null arrays coalesce to empty.
+    """
+    return F.transform(
+        F.coalesce(c, F.array()),
+        lambda x: F.struct(
+            x.alias("entityLabel"),
+            (
+                determine_track(x) if track == "tbd" else F.lit(track)
+            ).alias("nlpPipelineTrack"),
+            F.lit(score).alias("entityScore"),
+            F.lit(source).alias("entitySource"),
+        ),
+    )

@@ -1,0 +1,119 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ontoma_spark.core.dataset import Dataset
+from ontoma_spark.core.schemas import (
+    SchemaValidationError,
+    compare_struct_schemas,
+    validate_schema,
+)
+
+RAW_LUT_SCHEMA = StructType(
+    [
+        StructField("entityId", StringType(), False),
+        StructField("entityLabel", StringType(), False),
+        StructField("entityScore", DoubleType(), False),
+        StructField("nlpPipelineTrack", StringType(), False),
+        StructField("entitySource", StringType(), False),
+        StructField("entityType", StringType(), False),
+        StructField("entityKind", StringType(), False),
+    ]
+)
+
+
+def test_valid_schema_passes():
+    assert compare_struct_schemas(RAW_LUT_SCHEMA, RAW_LUT_SCHEMA) == []
+
+
+def test_missing_mandatory_column():
+    observed = StructType(RAW_LUT_SCHEMA.fields[:-1])
+    errs = compare_struct_schemas(observed, RAW_LUT_SCHEMA)
+    assert any("missing mandatory column: entityKind" in e for e in errs)
+
+
+def test_unexpected_column():
+    observed = StructType(
+        RAW_LUT_SCHEMA.fields + [StructField("extra", StringType(), True)]
+    )
+    errs = compare_struct_schemas(observed, RAW_LUT_SCHEMA)
+    assert any("unexpected column: extra" in e for e in errs)
+
+
+def test_type_mismatch_nested_array_struct():
+    expected = StructType(
+        [
+            StructField(
+                "entityIds",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("entityId", StringType(), False),
+                            StructField("entitySource", StringType(), False),
+                        ]
+                    )
+                ),
+                False,
+            )
+        ]
+    )
+    observed = StructType(
+        [
+            StructField(
+                "entityIds",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("entityId", DoubleType(), False),
+                            StructField("entitySource", StringType(), False),
+                        ]
+                    )
+                ),
+                False,
+            )
+        ]
+    )
+    errs = compare_struct_schemas(observed, expected)
+    assert any("entityIds[].entityId" in e for e in errs)
+
+
+def test_nullable_missing_is_ok():
+    expected = StructType(
+        [
+            StructField("a", StringType(), False),
+            StructField("opt", StringType(), True),
+        ]
+    )
+    observed = StructType([StructField("a", StringType(), False)])
+    assert compare_struct_schemas(observed, expected) == []
+
+
+def test_duplicate_column_flagged():
+    observed = StructType(
+        [StructField("a", StringType(), False), StructField("a", StringType(), False)]
+    )
+    errs = compare_struct_schemas(observed, StructType([StructField("a", StringType(), False)]))
+    assert any("duplicate observed column" in e for e in errs)
+
+
+def test_dataset_validates_on_construction(spark):
+    df = spark.createDataFrame([("EFO_1", "asthma", 1.0, "term", "name", "DS", "label")],
+                               schema=RAW_LUT_SCHEMA)
+    ds = Dataset(df, RAW_LUT_SCHEMA)
+    assert ds.df.count() == 1
+    with pytest.raises(SchemaValidationError):
+        Dataset(df.drop("entityKind"), RAW_LUT_SCHEMA)
+
+
+def test_validate_schema_raises_with_all_errors():
+    observed = StructType([StructField("x", StringType(), False)])
+    with pytest.raises(SchemaValidationError) as ei:
+        validate_schema(observed, RAW_LUT_SCHEMA)
+    assert len(ei.value.errors) >= 7

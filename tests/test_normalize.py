@@ -1,0 +1,98 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.functions.normalize import (
+    normalise_entities,
+    symbol_signature,
+    term_signature_unstemmed,
+)
+
+
+def _norm(spark, label, track, stem=True):
+    df = spark.createDataFrame(
+        [(label, track)], "entityLabel string, nlpPipelineTrack string"
+    )
+    return normalise_entities(df, stem=stem).first()["entityLabelNormalised"]
+
+
+def test_term_track_word_order_insensitive(spark):
+    # "cancer of lung": 'of' is a stop word; sorted stems concat.
+    a = _norm(spark, "cancer of lung", "term")
+    b = _norm(spark, "lung cancer", "term")
+    assert a == b == "cancerlung"
+
+
+def test_term_track_stemming_and_dedupe(spark):
+    # plural folds to singular; duplicates collapse.
+    assert _norm(spark, "cancers of the lungs", "term") == "cancerlung"
+    assert _norm(spark, "cancer cancers", "term") == "cancer"
+
+
+def test_term_track_stop_words_case_sensitive(spark):
+    # 'The' (capitalised variant) removed; 'THE' kept.
+    assert _norm(spark, "The melanoma", "term") == "melanoma"
+    assert "the" in _norm(spark, "THE melanoma", "term")
+
+
+def test_term_track_punctuation_and_hyphen_split(spark):
+    # hyphen splits tokens on the term track; punctuation stripped.
+    assert _norm(spark, "Papillon-Lefevre syndrome.", "term") == _norm(
+        spark, "syndrome Lefevre Papillon", "term"
+    )
+
+
+def test_symbol_track_order_preserving(spark):
+    assert _norm(spark, "NSCLC", "symbol") == "nsclc"
+    # '-' is removed in-token (not a split char) on the symbol track
+    assert _norm(spark, "beta-2", "symbol") == "beta2"
+    # order preserved (no sort)
+    assert _norm(spark, "b a", "symbol") == "ba"
+    assert _norm(spark, "a b", "symbol") == "ab"
+
+
+def test_mojibake_dropped_by_cleanup(spark):
+    # encoding junk chars are stripped by the cleanup regex
+    v = _norm(spark, "‚Äúcup-shaped‚Äù ears", "term")
+    assert v == _norm(spark, "cup shaped ears", "term")
+
+
+def test_greek_translated_upstream_end_to_end(spark):
+    # full query path: translate first, then normalise
+    df = spark.createDataFrame([("β-thalassemia",)], "label string")
+    out = (
+        df.withColumn(
+            "entityLabel",
+            F.explode(
+                F.array(
+                    F.translate(F.col("label"), "αβγδεζηικλμνξπρτυω", "abgdezhiklmnxprtuo")
+                )
+            ),
+        )
+        .withColumn("nlpPipelineTrack", F.lit("term"))
+        .transform(normalise_entities)
+        .first()["entityLabelNormalised"]
+    )
+    assert out == "bthalassemia"
+
+
+def test_unstemmed_sql_parity_expressions(spark):
+    df = spark.createDataFrame([("Lung, cancer of the",)], "v string")
+    r = df.select(
+        term_signature_unstemmed(F.col("v")).alias("t"),
+        symbol_signature(F.col("v")).alias("s"),
+    ).first()
+    assert r["t"] == "cancerlung"
+    assert r["s"] == "lungcancerofthe"
+
+
+def test_normalise_entities_preserves_rows_and_null_label(spark):
+    df = spark.createDataFrame(
+        [("melanoma", "term"), ("melanoma", "term"), (None, "term")],
+        "entityLabel string, nlpPipelineTrack string",
+    )
+    out = normalise_entities(df).collect()
+    assert len(out) == 3
+    vals = {r["entityLabelNormalised"] for r in out}
+    assert "melanoma" in vals

@@ -1,0 +1,86 @@
+from __future__ import annotations
+
+import pytest
+
+from ontoma_spark.functions.stemmer import porter_stem
+
+# Final stems per the full published algorithm (Porter 1980) — note the
+# paper lists per-STEP examples (e.g. agreed->agree at 1b); later steps
+# keep reducing (5a: agree->agre). These are end-to-end outputs.
+VECTORS = [
+    ("caresses", "caress"),
+    ("ponies", "poni"),
+    ("ties", "ti"),
+    ("caress", "caress"),
+    ("cats", "cat"),
+    ("feed", "feed"),
+    ("agreed", "agre"),
+    ("plastered", "plaster"),
+    ("bled", "bled"),
+    ("motoring", "motor"),
+    ("sing", "sing"),
+    ("conflated", "conflat"),
+    ("troubled", "troubl"),
+    ("sized", "size"),
+    ("hopping", "hop"),
+    ("tanned", "tan"),
+    ("falling", "fall"),
+    ("hissing", "hiss"),
+    ("fizzed", "fizz"),
+    ("failing", "fail"),
+    ("filing", "file"),
+    ("happy", "happi"),
+    ("sky", "sky"),
+    ("relational", "relat"),
+    ("conditional", "condit"),
+    ("rational", "ration"),
+    ("valenci", "valenc"),
+    ("hesitanci", "hesit"),
+    ("digitizer", "digit"),
+    ("operator", "oper"),
+    ("feudalism", "feudal"),
+    ("decisiveness", "decis"),
+    ("hopefulness", "hope"),
+    ("formaliti", "formal"),
+    ("triplicate", "triplic"),
+    ("formative", "form"),
+    ("formalize", "formal"),
+    ("electriciti", "electr"),
+    ("electrical", "electr"),
+    ("hopeful", "hope"),
+    ("goodness", "good"),
+    ("revival", "reviv"),
+    ("allowance", "allow"),
+    ("inference", "infer"),
+    ("airliner", "airlin"),
+    ("adjustable", "adjust"),
+    ("defensible", "defens"),
+    ("replacement", "replac"),
+    ("adjustment", "adjust"),
+    ("dependent", "depend"),
+    ("adoption", "adopt"),
+    ("communism", "commun"),
+    ("activate", "activ"),
+    ("effective", "effect"),
+    ("rate", "rate"),
+    ("controll", "control"),
+    ("roll", "roll"),
+    # Domain words: the reason stemming matters for entity linking.
+    ("cancer", "cancer"),
+    ("cancers", "cancer"),
+    ("diabetes", "diabet"),
+    ("diabetic", "diabet"),
+    ("tumors", "tumor"),
+    ("syndrome", "syndrom"),
+    ("syndromes", "syndrom"),
+]
+
+
+@pytest.mark.parametrize("word,expected", VECTORS)
+def test_porter_vectors(word, expected):
+    assert porter_stem(word) == expected
+
+
+def test_short_words_unchanged():
+    for w in ["a", "is", "be", ""]:
+        assert porter_stem(w) == w

@@ -1,0 +1,100 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.functions.text import (
+    annotate_entity,
+    clean_disease_label,
+    determine_track,
+    filter_crossref_blocklist,
+    format_identifier,
+    get_alternative_translations,
+)
+
+
+def _one(spark, col_expr, value):
+    return (
+        spark.createDataFrame([(value,)], "v string")
+        .select(col_expr.alias("r"))
+        .first()["r"]
+    )
+
+
+@pytest.mark.parametrize(
+    "label,track",
+    [
+        ("ALS", "symbol"),              # <= 6 chars, no space
+        ("asthma", "symbol"),           # exactly 6 chars, no space
+        ("NSCLC", "symbol"),
+        ("BRCA1MUTANT", "symbol"),      # 11 chars, >50% uppercase
+        ("BRCA1mutant", "term"),        # 11 chars, only 4/10 uppercase
+        ("abcdefghijk", "term"),        # 11 chars, lowercase
+        ("lung cancer", "term"),        # contains space
+        ("melanoma", "term"),           # 8 chars, low uppercase
+        ("thisislong", "term"),
+    ],
+)
+def test_determine_track(spark, label, track):
+    assert _one(spark, determine_track(F.col("v")), label) == track
+
+
+def test_alternative_translations_greek_and_accent(spark):
+    r = _one(spark, get_alternative_translations(F.col("v")), "β-thalassémia")
+    # variant 1: greek + accent folded; variant 2: greek only
+    assert r == ["b-thalassemia", "b-thalassémia"]
+
+
+def test_alternative_translations_plain_label_identical(spark):
+    r = _one(spark, get_alternative_translations(F.col("v")), "lung cancer")
+    assert r == ["lung cancer", "lung cancer"]
+
+
+@pytest.mark.parametrize(
+    "raw,cleaned",
+    [
+        ("http://x#C50 Malignant neoplasm of breast", "Malignant neoplasm of breast"),
+        ("ICD10#Chapter IV Endocrine diseases", "Endocrine diseases"),
+        ("no hash here", "no hash here"),
+        ("pre#plain tail", "plain tail"),
+    ],
+)
+def test_clean_disease_label(spark, raw, cleaned):
+    assert _one(spark, clean_disease_label(F.col("v")), raw) == cleaned
+
+
+@pytest.mark.parametrize(
+    "raw,formatted",
+    [
+        ("obo:OMIM_114480", "OMIM:114480"),
+        ("OMIM:114480", "OMIM:114480"),
+        # call sites uppercase first (reference ontoma.py:322); raw
+        # mixed-case input is only underscore-fixed
+        ("Orphanet_166", "Orphanet:166"),
+        ("ORPHANET_166", "ORPHANET:166"),
+        ("ORPHA:166", "ORPHANET:166"),
+        ("ORDO:166", "ORPHANET:166"),
+        ("EFO_0000305", "EFO:0000305"),
+        ("MONDO:0004992", "MONDO:0004992"),
+    ],
+)
+def test_format_identifier(spark, raw, formatted):
+    assert _one(spark, format_identifier(F.col("v")), raw) == formatted
+
+
+def test_crossref_blocklist(spark):
+    df = spark.createDataFrame(
+        [("OMIM:114480",), ("PMID:123",), ("DOI:10.1/x",), ("ICD10:C50",)],
+        "entityLabel string",
+    )
+    kept = {r["entityLabel"] for r in filter_crossref_blocklist(df).collect()}
+    assert kept == {"OMIM:114480", "ICD10:C50"}
+
+
+def test_annotate_entity_tbd_track_and_null(spark):
+    df = spark.createDataFrame([(["ALS", "lung cancer"],), (None,)], "v array<string>")
+    rows = df.select(annotate_entity(F.col("v"), "tbd", 0.999, "syn").alias("a")).collect()
+    a0 = rows[0]["a"]
+    assert [x["nlpPipelineTrack"] for x in a0] == ["symbol", "term"]
+    assert all(x["entityScore"] == 0.999 and x["entitySource"] == "syn" for x in a0)
+    assert rows[1]["a"] == []  # null -> empty array
