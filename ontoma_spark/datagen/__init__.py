@@ -1,0 +1,9 @@
+from ontoma_spark.datagen.fixtures import ONTOLOGY_TERMS, ontology_terms_df
+from ontoma_spark.datagen.repos import expected_mentions_df, generate_repos
+
+__all__ = [
+    "ONTOLOGY_TERMS",
+    "ontology_terms_df",
+    "expected_mentions_df",
+    "generate_repos",
+]

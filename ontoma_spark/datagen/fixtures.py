@@ -1,0 +1,202 @@
+"""Frozen ontology fixture — the disease-index analogue.
+
+Mirrors the Open Targets disease index fields consumed by the reference's
+disease datasource (/root/reference/src/ontoma/datasource/disease.py:41-57,
+114-124) and the fixture requirements in FIXTURES.md §2: a dense_rank tie
+(shared synonym), an Orphanet/OMIM xref pair (union-find case), a
+word-order pair, a short acronym, Greek-letter and accented labels, and
+junk crossref prefixes that must be filtered.
+
+Everything is synthetic and deterministic; ids follow public ontology ID
+formats (EFO/MONDO/HP/Orphanet/OMIM) but the rows are a frozen test
+fixture, not real ontology content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+ONTOLOGY_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("name", StringType(), False),
+        StructField("exactSynonyms", ArrayType(StringType()), True),
+        StructField("narrowSynonyms", ArrayType(StringType()), True),
+        StructField("broadSynonyms", ArrayType(StringType()), True),
+        StructField("relatedSynonyms", ArrayType(StringType()), True),
+        StructField("dbXRefs", ArrayType(StringType()), True),
+        StructField("obsoleteXRefs", ArrayType(StringType()), True),
+        StructField("obsoleteTerms", ArrayType(StringType()), True),
+    ]
+)
+
+# (id, name, exact, narrow, broad, related, dbXRefs, obsoleteXRefs, obsoleteTerms)
+ONTOLOGY_TERMS: list[tuple] = [
+    (
+        "EFO_0000305",
+        "breast carcinoma",
+        ["breast cancer", "cancer of breast"],
+        ["invasive breast carcinoma"],
+        [],
+        ["mammary tumor"],
+        # PMID entry is junk that the crossref blocklist must drop
+        ["OMIM:114480", "ICD10:C50", "PMID:11314285"],
+        [],
+        [],
+    ),
+    (
+        "MONDO_0004992",
+        "cancer",
+        ["malignant tumor", "malignant neoplasm"],
+        [],
+        ["neoplasm"],
+        [],
+        ["ICD10:C80"],
+        [],
+        [],
+    ),
+    (
+        "EFO_0000270",
+        "asthma",
+        ["bronchial asthma"],
+        [],
+        [],
+        [],
+        ["OMIM:600807"],
+        [],
+        [],
+    ),
+    (
+        "EFO_0001071",
+        "lung carcinoma",
+        ["lung cancer", "cancer of lung", "cancer of the lung"],
+        [],
+        [],
+        [],
+        ["OMIM:211980"],
+        [],
+        # EFO_0000571 is an obsolete id replaced by this term — union-find
+        # must canonicalise it here.
+        ["EFO_0000571"],
+    ),
+    (
+        "HP_0001945",
+        "fever",
+        ["pyrexia"],
+        [],
+        [],
+        ["febrile state"],
+        [],
+        [],
+        [],
+    ),
+    (
+        "MONDO_0005148",
+        "type 2 diabetes mellitus",
+        ["type 2 diabetes", "T2DM", "diabetes mellitus type 2"],
+        [],
+        [],
+        [],
+        ["OMIM:125853"],
+        [],
+        [],
+    ),
+    (
+        "Orphanet_275",
+        "Papillon-Lefèvre syndrome",
+        ["keratosis palmoplantaris with periodontopathia"],
+        [],
+        [],
+        [],
+        ["OMIM:245000"],
+        [],
+        [],
+    ),
+    (
+        "EFO_0004269",
+        "beta-thalassemia",
+        ["β-thalassemia", "b-thalassemia"],
+        [],
+        [],
+        [],
+        ["OMIM:613985"],
+        [],
+        [],
+    ),
+    (
+        "MONDO_0019391",
+        "amyotrophic lateral sclerosis",
+        ["ALS", "Lou Gehrig disease"],
+        [],
+        [],
+        [],
+        ["OMIM:105400"],
+        [],
+        [],
+    ),
+    # Orphanet/OMIM xref pair: two ontology rows for the same disease;
+    # union-find canonicalises the cluster to the EFO id.
+    (
+        "EFO_1000011",
+        "alkaptonuria",
+        ["AKU"],
+        [],
+        [],
+        [],
+        ["Orphanet_166", "OMIM:203500"],
+        [],
+        [],
+    ),
+    (
+        "Orphanet_166",
+        "alkaptonuria",
+        [],
+        [],
+        [],
+        [],
+        ["OMIM:203500"],
+        [],
+        [],
+    ),
+    # dense_rank tie: two terms share the exact synonym "melanoma tumour"
+    # at the same score tier -> multi-mapping is expected behaviour.
+    (
+        "EFO_0002617",
+        "metastatic melanoma",
+        ["melanoma tumour"],
+        [],
+        [],
+        [],
+        [],
+        [],
+        [],
+    ),
+    (
+        "MONDO_0005105",
+        "melanoma",
+        ["melanoma tumour", "malignant melanoma"],
+        [],
+        [],
+        [],
+        ["OMIM:155600"],
+        [],
+        [],
+    ),
+    (
+        "EFO_0000249",
+        "Alzheimer disease",
+        ["Alzheimers disease", "Alzheimer's disease"],
+        [],
+        [],
+        [],
+        ["OMIM:104300"],
+        [],
+        [],
+    ),
+]
+
+
+def ontology_terms_df(spark: SparkSession) -> DataFrame:
+    """The frozen ontology fixture as a DataFrame."""
+    return spark.createDataFrame(ONTOLOGY_TERMS, ONTOLOGY_SCHEMA)

@@ -1,0 +1,197 @@
+"""Deterministic synthetic source-code repository table.
+
+Generates the graft input table ``(repo, path, commit, lang, content)``
+(BASELINE.json input_hint) fully distributed: ``spark.range(n)`` →
+``mapInPandas``, with every row a pure function of its row id (seeded
+RNG), so the table is identical at any partitioning / parallelism — the
+property that makes the local[8]-vs-local[32] scaling benchmark and the
+resume tests meaningful.
+
+Each row embeds 0-4 known disease/phenotype mentions from MENTION_POOL
+inside code-like noise; the hot term "cancer" appears in ~35% of rows to
+exercise skew handling. The same pure function drives
+``expected_mentions_df`` — the P/R oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# (surface form embedded in content, match_kind, pred, expected canonical ids)
+# Canonical ids are formatted (format_identifier ∘ upper) and xref-closed:
+# e.g. the "alkaptonuria" cluster {EFO:1000011, ORPHANET:166, OMIM:203500}
+# canonicalises to EFO:1000011.
+MENTION_POOL: list[tuple[str, str, str, list[str]]] = [
+    # exact preferred labels
+    ("breast carcinoma", "exact", "skos:exactMatch", ["EFO:0000305"]),
+    ("asthma", "exact", "skos:exactMatch", ["EFO:0000270"]),
+    ("fever", "exact", "skos:exactMatch", ["HP:0001945"]),
+    ("alkaptonuria", "exact", "skos:exactMatch", ["EFO:1000011"]),
+    ("Alzheimer disease", "exact", "skos:exactMatch", ["EFO:0000249"]),
+    # synonyms
+    ("lung cancer", "synonym", "skos:exactMatch", ["EFO:0001071"]),
+    ("cancer of the lung", "synonym", "skos:exactMatch", ["EFO:0001071"]),
+    ("pyrexia", "synonym", "skos:exactMatch", ["HP:0001945"]),
+    ("T2DM", "synonym", "skos:exactMatch", ["MONDO:0005148"]),
+    ("type 2 diabetes", "synonym", "skos:exactMatch", ["MONDO:0005148"]),
+    ("ALS", "synonym", "skos:exactMatch", ["MONDO:0019391"]),
+    ("Lou Gehrig disease", "synonym", "skos:exactMatch", ["MONDO:0019391"]),
+    ("β-thalassemia", "synonym", "skos:exactMatch", ["EFO:0004269"]),
+    ("beta-thalassemia", "synonym", "skos:exactMatch", ["EFO:0004269"]),
+    ("Papillon-Lefèvre syndrome", "synonym", "skos:exactMatch", ["ORPHANET:275"]),
+    ("malignant neoplasm", "synonym", "skos:exactMatch", ["MONDO:0004992"]),
+    # dense_rank tie -> multi-mapping
+    (
+        "melanoma tumour",
+        "synonym",
+        "skos:exactMatch",
+        ["EFO:0002617", "MONDO:0005105"],
+    ),
+    # id-shaped mentions (xref cases, id-kind queries)
+    ("OMIM:114480", "xref", "skos:exactMatch", ["EFO:0000305"]),
+    ("Orphanet_166", "xref", "skos:exactMatch", ["EFO:1000011"]),
+    ("EFO_0000571", "xref", "skos:exactMatch", ["EFO:0001071"]),
+    # fuzzy (misspelled) mentions -> relatedMatch
+    ("brest cancer", "fuzzy", "skos:relatedMatch", ["EFO:0000305"]),
+    ("alzheimers diseease", "fuzzy", "skos:relatedMatch", ["EFO:0000249"]),
+    ("asthmma", "fuzzy", "skos:relatedMatch", ["EFO:0000270"]),
+]
+
+# The hot skew term (appears in ~HOT_PROB of rows).
+HOT_MENTION = ("cancer", "exact", "skos:exactMatch", ["MONDO:0004992"])
+HOT_PROB = 0.35
+
+# Code-ish noise vocabulary — token-disjoint from the lexicon so it never
+# produces accidental exact matches, and chosen to sit outside the fuzzy
+# blocking keys of lexicon signatures.
+NOISE_WORDS = (
+    "def class return import lambda buffer packet index vector matrix "
+    "kernel thread mutex socket parser token syntax compile runtime memory "
+    "pointer array string integer float double boolean module package "
+    "function method object inherit override static public private final "
+    "const struct enum switch loop while branch merge commit rebase deploy "
+    "docker config logger metric trace debug errorcode handler callback "
+    "promise async await stream batch queue stack heap graph node edge "
+    "weight tensor gradient epoch layer neuron"
+).split()
+
+LANGS = ["python", "java", "markdown", "go", "c"]
+
+REPOS_SCHEMA = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("content", StringType(), False),
+    ]
+)
+
+EXPECTED_SCHEMA = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("mention", StringType(), False),
+        StructField("match_kind", StringType(), False),
+        StructField("pred", StringType(), False),
+        StructField("expected_ids", ArrayType(StringType()), False),
+    ]
+)
+
+_SEED = 20260816
+
+
+def _row_meta(i: int) -> tuple[str, str, str, str, random.Random]:
+    """Deterministic (repo, path, commit, lang, rng) for row id ``i``."""
+    rng = random.Random(_SEED + i)
+    repo = f"org-{rng.randrange(97):02d}/proj-{rng.randrange(13):02d}"
+    segs = rng.sample(NOISE_WORDS, 2)
+    ext = {"python": "py", "java": "java", "markdown": "md", "go": "go", "c": "c"}
+    lang = LANGS[rng.randrange(len(LANGS))]
+    path = f"src/{segs[0]}/{segs[1]}_{rng.randrange(1000):03d}.{ext[lang]}"
+    commit = hashlib.sha1(f"{_SEED}:{i}".encode()).hexdigest()
+    return repo, path, commit, lang, rng
+
+
+def _row_mentions(rng: random.Random) -> list[tuple[str, str, str, list[str]]]:
+    """Mentions embedded in row ``i`` (pure function of the row RNG state)."""
+    mentions = []
+    if rng.random() < HOT_PROB:
+        mentions.append(HOT_MENTION)
+    for _ in range(rng.randint(0, 3)):
+        mentions.append(MENTION_POOL[rng.randrange(len(MENTION_POOL))])
+    return mentions
+
+
+def _row_content(
+    rng: random.Random, mentions: list[tuple[str, str, str, list[str]]]
+) -> str:
+    """Code-like content with each mention on its own comment/string line."""
+    lines = []
+    n_noise = rng.randint(4, 10)
+    for _ in range(n_noise):
+        words = [NOISE_WORDS[rng.randrange(len(NOISE_WORDS))] for _ in range(rng.randint(3, 7))]
+        lines.append(f"{words[0]} = {'_'.join(words[1:3])}({', '.join(words[3:])})")
+    for surface, _kind, _pred, _ids in mentions:
+        tmpl = rng.randrange(3)
+        if tmpl == 0:
+            lines.append(f"# note {surface} observed in cohort")
+        elif tmpl == 1:
+            lines.append(f'label = "{surface}"')
+        else:
+            lines.append(f"// mapping for {surface} pending review")
+    rng.shuffle(lines)
+    return "\n".join(lines)
+
+
+def _gen_repos_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for i in pdf["id"]:
+            repo, path, commit, lang, rng = _row_meta(int(i))
+            mentions = _row_mentions(rng)
+            rows.append((repo, path, commit, lang, _row_content(rng, mentions)))
+        yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def _gen_expected_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for i in pdf["id"]:
+            repo, path, commit, _lang, rng = _row_meta(int(i))
+            # one expected row per distinct embedded surface per document
+            seen: dict[str, tuple] = {}
+            for surface, kind, pred, ids in _row_mentions(rng):
+                seen[surface] = (repo, path, commit, surface, kind, pred, ids)
+            rows.extend(seen.values())
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "repo", "path", "commit", "mention", "match_kind", "pred",
+                "expected_ids",
+            ],
+        )
+
+
+def generate_repos(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    """The synthetic input table, generated distributed and deterministic."""
+    rng_range = spark.range(n_rows, numPartitions=partitions)
+    return rng_range.mapInPandas(_gen_repos_batch, REPOS_SCHEMA)
+
+
+def expected_mentions_df(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    """P/R oracle: expected (doc, mention) -> canonical ids, per match kind."""
+    rng_range = spark.range(n_rows, numPartitions=partitions)
+    return rng_range.mapInPandas(_gen_expected_batch, EXPECTED_SCHEMA)

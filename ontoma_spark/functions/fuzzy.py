@@ -1,0 +1,104 @@
+"""Fuzzy string scoring: Jaro-Winkler + character-trigram TF-IDF cosine.
+
+Replaces the reference's historical OLS/Zooma API fallback (and its
+driver-side NER tiering, ner/drug.py:79-170) with a pure, vectorized
+scoring function run executor-side over Arrow batches. Both metrics are
+standard published algorithms (Jaro 1989 / Winkler 1990; TF-IDF cosine),
+implemented from their definitions.
+
+Scale: scoring only ever runs on BLOCKED candidate pairs (see
+operators/linker.py) — signatures that share a prefix/suffix block key
+with a lexicon signature and pass a length filter — so the pair count is
+~|distinct unmatched sigs near the lexicon|, not corpus-sized.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+
+def jaro(s1: str, s2: str) -> float:
+    """Jaro similarity in [0, 1]."""
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    window = max(len1, len2) // 2 - 1
+    if window < 0:
+        window = 0
+    match1 = [False] * len1
+    match2 = [False] * len2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(len2, i + window + 1)
+        for j in range(lo, hi):
+            if not match2[j] and s2[j] == c:
+                match1[i] = True
+                match2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    k = 0
+    for i in range(len1):
+        if match1[i]:
+            while not match2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                transpositions += 1
+            k += 1
+    t = transpositions / 2
+    m = matches
+    return (m / len1 + m / len2 + (m - t) / m) / 3
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    """Jaro-Winkler: Jaro boosted by common-prefix length."""
+    j = jaro(s1, s2)
+    prefix = 0
+    for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
+        if a != b:
+            break
+        prefix += 1
+    return j + prefix * p * (1 - j)
+
+
+def char_trigrams(s: str) -> Counter:
+    """Counter of padded character trigrams."""
+    padded = f"##{s}#"
+    return Counter(padded[i : i + 3] for i in range(len(padded) - 2))
+
+
+def build_idf(corpus: list[str]) -> dict[str, float]:
+    """Smoothed IDF over the trigram vocabulary of a (small) corpus."""
+    n = len(corpus)
+    df: Counter = Counter()
+    for s in corpus:
+        df.update(set(char_trigrams(s)))
+    return {t: math.log(1.0 + n / c) for t, c in df.items()}
+
+
+def tfidf_cosine(s1: str, s2: str, idf: dict[str, float]) -> float:
+    """Cosine similarity of trigram TF-IDF vectors (unseen trigrams get
+    the corpus-max IDF so typo trigrams still carry weight)."""
+    if not idf:
+        return 0.0
+    default = max(idf.values())
+    t1, t2 = char_trigrams(s1), char_trigrams(s2)
+    w1 = {t: c * idf.get(t, default) for t, c in t1.items()}
+    w2 = {t: c * idf.get(t, default) for t, c in t2.items()}
+    dot = sum(w * w2[t] for t, w in w1.items() if t in w2)
+    n1 = math.sqrt(sum(w * w for w in w1.values()))
+    n2 = math.sqrt(sum(w * w for w in w2.values()))
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    return dot / (n1 * n2)
+
+
+def combined_score(s1: str, s2: str, idf: dict[str, float]) -> float:
+    """0.5 * Jaro-Winkler + 0.5 * trigram TF-IDF cosine."""
+    return 0.5 * jaro_winkler(s1, s2) + 0.5 * tfidf_cosine(s1, s2, idf)

@@ -1,0 +1,8 @@
+from ontoma_spark.lexicon.build import (
+    READY_LEXICON_SCHEMA,
+    as_id_lut,
+    as_label_lut,
+    build_lexicon,
+)
+
+__all__ = ["READY_LEXICON_SCHEMA", "as_id_lut", "as_label_lut", "build_lexicon"]

@@ -1,0 +1,205 @@
+"""Lexicon (Ready-LUT) construction from an ontology term table.
+
+Re-expresses the reference's LUT pipeline Spark-first:
+
+  datasource extraction (annotate/flatten/explode, reference
+  disease.py:40-95 pattern) -> translation fan-out (utils.py:123-148) ->
+  two-track normalisation -> score-tier dense_rank (ties kept,
+  ontoma.py:247-253) -> collect_set into array<struct<entityId,
+  entitySource>> (ontoma.py:253-257).
+
+Score tiers follow the reference's disease datasource exactly
+(disease.py:43-57): name 1.0, exact 0.999, narrow 0.998, broad 0.997,
+related 0.996; id LUT: current id 1.0, crossref 0.999, obsolete 0.998
+(disease.py:114-124).
+
+Scale: the lexicon is ontology-sized (10^5-10^6 rows) — trivially
+broadcastable. All heavy lifting (normalisation incl. the stemmer UDF)
+happens once here, never per corpus row.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ontoma_spark.functions.normalize import normalise_entities
+from ontoma_spark.functions.text import (
+    annotate_entity,
+    filter_crossref_blocklist,
+    format_identifier,
+    get_alternative_translations,
+)
+
+RAW_LUT_SCHEMA = StructType(
+    [
+        StructField("entityId", StringType(), False),
+        StructField("entityLabel", StringType(), False),
+        StructField("entityScore", DoubleType(), False),
+        StructField("nlpPipelineTrack", StringType(), False),
+        StructField("entitySource", StringType(), False),
+        StructField("entityType", StringType(), False),
+        StructField("entityKind", StringType(), False),
+    ]
+)
+
+READY_LEXICON_SCHEMA = StructType(
+    [
+        StructField("entityKind", StringType(), False),
+        StructField("entityType", StringType(), False),
+        StructField("entityLabelNormalised", StringType(), False),
+        StructField(
+            "entityIds",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("entityId", StringType(), False),
+                        StructField("entitySource", StringType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+# (column, track, score, source) — disease.py:43-57 tiers.
+_LABEL_FIELDS = [
+    ("nameArr", "tbd", 1.0, "name"),
+    ("exactSynonyms", "tbd", 0.999, "exact_synonym"),
+    ("narrowSynonyms", "tbd", 0.998, "narrow_synonym"),
+    ("broadSynonyms", "tbd", 0.997, "broad_synonym"),
+    ("relatedSynonyms", "tbd", 0.996, "related_synonym"),
+]
+
+# id LUT tiers — disease.py:114-124 + target.py obsolete tier.
+_ID_FIELDS = [
+    ("idArr", 1.0, "current_id"),
+    ("dbXRefs", 0.999, "crossref"),
+    ("obsoleteXRefs", 0.998, "obsolete_xref"),
+    ("obsoleteTerms", 0.998, "obsolete_term"),
+]
+
+
+def as_label_lut(terms: DataFrame, entity_type: str = "DS") -> DataFrame:
+    """Raw label LUT from an ontology term table.
+
+    flatten-explode idiom (disease.py:59-73) over annotated fields, then
+    the dual-translation fan-out (deduped: identical variants explode
+    once), then the non-empty filter and distinct.
+    """
+    annotated = terms.withColumn("nameArr", F.array(F.col("name"))).select(
+        F.col("id").alias("entityId"),
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        annotate_entity(F.col(c), track, score, source)
+                        for c, track, score, source in _LABEL_FIELDS
+                    ]
+                )
+            )
+        ).alias("e"),
+    )
+    return (
+        annotated.select(
+            "entityId",
+            F.explode(
+                F.array_distinct(
+                    get_alternative_translations(F.trim(F.col("e.entityLabel")))
+                )
+            ).alias("entityLabel"),
+            F.col("e.entityScore").alias("entityScore"),
+            F.col("e.nlpPipelineTrack").alias("nlpPipelineTrack"),
+            F.col("e.entitySource").alias("entitySource"),
+        )
+        .withColumn("entityType", F.lit(entity_type))
+        .withColumn("entityKind", F.lit("label"))
+        .filter(
+            F.col("entityLabel").isNotNull() & (F.length("entityLabel") > 0)
+        )
+        .distinct()
+    )
+
+
+def as_id_lut(terms: DataFrame, entity_type: str = "DS") -> DataFrame:
+    """Raw id LUT: the term id itself, crossrefs (junk-prefix filtered),
+    obsolete xrefs and obsolete term ids — all canonicalised with
+    ``format_identifier(upper(trim(.)))`` and forced to the symbol track
+    (reference ontoma.py:301-327 query contract mirrored on the LUT side).
+    """
+    annotated = terms.withColumn("idArr", F.array(F.col("id"))).select(
+        F.col("id").alias("entityId"),
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        annotate_entity(F.col(c), "symbol", score, source)
+                        for c, score, source in _ID_FIELDS
+                    ]
+                )
+            )
+        ).alias("e"),
+    )
+    lut = (
+        annotated.select(
+            "entityId",
+            F.col("e.entityLabel").alias("entityLabel"),
+            F.col("e.entityScore").alias("entityScore"),
+            F.col("e.nlpPipelineTrack").alias("nlpPipelineTrack"),
+            F.col("e.entitySource").alias("entitySource"),
+        )
+        .transform(filter_crossref_blocklist)
+        .withColumn(
+            "entityLabel",
+            format_identifier(F.upper(F.trim(F.col("entityLabel")))),
+        )
+        .withColumn("entityType", F.lit(entity_type))
+        .withColumn("entityKind", F.lit("id"))
+        .filter(
+            F.col("entityLabel").isNotNull() & (F.length("entityLabel") > 0)
+        )
+        .distinct()
+    )
+    return lut.select(RAW_LUT_SCHEMA.fieldNames())
+
+
+def concatenate_luts(luts: list[DataFrame]) -> DataFrame:
+    """Schema-aligned union of raw LUTs (reference ontoma.py:141-154)."""
+    return reduce(lambda a, b: a.unionByName(b), luts)
+
+
+def build_lexicon(luts: list[DataFrame]) -> DataFrame:
+    """Raw LUTs -> Ready lexicon.
+
+    union -> memoised two-track normalisation -> drop empty signatures ->
+    dense_rank top score tier per (kind, type, signature) keeping ties
+    (multi-mapping is a feature) -> collect_set of (entityId, entitySource).
+    """
+    raw = concatenate_luts(luts)
+    normalised = normalise_entities(raw.select(RAW_LUT_SCHEMA.fieldNames())).filter(
+        F.col("entityLabelNormalised").isNotNull()
+        & (F.length("entityLabelNormalised") > 0)
+    )
+    w = Window.partitionBy(
+        "entityKind", "entityType", "entityLabelNormalised"
+    ).orderBy(F.col("entityScore").desc())
+    return (
+        normalised.withColumn("entityRank", F.dense_rank().over(w))
+        .filter(F.col("entityRank") == 1)
+        .groupBy("entityKind", "entityType", "entityLabelNormalised")
+        .agg(
+            F.collect_set(
+                F.struct(F.col("entityId"), F.col("entitySource"))
+            ).alias("entityIds")
+        )
+    )

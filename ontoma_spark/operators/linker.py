@@ -1,0 +1,225 @@
+"""Two-tier entity linker: broadcast exact/synonym join + blocked fuzzy join.
+
+Tier 1 (exact): candidate n-grams are normalised INLINE (pure Column
+algebra; the Porter UDF receives an empty array for symbol-track rows, so
+Python cost is paid only where stemming is semantically required) and
+broadcast-hash-joined against the lexicon on
+(signature, entityType, entityKind) — the reference's mapping join
+(ontoma.py:392-407) with an explicit ``F.broadcast`` because the lexicon
+is ontology-sized. No shuffle: the whole tier is map-side.
+
+Tier 2 (fuzzy): the reference's lazy NER fallback control flow
+(ner/drug.py:89-170, "only texts that produced no hits go to the second
+model") re-expressed as dataflow: signatures that missed the lexicon are
+anti-joined out, deduplicated, BLOCKED against lexicon signatures
+(prefix/suffix block keys + length filter), scored with a vectorized
+Jaro-Winkler + trigram-TF-IDF-cosine pandas UDF, thresholded, and the
+surviving (signature -> ids) map — tiny — is broadcast-joined back to the
+candidate stream. The only shuffle in the linker is the distinct() over
+blocked miss-signatures.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import DoubleType
+
+from ontoma_spark.functions.fuzzy import build_idf, combined_score
+from ontoma_spark.functions.normalize import (
+    symbol_signature,
+    term_signature_from_stemmed,
+    term_tokens_clean,
+)
+from ontoma_spark.functions.stemmer import stem_tokens
+from ontoma_spark.functions.text import (
+    determine_track,
+    format_identifier,
+    get_alternative_translations,
+)
+
+# Single tokens shaped like ontology/xref identifiers take the id-kind
+# query path (reference ontoma.py:301-327); everything else is a label.
+ID_SHAPE_RE = r"^[A-Za-z]+[:_][A-Za-z0-9.]+$"
+
+DOC_COLS = ("repo", "path", "commit")
+
+DEFAULT_FUZZY_THRESHOLD = 0.80
+FUZZY_MIN_SIG_CHARS = 5
+FUZZY_MAX_SIG_CHARS = 40
+
+
+def candidate_queries(candidates: DataFrame) -> DataFrame:
+    """Attach query dimensions to candidates in ONE pass (no re-scan).
+
+    label path: dual-translation fan-out (deduped) + acronym-heuristic
+    track on the raw surface (ontoma.py:261-299);
+    id path: format_identifier(upper(trim)) + symbol track
+    (ontoma.py:301-327). Kind dispatch is per-row, not per-call.
+    """
+    is_id = (F.col("n") == 1) & F.col("surface").rlike(ID_SHAPE_RE)
+    variants = F.when(
+        is_id,
+        F.array(format_identifier(F.upper(F.trim(F.col("surface"))))),
+    ).otherwise(
+        F.array_distinct(get_alternative_translations(F.trim(F.col("surface"))))
+    )
+    return (
+        candidates.withColumn("entityKind", F.when(is_id, "id").otherwise("label"))
+        .withColumn(
+            "nlpPipelineTrack",
+            F.when(is_id, "symbol").otherwise(determine_track(F.col("surface"))),
+        )
+        .withColumn("entityLabel", F.explode(variants))
+    )
+
+
+def with_signatures(queries: DataFrame) -> DataFrame:
+    """Inline normalised signature per query row.
+
+    Unlike the lexicon build there is no distinct-then-join-back here:
+    dedup of corpus-scale n-grams would itself be the dominant shuffle.
+    Instead the signature is computed streaming; the stemmer UDF is fed an
+    empty array on symbol-track rows, so its per-row cost is ~zero where
+    stemming isn't needed, and an in-batch memo collapses repeated tokens.
+    """
+    is_term = F.col("nlpPipelineTrack") == "term"
+    stemmed = stem_tokens(
+        F.when(is_term, term_tokens_clean(F.col("entityLabel"))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return queries.withColumn(
+        "sig",
+        F.when(is_term, term_signature_from_stemmed(stemmed)).otherwise(
+            symbol_signature(F.col("entityLabel"))
+        ),
+    ).filter(F.length("sig") > 0)
+
+
+def _lexicon_for_join(lexicon: DataFrame) -> DataFrame:
+    return lexicon.select(
+        F.col("entityLabelNormalised").alias("sig"),
+        "entityKind",
+        "entityIds",
+    )
+
+
+def link_exact(
+    sigs: DataFrame, lexicon: DataFrame, doc_cols: tuple[str, ...] = DOC_COLS
+) -> DataFrame:
+    """Broadcast hash join candidates x lexicon; merge the translation
+    fan-out per span (groupBy over MATCHES only — tiny)."""
+    joined = sigs.join(
+        F.broadcast(_lexicon_for_join(lexicon)), on=["sig", "entityKind"], how="inner"
+    )
+    return (
+        joined.groupBy(*doc_cols, "start", "n", "surface")
+        .agg(
+            F.array_distinct(F.flatten(F.collect_set("entityIds"))).alias(
+                "entityIds"
+            )
+        )
+        .withColumn("tier", F.lit(2))
+        .withColumn("score", F.lit(1.0))
+    )
+
+
+def _block_keys(sig: F.Column) -> F.Column:
+    """Two block keys per signature: 2-char prefix and 2-char suffix."""
+    return F.array(
+        F.concat(F.lit("P:"), F.substring(sig, 1, 2)),
+        F.concat(F.lit("S:"), F.substring(sig, -2, 2)),
+    )
+
+
+def link_fuzzy(
+    sigs: DataFrame,
+    lexicon: DataFrame,
+    threshold: float = DEFAULT_FUZZY_THRESHOLD,
+    doc_cols: tuple[str, ...] = DOC_COLS,
+) -> DataFrame:
+    """Blocked fuzzy tier over exact-join misses.
+
+    Only label-kind signatures within plausible length bounds are
+    considered; blocking (shared 2-char prefix OR suffix, length delta
+    <= max(2, 20% of the shorter)) bounds the scored pair count to the
+    neighbourhood of the lexicon.
+    """
+    spark = sigs.sparkSession
+    label_lex = lexicon.filter(F.col("entityKind") == "label")
+
+    # IDF over the (small) lexicon signature corpus, closed over by the UDF.
+    lex_sigs = [r["entityLabelNormalised"] for r in
+                label_lex.select("entityLabelNormalised").distinct().collect()]
+    idf = build_idf(lex_sigs)
+
+    @F.pandas_udf(DoubleType())
+    def fuzzy_score(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [combined_score(x, y, idf) for x, y in zip(a, b)], dtype=float
+        )
+
+    cand = (
+        sigs.filter(
+            (F.col("entityKind") == "label")
+            & (F.length("sig") >= FUZZY_MIN_SIG_CHARS)
+            & (F.length("sig") <= FUZZY_MAX_SIG_CHARS)
+        )
+        .select("sig")
+        .join(
+            F.broadcast(label_lex.select(F.col("entityLabelNormalised").alias("sig"))),
+            "sig",
+            "left_anti",
+        )
+    )
+
+    lex_blocks = label_lex.select(
+        F.col("entityLabelNormalised").alias("lexSig"), "entityIds"
+    ).withColumn("bk", F.explode(_block_keys(F.col("lexSig"))))
+
+    pairs = (
+        cand.withColumn("bk", F.explode(_block_keys(F.col("sig"))))
+        .join(F.broadcast(lex_blocks), "bk")
+        .filter(
+            F.abs(F.length("sig") - F.length("lexSig"))
+            <= F.greatest(
+                F.lit(2),
+                (F.least(F.length("sig"), F.length("lexSig")) * 0.2).cast("int"),
+            )
+        )
+        .select("sig", "lexSig", "entityIds")
+        .distinct()
+    )
+
+    scored = pairs.withColumn(
+        "score", fuzzy_score(F.col("sig"), F.col("lexSig"))
+    ).filter(F.col("score") >= threshold)
+
+    # best-scoring lexicon entry per signature (ties kept — multi-mapping)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sig").orderBy(F.col("score").desc())
+    best = (
+        scored.withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("sig")
+        .agg(
+            F.array_distinct(F.flatten(F.collect_set("entityIds"))).alias(
+                "entityIds"
+            ),
+            F.max("score").alias("score"),
+        )
+    )
+
+    return (
+        sigs.filter(F.col("entityKind") == "label")
+        .join(F.broadcast(best), "sig")
+        .groupBy(*doc_cols, "start", "n", "surface")
+        .agg(
+            F.array_distinct(F.flatten(F.collect_set("entityIds"))).alias("entityIds"),
+            F.max("score").alias("score"),
+        )
+        .withColumn("tier", F.lit(1))
+    )

@@ -1,0 +1,112 @@
+"""Mention-candidate extraction from document content — pure Catalyst.
+
+The reference's NER module pulls everything to the driver
+(ner/drug.py:260-284) — the anti-pattern this module replaces. Candidate
+generation here is 100% JVM-side Column algebra (tokenise -> positional
+n-grams -> prune), so the 10^12-row corpus never touches Python and the
+whole stage is narrow (no shuffle): scan -> project -> explode, fused by
+WholeStageCodegen. Matching happens downstream via a broadcast hash join
+against the lexicon, so the full exact tier is map-side only.
+
+Fan-out budget: each token yields at most MAX_N candidate rows of a few
+dozen bytes (doc key + offsets + short surface), dropped immediately by
+the join for non-matches — transient codegen rows, never materialised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from ontoma_spark.functions.normalize import ALL_STOP_WORDS
+
+# Token characters: unicode letters/digits plus _ : ' - (so id-shaped
+# tokens like "OMIM:114480" / "Orphanet_166" and hyphenated disease names
+# like "β-thalassemia" stay single tokens). Everything else splits.
+TOKEN_SPLIT_RE = r"[^\p{L}\p{N}_:'\-]+"
+# ... but leading/trailing punctuation of a token is junk ("cancer:" ->
+# "cancer").
+TOKEN_TRIM_RE = r"^[:'\-_]+|[:'\-_]+$"
+
+MAX_N = 5  # longest lexicon surface in tokens
+MIN_SURFACE_CHARS = 2
+MAX_SURFACE_CHARS = 64
+
+
+def tokenize_content(content: Column) -> Column:
+    """content -> array of cleaned tokens (empties removed)."""
+    raw = F.split(content, TOKEN_SPLIT_RE)
+    trimmed = F.transform(raw, lambda t: F.regexp_replace(t, TOKEN_TRIM_RE, ""))
+    return F.filter(trimmed, lambda t: t != "")
+
+
+def _ngrams_of(tokens: Column, stop_flags: Column, n: int) -> Column:
+    """Positional n-grams as array<struct<start,n,surface>> (1-based start).
+
+    N-grams whose FIRST or LAST token is a stop word are pruned here: a
+    mention never starts or ends with "for"/"the"/…, and because the
+    term-track normaliser deletes stop words, such extended n-grams would
+    collapse to the same signature as the tight mention and steal its
+    span in overlap resolution ("for cancer" vs "cancer"). Boundary flags
+    are precomputed per token, so the check is O(1) per n-gram.
+    """
+    grams = F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - n + 1),
+            lambda i: F.when(
+                ~F.element_at(stop_flags, i)
+                & ~F.element_at(stop_flags, i + F.lit(n - 1)),
+                F.struct(
+                    i.alias("start"),
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice(tokens, i, n), " ").alias("surface"),
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,n:int,surface:string>>"))
+    return F.filter(grams, lambda g: g.isNotNull())
+
+
+def extract_candidates(
+    repos: DataFrame,
+    max_n: int = MAX_N,
+    doc_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    content_col: str = "content",
+) -> DataFrame:
+    """One row per candidate n-gram: (doc key cols, start, n, surface).
+
+    Narrow transformation; candidate pruning (length bounds, must contain
+    a letter) happens inside the same codegen stage.
+    """
+    tokens = tokenize_content(F.col(content_col))
+    # per-token stop-word flags, computed once per document (case-sensitive
+    # membership in the reference's stop list, incl. Capitalised variants)
+    stop_flags = F.transform(
+        F.col("_toks"),
+        lambda t: F.array_contains(F.lit(ALL_STOP_WORDS), t),
+    )
+    grams = F.flatten(
+        F.array(
+            *[
+                _ngrams_of(F.col("_toks"), F.col("_stops"), n)
+                for n in range(1, max_n + 1)
+            ]
+        )
+    )
+    return (
+        repos.withColumn("_toks", tokens)
+        .withColumn("_stops", stop_flags)
+        .select(*doc_cols, F.explode(grams).alias("g"))
+        .select(
+            *doc_cols,
+            F.col("g.start").alias("start"),
+            F.col("g.n").alias("n"),
+            F.col("g.surface").alias("surface"),
+        )
+        .filter(
+            (F.length("surface") >= MIN_SURFACE_CHARS)
+            & (F.length("surface") <= MAX_SURFACE_CHARS)
+            & F.col("surface").rlike(r"\p{L}")
+        )
+    )

@@ -1,0 +1,160 @@
+"""Connected components / xref-closure canonicalisation as iterative
+DataFrame min-label propagation.
+
+The reference keeps crossrefs as flat LUT rows (disease.py:97-158) and has
+no closure; the graft's north star requires canonicalising every linked id
+through its xref cluster to ONE canonical id. There is no Catalyst
+primitive for transitive closure, so this is the standard user-space
+iterative algorithm: every node repeatedly adopts the minimum priority
+key among itself and its neighbours until fixpoint. Components here are
+xref clusters (2-5 nodes), so convergence takes O(log(diameter)) ≈ 2-4
+rounds; each round is persisted (and lineage cut via localCheckpoint) so
+plans don't grow exponentially — the classic pitfall of iterative Spark.
+
+Canonical preference: current ontology term > any other node, then
+ontology-prefix rank (EFO < MONDO < HP < ORPHANET < OMIM < rest), then
+lexicographic id — encoded as one orderable string key so ``min()``
+implements the whole policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ontoma_spark.functions.text import format_identifier
+
+_PREFIX_RANKS = ["EFO", "MONDO", "HP", "ORPHANET", "OMIM"]
+
+
+def _priority_key(node: F.Column, is_term: F.Column) -> F.Column:
+    """Orderable canonical-preference key: flag | prefix-rank | id."""
+    prefix = F.split(node, ":").getItem(0)
+    rank_expr = F.lit(len(_PREFIX_RANKS))
+    for i, p in enumerate(reversed(_PREFIX_RANKS)):
+        rank_expr = F.when(
+            prefix == p, F.lit(len(_PREFIX_RANKS) - 1 - i)
+        ).otherwise(rank_expr)
+    flag = F.when(is_term, F.lit("0")).otherwise(F.lit("1"))
+    return F.concat_ws(
+        "|", flag, F.lpad(rank_expr.cast("string"), 2, "0"), node
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    term_nodes: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    Args:
+        edges: columns (src, dst) — node key strings.
+        term_nodes: single column (node) — nodes that are current ontology
+            terms (preferred canonical representatives).
+        max_iterations: convergence guard.
+
+    Returns:
+        DataFrame (node, canonicalId): every node mapped to the raw id of
+        its component's best representative.
+    """
+    spark = edges.sparkSession
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .union(term_nodes.select(F.col("node")))
+        .distinct()
+        .join(term_nodes.withColumn("isTerm", F.lit(True)), "node", "left")
+        .select(
+            "node",
+            _priority_key(
+                F.col("node"), F.coalesce(F.col("isTerm"), F.lit(False))
+            ).alias("label"),
+        )
+    )
+
+    labels = nodes.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbour_min = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nLabel"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nLabel"), F.col("label"))
+                ).alias("label"),
+                (F.col("nLabel") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+
+    # the label is "flag|rank|<canonical id>"
+    return labels.select(
+        "node",
+        F.element_at(F.split(F.col("label"), r"\|", 3), 3).alias("canonicalId"),
+    )
+
+
+def xref_edges(terms: DataFrame) -> DataFrame:
+    """Xref closure edge list from an ontology term table.
+
+    Edges: term id <-> each (blocklist-surviving) dbXRef / obsoleteXRef,
+    and obsolete term id -> current term id. All node keys are formatted
+    (``format_identifier(upper(.))``) so 'Orphanet_166' and 'ORPHA:166'
+    collapse to one node.
+    """
+    fmt = lambda c: format_identifier(F.upper(F.trim(c)))  # noqa: E731
+    xref = terms.select(
+        fmt(F.col("id")).alias("src"),
+        F.explode(
+            F.concat(
+                F.coalesce(F.col("dbXRefs"), F.array()),
+                F.coalesce(F.col("obsoleteXRefs"), F.array()),
+                F.coalesce(F.col("obsoleteTerms"), F.array()),
+            )
+        ).alias("raw_dst"),
+    )
+    from ontoma_spark.functions.text import CROSSREF_BLOCKLIST
+    from functools import reduce
+
+    junk = reduce(
+        lambda a, b: a | b,
+        [F.col("raw_dst").contains(p) for p in CROSSREF_BLOCKLIST],
+        F.lit(False),
+    )
+    return (
+        xref.filter(~junk)
+        .select("src", fmt(F.col("raw_dst")).alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.length("dst") > 0))
+        .distinct()
+    )
+
+
+def canonical_map(terms: DataFrame) -> DataFrame:
+    """(node, canonicalId) for every id/xref node in the term table.
+
+    Nodes marked as current terms are the formatted ids of non-obsolete
+    term rows; obsolete term ids (listed in any ``obsoleteTerms``) are
+    demoted so a cluster never canonicalises to a retired id.
+    """
+    fmt = lambda c: format_identifier(F.upper(F.trim(c)))  # noqa: E731
+    obsolete = terms.select(
+        F.explode(F.coalesce(F.col("obsoleteTerms"), F.array())).alias("o")
+    ).select(fmt(F.col("o")).alias("node")).distinct()
+    term_nodes = (
+        terms.select(fmt(F.col("id")).alias("node"))
+        .distinct()
+        .join(obsolete, "node", "left_anti")
+    )
+    return connected_components(xref_edges(terms), term_nodes)

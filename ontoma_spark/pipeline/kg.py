@@ -1,0 +1,165 @@
+"""End-to-end KG construction: repos -> mentions -> link -> canonicalise
+-> (subj, pred, obj) triples.
+
+Plan shape at scale (the 100 TB story):
+
+  scan(repos)  ── narrow ──> tokenise -> n-grams -> prune        [codegen]
+    ── broadcast join ──> exact matches (tier 2)                  [no shuffle]
+    ── anti-join + distinct + blocked join + UDF ──> fuzzy (tier 1)
+       (one shuffle over distinct miss-signatures near the lexicon)
+    ── union -> per-doc overlap resolution (groupBy doc key;
+       matches only — tiny relative to corpus)
+    ── broadcast join canonical_map -> triples
+
+The only corpus-sized shuffle is the per-doc groupBy of MATCHES (a few
+rows per document). Skew note: the hot term "cancer" produces many match
+rows but they are spread across documents — the groupBy key is the doc,
+not the mention — so the classic hot-label skew collapses to even
+per-doc groups; the lexicon side of every join is broadcast, which
+sidesteps join-key skew entirely (SURVEY §4: broadcast join sidesteps
+join skew; AQE skew-join covers the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.linker import (
+    DEFAULT_FUZZY_THRESHOLD,
+    DOC_COLS,
+    candidate_queries,
+    link_exact,
+    link_fuzzy,
+    with_signatures,
+)
+from ontoma_spark.operators.mentions import extract_candidates
+from ontoma_spark.functions.text import format_identifier
+
+PRED_EXACT = "skos:exactMatch"
+PRED_RELATED = "skos:relatedMatch"
+
+
+def resolve_overlaps(
+    matches: DataFrame, doc_cols: tuple[str, ...] = DOC_COLS
+) -> DataFrame:
+    """Keep, per document, only matches not overlapped by a strictly
+    higher-priority match. Priority: longer span > exact tier > score.
+
+    Implemented as collect per doc + higher-order exists() — pure JVM,
+    no UDF; match counts per doc are small so the groupBy is cheap.
+    """
+    prio = "(CAST(m.n AS DOUBLE) * 1000000.0 + m.tier * 1000.0 + m.score)"
+    grouped = matches.groupBy(*doc_cols).agg(
+        F.collect_list(
+            F.struct("start", "n", "surface", "entityIds", "tier", "score")
+        ).alias("ms")
+    )
+    # Pass 1: a fuzzy match that CONTAINS an exact match to the same
+    # entity is a noisy extension of it ("mapping for beta-thalassemia" ⊃
+    # "beta-thalassemia"); drop it so the tight exact span survives. A
+    # fuzzy span containing an exact match to a DIFFERENT entity ("brest
+    # cancer" ⊃ "cancer") is kept — the fuzzy reading subsumes it.
+    pruned = grouped.withColumn(
+        "ms",
+        F.expr(
+            """
+            filter(ms, m ->
+              NOT (m.tier = 1 AND exists(ms, o ->
+                o.tier = 2 AND
+                o.start >= m.start AND
+                o.start + o.n <= m.start + m.n AND
+                exists(o.entityIds, x ->
+                  exists(m.entityIds, y -> y.entityId = x.entityId))
+              ))
+            )
+            """
+        ),
+    )
+    # Pass 2: longest span > exact tier > score among overlapping matches.
+    kept = pruned.withColumn(
+        "ms",
+        F.expr(
+            f"""
+            filter(ms, m ->
+              NOT exists(ms, o ->
+                o.start <= m.start + m.n - 1 AND
+                o.start + o.n - 1 >= m.start AND
+                (CAST(o.n AS DOUBLE) * 1000000.0 + o.tier * 1000.0 + o.score)
+                  > {prio}
+              )
+            )
+            """
+        ),
+    )
+    return kept.select(*doc_cols, F.explode("ms").alias("m")).select(
+        *doc_cols,
+        F.col("m.start").alias("start"),
+        F.col("m.n").alias("n"),
+        F.col("m.surface").alias("surface"),
+        F.col("m.entityIds").alias("entityIds"),
+        F.col("m.tier").alias("tier"),
+        F.col("m.score").alias("score"),
+    )
+
+
+def matches_to_triples(
+    matches: DataFrame,
+    canonical: DataFrame,
+    doc_cols: tuple[str, ...] = DOC_COLS,
+) -> DataFrame:
+    """Explode matched ids, canonicalise through the xref-closure map
+    (broadcast), and emit triples with provenance."""
+    exploded = matches.select(
+        *doc_cols,
+        "start",
+        "n",
+        F.col("surface").alias("mention"),
+        "tier",
+        "score",
+        F.explode("entityIds").alias("e"),
+    ).withColumn(
+        "objRaw", format_identifier(F.upper(F.trim(F.col("e.entityId"))))
+    )
+    canon = F.broadcast(canonical.withColumnRenamed("node", "objRaw"))
+    return (
+        exploded.join(canon, "objRaw", "left")
+        .select(
+            *doc_cols,
+            "start",
+            "n",
+            "mention",
+            "tier",
+            "score",
+            F.coalesce(F.col("canonicalId"), F.col("objRaw")).alias("obj"),
+        )
+        .withColumn(
+            "pred",
+            F.when(F.col("tier") >= 2, F.lit(PRED_EXACT)).otherwise(
+                F.lit(PRED_RELATED)
+            ),
+        )
+        .withColumn("subj", F.col("mention"))
+        .dropDuplicates([*doc_cols, "start", "n", "subj", "pred", "obj"])
+    )
+
+
+def build_triples(
+    repos: DataFrame,
+    lexicon: DataFrame,
+    canonical: DataFrame,
+    fuzzy_threshold: float = DEFAULT_FUZZY_THRESHOLD,
+    with_fuzzy: bool = True,
+) -> DataFrame:
+    """Full linker: returns the triple table with provenance columns
+    (repo, path, commit, start, n, subj/mention, pred, obj, tier, score).
+    """
+    sigs = with_signatures(candidate_queries(extract_candidates(repos)))
+    exact = link_exact(sigs, lexicon)
+    if with_fuzzy:
+        fuzzy = link_fuzzy(sigs, lexicon, threshold=fuzzy_threshold)
+        matches = exact.unionByName(fuzzy.select(*exact.columns))
+    else:
+        matches = exact
+    resolved = resolve_overlaps(matches)
+    return matches_to_triples(resolved, canonical)

@@ -1,0 +1,113 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.datagen import (
+    expected_mentions_df,
+    generate_repos,
+    ontology_terms_df,
+)
+from ontoma_spark.lexicon import as_id_lut, as_label_lut, build_lexicon
+from ontoma_spark.operators.mentions import extract_candidates
+from ontoma_spark.operators.unionfind import canonical_map
+from ontoma_spark.pipeline.kg import build_triples
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    terms = ontology_terms_df(spark)
+    lex = build_lexicon([as_label_lut(terms), as_id_lut(terms)]).cache()
+    canon = canonical_map(terms).cache()
+    repos = generate_repos(spark, N_DOCS).cache()
+    triples = build_triples(repos, lex, canon).cache()
+    triples.count()
+    return {"lex": lex, "canon": canon, "repos": repos, "triples": triples}
+
+
+def test_precision_recall_at_least_095(spark, kg):
+    got = (
+        kg["triples"]
+        .select("repo", "path", "commit", F.col("subj").alias("mention"), "pred", "obj")
+        .distinct()
+    )
+    exp = (
+        expected_mentions_df(spark, N_DOCS)
+        .select(
+            "repo", "path", "commit", "mention", "pred",
+            F.explode("expected_ids").alias("obj"),
+        )
+        .distinct()
+    )
+    tp = got.join(exp, ["repo", "path", "commit", "mention", "pred", "obj"]).count()
+    n_got, n_exp = got.count(), exp.count()
+    precision, recall = tp / n_got, tp / n_exp
+    assert precision >= 0.95, f"precision {precision:.4f}"
+    assert recall >= 0.95, f"recall {recall:.4f}"
+
+
+def test_triples_schema_and_preds(kg):
+    t = kg["triples"]
+    assert {"subj", "pred", "obj"} <= set(t.columns)
+    preds = {r["pred"] for r in t.select("pred").distinct().collect()}
+    assert preds <= {"skos:exactMatch", "skos:relatedMatch"}
+
+
+def test_objects_are_canonical(kg):
+    # every object must be a canonical id (fixpoint of the canonical map)
+    cm = {r["node"]: r["canonicalId"] for r in kg["canon"].collect()}
+    objs = {r["obj"] for r in kg["triples"].select("obj").distinct().collect()}
+    for o in objs:
+        assert cm.get(o, o) == o, f"non-canonical object {o}"
+
+
+def test_multi_mapping_tie_preserved(kg):
+    # "melanoma tumour" maps to both tied ids
+    objs = {
+        r["obj"]
+        for r in kg["triples"].filter(F.col("subj") == "melanoma tumour").collect()
+    }
+    if objs:  # present in the sample
+        assert objs == {"EFO:0002617", "MONDO:0005105"}
+
+
+def test_fuzzy_tier_produces_related_matches(kg):
+    fuzzy = kg["triples"].filter(F.col("pred") == "skos:relatedMatch")
+    subjects = {r["subj"] for r in fuzzy.select("subj").distinct().collect()}
+    assert subjects <= {"brest cancer", "alzheimers diseease", "asthmma"}
+    assert len(subjects) >= 2
+
+
+def test_candidates_prune_boundary_stopwords(spark):
+    df = spark.createDataFrame(
+        [("r", "p", "c", "x", "for cancer of the lung the")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    surfaces = {
+        r["surface"] for r in extract_candidates(df).select("surface").collect()
+    }
+    # no n-gram may start or end with a stop word
+    assert "for cancer" not in surfaces
+    assert "lung the" not in surfaces
+    assert "cancer of the lung" in surfaces
+
+
+def test_linker_plan_has_no_shuffle_joins(kg, spark, tmp_path):
+    # With the lexicon materialised (production shape: built offline,
+    # read back), every join in the linker itself must be broadcast —
+    # the corpus side never shuffles for a join.
+    lex_path = str(tmp_path / "lexicon")
+    canon_path = str(tmp_path / "canon")
+    kg["lex"].write.parquet(lex_path)
+    kg["canon"].write.parquet(canon_path)
+    triples = build_triples(
+        kg["repos"],
+        spark.read.parquet(lex_path),
+        spark.read.parquet(canon_path),
+    )
+    plan = triples._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

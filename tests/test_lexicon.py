@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.core.dataset import Dataset
+from ontoma_spark.datagen import ontology_terms_df
+from ontoma_spark.lexicon import (
+    READY_LEXICON_SCHEMA,
+    as_id_lut,
+    as_label_lut,
+    build_lexicon,
+)
+
+
+@pytest.fixture(scope="module")
+def lexicon(spark):
+    terms = ontology_terms_df(spark)
+    lex = build_lexicon([as_label_lut(terms), as_id_lut(terms)]).cache()
+    lex.count()
+    return lex
+
+
+def _ids(lexicon, kind, sig):
+    rows = lexicon.filter(
+        (F.col("entityKind") == kind) & (F.col("entityLabelNormalised") == sig)
+    ).collect()
+    assert len(rows) <= 1
+    return sorted(x["entityId"] for x in rows[0]["entityIds"]) if rows else []
+
+
+def test_lexicon_matches_declared_schema(lexicon):
+    Dataset(lexicon, READY_LEXICON_SCHEMA)
+
+
+def test_word_order_insensitive_synonyms_collapse(lexicon):
+    # "lung cancer" + "cancer of lung" + "cancer of the lung" -> one row
+    assert _ids(lexicon, "label", "cancerlung") == ["EFO_0001071"]
+
+
+def test_dense_rank_tie_keeps_both_ids(lexicon):
+    assert _ids(lexicon, "label", "melanomatumour") == [
+        "EFO_0002617",
+        "MONDO_0005105",
+    ]
+
+
+def test_top_tier_beats_lower_tier(lexicon):
+    # "melanoma" is MONDO_0005105's name (1.0); no lower tier leaks in
+    assert _ids(lexicon, "label", "melanoma") == ["MONDO_0005105"]
+
+
+def test_symbol_track_acronym(lexicon):
+    assert _ids(lexicon, "label", "als") == ["MONDO_0019391"]
+    assert _ids(lexicon, "label", "t2dm") == ["MONDO_0005148"]
+
+
+def test_greek_and_accent_variants_present(lexicon):
+    assert _ids(lexicon, "label", "bthalassemia") == ["EFO_0004269"]
+    # accent-folded variant of Papillon-Lefèvre
+    assert _ids(lexicon, "label", "lefevrpapillonsyndrom") == ["Orphanet_275"]
+
+
+def test_id_lut_formats_and_maps_xrefs(lexicon):
+    assert _ids(lexicon, "id", "omim114480") == ["EFO_0000305"]
+    # Orphanet_166's own id entry (tier 1.0) outranks EFO_1000011's
+    # crossref entry (0.999); union-find canonicalises downstream.
+    assert _ids(lexicon, "id", "orphanet166") == ["Orphanet_166"]
+    # obsolete term id resolves to its replacement
+    assert _ids(lexicon, "id", "efo0000571") == ["EFO_0001071"]
+
+
+def test_junk_crossrefs_filtered(lexicon):
+    # PMID:11314285 from EFO_0000305.dbXRefs must not be a LUT entry
+    assert _ids(lexicon, "id", "pmid11314285") == []
+
+
+def test_stemming_unifies_plural_queries(spark, lexicon):
+    # lexicon side stems too: "cancers of the lungs" would normalise equal
+    from ontoma_spark.functions.normalize import normalise_entities
+
+    df = spark.createDataFrame(
+        [("cancers of the lungs", "term")],
+        "entityLabel string, nlpPipelineTrack string",
+    )
+    sig = normalise_entities(df).first()["entityLabelNormalised"]
+    assert _ids(lexicon, "label", sig) == ["EFO_0001071"]

@@ -1,0 +1,41 @@
+from __future__ import annotations
+
+from ontoma_spark.datagen import ontology_terms_df
+from ontoma_spark.operators.unionfind import (
+    canonical_map,
+    connected_components,
+)
+
+
+def test_canonical_map_xref_closure(spark):
+    cm = {r["node"]: r["canonicalId"] for r in canonical_map(ontology_terms_df(spark)).collect()}
+    # Orphanet/OMIM pair canonicalises to the EFO id
+    assert cm["ORPHANET:166"] == "EFO:1000011"
+    assert cm["OMIM:203500"] == "EFO:1000011"
+    # obsolete EFO id -> current replacement, never the retired id
+    assert cm["EFO:0000571"] == "EFO:0001071"
+    assert cm["EFO:0001071"] == "EFO:0001071"
+    # plain xref -> its term
+    assert cm["OMIM:114480"] == "EFO:0000305"
+    # term with no preferred-prefix competitor keeps itself
+    assert cm["ORPHANET:275"] == "ORPHANET:275"
+
+
+def test_connected_components_chain_converges(spark):
+    # a 5-node chain requires multiple propagation rounds
+    edges = spark.createDataFrame(
+        [("B", "C"), ("C", "D"), ("D", "E"), ("E", "F")], "src string, dst string"
+    )
+    terms = spark.createDataFrame([("B",)], "node string")
+    out = {r["node"]: r["canonicalId"] for r in connected_components(edges, terms).collect()}
+    assert out == {k: "B" for k in "BCDEF"}
+
+
+def test_connected_components_disjoint_components(spark):
+    edges = spark.createDataFrame(
+        [("EFO:1", "OMIM:9"), ("HP:2", "OMIM:8")], "src string, dst string"
+    )
+    terms = spark.createDataFrame([("EFO:1",), ("HP:2",)], "node string")
+    out = {r["node"]: r["canonicalId"] for r in connected_components(edges, terms).collect()}
+    assert out["OMIM:9"] == "EFO:1"
+    assert out["OMIM:8"] == "HP:2"
