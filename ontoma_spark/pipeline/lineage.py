@@ -1,0 +1,162 @@
+"""Resumable execution: bucketed jobs + per-partition lineage manifest.
+
+"Resumable from checkpoint" (BASELINE.json north_rule) is job-level
+idempotent restart, not Structured Streaming state (the reference is pure
+batch; SURVEY §2.10). Mechanics:
+
+* the input is hash-bucketed on the doc key: ``pmod(xxhash64(repo, path,
+  commit), n_buckets)`` — deterministic, partitioning-independent;
+* buckets are processed in groups of ``buckets_per_job``; each job writes
+  ``triples/bucket=K/`` via DYNAMIC partition overwrite (a re-run of a
+  half-written job replaces its partitions instead of duplicating), then
+  appends one lineage row per bucket;
+* a bucket is DONE iff its lineage row exists — on restart, completed
+  buckets are skipped by consulting the manifest, so a crash mid-run
+  costs at most one job group;
+* each lineage row carries the audit facts: doc count, triple count, and
+  an order-independent digest of the input contents
+  (``bit_xor(xxhash64(sha2(content, 256)))``) — the per-row sha256
+  invariant (input_hint) is verifiable per bucket without re-reading
+  outputs.
+
+At 10^12 files, n_buckets scales up (e.g. 4096) and the bucket filter is
+a cheap narrow predicate; with Iceberg the same design maps to
+partition-level overwrite + a lineage table.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+LINEAGE_DIR = "_lineage"
+TRIPLES_DIR = "triples"
+
+
+def bucket_expr(n_buckets: int) -> F.Column:
+    return F.pmod(
+        F.xxhash64(F.col("repo"), F.col("path"), F.col("commit")),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def content_digest() -> F.Column:
+    """Order-independent digest over sha256(content) for a set of rows."""
+    return F.bit_xor(F.xxhash64(F.sha2(F.col("content"), 256)))
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    path = os.path.join(out_dir, LINEAGE_DIR)
+    try:
+        return {
+            r["bucket"]
+            for r in spark.read.parquet(path).select("bucket").distinct().collect()
+        }
+    except Exception:
+        return set()
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, LINEAGE_DIR))
+
+
+def run_resumable(
+    spark: SparkSession,
+    repos: DataFrame,
+    build_fn,
+    out_dir: str,
+    n_buckets: int = 32,
+    buckets_per_job: int = 8,
+    _fail_after_jobs: int | None = None,
+) -> dict:
+    """Process ``repos`` through ``build_fn(bucketed_repos) -> triples``
+    bucket-group by bucket-group, resumably.
+
+    Args:
+        build_fn: repos-with-``bucket``-column -> triples DataFrame
+            (must preserve the ``bucket`` column for partitioned write).
+        _fail_after_jobs: test hook — raise after N job groups to
+            simulate a mid-pipeline crash.
+
+    Returns:
+        summary dict (buckets processed/skipped, triples written).
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    done = completed_buckets(spark, out_dir)
+    todo = [b for b in range(n_buckets) if b not in done]
+    triples_path = os.path.join(out_dir, TRIPLES_DIR)
+    lineage_path = os.path.join(out_dir, LINEAGE_DIR)
+
+    bucketed = repos.withColumn("bucket", bucket_expr(n_buckets))
+    jobs = 0
+    total_triples = 0
+    for lo in range(0, len(todo), buckets_per_job):
+        group = todo[lo : lo + buckets_per_job]
+        part = bucketed.filter(F.col("bucket").isin(group))
+        triples = build_fn(part)
+        if "bucket" not in triples.columns:
+            # triples keep the doc key, so the bucket is recomputable
+            triples = triples.withColumn("bucket", bucket_expr(n_buckets))
+        (
+            triples.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(triples_path)
+        )
+        # audit facts per bucket (input-side counts + content digest,
+        # output-side triple counts)
+        in_stats = part.groupBy("bucket").agg(
+            F.count("*").alias("n_docs"),
+            content_digest().alias("contentDigest"),
+        )
+        out_stats = (
+            spark.read.parquet(triples_path)
+            .filter(F.col("bucket").isin(group))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_triples"))
+        )
+        lineage = (
+            in_stats.join(out_stats, "bucket", "left")
+            .withColumn("n_triples", F.coalesce("n_triples", F.lit(0)))
+            .withColumn("completedAtMs", F.lit(int(time.time() * 1000)))
+        )
+        lineage.write.mode("append").parquet(lineage_path)
+        total_triples += lineage.agg(F.sum("n_triples")).first()[0] or 0
+        jobs += 1
+        if _fail_after_jobs is not None and jobs >= _fail_after_jobs:
+            raise RuntimeError(f"injected failure after {jobs} job group(s)")
+
+    return {
+        "buckets_total": n_buckets,
+        "buckets_skipped": len(done),
+        "buckets_processed": len(todo),
+        "job_groups": jobs,
+        "triples_written": total_triples,
+    }
+
+
+def verify_content_invariant(
+    spark: SparkSession, repos: DataFrame, out_dir: str, n_buckets: int
+) -> DataFrame:
+    """Recompute the per-bucket sha256 digest of the input and diff it
+    against the lineage manifest. Returns rows that mismatch (empty =
+    invariant holds)."""
+    expected = (
+        repos.withColumn("bucket", bucket_expr(n_buckets))
+        .groupBy("bucket")
+        .agg(content_digest().alias("expectedDigest"), F.count("*").alias("expectedDocs"))
+    )
+    lineage = read_lineage(spark, out_dir).select(
+        "bucket", "contentDigest", "n_docs"
+    )
+    return (
+        expected.join(lineage, "bucket", "full")
+        .filter(
+            (F.col("expectedDigest") != F.col("contentDigest"))
+            | (F.col("expectedDocs") != F.col("n_docs"))
+            | F.col("contentDigest").isNull()
+            | F.col("expectedDigest").isNull()
+        )
+    )

@@ -1,0 +1,87 @@
+"""spark-submit entry point for the KG construction pipeline.
+
+Usage (cluster):
+    spark-submit --py-files ontoma_spark.zip -m ontoma_spark.pipeline.run \
+        --input /path/repos_parquet --out /path/kg_out \
+        --n-buckets 4096 --buckets-per-job 256
+
+Usage (sandbox, synthetic input):
+    python -m ontoma_spark.pipeline.run --synthetic-rows 10000 \
+        --out /tmp/kg_out --master 'local[32]'
+
+Prints one JSON summary line (docs, triples, wall seconds, triples/sec).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+from ontoma_spark.core.session import get_spark
+from ontoma_spark.datagen import generate_repos, ontology_terms_df
+from ontoma_spark.lexicon import as_id_lut, as_label_lut, build_lexicon
+from ontoma_spark.operators.unionfind import canonical_map
+from ontoma_spark.pipeline.kg import build_triples
+from ontoma_spark.pipeline.lineage import run_resumable
+
+
+def prepare_reference_tables(spark: SparkSession, terms_path: str | None):
+    """Lexicon + canonical map, built once and cached (ontology-sized)."""
+    terms = (
+        spark.read.parquet(terms_path) if terms_path else ontology_terms_df(spark)
+    )
+    lexicon = build_lexicon([as_label_lut(terms), as_id_lut(terms)]).cache()
+    lexicon.count()
+    canonical = canonical_map(terms).cache()
+    canonical.count()
+    return lexicon, canonical
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet path of (repo,path,commit,lang,content)")
+    ap.add_argument("--synthetic-rows", type=int, default=0)
+    ap.add_argument("--terms", help="parquet path of the ontology term table")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--buckets-per-job", type=int, default=8)
+    ap.add_argument("--no-fuzzy", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="ontoma_spark_kg", master=args.master)
+    if args.input:
+        repos = spark.read.parquet(args.input)
+    elif args.synthetic_rows:
+        repos = generate_repos(spark, args.synthetic_rows)
+    else:
+        raise SystemExit("one of --input / --synthetic-rows is required")
+
+    lexicon, canonical = prepare_reference_tables(spark, args.terms)
+
+    t0 = time.time()
+    summary = run_resumable(
+        spark,
+        repos,
+        lambda part: build_triples(
+            part, lexicon, canonical, with_fuzzy=not args.no_fuzzy
+        ),
+        args.out,
+        n_buckets=args.n_buckets,
+        buckets_per_job=args.buckets_per_job,
+    )
+    wall = time.time() - t0
+    summary["wall_sec"] = round(wall, 2)
+    summary["triples_per_sec"] = (
+        round(summary["triples_written"] / wall, 1) if wall > 0 else None
+    )
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,94 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.datagen import generate_repos, ontology_terms_df
+from ontoma_spark.lexicon import as_id_lut, as_label_lut, build_lexicon
+from ontoma_spark.operators.unionfind import canonical_map
+from ontoma_spark.pipeline.kg import build_triples
+from ontoma_spark.pipeline.lineage import (
+    completed_buckets,
+    read_lineage,
+    run_resumable,
+    verify_content_invariant,
+)
+
+N_DOCS = 120
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    terms = ontology_terms_df(spark)
+    lex = build_lexicon([as_label_lut(terms), as_id_lut(terms)]).cache()
+    canon = canonical_map(terms).cache()
+    repos = generate_repos(spark, N_DOCS).cache()
+    build = lambda part: build_triples(part, lex, canon, with_fuzzy=False)  # noqa: E731
+    return {"repos": repos, "build": build}
+
+
+def _triples(spark, out):
+    return spark.read.parquet(f"{out}/triples")
+
+
+def test_crash_then_resume_matches_single_shot(spark, ctx, tmp_path):
+    out_a = str(tmp_path / "crashy")
+    out_b = str(tmp_path / "clean")
+
+    # single-shot reference run
+    run_resumable(spark, ctx["repos"], ctx["build"], out_b, N_BUCKETS, N_BUCKETS)
+
+    # crash after the first job group
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(
+            spark, ctx["repos"], ctx["build"], out_a, N_BUCKETS,
+            buckets_per_job=3, _fail_after_jobs=1,
+        )
+    done_after_crash = completed_buckets(spark, out_a)
+    assert 0 < len(done_after_crash) < N_BUCKETS
+
+    # resume: must skip completed buckets and finish the rest
+    summary = run_resumable(
+        spark, ctx["repos"], ctx["build"], out_a, N_BUCKETS, buckets_per_job=3
+    )
+    assert summary["buckets_skipped"] == len(done_after_crash)
+    assert completed_buckets(spark, out_a) == set(range(N_BUCKETS))
+
+    # identical output, no duplicates
+    a = _triples(spark, out_a).drop("bucket")
+    b = _triples(spark, out_b).drop("bucket")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_rerun_is_noop(spark, ctx, tmp_path):
+    out = str(tmp_path / "noop")
+    run_resumable(spark, ctx["repos"], ctx["build"], out, N_BUCKETS, N_BUCKETS)
+    n1 = _triples(spark, out).count()
+    summary = run_resumable(spark, ctx["repos"], ctx["build"], out, N_BUCKETS, N_BUCKETS)
+    assert summary["buckets_processed"] == 0
+    assert _triples(spark, out).count() == n1
+
+
+def test_lineage_records_audit_facts(spark, ctx, tmp_path):
+    out = str(tmp_path / "audit")
+    run_resumable(spark, ctx["repos"], ctx["build"], out, N_BUCKETS, N_BUCKETS)
+    lineage = read_lineage(spark, out)
+    assert lineage.count() == N_BUCKETS
+    stats = lineage.agg(F.sum("n_docs"), F.sum("n_triples")).first()
+    assert stats[0] == N_DOCS
+    assert stats[1] == _triples(spark, out).count()
+
+
+def test_sha256_content_invariant_holds(spark, ctx, tmp_path):
+    out = str(tmp_path / "sha")
+    run_resumable(spark, ctx["repos"], ctx["build"], out, N_BUCKETS, N_BUCKETS)
+    bad = verify_content_invariant(spark, ctx["repos"], out, N_BUCKETS)
+    assert bad.count() == 0
+    # and it actually detects corruption
+    corrupted = ctx["repos"].withColumn(
+        "content", F.concat(F.col("content"), F.lit("x"))
+    )
+    assert verify_content_invariant(spark, corrupted, out, N_BUCKETS).count() > 0
