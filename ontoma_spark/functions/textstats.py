@@ -1,0 +1,111 @@
+"""Text-analysis Column algebra for large-scale corpus curation.
+
+Training-data-pipeline operators over a text column, all pure Catalyst
+expressions (JVM codegen, no Python): token counting, quality scoring,
+heuristic language ID, and content fingerprinting. Each has an exact
+ANSI-SQL twin in ``__spark_entry__.oracle_sql`` so correctness is gated
+against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+WORD_SPLIT_RE = r"[^\p{L}\p{N}]+"
+
+# tiny per-language marker sets for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), WORD_SPLIT_RE), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/punctuation token count."""
+    return F.size(words(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: word-piece regex (runs of letters,
+    runs of digits, single punctuation marks) — a cheap BPE proxy."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?<=\p{L})(?=\p{N})|(?<=\p{N})(?=\p{L})|\s+|(?=[^\p{L}\p{N}\s])|(?<=[^\p{L}\p{N}\s])"),
+            lambda t: t != "",
+        )
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    total = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    ws = words(text)
+    return F.when(
+        F.size(ws) > 0,
+        F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+        / F.size(ws),
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, markers: list[str] | None = None) -> Column:
+    ms = markers if markers is not None else LANG_MARKERS["en"]
+    ws = words(text)
+    hits = F.size(F.filter(ws, lambda w: F.array_contains(F.lit(ms), w)))
+    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalise extreme punctuation,
+    degenerate word lengths, and very short texts."""
+    n = token_count(text)
+    len_ok = F.least(n / F.lit(20.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    mwl = mean_word_len(text)
+    word_ok = F.when((mwl >= 2.5) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    return F.round((len_ok + punct_ok + word_ok) / 3.0, 4)
+
+
+def lang_scores(text: Column) -> Column:
+    """Marker-hit counts per language as a struct (argmax = predicted)."""
+    ws = words(text)
+    fields = []
+    for lang, markers in LANG_MARKERS.items():
+        # NB: a 2-arg lambda would make F.filter pass the element INDEX as
+        # the second arg; close over the marker array instead.
+        arr = F.lit(markers)
+        hits = F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
+        fields.append(hits.alias(lang))
+    return F.struct(*fields)
+
+
+def predict_lang(text: Column) -> Column:
+    """Heuristic language ID: argmax of marker hits, 'und' when all zero.
+    Deterministic tie-break by language code order en < es < fr < de as
+    listed (first max wins)."""
+    s = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang in langs:
+        cond = s[lang] > best_n
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, s[lang]).otherwise(best_n)
+    return best
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical content fingerprint: md5 of lowercased,
+    whitespace-collapsed text."""
+    canon = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(canon)

@@ -1,0 +1,246 @@
+"""Deduplication operators for corpus curation at scale.
+
+* exact: hash-groupBy on a content digest — one shuffle on a short hash.
+* MinHash + LSH: shingle -> per-band min-hash -> band-bucket self-join.
+  The self-join is on (band, bucket) keys, so the pair candidate set is
+  |bucket|² per bucket instead of n² — the standard banding trade-off.
+  All signature computation is JVM Column algebra (xxhash64/md5 over
+  shingle arrays); no Python in the hot path.
+* n-gram Jaccard verification: exact word-set Jaccard on candidate pairs
+  only (array_intersect/array_union).
+* SimHash: 64-bit sign-vote fingerprint via a vectorized pandas UDF
+  (bit-level voting is Python-side; input is one row per doc, not per
+  token, so Arrow volume stays modest). Hamming-distance buckets via
+  16-bit chunk keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import LongType
+
+from ontoma_spark.functions.textstats import words
+
+
+def content_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("contentHash", F.sha2(F.col(text_col), 256))
+
+
+def exact_duplicate_clusters(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Clusters of byte-identical texts: (contentHash, size, keys)."""
+    return (
+        content_hash(df, text_col)
+        .groupBy("contentHash")
+        .agg(
+            F.count("*").alias("clusterSize"),
+            F.sort_array(F.collect_list(F.col(key_col))).alias("members"),
+        )
+        .filter(F.col("clusterSize") > 1)
+    )
+
+
+def shingles(text: F.Column, k: int = 3) -> F.Column:
+    """Word k-shingles as strings."""
+    ws = words(text)
+    return F.when(
+        F.size(ws) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - k + 1),
+            lambda i: F.array_join(F.slice(ws, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(ws, " ")))
+
+
+def minhash_signature(text: F.Column, n_hashes: int = 16, k: int = 3) -> F.Column:
+    """Array of n_hashes min-hash values (xxhash64 with per-hash salt)."""
+    sh = shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(f"mh{i}:"), s))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Returns distinct (a, b) with a < b. The self-join key is
+    (band index, hash of the band slice); Catalyst shuffles both sides on
+    that key, so skew only arises from genuinely repeated content.
+    """
+    rows = n_hashes // bands
+    sig = df.select(
+        F.col(key_col).alias("k"),
+        minhash_signature(F.col(text_col), n_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows + 1, rows),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("k", "bb.band", "bb.bucket")
+    left = banded.withColumnRenamed("k", "a")
+    right = banded.withColumnRenamed("k", "b")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact word-set Jaccard on candidate pairs; keep >= threshold."""
+    sets = df.select(
+        F.col(key_col).alias("k"), F.array_distinct(words(F.col(text_col))).alias("ws")
+    )
+    a = sets.select(F.col("k").alias("a"), F.col("ws").alias("wa"))
+    b = sets.select(F.col("k").alias("b"), F.col("ws").alias("wb"))
+    return (
+        candidates.join(a, "a")
+        .join(b, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("wa", "wb"))
+                / F.size(F.array_union("wa", "wb")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def near_duplicates(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard."""
+    cands = minhash_candidate_pairs(df, key_col, text_col, n_hashes, bands)
+    return jaccard_pairs(df, cands, key_col, text_col, threshold)
+
+
+@F.pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash: per-word 64-bit hash, bitwise sign vote (numpy)."""
+    import hashlib
+
+    out = []
+    for t in texts:
+        ws = [w for w in _simple_words(t)] if t else []
+        if not ws:
+            out.append(0)
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for w in ws:
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+            )
+            bits = (h >> shifts) & np.uint64(1)
+            votes += np.where(bits == 1, 1, -1)
+        sim = 0
+        for i in range(64):
+            if votes[i] > 0:
+                sim |= 1 << i
+        # to signed 64-bit
+        if sim >= 1 << 63:
+            sim -= 1 << 64
+        out.append(sim)
+    return pd.Series(out, dtype="int64")
+
+
+def _simple_words(t: str) -> list[str]:
+    import re
+
+    return [w for w in re.split(r"[^0-9a-zA-ZÀ-￿]+", t.lower()) if w]
+
+
+def simhash_candidates(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs whose SimHash Hamming distance <= k.
+
+    Blocking: split the 64-bit hash into 4 x 16-bit chunks; by pigeonhole
+    any pair within Hamming distance 3 shares at least one exact chunk.
+    """
+    sh = df.select(
+        F.col(key_col).alias("k"), simhash64(F.col(text_col)).alias("sh")
+    )
+    chunks = sh.select(
+        "k",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned(F.col("sh"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("k", "sh", "c.ci", "c.cv")
+    a = chunks.select(F.col("k").alias("a"), F.col("sh").alias("sha_"), "ci", "cv")
+    b = chunks.select(F.col("k").alias("b"), F.col("sh").alias("shb_"), "ci", "cv")
+    pairs = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sha_", "shb_")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sha_").bitwiseXOR(F.col("shb_")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video content is carried as ``binary`` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages. The actual codecs are NOT available
+in this environment, so the decode kernels are deterministic fakes (a
+12-byte fake header: 4-byte magic + uint16 width/height + uint32 frame
+count) behind ``use_real_codecs`` — the Spark-side plumbing (schemas,
+batch iteration, partitioning, UDF signatures) is real and tested; swap
+``_decode_header`` for PIL/ffmpeg bindings on a cluster that has them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MAGIC = b"FAKE"
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("byteLength", IntegerType(), False),
+        StructField("sha256", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("nFrames", IntegerType(), True),
+        StructField("meanByte", DoubleType(), True),
+    ]
+)
+
+
+def pack_fake_media(width: int, height: int, n_frames: int, payload: bytes) -> bytes:
+    """Deterministic fake media blob (test data generator)."""
+    return MAGIC + struct.pack(">HHI", width, height, n_frames) + payload
+
+
+def _decode_header(blob: bytes) -> tuple[int, int, int]:
+    """The stub decode kernel. Real codecs are not installed here."""
+    if blob[:4] != MAGIC:
+        raise NotImplementedError(
+            "real image/audio/video decoding requires PIL/ffmpeg, which are "
+            "not available in this environment; only FAKE-header blobs are "
+            "decodable"
+        )
+    w, h, n = struct.unpack(">HHI", blob[4:12])
+    return w, h, n
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Treat a text column as an opaque binary payload (plumbing demo)."""
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.encode(F.col(text_col), "UTF-8").cast(BinaryType()).alias("payload"),
+    )
+
+
+def decode_media(df: DataFrame, payload_col: str = "payload", key_col: str = "key") -> DataFrame:
+    """mapInPandas decode stage: blob -> typed metadata row."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, blob in zip(pdf[key_col], pdf[payload_col]):
+                b = bytes(blob)
+                sha = hashlib.sha256(b).hexdigest()
+                try:
+                    w, h, n = _decode_header(b)
+                    body = b[12:]
+                    mean = (sum(body) / len(body)) if body else 0.0
+                except NotImplementedError:
+                    w = h = n = None
+                    mean = None
+                rows.append((int(key), len(b), sha, w, h, n, mean))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key", "byteLength", "sha256", "width", "height",
+                    "nFrames", "meanByte",
+                ],
+            )
+
+    return df.select(key_col, payload_col).mapInPandas(gen, MEDIA_META_SCHEMA)
+
+
+def resize_meta(meta: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning (pure Column algebra): target dims preserving
+    aspect ratio, capped at max_side."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_side)) / F.greatest(F.col("width"), F.col("height")),
+    )
+    return meta.withColumn(
+        "targetWidth", F.ceil(F.col("width") * scale).cast("int")
+    ).withColumn("targetHeight", F.ceil(F.col("height") * scale).cast("int"))
+
+
+def sample_frames(meta: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plan: one row per sampled frame index (explode of a
+    JVM-side sequence — no Python)."""
+    return meta.filter(F.col("nFrames").isNotNull()).select(
+        "key",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("nFrames") - 1, F.lit(every_n)
+            )
+        ).alias("frameIndex"),
+    )

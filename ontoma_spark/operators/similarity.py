@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k: the query set (small) is broadcast; the
+  corpus side computes dot products with pure Column algebra
+  (``zip_with`` + ``aggregate``) in a single narrow pass, then a window
+  partitioned by query id ranks — the only shuffle is on query ids.
+* LSH (random-hyperplane) variant: deterministic ±1 hyperplanes derived
+  from md5 (reproducible everywhere, incl. the SQL oracle), bucket =
+  sign-bit string; search only within the probe's bucket — the scale
+  path when the corpus is too large for brute force per query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours per query (excluding self), deterministic
+    tie-break on neighbour id."""
+    q = F.broadcast(
+        queries.select(
+            F.col(key_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(key_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
+def hyperplane_signs(dim: int, n_planes: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign of bit i of md5("plane:p:i").
+
+    Pure function of (dim, n_planes) — identical in any engine, so the
+    SQL oracle can inline the same literals.
+    """
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane:{p}:{i}".encode()).digest()
+            row.append(1 if h[0] & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[int]]) -> F.Column:
+    """Bucket id string = concatenated sign bits of plane projections."""
+    bits = []
+    for row in planes:
+        proj = dot(
+            F.col(vec_col),
+            F.array(*[F.lit(float(v)) for v in row]),
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the query's
+    LSH bucket (single-probe). Bucket join replaces the cross join."""
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    planes = hyperplane_signs(dim, n_planes)
+    bucket = lsh_bucket_expr(vec_col, planes)
+    c = corpus.select(
+        F.col(key_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        bucket.alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(key_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            bucket.alias("bucket"),
+        )
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )

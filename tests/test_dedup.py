@@ -1,0 +1,68 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.operators.dedup import (
+    exact_duplicate_clusters,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    near_duplicates,
+    simhash_candidates,
+    simhash64,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),        # near dup of 1
+    (4, "completely different content about spark shuffle partitions and joins"),
+    (5, "spark shuffle partitions and joins completely different content about"),  # permuted 4
+    (6, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    clusters = exact_duplicate_clusters(docs).collect()
+    assert len(clusters) == 1
+    assert clusters[0]["members"] == [1, 2]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["a"], r["b"]) for r in minhash_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs
+    # unrelated docs don't pair with the fox docs
+    assert not any(a in (1, 2, 3) and b in (4, 5, 6) for a, b in pairs)
+
+
+def test_near_duplicates_jaccard_verified(docs):
+    nd = {(r["a"], r["b"]): r["jaccard"] for r in near_duplicates(docs).collect()}
+    assert nd[(1, 2)] == 1.0
+    assert (1, 3) in nd and nd[(1, 3)] >= 0.9
+    assert all(j >= 0.6 for j in nd.values())
+
+
+def test_jaccard_pairs_threshold(spark, docs):
+    cands = spark.createDataFrame([(1, 4)], "a long, b long")
+    assert jaccard_pairs(docs, cands, threshold=0.5).count() == 0
+
+
+def test_simhash_identical_and_permuted(spark, docs):
+    sh = {r["doc_id"]: r["h"] for r in docs.select("doc_id", simhash64("text").alias("h")).collect()}
+    assert sh[1] == sh[2]
+    # simhash is order-insensitive over the word bag
+    assert sh[4] == sh[5]
+    cands = {(r["a"], r["b"]) for r in simhash_candidates(docs).collect()}
+    assert (1, 2) in cands and (4, 5) in cands
+
+
+def test_simhash_null_and_empty(spark):
+    df = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    vals = [r["h"] for r in df.select(simhash64("text").alias("h")).collect()]
+    assert vals == [0, 0]

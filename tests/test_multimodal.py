@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ontoma_spark.operators.multimodal import (
+    attach_binary,
+    decode_media,
+    pack_fake_media,
+    resize_meta,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    blobs = [
+        (1, pack_fake_media(640, 480, 30, b"\x10" * 100)),
+        (2, pack_fake_media(100, 2000, 1, b"\xff" * 10)),
+        (3, b"NOTAMEDIAFILE" + b"\x00" * 20),  # undecodable
+    ]
+    return spark.createDataFrame(blobs, "key long, payload binary").cache()
+
+
+def test_decode_metadata(media):
+    rows = {r["key"]: r for r in decode_media(media).collect()}
+    assert rows[1]["width"] == 640 and rows[1]["height"] == 480
+    assert rows[1]["nFrames"] == 30
+    assert rows[1]["byteLength"] == 112
+    assert rows[1]["meanByte"] == pytest.approx(16.0)
+    assert rows[1]["sha256"] == hashlib.sha256(
+        pack_fake_media(640, 480, 30, b"\x10" * 100)
+    ).hexdigest()
+    # undecodable blob degrades to null media fields, not a crash
+    assert rows[3]["width"] is None and rows[3]["sha256"]
+
+
+def test_resize_planning(media):
+    meta = resize_meta(decode_media(media), max_side=256)
+    rows = {r["key"]: r for r in meta.collect()}
+    assert (rows[1]["targetWidth"], rows[1]["targetHeight"]) == (256, 192)
+    assert rows[2]["targetHeight"] == 256 and rows[2]["targetWidth"] == 13
+
+
+def test_frame_sampling(media):
+    frames = sample_frames(decode_media(media), every_n=10)
+    idx = sorted(
+        r["frameIndex"] for r in frames.filter("key = 1").collect()
+    )
+    assert idx == [0, 10, 20]
+
+
+def test_attach_binary_roundtrip(spark):
+    df = spark.createDataFrame([(7, "héllo")], "doc_id long, text string")
+    out = decode_media(attach_binary(df)).first()
+    assert out["byteLength"] == len("héllo".encode())
+    assert out["width"] is None

@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ontoma_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_signs,
+    lsh_topk,
+)
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.95, 0.05, 0.0]),  # closest to 2
+    (4, [-1.0, 0.0, 0.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>").cache()
+
+
+def test_cosine_topk_exact(vecs):
+    out = cosine_topk(vecs, vecs.filter("vec_id = 0"), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+    top = [r for r in out if r["rank"] == 1][0]
+    expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(top["sim"] - round(expected, 4)) < 1e-9
+
+
+def test_cosine_topk_excludes_self(vecs):
+    out = cosine_topk(vecs, vecs, k=1)
+    assert out.filter("query_id = neighbor_id").count() == 0
+    assert out.count() == 5
+
+
+def test_hyperplanes_deterministic():
+    a = hyperplane_signs(4, 8)
+    b = hyperplane_signs(4, 8)
+    assert a == b
+    assert all(v in (-1, 1) for row in a for v in row)
+
+
+def test_lsh_topk_subset_of_bucket(vecs):
+    # LSH results must be exact-cosine-consistent within the bucket and
+    # never pair opposite vectors (0 vs 4 differ in every sign bit).
+    out = lsh_topk(vecs, vecs.filter("vec_id = 0"), k=3, n_planes=6)
+    ids = {r["neighbor_id"] for r in out.collect()}
+    assert 4 not in ids
+    # near-identical vectors share all sign buckets
+    assert 1 in ids

@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.functions.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    predict_lang,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+
+
+def _one(spark, expr, value):
+    return (
+        spark.createDataFrame([(value,)], "t string")
+        .select(expr(F.col("t")).alias("r"))
+        .first()["r"]
+    )
+
+
+def test_token_count(spark):
+    assert _one(spark, token_count, "hello, world!  foo") == 3
+    assert _one(spark, token_count, "") == 0
+
+
+def test_bpe_ish_counts_subword_boundaries(spark):
+    # letters/digits boundaries and punctuation are separate tokens:
+    # abc | 123 | x | . | y
+    assert _one(spark, bpe_ish_token_count, "abc123 x.y") == 5
+    assert _one(spark, bpe_ish_token_count, "hello world2go") == 4
+    assert _one(spark, bpe_ish_token_count, "") == 0
+
+
+def test_punct_ratio(spark):
+    assert _one(spark, punct_ratio, "ab,.") == 0.5
+    assert _one(spark, punct_ratio, "") == 0.0
+
+
+def test_quality_score_range_and_ordering(spark):
+    good = _one(spark, quality_score, " ".join(["sensible words here"] * 10))
+    bad = _one(spark, quality_score, "!!! ### $$$ %%%")
+    assert 0.0 <= bad < good <= 1.0
+
+
+def test_predict_lang(spark):
+    assert _one(spark, predict_lang, "the cat is on the mat and happy") == "en"
+    assert _one(spark, predict_lang, "el gato que vive en la casa de los perros") == "es"
+    assert _one(spark, predict_lang, "der hund und die katze das ist gut") == "de"
+    assert _one(spark, predict_lang, "xyz qqq zzz") == "und"
+
+
+def test_fingerprint_canonicalises_whitespace_and_case(spark):
+    a = _one(spark, fingerprint, "Hello   World")
+    b = _one(spark, fingerprint, "hello world")
+    c = _one(spark, fingerprint, "hello worlds")
+    assert a == b != c
