@@ -1,38 +1,708 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every operator family from SURVEY.md §2 plus the
+training-data-pipeline extras (dedup, similarity search, text analysis,
+multimodal plumbing, KG linking) over the driver-provided tables;
+``oracle_sql()`` gives the DuckDB twin for each SQL-expressible query.
+Column names and (rounded) values are aligned pairwise.
+
+Non-SQL-expressible entries (full KG pipeline with Porter stemming +
+fuzzy UDF tier; SimHash UDF) have no oracle — rows-only check.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from ontoma_spark.functions.normalize import (
+    ALL_STOP_WORDS,
+    symbol_signature,
+    term_signature_unstemmed,
+)
+from ontoma_spark.functions.text import determine_track, format_identifier
+from ontoma_spark.functions import textstats as TS
+from ontoma_spark.operators.similarity import hyperplane_signs
+
+# ---------------------------------------------------------------- helpers
+
+EMBED_DIM = 64
+N_PLANES = 6
+PLANES = hyperplane_signs(EMBED_DIM, N_PLANES)
+
+# mini-lexicon of phrases that occur in the synthetic documents corpus —
+# the oracle-checkable analogue of the KG exact-link join (longer
+# alternatives first: leftmost-first alternation in both engines)
+MINI_LEX = [
+    ("table hash", "T:0001"),
+    ("customer join", "T:0002"),
+    ("merge group", "T:0003"),
+    ("spark", "T:0004"),
+]
+MINI_LEX_PATTERN = r"\b(" + "|".join(s for s, _ in MINI_LEX) + r")\b"
+
+JUNK_TERMS = ["slow", "error"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _sf_rows(sf_dir: str) -> int:
+    """Synthetic repos row count scaled like the other tables."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = 0.01
+    return max(50, int(sf * 100_000))
+
+
+def _sql_list(values: list[str]) -> str:
+    inner = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+    return f"[{inner}]"
+
+
+_STOPS_SQL = _sql_list(ALL_STOP_WORDS)
+
+# SQL twin of the (unstemmed) term-track signature
+_TERM_SIG_SQL = (
+    "array_to_string(list_sort(list_filter(list_distinct("
+    "list_transform("
+    "list_filter(string_split_regex({col}, '[\\s\\-/:,;]+'),"
+    f" t -> NOT list_contains({_STOPS_SQL}, t)),"
+    " t -> lower(regexp_replace(t, '[^\\w\\d\\s]|-|/', '', 'g')))),"
+    " t -> t IS NOT NULL AND t <> '')), '')"
+)
+
+_SYMBOL_SIG_SQL = (
+    "array_to_string(list_filter(list_transform("
+    "string_split_regex({col}, '[\\s:,;]+'),"
+    " t -> lower(regexp_replace(t, '[^\\w\\d\\s]|-|/|,', '', 'g'))),"
+    " t -> t IS NOT NULL AND t <> ''), '')"
+)
+
+# SQL twin of format_identifier(upper(trim(id)))
+_FMT_ID_SQL = (
+    "regexp_replace(regexp_replace("
+    "CASE WHEN length(regexp_extract(upper(trim({col})), '^.+:(.+_.+)$', 1)) > 1 "
+    "THEN regexp_extract(upper(trim({col})), '^.+:(.+_.+)$', 1) "
+    "ELSE upper(trim({col})) END,"
+    " '_', ':', 'g'), 'ORDO:|ORPHA:', 'ORPHANET:', 'g')"
+)
+
+_WORDS_SQL = "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), w -> w <> '')"
+
+
+def _docs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ perturbed copies (doc_id+1000000, first word dropped)
+    of every doc with doc_id % 20 == 3 — deterministic in any engine."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d2 = (
+        d.filter(F.col("doc_id") % 20 == 3)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+        )
+    )
+    return d.unionByName(d2)
+
+
+_DOCS_NEARDUP_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           regexp_replace(text, '^\\S+\\s+', '') AS text
+    FROM documents WHERE doc_id % 20 = 3
+"""
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q03_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def q04_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("returnflag"), F.col("l_linestatus").alias("linestatus"))
+        .distinct()
+    )
+
+
+def q05_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_discount") >= 0.05).select("l_orderkey", "l_returnflag")
+    b = li.filter(F.col("l_tax") >= 0.05).select("l_orderkey", "l_returnflag")
+    return (
+        a.unionByName(b)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q06_collect_set_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("l_linestatus")), ","
+            ).alias("statuses"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+def q07_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    from functools import reduce
+
+    junk = reduce(
+        lambda a, b: a | b,
+        [F.col("text").contains(t) for t in JUNK_TERMS],
+        F.lit(False),
+    )
+    return d.filter(~junk).groupBy("lang").agg(F.count("*").alias("n_clean"))
+
+
+def q08_regex_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+def q09_format_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 3 == 0, F.concat(F.lit("Orphanet_"), F.col("event_id"))
+    ).when(
+        F.col("event_id") % 3 == 1, F.concat(F.lit("obo:OMIM_"), F.col("event_id"))
+    ).otherwise(F.concat(F.lit("efo_"), F.col("event_id")))
+    return ev.select(
+        F.col("event_id"),
+        raw.alias("raw_id"),
+        format_identifier(F.upper(F.trim(raw))).alias("formatted_id"),
+    )
+
+
+def q10_determine_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = F.element_at(F.split(F.col("text"), r"\s+"), 1)
+    return d.select(
+        "doc_id",
+        tok.alias("first_token"),
+        determine_track(tok).alias("track"),
+    )
+
+
+def q11_term_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", term_signature_unstemmed(F.col("text")).alias("term_sig")
+    )
+
+
+def q12_symbol_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        symbol_signature(F.substring(F.col("text"), 1, 40)).alias("symbol_sig"),
+    )
+
+
+def q13_kg_exact_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(MINI_LEX, "term string, term_id string")
+    mentions = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(MINI_LEX_PATTERN), F.lit(1)
+            )
+        ).alias("term"),
+    )
+    return (
+        mentions.join(F.broadcast(lex), "term")
+        .groupBy("term", "term_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_mentions"),
+        )
+    )
+
+
+def q14_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TS.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+    )
+
+
+def q15_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(TS.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(TS.mean_word_len(F.col("text")), 4).alias("mean_word_len"),
+        TS.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q16_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(TS.predict_lang(F.col("text")).alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q17_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
+
+
+def q18_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_neardups(spark, sf_dir)
+    # exact dups only arise from docs whose text equals another's (the
+    # perturbed copies differ) — plus genuine collisions; cluster stats:
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+def q19_neardup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_neardups(spark, sf_dir)
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda w: w != ""
+    )
+    sh = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.array_join(F.slice(ws, i, 3), " "),
+        ),
+    ).otherwise(F.array(F.array_join(ws, " ")))
+    sig = docs.select(
+        F.col("doc_id").alias("k"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("mh"),
+        F.array_distinct(ws).alias("wset"),
+    )
+    a = sig.select(F.col("k").alias("a"), F.col("mh"), F.col("wset").alias("wa"))
+    b = sig.select(F.col("k").alias("b"), F.col("mh"), F.col("wset").alias("wb"))
+    return (
+        a.join(b, "mh")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("wa", "wb"))
+                / F.size(F.array_union("wa", "wb")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+        .distinct()
+    )
+
+
+def q20_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+    scored = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", dot / (nrm(F.col("v")) * nrm(F.col("qv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("sim", 3).alias("sim"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def q21_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bits = []
+    for row in PLANES:
+        proj = F.aggregate(
+            F.zip_with(
+                "v",
+                F.array(*[F.lit(float(x)) for x in row]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return (
+        emb.select(F.concat(*bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q22_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("byte_length"),
+        F.sha2(payload, 256).alias("sha256_hex"),
+    )
+
+
+def q23_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KG pipeline (stemming + fuzzy UDF tier) — not SQL-expressible;
+    rows-only check. Input: deterministic synthetic repos scaled to sf."""
+    from ontoma_spark.datagen import generate_repos, ontology_terms_df
+    from ontoma_spark.lexicon import as_id_lut, as_label_lut, build_lexicon
+    from ontoma_spark.operators.unionfind import canonical_map
+    from ontoma_spark.pipeline.kg import build_triples
+
+    terms = ontology_terms_df(spark)
+    lexicon = build_lexicon([as_label_lut(terms), as_id_lut(terms)])
+    canonical = canonical_map(terms)
+    repos = generate_repos(spark, _sf_rows(sf_dir))
+    return build_triples(repos, lexicon, canonical).select(
+        "repo", "path", "commit", "subj", "pred", "obj", "tier"
+    )
+
+
+def q24_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (pandas UDF) — rows-only check."""
+    from ontoma_spark.operators.dedup import simhash_candidates
+
+    docs = _docs_with_neardups(spark, sf_dir)
+    return simhash_candidates(docs, max_hamming=6)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
+    return q23_kg_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_revenue_by_nation": q02_revenue_by_nation,
+        "q03_top_orders_per_priority": q03_top_orders_per_priority,
+        "q04_distinct_flags": q04_distinct_flags,
+        "q05_union_slices": q05_union_slices,
+        "q06_collect_set_statuses": q06_collect_set_statuses,
+        "q07_blocklist_filter": q07_blocklist_filter,
+        "q08_regex_extract_props": q08_regex_extract_props,
+        "q09_format_identifier": q09_format_identifier,
+        "q10_determine_track": q10_determine_track,
+        "q11_term_signature": q11_term_signature,
+        "q12_symbol_signature": q12_symbol_signature,
+        "q13_kg_exact_link": q13_kg_exact_link,
+        "q14_token_counts": q14_token_counts,
+        "q15_quality_scores": q15_quality_scores,
+        "q16_lang_id": q16_lang_id,
+        "q17_fingerprint": q17_fingerprint,
+        "q18_exact_dup_clusters": q18_exact_dup_clusters,
+        "q19_neardup_minhash_jaccard": q19_neardup_minhash_jaccard,
+        "q20_ann_cosine_topk": q20_ann_cosine_topk,
+        "q21_lsh_buckets": q21_lsh_buckets,
+        "q22_binary_metadata": q22_binary_metadata,
+        "q23_kg_triples": q23_kg_triples,
+        "q24_simhash_candidates": q24_simhash_candidates,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    words_text = _WORDS_SQL.format(col="text")
+    track_sql_tok = """
+        CASE WHEN first_token NOT LIKE '% %' AND (
+                 length(first_token) <= 6 OR (
+                   length(first_token) <= 11 AND
+                   CASE WHEN length(regexp_replace(first_token, '[^A-Za-z]', '', 'g')) = 0
+                        THEN NULL
+                        ELSE length(regexp_replace(first_token, '[^A-Z]', '', 'g')) * 1.0
+                             / length(regexp_replace(first_token, '[^A-Za-z]', '', 'g'))
+                   END > 0.5))
+             THEN 'symbol' ELSE 'term' END
     """
-    return {}
+
+    lsh_proj_terms = []
+    for row in PLANES:
+        terms = " + ".join(
+            f"embedding[{i + 1}] * ({v})" for i, v in enumerate(row)
+        )
+        lsh_proj_terms.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
+    lsh_bucket_sql = " || ".join(lsh_proj_terms)
+
+    lex_values = ", ".join(f"('{s}', '{i}')" for s, i in MINI_LEX)
+
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_quantity > 0
+            GROUP BY 1, 2
+        """,
+        "q02_revenue_by_nation": """
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   round(sum(o.o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        """,
+        "q03_top_orders_per_priority": """
+            SELECT priority, orderkey, totalprice, rk FROM (
+              SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
+                     o_totalprice AS totalprice,
+                     dense_rank() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC) AS rk
+              FROM orders) WHERE rk <= 2
+        """,
+        "q04_distinct_flags": """
+            SELECT DISTINCT l_returnflag AS returnflag,
+                            l_linestatus AS linestatus
+            FROM lineitem
+        """,
+        "q05_union_slices": """
+            SELECT returnflag, count(*) AS n FROM (
+              SELECT l_orderkey, l_returnflag AS returnflag FROM lineitem WHERE l_discount >= 0.05
+              UNION ALL
+              SELECT l_orderkey, l_returnflag AS returnflag FROM lineitem WHERE l_tax >= 0.05
+            ) GROUP BY 1
+        """,
+        "q06_collect_set_statuses": """
+            SELECT l_orderkey AS orderkey,
+                   array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+                   count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY 1
+        """,
+        "q07_blocklist_filter": f"""
+            SELECT lang, count(*) AS n_clean FROM documents
+            WHERE NOT ({" OR ".join(f"text LIKE '%{t}%'" for t in JUNK_TERMS)})
+            GROUP BY 1
+        """,
+        "q08_regex_extract_props": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY 1
+        """,
+        "q09_format_identifier": f"""
+            SELECT event_id, raw_id, {_FMT_ID_SQL.format(col="raw_id")} AS formatted_id
+            FROM (
+              SELECT event_id,
+                     CASE WHEN event_id % 3 = 0 THEN 'Orphanet_' || event_id
+                          WHEN event_id % 3 = 1 THEN 'obo:OMIM_' || event_id
+                          ELSE 'efo_' || event_id END AS raw_id
+              FROM events)
+        """,
+        "q10_determine_track": f"""
+            SELECT doc_id, first_token, {track_sql_tok} AS track FROM (
+              SELECT doc_id, string_split_regex(text, '\\s+')[1] AS first_token
+              FROM documents)
+        """,
+        "q11_term_signature": f"""
+            SELECT doc_id, {_TERM_SIG_SQL.format(col="text")} AS term_sig
+            FROM documents
+        """,
+        "q12_symbol_signature": f"""
+            SELECT doc_id, {_SYMBOL_SIG_SQL.format(col="substring(text, 1, 40)")} AS symbol_sig
+            FROM documents
+        """,
+        "q13_kg_exact_link": f"""
+            WITH lex(term, term_id) AS (VALUES {lex_values}),
+            mentions AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{MINI_LEX_PATTERN}', 1)) AS term
+              FROM documents)
+            SELECT m.term AS term, l.term_id AS term_id,
+                   count(DISTINCT m.doc_id) AS n_docs,
+                   count(*) AS n_mentions
+            FROM mentions m JOIN lex l ON m.term = l.term
+            GROUP BY 1, 2
+        """,
+        "q14_token_counts": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                       '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS BIGINT) AS n_bpe_ish
+            FROM documents
+        """,
+        "q15_quality_scores": f"""
+            SELECT doc_id,
+                   round(CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text)
+                         ELSE 0.0 END, 4) AS punct_ratio,
+                   round(CASE WHEN len(ws) > 0
+                         THEN list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws)
+                         ELSE 0.0 END, 4) AS mean_word_len,
+                   round((least(len(ws) / 20.0, 1.0)
+                     + (1.0 - least(4.0 * (CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text)
+                          ELSE 0.0 END), 1.0))
+                     + (CASE WHEN len(ws) > 0
+                             AND list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws) BETWEEN 2.5 AND 12.0
+                        THEN 1.0 ELSE 0.3 END)) / 3.0, 4) AS quality
+            FROM (SELECT doc_id, text, {words_text} AS ws FROM documents)
+        """,
+        "q16_lang_id": """
+            SELECT predicted_lang, count(*) AS n FROM (
+              SELECT CASE
+                WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+                WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+                WHEN fr >= de AND fr > 0 THEN 'fr'
+                WHEN de > 0 THEN 'de'
+                ELSE 'und' END AS predicted_lang
+              FROM (
+                SELECT
+                  len(list_filter(ws, w -> list_contains(['the','and','of','to','is'], w))) AS en,
+                  len(list_filter(ws, w -> list_contains(['el','la','de','que','los'], w))) AS es,
+                  len(list_filter(ws, w -> list_contains(['le','la','les','des','est'], w))) AS fr,
+                  len(list_filter(ws, w -> list_contains(['der','die','und','das','ist'], w))) AS de
+                FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws
+                      FROM documents)))
+            GROUP BY 1
+        """,
+        "q17_fingerprint": """
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "q18_exact_dup_clusters": f"""
+            WITH docs AS ({_DOCS_NEARDUP_SQL})
+            SELECT sha256(text) AS content_hash,
+                   CAST(count(*) AS BIGINT) AS cluster_size,
+                   min(doc_id) AS min_doc_id
+            FROM docs GROUP BY 1 HAVING count(*) > 1
+        """,
+        "q19_neardup_minhash_jaccard": f"""
+            WITH docs AS ({_DOCS_NEARDUP_SQL}),
+            sig AS (
+              SELECT doc_id AS k,
+                     list_min(list_transform(
+                       CASE WHEN len(ws) >= 3
+                            THEN list_transform(range(1, len(ws) - 1),
+                                   i -> array_to_string(ws[i:i+2], ' '))
+                            ELSE [array_to_string(ws, ' ')] END,
+                       s -> md5(s))) AS mh,
+                     list_distinct(ws) AS wset
+              FROM (SELECT doc_id, {words_text} AS ws FROM docs))
+            SELECT DISTINCT a.k AS a, b.k AS b,
+                   round(len(list_intersect(a.wset, b.wset)) * 1.0
+                         / len(list_distinct(list_concat(a.wset, b.wset))), 4) AS jaccard
+            FROM sig a JOIN sig b ON a.mh = b.mh AND a.k < b.k
+            WHERE len(list_intersect(a.wset, b.wset)) * 1.0
+                  / len(list_distinct(list_concat(a.wset, b.wset))) >= 0.5
+        """,
+        "q20_ann_cosine_topk": """
+            SELECT query_id, neighbor_id, round(sim, 3) AS sim, rk FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                                c.vec_id ASC) AS rk
+              FROM embeddings c, embeddings q
+              WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+            WHERE rk <= 3
+        """,
+        "q21_lsh_buckets": f"""
+            SELECT ({lsh_bucket_sql}) AS bucket, count(*) AS n
+            FROM (SELECT embedding::DOUBLE[] AS embedding FROM embeddings)
+            GROUP BY 1
+        """,
+        "q22_binary_metadata": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS byte_length,
+                   sha256(text) AS sha256_hex
+            FROM documents
+        """,
+    }

@@ -33,12 +33,12 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """Sub-word-ish token estimate: word-piece regex (runs of letters,
-    runs of digits, single punctuation marks) — a cheap BPE proxy."""
+    """Sub-word-ish token estimate: extract letter runs, digit runs, and
+    single punctuation marks — a cheap BPE proxy. Extraction (not
+    lookaround splitting) so the same pattern runs on RE2 engines too."""
     return F.size(
-        F.filter(
-            F.split(text, r"(?<=\p{L})(?=\p{N})|(?<=\p{N})(?=\p{L})|\s+|(?=[^\p{L}\p{N}\s])|(?<=[^\p{L}\p{N}\s])"),
-            lambda t: t != "",
+        F.regexp_extract_all(
+            text, F.lit(r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"), F.lit(0)
         )
     )
 

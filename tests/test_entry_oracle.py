@@ -1,0 +1,94 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB over the same parquet,
+compare row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _rows_from_spark(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(_norm(r[c]) for c in cols) for r in df.collect()
+    ), cols
+
+
+def _rows_from_duckdb(con, sql):
+    res = con.sql(sql)
+    cols_in_order = res.columns
+    idx = sorted(range(len(cols_in_order)), key=lambda i: cols_in_order[i])
+    cols = [cols_in_order[i] for i in idx]
+    return sorted(
+        tuple(_norm(row[i]) for i in idx) for row in res.fetchall()
+    ), cols
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    got, got_cols = _rows_from_spark(sdf)
+    exp, exp_cols = _rows_from_duckdb(ddb, ORACLES[name])
+    assert got_cols == exp_cols, f"{name}: columns {got_cols} != {exp_cols}"
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    mismatches = [
+        (g, e) for g, e in zip(got, exp) if g != e
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_every_oracle_key_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_rows_only_queries_run(spark):
+    # entries without an oracle still must run and return a schema
+    for name in set(QUERIES) - set(ORACLES):
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.columns
+        assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
