@@ -436,16 +436,13 @@ def q22_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q23_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full KG pipeline (stemming + fuzzy UDF tier) — not SQL-expressible;
     rows-only check. Input: deterministic synthetic repos scaled to sf."""
-    from ontoma_spark.datagen import generate_repos, ontology_terms_df
-    from ontoma_spark.lexicon import as_id_lut, as_label_lut, build_lexicon
-    from ontoma_spark.operators.unionfind import canonical_map
+    from ontoma_spark.datagen import generate_repos
     from ontoma_spark.pipeline.kg import build_triples
+    from ontoma_spark.pipeline.run import prepare_reference_tables
 
-    terms = ontology_terms_df(spark)
-    lexicon = build_lexicon([as_label_lut(terms), as_id_lut(terms)])
-    canonical = canonical_map(terms)
+    lexicon, canonical, bloom = prepare_reference_tables(spark)
     repos = generate_repos(spark, _sf_rows(sf_dir))
-    return build_triples(repos, lexicon, canonical).select(
+    return build_triples(repos, lexicon, canonical, token_bloom=bloom).select(
         "repo", "path", "commit", "subj", "pred", "obj", "tier"
     )
 

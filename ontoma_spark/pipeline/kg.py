@@ -150,11 +150,32 @@ def build_triples(
     canonical: DataFrame,
     fuzzy_threshold: float = DEFAULT_FUZZY_THRESHOLD,
     with_fuzzy: bool = True,
+    persist_signatures: bool | None = None,
+    token_bloom: list[int] | None = None,
 ) -> DataFrame:
     """Full linker: returns the triple table with provenance columns
     (repo, path, commit, start, n, subj/mention, pred, obj, tier, score).
+
+    The signature stage (candidate fan-out + stemmer UDF) is the most
+    expensive narrow pipeline; with the fuzzy tier on, three consumers
+    scan it (exact join, miss-anti-join, fuzzy match-back), so it is
+    persisted MEMORY_AND_DISK by default. Memory footprint is bounded by
+    the caller's bucketing (pipeline/lineage.py processes bucket groups,
+    so at 100 TB each group's signature slice — not the whole corpus — is
+    what gets materialised). Callers can opt out. The handle is exposed
+    as ``result._sigs_handle`` so runners may unpersist after writing.
     """
-    sigs = with_signatures(candidate_queries(extract_candidates(repos)))
+    if persist_signatures is None:
+        persist_signatures = with_fuzzy
+    sigs = with_signatures(
+        candidate_queries(extract_candidates(repos), token_bloom=token_bloom)
+    )
+    # columns needed downstream only; the label/track fan-out stays lazy
+    sigs = sigs.drop("entityLabel", "nlpPipelineTrack")
+    if persist_signatures:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     exact = link_exact(sigs, lexicon)
     if with_fuzzy:
         fuzzy = link_fuzzy(sigs, lexicon, threshold=fuzzy_threshold)
@@ -162,4 +183,6 @@ def build_triples(
     else:
         matches = exact
     resolved = resolve_overlaps(matches)
-    return matches_to_triples(resolved, canonical)
+    triples = matches_to_triples(resolved, canonical)
+    triples._sigs_handle = sigs if persist_signatures else None
+    return triples

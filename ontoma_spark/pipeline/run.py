@@ -29,16 +29,21 @@ from ontoma_spark.pipeline.kg import build_triples
 from ontoma_spark.pipeline.lineage import run_resumable
 
 
-def prepare_reference_tables(spark: SparkSession, terms_path: str | None):
-    """Lexicon + canonical map, built once and cached (ontology-sized)."""
+def prepare_reference_tables(spark: SparkSession, terms_path: str | None = None):
+    """Lexicon + canonical map + token-prefix Bloom, built once and
+    cached (all ontology-sized)."""
+    from ontoma_spark.operators.linker import build_token_bloom
+
     terms = (
         spark.read.parquet(terms_path) if terms_path else ontology_terms_df(spark)
     )
-    lexicon = build_lexicon([as_label_lut(terms), as_id_lut(terms)]).cache()
+    label_lut = as_label_lut(terms)
+    lexicon = build_lexicon([label_lut, as_id_lut(terms)]).cache()
     lexicon.count()
     canonical = canonical_map(terms).cache()
     canonical.count()
-    return lexicon, canonical
+    bloom = build_token_bloom(label_lut)
+    return lexicon, canonical, bloom
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -61,14 +66,15 @@ def main(argv: list[str] | None = None) -> dict:
     else:
         raise SystemExit("one of --input / --synthetic-rows is required")
 
-    lexicon, canonical = prepare_reference_tables(spark, args.terms)
+    lexicon, canonical, bloom = prepare_reference_tables(spark, args.terms)
 
     t0 = time.time()
     summary = run_resumable(
         spark,
         repos,
         lambda part: build_triples(
-            part, lexicon, canonical, with_fuzzy=not args.no_fuzzy
+            part, lexicon, canonical,
+            with_fuzzy=not args.no_fuzzy, token_bloom=bloom,
         ),
         args.out,
         n_buckets=args.n_buckets,

@@ -18,13 +18,20 @@ N_DOCS = 200
 
 @pytest.fixture(scope="module")
 def kg(spark):
+    from ontoma_spark.operators.linker import build_token_bloom
+
     terms = ontology_terms_df(spark)
-    lex = build_lexicon([as_label_lut(terms), as_id_lut(terms)]).cache()
+    label_lut = as_label_lut(terms)
+    lex = build_lexicon([label_lut, as_id_lut(terms)]).cache()
     canon = canonical_map(terms).cache()
+    bloom = build_token_bloom(label_lut)
     repos = generate_repos(spark, N_DOCS).cache()
-    triples = build_triples(repos, lex, canon).cache()
+    triples = build_triples(repos, lex, canon, token_bloom=bloom).cache()
     triples.count()
-    return {"lex": lex, "canon": canon, "repos": repos, "triples": triples}
+    return {
+        "lex": lex, "canon": canon, "repos": repos, "triples": triples,
+        "bloom": bloom,
+    }
 
 
 def test_precision_recall_at_least_095(spark, kg):
@@ -106,6 +113,7 @@ def test_linker_plan_has_no_shuffle_joins(kg, spark, tmp_path):
         kg["repos"],
         spark.read.parquet(lex_path),
         spark.read.parquet(canon_path),
+        token_bloom=kg["bloom"],
     )
     plan = triples._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
