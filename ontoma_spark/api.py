@@ -1,0 +1,172 @@
+"""User-facing entity-mapping API — reference interface parity.
+
+``EntityMapper`` mirrors the reference ``OnToma`` class surface
+(ontoma.py:37-425): build (or cache-load) the Ready lexicon from raw
+LUTs, then ``map_entities(df, ...)`` appends an array column of mapped
+entity ids. A user of the reference can switch by replacing the class
+name; semantics preserved:
+
+* dual-translation fan-out + disease label cleanup + track dispatch on
+  the label path (ontoma.py:261-299); upper/trim + format_identifier +
+  symbol track on the id path (ontoma.py:301-327)
+* memoised normalisation (distinct -> compute -> join back)
+* left equi-join on (entityLabelNormalised, entityType, entityKind)
+* groupBy original columns + array_distinct(flatten(collect_set)),
+  empty -> null (ontoma.py:409-424)
+
+One deliberate fix over the reference: unknown ``entity_kind`` raises
+``ValueError`` eagerly instead of a downstream ``NameError``
+(reference quirk, ontoma.py:386-389).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ontoma_spark.core.dataset import Dataset
+from ontoma_spark.functions.normalize import normalise_entities
+from ontoma_spark.functions.text import (
+    clean_disease_label,
+    determine_track,
+    format_identifier,
+    get_alternative_translations,
+)
+from ontoma_spark.lexicon.build import READY_LEXICON_SCHEMA, build_lexicon
+
+
+@dataclass
+class EntityMapper:
+    """Ready-lexicon holder + mapping queries (reference OnToma parity)."""
+
+    spark: SparkSession
+    entity_lut_list: list[DataFrame] | None = None
+    cache_dir: str | None = None
+    _df: DataFrame = field(init=False, repr=False)
+
+    def __post_init__(self) -> None:
+        if self.cache_dir:
+            try:
+                self._df = self.spark.read.parquet(self.cache_dir)
+                Dataset(self._df, READY_LEXICON_SCHEMA)
+                return
+            except Exception:
+                pass
+        if not self.entity_lut_list:
+            raise ValueError(
+                "entity_lut_list is required when no readable cache exists"
+            )
+        lexicon = build_lexicon(self.entity_lut_list)
+        if self.cache_dir:
+            # materialisation barrier: later queries scan parquet instead
+            # of recomputing the lazy build plan (ontoma.py:81-88)
+            lexicon.write.mode("overwrite").parquet(self.cache_dir)
+            self._df = self.spark.read.parquet(self.cache_dir)
+        else:
+            self._df = lexicon
+        Dataset(self._df, READY_LEXICON_SCHEMA)
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @staticmethod
+    def _extract_labels(
+        df: DataFrame, label_col: str, type_col: str
+    ) -> DataFrame:
+        return (
+            df.withColumn(
+                "entityLabel",
+                F.explode(
+                    get_alternative_translations(F.trim(F.col(label_col)))
+                ),
+            )
+            .withColumn(
+                "entityLabel",
+                F.when(
+                    F.col(type_col) == "DS",
+                    clean_disease_label(F.col("entityLabel")),
+                ).otherwise(F.col("entityLabel")),
+            )
+            .withColumn(
+                "nlpPipelineTrack",
+                F.when(F.col(type_col) == "CD", F.lit("symbol")).otherwise(
+                    determine_track(F.col(label_col))
+                ),
+            )
+        )
+
+    @staticmethod
+    def _extract_ids(df: DataFrame, id_col: str) -> DataFrame:
+        return df.withColumns(
+            {
+                "entityLabel": format_identifier(F.upper(F.trim(F.col(id_col)))),
+                "nlpPipelineTrack": F.lit("symbol"),
+            }
+        )
+
+    def map_entities(
+        self,
+        df: DataFrame,
+        result_col_name: str,
+        entity_col_name: str,
+        entity_kind: str,
+        type_col_name: str | None = None,
+        type_col: Column | None = None,
+        include_normalised_entities: bool = False,
+        include_entity_source: bool = False,
+    ) -> DataFrame:
+        """Append ``result_col_name``: array of mapped entity ids (null
+        when nothing maps)."""
+        if (type_col_name is None) == (type_col is None):
+            raise ValueError(
+                "Exactly one of 'type_col_name' or 'type_col' must be provided."
+            )
+        if entity_kind not in ("label", "id"):
+            raise ValueError(f"unknown entity_kind: {entity_kind!r}")
+
+        groupby_columns = list(df.columns)
+        if include_normalised_entities:
+            groupby_columns.append("entityLabelNormalised")
+
+        if type_col is not None:
+            type_col_name = "entityType"
+            df = df.withColumn(type_col_name, type_col)
+        df = df.withColumn("entityKind", F.lit(entity_kind))
+
+        if entity_kind == "label":
+            extracted = self._extract_labels(df, entity_col_name, type_col_name)
+        else:
+            extracted = self._extract_ids(df, entity_col_name)
+
+        mapped = normalise_entities(extracted).join(
+            self._df.select(
+                F.col("entityLabelNormalised"),
+                F.col("entityType").alias(type_col_name),
+                F.col("entityKind"),
+                F.col("entityIds"),
+            ),
+            on=["entityLabelNormalised", type_col_name, "entityKind"],
+            how="left",
+        )
+
+        result_col = (
+            F.col("entityIds") if include_entity_source
+            else F.col("entityIds.entityId")
+        )
+        return (
+            mapped.groupBy(groupby_columns)
+            .agg(
+                F.array_distinct(
+                    F.flatten(F.collect_set(result_col))
+                ).alias(result_col_name)
+            )
+            .withColumn(
+                result_col_name,
+                F.when(F.size(result_col_name) == 0, None).otherwise(
+                    F.col(result_col_name)
+                ),
+            )
+        )

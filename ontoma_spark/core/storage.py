@@ -1,0 +1,89 @@
+"""Table storage abstraction: Iceberg when a catalog is configured,
+parquet paths otherwise.
+
+The north rule targets Iceberg tables; this sandbox ships no Iceberg jar
+(verified: pyspark 4.1.2, empty spark.jars), so one writer/reader pair
+abstracts the difference. With ``spark.sql.catalog.<name>`` configured
+(iceberg runtime jar on the cluster classpath), table identifiers route
+through ``writeTo`` (Iceberg v2: dynamic partition overwrite, snapshots,
+hidden partitioning); otherwise identifiers are treated as directory
+paths under a warehouse root with plain parquet semantics mirroring the
+same overwrite modes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "kg") -> bool:
+    return (
+        spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None
+    )
+
+
+class TableStore:
+    """Writer/reader for pipeline tables (triples, lineage, lexicon)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        catalog: str = "kg",
+    ) -> None:
+        self.spark = spark
+        self.warehouse = warehouse
+        self.catalog = catalog
+        self.use_iceberg = iceberg_available(spark, catalog)
+
+    def _ident(self, table: str) -> str:
+        return f"{self.catalog}.{table}"
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table.replace(".", "/"))
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        if self.use_iceberg:
+            w = df.writeTo(self._ident(table))
+            if partition_by:
+                import pyspark.sql.functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            if mode == "overwrite":
+                w.createOrReplace()
+            elif mode == "append":
+                w.append()
+            elif mode == "overwrite_partitions":
+                w.overwritePartitions()
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
+            return
+        writer = df.write
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if mode == "overwrite_partitions":
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            mode = "overwrite"
+        writer.mode(mode).parquet(self._path(table))
+
+    def read(self, table: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.format("iceberg").load(self._ident(table))
+        return self.spark.read.parquet(self._path(table))
+
+    def exists(self, table: str) -> bool:
+        try:
+            self.read(table).schema
+            return True
+        except Exception:
+            return False

@@ -74,6 +74,22 @@ def determine_track(label: Column) -> Column:
     return F.when(is_symbol, F.lit("symbol")).otherwise(F.lit("term"))
 
 
+# Combination products are encoded inside trade names / synonyms as
+# "{molecule} component of {product}" (reference utils.py:150-175).
+COMPONENT_OF_PATTERN = r"(?i) component of "
+
+
+def extract_combination_product(label: Column) -> Column:
+    """Extract the product from an "X component of Y" trade name, lightly
+    cleaned (strip boundary punctuation, collapse whitespace); non-matching
+    labels yield "" which downstream filtering drops (utils.py:154-175)."""
+    product = F.regexp_extract(label, r"(?i)^.+ component of (.+)$", 1)
+    product = F.regexp_replace(product, r"^[\s/,;:-]+", "")
+    product = F.regexp_replace(product, r"[\s/,;:-]+$", "")
+    product = F.regexp_replace(product, r"\s+", " ")
+    return F.trim(product)
+
+
 def clean_disease_label(label: Column) -> Column:
     """Strip '#'-segment prefixes and leading ICD-10 / Chapter codes
     (utils.py:177-195)."""

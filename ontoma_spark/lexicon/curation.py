@@ -1,0 +1,95 @@
+"""Manual-curation datasource: curation TSV -> raw disease label LUT.
+
+Reference: datasource/disease_curation.py:24-135. A curation table has
+``PROPERTY_VALUE`` (curated label, possibly carrying '#'-prefixed ICD
+segments) and ``SEMANTIC_TAG`` (full ontology IRI). Semantics preserved:
+
+* extract the short id from the IRI tail (``.../EFO_0000305``)
+* clean the label (clean_disease_label), annotate at score 1.0 with the
+  'tbd' track (per-label acronym heuristic)
+* dual-translation fan-out
+* validity INNER join against the disease index ids — optionally through
+  the unambiguous-remap LUT: ids/crossrefs/obsolete-xrefs ranked by
+  score tier (dense_rank ties kept), and only labels resolving to
+  EXACTLY ONE index id are remapped (disease_curation.py:49-72)
+* junk filter: labels "1)" / "2)"
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from ontoma_spark.functions.text import (
+    annotate_entity,
+    clean_disease_label,
+    get_alternative_translations,
+)
+from ontoma_spark.lexicon.build import RAW_LUT_SCHEMA, as_id_lut
+
+
+def curation_label_lut(
+    curation: DataFrame,
+    disease_index: DataFrame,
+    curation_source: str = "manual_curation",
+    remap_obsolete_mappings: bool = False,
+) -> DataFrame:
+    """Curation table -> raw DS label LUT, validated against the index."""
+    if remap_obsolete_mappings:
+        id_lut = as_id_lut(disease_index)
+        w = Window.partitionBy("entityLabel").orderBy(F.col("entityScore").desc())
+        relevant = (
+            id_lut.withColumn("entityRank", F.dense_rank().over(w))
+            .filter(F.col("entityRank") == 1)
+            .groupBy("entityLabel")
+            .agg(F.collect_set("entityId").alias("ids"))
+            # ambiguous remaps (one label -> several index ids) are dropped
+            .filter(F.size("ids") == 1)
+            .select(
+                F.explode("ids").alias("entityId"),
+                F.regexp_replace(F.lower("entityLabel"), ":", "_").alias(
+                    "entityIdToJoin"
+                ),
+            )
+        )
+    else:
+        relevant = disease_index.select(
+            F.col("id").alias("entityId"),
+            F.regexp_replace(F.lower("id"), ":", "_").alias("entityIdToJoin"),
+        )
+
+    return (
+        curation.select(
+            F.regexp_extract(
+                F.col("SEMANTIC_TAG"), r"^http.+/(\w+_\w+)$", 1
+            ).alias("rawId"),
+            F.explode(
+                annotate_entity(
+                    F.array(
+                        clean_disease_label(F.trim(F.col("PROPERTY_VALUE")))
+                    ),
+                    "tbd",
+                    1.0,
+                    curation_source,
+                )
+            ).alias("e"),
+        )
+        .select(
+            F.lower("rawId").alias("entityIdToJoin"),
+            F.explode(
+                get_alternative_translations(F.col("e.entityLabel"))
+            ).alias("entityLabel"),
+            F.col("e.entityScore").alias("entityScore"),
+            F.col("e.nlpPipelineTrack").alias("nlpPipelineTrack"),
+            F.col("e.entitySource").alias("entitySource"),
+        )
+        .join(F.broadcast(relevant), on="entityIdToJoin", how="inner")
+        .drop("entityIdToJoin")
+        .withColumn("entityType", F.lit("DS"))
+        .withColumn("entityKind", F.lit("label"))
+        .filter(~F.col("entityLabel").rlike(r"^[12]\)$"))
+        .filter(F.col("entityId").isNotNull() & (F.length("entityId") > 0))
+        .filter(F.col("entityLabel").isNotNull() & (F.length("entityLabel") > 0))
+        .distinct()
+        .select(RAW_LUT_SCHEMA.fieldNames())
+    )

@@ -1,0 +1,232 @@
+"""Datasource extractors: index tables -> raw entity LUTs.
+
+Covers the reference's three entity types with the same field tiers and
+per-source transformations:
+
+* disease (DS)  — reference datasource/disease.py (see lexicon/build.py,
+  which hosts the disease extractor used by the KG pipeline)
+* drug (CD)     — datasource/drug.py:24-288: trade names, source-split
+  synonyms (curated ChEMBL > LLM-mined AACT), combination-product
+  extraction ("X component of Y" -> Y maps to X's molecule id), label-type
+  crossrefs (DailyMed/USAN %20-decoding, EMA EPAR-suffix), id-type
+  crossrefs (chEBI/drugbank with CHEBI prefixing)
+* target (GP)   — datasource/target.py:26-200: approved name/symbol,
+  name/symbol synonyms, protein ids, obsolete names/symbols, dbXrefs with
+  signalP exclusion and HGNC prefixing
+
+All implemented as one generic annotate/flatten/explode/translate helper +
+per-source Column specs — the reference's structure is four near-identical
+hand-written pipelines; here the idiom is factored once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from ontoma_spark.functions.text import (
+    COMPONENT_OF_PATTERN,
+    annotate_entity,
+    extract_combination_product,
+    get_alternative_translations,
+)
+
+RAW_LUT_COLS = [
+    "entityId", "entityLabel", "entityScore", "nlpPipelineTrack",
+    "entitySource", "entityType", "entityKind",
+]
+
+
+def extract_raw_lut(
+    df: DataFrame,
+    specs: list[tuple[Column, str, float, str]],
+    entity_type: str,
+    entity_kind: str,
+    id_col: str = "id",
+    translate: bool = True,
+) -> DataFrame:
+    """Generic extractor: annotate each (column, track, score, source)
+    spec, flatten-explode into entity rows, optionally apply the
+    dual-translation fan-out, clean up, distinct."""
+    annotated = df.select(
+        F.col(id_col).alias("entityId"),
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        annotate_entity(col, track, score, source)
+                        for col, track, score, source in specs
+                    ]
+                )
+            )
+        ).alias("e"),
+    )
+    if translate:
+        label = F.explode(
+            F.array_distinct(
+                get_alternative_translations(F.trim(F.col("e.entityLabel")))
+            )
+        )
+    else:
+        label = F.col("e.entityLabel")
+    return (
+        annotated.select(
+            "entityId",
+            label.alias("entityLabel"),
+            F.col("e.entityScore").alias("entityScore"),
+            F.col("e.nlpPipelineTrack").alias("nlpPipelineTrack"),
+            F.col("e.entitySource").alias("entitySource"),
+        )
+        .withColumn("entityType", F.lit(entity_type))
+        .withColumn("entityKind", F.lit(entity_kind))
+        .filter(F.col("entityLabel").isNotNull() & (F.length("entityLabel") > 0))
+        .distinct()
+        .select(RAW_LUT_COLS)
+    )
+
+
+class DrugSource:
+    """Open Targets drug-index extractor (entityType CD; all symbol track,
+    reference drug.py:136-156)."""
+
+    @staticmethod
+    def _prepared(drug_index: DataFrame) -> DataFrame:
+        labels = lambda src: F.transform(  # noqa: E731
+            F.filter(F.col("synonyms"), lambda s: s["source"] == src),
+            lambda s: s["label"],
+        )
+        not_component = lambda c: F.filter(  # noqa: E731
+            F.coalesce(c, F.array()),
+            lambda x: ~x.rlike(COMPONENT_OF_PATTERN),
+        )
+        df = (
+            drug_index.withColumn(
+                "tradeNameLabels",
+                F.transform(F.col("tradeNames"), lambda x: x["label"]),
+            )
+            .withColumn("synCurated", labels("ChEMBL"))
+            .withColumn("synInferred", labels("AACT"))
+            # early fan-out reduction BEFORE any explode (drug.py:59-65):
+            # drugs named chembl-something with no labels carry no signal
+            .filter(
+                (~F.lower(F.col("name")).startswith("chembl"))
+                | (F.size("tradeNameLabels") > 0)
+                | (F.size("synCurated") > 0)
+                | (F.size("synInferred") > 0)
+            )
+            # combination products: the product name (Y) of every
+            # "X component of Y" phrase maps back to this molecule
+            .withColumn(
+                "combinationProducts",
+                F.array_distinct(
+                    F.filter(
+                        F.transform(
+                            F.concat(
+                                F.coalesce("tradeNameLabels", F.array()),
+                                F.coalesce("synCurated", F.array()),
+                                F.coalesce("synInferred", F.array()),
+                            ),
+                            lambda x: extract_combination_product(x),
+                        ),
+                        lambda x: F.length(x) > 0,
+                    )
+                ),
+            )
+        )
+        # the raw "X component of Y" phrase is never a useful label
+        for c in ("tradeNameLabels", "synCurated", "synInferred"):
+            df = df.withColumn(c, not_component(F.col(c)))
+        return df
+
+    @classmethod
+    def as_label_lut(cls, drug_index: DataFrame) -> DataFrame:
+        df = cls._prepared(drug_index).withColumn(
+            # label-type crossrefs: DailyMed/USAN decode %20; EMA keeps the
+            # EPAR suffix (drug.py:110-132)
+            "crossrefLabels",
+            F.flatten(
+                F.transform(
+                    F.filter(
+                        F.col("crossReferences"),
+                        lambda x: x["source"].isin("DailyMed", "USAN", "EMA"),
+                    ),
+                    lambda x: F.when(
+                        x["source"].isin("DailyMed", "USAN"),
+                        F.transform(
+                            x["ids"], lambda i: F.regexp_replace(i, "%20", " ")
+                        ),
+                    ).otherwise(
+                        F.transform(
+                            x["ids"],
+                            lambda i: F.regexp_extract(i, r".+/EPAR/(.+)", 1),
+                        )
+                    ),
+                )
+            ),
+        )
+        specs = [
+            (F.array(F.col("name")), "symbol", 1.0, "name"),
+            (F.col("tradeNameLabels"), "symbol", 0.999, "trade_name"),
+            (F.col("synCurated"), "symbol", 0.999, "synonym"),
+            (F.col("synInferred"), "symbol", 0.998, "synonym_aact"),
+            (F.col("combinationProducts"), "symbol", 0.999, "trade_name_component"),
+            (F.col("crossrefLabels"), "symbol", 0.997, "crossref"),
+        ]
+        return extract_raw_lut(df, specs, "CD", "label")
+
+    @classmethod
+    def as_id_lut(cls, drug_index: DataFrame) -> DataFrame:
+        df = drug_index.withColumn(
+            "idCrossrefs",
+            F.transform(
+                F.filter(
+                    F.col("crossReferences"),
+                    lambda x: x["source"].isin("chEBI", "drugbank"),
+                ),
+                lambda x: F.when(
+                    x["source"] == "chEBI",
+                    F.concat(F.lit("CHEBI"), x["ids"][0]),
+                ).otherwise(x["ids"][0]),
+            ),
+        )
+        specs = [
+            (F.array(F.col("id")), "symbol", 1.0, "id"),
+            (F.col("idCrossrefs"), "symbol", 0.999, "crossref"),
+        ]
+        return extract_raw_lut(df, specs, "CD", "id", translate=False)
+
+
+class TargetSource:
+    """Open Targets target-index extractor (entityType GP)."""
+
+    @classmethod
+    def as_label_lut(cls, target_index: DataFrame) -> DataFrame:
+        specs = [
+            (F.array(F.col("approvedName")), "term", 1.0, "approved_name"),
+            (F.array(F.col("approvedSymbol")), "symbol", 1.0, "approved_symbol"),
+            (F.col("nameSynonyms.label"), "term", 0.999, "name_synonym"),
+            (F.col("symbolSynonyms.label"), "symbol", 0.999, "symbol_synonym"),
+            (F.col("proteinIds.id"), "symbol", 0.999, "protein_id"),
+            (F.col("obsoleteNames.label"), "term", 0.998, "obsolete_name"),
+            (F.col("obsoleteSymbols.label"), "symbol", 0.998, "obsolete_symbol"),
+        ]
+        return extract_raw_lut(target_index, specs, "GP", "label")
+
+    @classmethod
+    def as_id_lut(cls, target_index: DataFrame) -> DataFrame:
+        df = target_index.withColumn(
+            "xrefIds",
+            F.transform(
+                # signalP xrefs carry only two possible values — noise
+                F.filter(F.col("dbXrefs"), lambda x: x["source"] != "signalP"),
+                lambda x: F.when(
+                    x["source"] == "HGNC", F.concat(F.lit("HGNC"), x["id"])
+                ).otherwise(x["id"]),
+            ),
+        )
+        specs = [
+            (F.array(F.col("id")), "symbol", 1.0, "id"),
+            (F.col("xrefIds"), "symbol", 0.999, "crossref"),
+            (F.col("proteinIds.id"), "symbol", 0.999, "protein_id"),
+        ]
+        return extract_raw_lut(df, specs, "GP", "id", translate=False)

@@ -108,14 +108,20 @@ def build_token_bloom(raw_label_lut: DataFrame) -> list[int]:
     return words
 
 
-def _bloom_keep_expr() -> str:
-    """SQL predicate over (surface, _isId, _bloom): every token's prefix3
-    hits the bitmap (empty-after-cleanup tokens pass; they are dropped by
-    normalisation anyway)."""
+def _bloom_keep_expr(words: list[int]) -> str:
+    """SQL predicate over (surface, _isId): every token's prefix3 hits the
+    bitmap (empty-after-cleanup tokens pass; they are dropped by
+    normalisation anyway).
+
+    The bitmap is INLINED as an array literal so ConstantFolding collapses
+    it into a single Literal inside the predicate tree — never a
+    per-row column (a ``withColumn`` bitmap would memcpy 8 KB into every
+    candidate row: ~100 GB of copying per 10^5 docs)."""
+    arr = "array(" + ",".join(str(w) for w in words) + ")"
     clean = _CLEAN_TOKEN_SQL.format(t="t")
     h = f"pmod(xxhash64(substring({clean}, 1, 3)), {BLOOM_BITS})"
     bit = (
-        f"(shiftright(element_at(_bloom, cast({h} / 32 AS int) + 1), "
+        f"(shiftright(element_at({arr}, cast({h} / 32 AS int) + 1), "
         f"cast({h} % 32 AS int)) & 1) = 1"
     )
     return (
@@ -141,9 +147,8 @@ def candidate_queries(
     if token_bloom is not None:
         candidates = (
             candidates.withColumn("_isId", is_id)
-            .withColumn("_bloom", F.lit(token_bloom))
-            .filter(F.expr(_bloom_keep_expr()))
-            .drop("_bloom", "_isId")
+            .filter(F.expr(_bloom_keep_expr(token_bloom)))
+            .drop("_isId")
         )
     variants = F.when(
         is_id,

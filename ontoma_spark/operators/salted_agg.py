@@ -1,0 +1,63 @@
+"""Two-phase salted aggregation for skewed keys.
+
+The KG linker sidesteps JOIN skew by broadcasting every lexicon-sized
+side, but corpus-level analytics that group BY MENTION (surface-form
+frequency tables, per-entity document counts) still hash-partition on a
+key where "cancer" may carry orders of magnitude more rows than the
+median (SURVEY §4: salting needed for the groupBy canonicalisation path).
+
+Classic remedy: phase 1 groups on (key, salt = pmod(xxhash64(row seed),
+S)) so the hot key's rows spread over S reducers and partial aggregates
+map-side-combine; phase 2 re-groups the S partials per key. Works for any
+algebraic aggregate (sum/count/min/max + mergeable structures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def salted_count(
+    df: DataFrame,
+    key_cols: list[str],
+    n_salts: int = 16,
+    count_col: str = "n",
+    distinct_col: str | None = None,
+) -> DataFrame:
+    """Skew-safe ``groupBy(keys).count()`` (optionally + countDistinct).
+
+    ``distinct_col`` adds an exact distinct count via set-union merge
+    (collect_set per salt, then size of the flattened distinct union) —
+    correct, at the cost of carrying the distinct values of each salt
+    group; suitable when per-key distinct cardinality is bounded (e.g.
+    distinct docs per mention within a bucket group).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols], F.rand(seed=7)), n_salts)
+    phase1_aggs = [F.count("*").alias("_cnt")]
+    if distinct_col is not None:
+        phase1_aggs.append(F.collect_set(F.col(distinct_col)).alias("_set"))
+    phase1 = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(*phase1_aggs)
+    phase2_aggs = [F.sum("_cnt").cast("long").alias(count_col)]
+    if distinct_col is not None:
+        phase2_aggs.append(
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("_set")))
+            ).cast("long").alias(f"n_distinct_{distinct_col}")
+        )
+    return phase1.groupBy(*key_cols).agg(*phase2_aggs)
+
+
+def mention_stats(
+    triples: DataFrame, n_salts: int = 16
+) -> DataFrame:
+    """Corpus-wide surface-form statistics over the triple table —
+    the canonical hot-key aggregation ("cancer" dominates): per (subj,
+    obj): occurrence count + distinct-document count, salted."""
+    with_doc = triples.withColumn(
+        "_doc", F.concat_ws("", "repo", "path", "commit")
+    )
+    return salted_count(
+        with_doc, ["subj", "pred", "obj"], n_salts=n_salts,
+        count_col="n_mentions", distinct_col="_doc",
+    ).withColumnRenamed("n_distinct__doc", "n_docs")

@@ -1,0 +1,118 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.api import EntityMapper
+from ontoma_spark.datagen import ontology_terms_df
+from ontoma_spark.lexicon import as_id_lut, as_label_lut
+
+
+@pytest.fixture(scope="module")
+def mapper(spark):
+    terms = ontology_terms_df(spark)
+    return EntityMapper(spark, [as_label_lut(terms), as_id_lut(terms)])
+
+
+def _map_labels(mapper, spark, labels, **kw):
+    df = spark.createDataFrame([(l,) for l in labels], "disease string")
+    out = mapper.map_entities(
+        df, "ids", "disease", "label",
+        **({"type_col": F.lit("DS")} if not kw else kw),
+    )
+    return {r["disease"]: sorted(r["ids"]) if r["ids"] else None for r in out.collect()}
+
+
+def test_label_mapping_exact_and_synonym(mapper, spark):
+    got = _map_labels(
+        mapper, spark,
+        ["breast carcinoma", "Lung Cancer", "cancer of the lung", "pyrexia"],
+    )
+    assert got["breast carcinoma"] == ["EFO_0000305"]
+    assert got["Lung Cancer"] == ["EFO_0001071"]
+    assert got["cancer of the lung"] == ["EFO_0001071"]
+    assert got["pyrexia"] == ["HP_0001945"]
+
+
+def test_multi_mapping_tie(mapper, spark):
+    got = _map_labels(mapper, spark, ["melanoma tumour"])
+    assert got["melanoma tumour"] == ["EFO_0002617", "MONDO_0005105"]
+
+
+def test_accent_and_greek_labels(mapper, spark):
+    got = _map_labels(
+        mapper, spark, ["Papillon-Lefevre syndrome", "β-thalassemia", "ALS"]
+    )
+    assert got["Papillon-Lefevre syndrome"] == ["Orphanet_275"]
+    assert got["β-thalassemia"] == ["EFO_0004269"]
+    assert got["ALS"] == ["MONDO_0019391"]
+
+
+def test_disease_label_cleanup_path(mapper, spark):
+    got = _map_labels(mapper, spark, ["icd#C50 breast carcinoma"])
+    assert got["icd#C50 breast carcinoma"] == ["EFO_0000305"]
+
+
+def test_miss_maps_to_null(mapper, spark):
+    got = _map_labels(mapper, spark, ["definitely not a disease xyz"])
+    assert got["definitely not a disease xyz"] is None
+
+
+def test_id_mapping_with_formatting(mapper, spark):
+    df = spark.createDataFrame(
+        [("omim:114480",), ("Orphanet_166",), ("EFO_0000571",)], "code string"
+    )
+    out = mapper.map_entities(
+        df, "ids", "code", "id", type_col=F.lit("DS")
+    )
+    got = {r["code"]: sorted(r["ids"]) if r["ids"] else None for r in out.collect()}
+    assert got["omim:114480"] == ["EFO_0000305"]
+    assert got["Orphanet_166"] == ["Orphanet_166"]
+    assert got["EFO_0000571"] == ["EFO_0001071"]
+
+
+def test_include_entity_source(mapper, spark):
+    df = spark.createDataFrame([("breast cancer",)], "disease string")
+    out = mapper.map_entities(
+        df, "ids", "disease", "label",
+        type_col=F.lit("DS"), include_entity_source=True,
+    ).first()
+    assert [(x["entityId"], x["entitySource"]) for x in out["ids"]] == [
+        ("EFO_0000305", "exact_synonym")
+    ]
+
+
+def test_type_column_by_name(mapper, spark):
+    df = spark.createDataFrame(
+        [("asthma", "DS"), ("asthma", "CD")], "label string, t string"
+    )
+    out = mapper.map_entities(df, "ids", "label", "label", type_col_name="t")
+    got = {r["t"]: r["ids"] for r in out.collect()}
+    assert got["DS"] == ["EFO_0000270"]
+    assert got["CD"] is None  # no drug lexicon rows for asthma
+
+
+def test_arg_validation(mapper, spark):
+    df = spark.createDataFrame([("x",)], "label string")
+    with pytest.raises(ValueError, match="Exactly one"):
+        mapper.map_entities(df, "ids", "label", "label")
+    with pytest.raises(ValueError, match="Exactly one"):
+        mapper.map_entities(
+            df, "ids", "label", "label",
+            type_col_name="t", type_col=F.lit("DS"),
+        )
+    with pytest.raises(ValueError, match="unknown entity_kind"):
+        mapper.map_entities(df, "ids", "label", "nope", type_col=F.lit("DS"))
+
+
+def test_cache_roundtrip(spark, tmp_path):
+    terms = ontology_terms_df(spark)
+    cache = str(tmp_path / "lexicon_cache")
+    m1 = EntityMapper(spark, [as_label_lut(terms)], cache_dir=cache)
+    n1 = m1.df.count()
+    # second construction loads from cache (no luts needed)
+    m2 = EntityMapper(spark, cache_dir=cache)
+    assert m2.df.count() == n1
+    # no cache + no luts -> error
+    with pytest.raises(ValueError, match="entity_lut_list"):
+        EntityMapper(spark, cache_dir=str(tmp_path / "missing"))

@@ -1,0 +1,83 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.datagen import ontology_terms_df
+from ontoma_spark.lexicon.curation import curation_label_lut
+from ontoma_spark.operators.salted_agg import mention_stats, salted_count
+
+CURATION_ROWS = [
+    # valid: id in index
+    ("childhood asthma", "http://www.ebi.ac.uk/efo/EFO_0000270"),
+    # label with ICD '#' prefix segment to clean
+    ("http://x#C50 mammary tumor", "http://www.ebi.ac.uk/efo/EFO_0000305"),
+    # junk label "1)"
+    ("1)", "http://www.ebi.ac.uk/efo/EFO_0000270"),
+    # id NOT in the index -> dropped (no remap) / remapped (obsolete)
+    ("old lung cancer term", "http://www.ebi.ac.uk/efo/EFO_0000571"),
+    # malformed IRI -> empty id -> dropped
+    ("whatever", "not-an-iri"),
+]
+
+
+@pytest.fixture(scope="module")
+def curation(spark):
+    return spark.createDataFrame(
+        CURATION_ROWS, "PROPERTY_VALUE string, SEMANTIC_TAG string"
+    )
+
+
+def test_curation_validity_join_without_remap(spark, curation):
+    lut = curation_label_lut(curation, ontology_terms_df(spark))
+    rows = {(r["entityLabel"], r["entityId"]) for r in lut.collect()}
+    assert ("childhood asthma", "EFO_0000270") in rows
+    # '#'-segment cleaned
+    assert ("mammary tumor", "EFO_0000305") in rows
+    # junk "1)" removed; obsolete id dropped without remap; malformed gone
+    labels = {l for l, _ in rows}
+    assert "1)" not in labels
+    assert "old lung cancer term" not in labels
+    assert "whatever" not in labels
+
+
+def test_curation_remaps_obsolete_via_unambiguous_id_lut(spark, curation):
+    lut = curation_label_lut(
+        curation, ontology_terms_df(spark), remap_obsolete_mappings=True
+    )
+    rows = {(r["entityLabel"], r["entityId"]) for r in lut.collect()}
+    # EFO_0000571 is an obsolete term of EFO_0001071 -> remapped
+    assert ("old lung cancer term", "EFO_0001071") in rows
+
+
+def test_salted_count_matches_plain_groupby(spark):
+    # skewed: key 'hot' has 5000 rows, others 10
+    rows = [("hot", f"d{i % 97}") for i in range(5000)] + [
+        (f"k{j}", f"d{j}") for j in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, doc string")
+    got = {
+        r["k"]: (r["n"], r["n_distinct_doc"])
+        for r in salted_count(df, ["k"], distinct_col="doc").collect()
+    }
+    assert got["hot"] == (5000, 97)
+    assert got["k3"] == (1, 1)
+    assert len(got) == 11
+
+
+def test_mention_stats_over_triples(spark):
+    triples = spark.createDataFrame(
+        [
+            ("r1", "p1", "c1", "cancer", "skos:exactMatch", "MONDO:0004992"),
+            ("r1", "p1", "c1", "cancer", "skos:exactMatch", "MONDO:0004992"),
+            ("r2", "p2", "c2", "cancer", "skos:exactMatch", "MONDO:0004992"),
+            ("r2", "p2", "c2", "asthma", "skos:exactMatch", "EFO:0000270"),
+        ],
+        "repo string, path string, commit string, subj string, pred string, obj string",
+    )
+    got = {
+        r["subj"]: (r["n_mentions"], r["n_docs"])
+        for r in mention_stats(triples).collect()
+    }
+    assert got["cancer"] == (3, 2)
+    assert got["asthma"] == (1, 1)

@@ -1,0 +1,195 @@
+"""Golden-row tests for the drug/target datasources — replicates the
+reference's own test strategy (tests/test_datasource_drug.py cases:
+combination products mapping to both component molecules, raw
+'component of' suppression, trade-name preservation, punctuation
+cleanup, synonym/trade-name parity, case-insensitivity, dedupe, score
+tiers by source)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.lexicon import build_lexicon
+from ontoma_spark.lexicon.datasources import DrugSource, TargetSource
+
+DRUG_SCHEMA = (
+    "id string, name string, "
+    "tradeNames array<struct<label:string,source:string>>, "
+    "synonyms array<struct<label:string,source:string>>, "
+    "crossReferences array<struct<source:string,ids:array<string>>>"
+)
+
+DRUG_ROWS = [
+    (
+        "CHEMBL1", "Ivacaftor",
+        [("Kalydeco", "ChEMBL"), ("Ivacaftor component of symkevi", "ChEMBL")],
+        [("VX-770", "ChEMBL")],
+        [("DailyMed", ["ivacaftor%20tablet"]), ("chEBI", ["66901"])],
+    ),
+    (
+        "CHEMBL2", "Tezacaftor",
+        [("Tezacaftor COMPONENT OF symkevi", "ChEMBL")],
+        [],
+        [],
+    ),
+    (
+        "CHEMBL3", "/Aspirin",
+        [],
+        [("acetylsalicylic acid", "ChEMBL"), ("ASA", "AACT"),
+         ("acetylsalicylic acid", "AACT")],
+        [("EMA", ["https://ema.europa.eu/medicine/EPAR/aspirin-ema"]),
+         ("drugbank", ["DB00945"])],
+    ),
+    # early-pruned: chembl-prefixed name, no labels anywhere
+    ("CHEMBL4", "chembl4", [], [], []),
+    (
+        "CHEMBL5", "Paracetamol",
+        [("Tylenol", "ChEMBL")],
+        [("Tylenol", "ChEMBL")],
+        [("INN", ["inn-ignored"])],
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def drug_index(spark):
+    return spark.createDataFrame(DRUG_ROWS, DRUG_SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def drug_label_lut(drug_index):
+    df = DrugSource.as_label_lut(drug_index).cache()
+    df.count()
+    return df
+
+
+def _rows(lut, label):
+    return sorted(
+        (r["entityId"], r["entitySource"], r["entityScore"])
+        for r in lut.filter(F.col("entityLabel") == label).collect()
+    )
+
+
+def test_combination_product_maps_to_both_molecules(drug_label_lut):
+    assert _rows(drug_label_lut, "symkevi") == [
+        ("CHEMBL1", "trade_name_component", 0.999),
+        ("CHEMBL2", "trade_name_component", 0.999),
+    ]
+
+
+def test_component_of_phrase_suppressed(drug_label_lut):
+    bad = drug_label_lut.filter(
+        F.lower(F.col("entityLabel")).contains(" component of ")
+    )
+    assert bad.count() == 0
+
+
+def test_trade_names_preserved(drug_label_lut):
+    assert _rows(drug_label_lut, "Kalydeco") == [("CHEMBL1", "trade_name", 0.999)]
+
+
+def test_score_tiers_by_source(drug_label_lut):
+    # curated ChEMBL synonym 0.999 > LLM-mined AACT 0.998
+    assert _rows(drug_label_lut, "acetylsalicylic acid") == [
+        ("CHEMBL3", "synonym", 0.999),
+        ("CHEMBL3", "synonym_aact", 0.998),
+    ]
+    assert _rows(drug_label_lut, "ASA") == [("CHEMBL3", "synonym_aact", 0.998)]
+
+
+def test_crossref_label_transformations(drug_label_lut):
+    # DailyMed %20 decoded; EMA keeps EPAR suffix
+    assert _rows(drug_label_lut, "ivacaftor tablet") == [
+        ("CHEMBL1", "crossref", 0.997)
+    ]
+    assert _rows(drug_label_lut, "aspirin-ema") == [("CHEMBL3", "crossref", 0.997)]
+
+
+def test_early_pruning_drops_labelless_chembl_names(drug_label_lut):
+    assert drug_label_lut.filter(F.col("entityId") == "CHEMBL4").count() == 0
+
+
+def test_all_rows_symbol_track_and_cd_type(drug_label_lut):
+    tracks = {r["nlpPipelineTrack"] for r in drug_label_lut.select("nlpPipelineTrack").distinct().collect()}
+    assert tracks == {"symbol"}
+    assert {r["entityType"] for r in drug_label_lut.select("entityType").distinct().collect()} == {"CD"}
+
+
+def test_drug_id_lut_prefixes_and_filters(drug_index):
+    lut = DrugSource.as_id_lut(drug_index)
+    labels = {
+        r["entityLabel"]: (r["entityId"], r["entitySource"], r["entityScore"])
+        for r in lut.collect()
+    }
+    assert labels["CHEBI66901"] == ("CHEMBL1", "crossref", 0.999)
+    assert labels["DB00945"] == ("CHEMBL3", "crossref", 0.999)
+    assert labels["CHEMBL1"] == ("CHEMBL1", "id", 1.0)
+    # INN crossrefs excluded
+    assert "inn-ignored" not in labels
+
+
+def test_drug_lexicon_end_to_end(spark, drug_index):
+    lex = build_lexicon([DrugSource.as_label_lut(drug_index)])
+    by_sig = {
+        r["entityLabelNormalised"]: sorted({x["entityId"] for x in r["entityIds"]})
+        for r in lex.collect()
+    }
+    assert by_sig["symkevi"] == ["CHEMBL1", "CHEMBL2"]
+    # leading '/' cleaned by the symbol normaliser
+    assert by_sig["aspirin"] == ["CHEMBL3"]
+    # dup across tradeNames+synonyms collapses to one id (two sources —
+    # collect_set keeps (id, source) structs, reference ontoma.py:253-257)
+    assert by_sig["tylenol"] == ["CHEMBL5"]
+
+
+TARGET_SCHEMA = (
+    "id string, approvedName string, approvedSymbol string, "
+    "nameSynonyms array<struct<label:string,source:string>>, "
+    "symbolSynonyms array<struct<label:string,source:string>>, "
+    "proteinIds array<struct<id:string,source:string>>, "
+    "obsoleteNames array<struct<label:string,source:string>>, "
+    "obsoleteSymbols array<struct<label:string,source:string>>, "
+    "dbXrefs array<struct<id:string,source:string>>"
+)
+
+TARGET_ROWS = [
+    (
+        "ENSG00000139618", "BRCA2 DNA repair associated", "BRCA2",
+        [("breast cancer 2", "HGNC")],
+        [("FACD", "HGNC")],
+        [("P51587", "uniprot_swissprot")],
+        [("breast cancer type 2 susceptibility protein", "HGNC")],
+        [("FANCD1", "HGNC")],
+        [("1101", "HGNC"), ("SignalP-TM", "signalP"), ("612555", "OMIM")],
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def target_index(spark):
+    return spark.createDataFrame(TARGET_ROWS, TARGET_SCHEMA).cache()
+
+
+def test_target_label_tracks_and_tiers(target_index):
+    lut = TargetSource.as_label_lut(target_index)
+    rows = {
+        (r["entityLabel"], r["entitySource"]): (r["nlpPipelineTrack"], r["entityScore"])
+        for r in lut.collect()
+    }
+    assert rows[("BRCA2 DNA repair associated", "approved_name")] == ("term", 1.0)
+    assert rows[("BRCA2", "approved_symbol")] == ("symbol", 1.0)
+    assert rows[("breast cancer 2", "name_synonym")] == ("term", 0.999)
+    assert rows[("FACD", "symbol_synonym")] == ("symbol", 0.999)
+    assert rows[("P51587", "protein_id")] == ("symbol", 0.999)
+    assert rows[("FANCD1", "obsolete_symbol")] == ("symbol", 0.998)
+
+
+def test_target_id_lut_signalp_excluded_hgnc_prefixed(target_index):
+    lut = TargetSource.as_id_lut(target_index)
+    labels = {r["entityLabel"] for r in lut.collect()}
+    assert "HGNC1101" in labels
+    assert "612555" in labels
+    assert "SignalP-TM" not in labels
+    assert "ENSG00000139618" in labels
+    assert "P51587" in labels

@@ -1,0 +1,38 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ontoma_spark.core.storage import TableStore, iceberg_available
+
+
+def test_parquet_fallback_detected(spark):
+    assert iceberg_available(spark) is False
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    store.write(df, "kg.triples")
+    assert store.exists("kg.triples")
+    assert not store.exists("kg.nope")
+    got = store.read("kg.triples")
+    assert sorted(tuple(r) for r in got.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_overwrite_partitions_is_idempotent(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    df1 = spark.createDataFrame([(0, "x"), (1, "y")], "bucket int, v string")
+    store.write(df1, "t", mode="overwrite_partitions", partition_by=["bucket"])
+    # rewrite only bucket 0; bucket 1 must survive
+    df2 = spark.createDataFrame([(0, "x2")], "bucket int, v string")
+    store.write(df2, "t", mode="overwrite_partitions", partition_by=["bucket"])
+    got = {(r["bucket"], r["v"]) for r in store.read("t").collect()}
+    assert got == {(0, "x2"), (1, "y")}
+
+
+def test_append(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame([(1,)], "k long")
+    store.write(df, "a", mode="overwrite")
+    store.write(df, "a", mode="append")
+    assert store.read("a").count() == 2
