@@ -1,22 +1,36 @@
-"""Two-tier entity linker: broadcast exact/synonym join + blocked fuzzy join.
+"""Two-tier entity linker: vocabulary-level matching + ONE corpus-side
+broadcast hash join.
 
-Tier 1 (exact): candidate n-grams are normalised INLINE (pure Column
-algebra; the Porter UDF receives an empty array for symbol-track rows, so
-Python cost is paid only where stemming is semantically required) and
-broadcast-hash-joined against the lexicon on
-(signature, entityType, entityKind) — the reference's mapping join
-(ontoma.py:392-407) with an explicit ``F.broadcast`` because the lexicon
-is ontology-sized. No shuffle: the whole tier is map-side.
+The reference's mapping join (ontoma.py:392-407) joins normalised query
+rows against the Ready-LUT; its cost lever at scale is the memoisation
+pattern of ontoma.py:174-235 ("billions of rows over tens of thousands of
+distinct labels -> run the pure function once per distinct input"). This
+linker applies that lever to the WHOLE matching problem, not just
+normalisation:
 
-Tier 2 (fuzzy): the reference's lazy NER fallback control flow
-(ner/drug.py:89-170, "only texts that produced no hits go to the second
-model") re-expressed as dataflow: signatures that missed the lexicon are
-anti-joined out, deduplicated, BLOCKED against lexicon signatures
-(prefix/suffix block keys + length filter), scored with a vectorized
-Jaro-Winkler + trigram-TF-IDF-cosine pandas UDF, thresholded, and the
-surviving (signature -> ids) map — tiny — is broadcast-joined back to the
-candidate stream. The only shuffle in the linker is the distinct() over
-blocked miss-signatures.
+1. distinct-vocabulary aggregation — one narrow corpus pass ending in a
+   hash aggregate over (entityLabel, track, kind). Map-side partial
+   aggregation bounds the shuffle payload by the per-partition VOCABULARY
+   (itself bounded by the lexicon-neighbourhood via the token-prefix
+   Bloom in operators/mentions.py), never by corpus size.
+2. signature computation — the two-track normaliser (incl. the Porter
+   pandas UDF) runs over the ~10^4 distinct labels only. Python never
+   touches a corpus-sized stream.
+3. tiered matching at the signature level: exact = join vs the broadcast
+   lexicon (tier 2); misses go to the blocked fuzzy scorer (tier 1) —
+   the reference's lazy NER fallback control flow (ner/drug.py:89-170,
+   "only texts that produced no hits go to the second model") as pure
+   dataflow over the distinct-signature table.
+4. the resulting match map (label variant, track, kind) ->
+   (entityIds, tier, score) is inner-broadcast-joined to the candidate
+   stream: ONE map-side join over the corpus, which simultaneously
+   filters non-matches and attaches results. No corpus-side persist, no
+   shuffle of corpus-sized data anywhere in the linker.
+
+Join-key skew ("cancer" in 35% of documents) is irrelevant to a
+broadcast hash join — no partitioning by key ever happens; the only
+corpus-keyed shuffle downstream is the per-document groupBy in
+pipeline/kg.py (matches only, evenly spread).
 """
 
 from __future__ import annotations
@@ -39,9 +53,13 @@ from ontoma_spark.functions.text import (
     get_alternative_translations,
 )
 
-# Single tokens shaped like ontology/xref identifiers take the id-kind
-# query path (reference ontoma.py:301-327); everything else is a label.
-ID_SHAPE_RE = r"^[A-Za-z]+[:_][A-Za-z0-9.]+$"
+# Re-exported for backwards compatibility (moved to operators/mentions.py,
+# where the per-token prefilter now lives inside candidate extraction).
+from ontoma_spark.operators.mentions import (  # noqa: F401
+    BLOOM_BITS,
+    ID_SHAPE_RE,
+    build_token_bloom,
+)
 
 DOC_COLS = ("repo", "path", "commit")
 
@@ -49,107 +67,29 @@ DEFAULT_FUZZY_THRESHOLD = 0.80
 FUZZY_MIN_SIG_CHARS = 5
 FUZZY_MAX_SIG_CHARS = 40
 
-# ---- token-prefix Bloom prefilter ------------------------------------
-# A candidate n-gram can only (exactly or fuzzily) match the lexicon if
-# every token resembles SOME lexicon-label token. We test "resembles" as
-# "3-char prefix of the cleaned lowercase token is in the lexicon's token
-# -prefix vocabulary", held in a 64 Ki-bit Bloom bitmap shipped as a
-# LITERAL array<int> column: membership = one element_at + shiftright per
-# token, fully inside WholeStageCodegen. This drops the vast majority of
-# corpus n-grams BEFORE the (Arrow) stemmer UDF and the persist — the
-# difference between stemming 100% vs ~5% of candidate rows at 100 TB.
-# Fuzzy recall caveat (documented): a typo inside the first 3 cleaned
-# characters of EVERY informative token escapes the prefilter.
-
-BLOOM_BITS = 1 << 16
-_BLOOM_WORDS = BLOOM_BITS // 32
-
-from ontoma_spark.functions.text import ACCENT_DST, ACCENT_SRC, GREEK_DST, GREEK_SRC
-
-# fold greek + accents BEFORE prefixing, so 'β-thalassemia' probes the
-# same bucket as the lexicon's translated variant 'b-thalassemia'
-_CLEAN_TOKEN_SQL = (
-    "regexp_replace(translate(translate(lower({t}), "
-    f"'{GREEK_SRC}', '{GREEK_DST}'), '{ACCENT_SRC}', '{ACCENT_DST}'), "
-    "'[^\\\\p{{L}}\\\\p{{N}}]', '')"
-)
-
-
-def _prefix3_expr(tok):
-    folded = F.translate(
-        F.translate(F.lower(tok), GREEK_SRC, GREEK_DST), ACCENT_SRC, ACCENT_DST
-    )
-    cleaned = F.regexp_replace(folded, r"[^\p{L}\p{N}]", "")
-    return F.substring(cleaned, 1, 3)
-
-
-def build_token_bloom(raw_label_lut: DataFrame) -> list[int]:
-    """Bitmap of xxhash64(prefix3(token)) over all lexicon label tokens.
-
-    Input: a raw label LUT (post translation fan-out), i.e. every surface
-    form the lexicon will ever normalise. Ontology-sized -> one tiny job.
-    Returns 2048 int32 words.
-    """
-    from ontoma_spark.operators.mentions import TOKEN_SPLIT_RE
-
-    prefixes = (
-        raw_label_lut.select(
-            F.explode(F.split(F.col("entityLabel"), TOKEN_SPLIT_RE)).alias("t")
-        )
-        .select(_prefix3_expr(F.col("t")).alias("p"))
-        .filter(F.col("p") != "")
-        .distinct()
-        .select(F.pmod(F.xxhash64("p"), F.lit(BLOOM_BITS)).alias("h"))
-    )
-    words = [0] * _BLOOM_WORDS
-    for r in prefixes.collect():
-        h = r["h"]
-        words[h // 32] |= 1 << (h % 32)
-    return words
-
-
-def _bloom_keep_expr(words: list[int]) -> str:
-    """SQL predicate over (surface, _isId): every token's prefix3 hits the
-    bitmap (empty-after-cleanup tokens pass; they are dropped by
-    normalisation anyway).
-
-    The bitmap is INLINED as an array literal so ConstantFolding collapses
-    it into a single Literal inside the predicate tree — never a
-    per-row column (a ``withColumn`` bitmap would memcpy 8 KB into every
-    candidate row: ~100 GB of copying per 10^5 docs)."""
-    arr = "array(" + ",".join(str(w) for w in words) + ")"
-    clean = _CLEAN_TOKEN_SQL.format(t="t")
-    h = f"pmod(xxhash64(substring({clean}, 1, 3)), {BLOOM_BITS})"
-    bit = (
-        f"(shiftright(element_at({arr}, cast({h} / 32 AS int) + 1), "
-        f"cast({h} % 32 AS int)) & 1) = 1"
-    )
-    return (
-        "_isId OR forall(split(surface, ' '), t -> "
-        f"CASE WHEN length({clean}) = 0 THEN true ELSE {bit} END)"
-    )
+QUERY_KEY = ["entityLabel", "nlpPipelineTrack", "entityKind"]
 
 
 def candidate_queries(
     candidates: DataFrame, token_bloom: list[int] | None = None
 ) -> DataFrame:
-    """Attach query dimensions to candidates in ONE pass (no re-scan).
+    """Attach query dimensions to candidate (or distinct-surface) rows.
 
     label path: dual-translation fan-out (deduped) + acronym-heuristic
     track on the raw surface (ontoma.py:261-299);
     id path: format_identifier(upper(trim)) + symbol track
     (ontoma.py:301-327). Kind dispatch is per-row, not per-call.
 
-    ``token_bloom`` (from ``build_token_bloom``) enables the JVM-side
-    token-prefix prefilter before any expensive work.
+    ``is_id`` is a pure function of the surface string: ``ID_SHAPE_RE``
+    admits no spaces, so multi-token surfaces can never match — which is
+    what lets the full pipeline apply this transformation to the DISTINCT
+    surface vocabulary instead of the corpus stream (``link_matches``).
+
+    ``token_bloom`` is accepted for backwards compatibility; pruning now
+    happens inside ``extract_candidates`` (per token, pre-assembly),
+    which callers should prefer.
     """
-    is_id = (F.col("n") == 1) & F.col("surface").rlike(ID_SHAPE_RE)
-    if token_bloom is not None:
-        candidates = (
-            candidates.withColumn("_isId", is_id)
-            .filter(F.expr(_bloom_keep_expr(token_bloom)))
-            .drop("_isId")
-        )
+    is_id = F.col("surface").rlike(ID_SHAPE_RE)
     variants = F.when(
         is_id,
         F.array(format_identifier(F.upper(F.trim(F.col("surface"))))),
@@ -166,14 +106,11 @@ def candidate_queries(
     )
 
 
-def with_signatures(queries: DataFrame) -> DataFrame:
-    """Inline normalised signature per query row.
+def _signature_expr() -> F.Column:
+    """Two-track signature as a Column over (entityLabel, track).
 
-    Unlike the lexicon build there is no distinct-then-join-back here:
-    dedup of corpus-scale n-grams would itself be the dominant shuffle.
-    Instead the signature is computed streaming; the stemmer UDF is fed an
-    empty array on symbol-track rows, so its per-row cost is ~zero where
-    stemming isn't needed, and an in-batch memo collapses repeated tokens.
+    The stemmer UDF receives an empty array on symbol-track rows, so
+    Python cost is paid only where stemming is semantically required.
     """
     is_term = F.col("nlpPipelineTrack") == "term"
     stemmed = stem_tokens(
@@ -181,12 +118,31 @@ def with_signatures(queries: DataFrame) -> DataFrame:
             F.array().cast("array<string>")
         )
     )
-    return queries.withColumn(
-        "sig",
-        F.when(is_term, term_signature_from_stemmed(stemmed)).otherwise(
-            symbol_signature(F.col("entityLabel"))
-        ),
-    ).filter(F.length("sig") > 0)
+    return F.when(is_term, term_signature_from_stemmed(stemmed)).otherwise(
+        symbol_signature(F.col("entityLabel"))
+    )
+
+
+def distinct_query_vocab(queries: DataFrame) -> DataFrame:
+    """(entityLabel, nlpPipelineTrack, entityKind) -> sig over the DISTINCT
+    query vocabulary (the reference's memoisation pattern,
+    ontoma.py:174-235). One corpus pass; the hash-aggregate shuffle moves
+    only per-partition-distinct label strings."""
+    return (
+        queries.select(*QUERY_KEY)
+        .distinct()
+        .withColumn("sig", _signature_expr())
+        .filter(F.length("sig") > 0)
+    )
+
+
+def with_signatures(queries: DataFrame, vocab: DataFrame | None = None) -> DataFrame:
+    """Attach normalised signatures to a query stream via a broadcast
+    join against the (tiny) distinct-vocabulary table — corpus rows never
+    reach the Python stemmer."""
+    if vocab is None:
+        vocab = distinct_query_vocab(queries)
+    return queries.join(F.broadcast(vocab), on=QUERY_KEY, how="inner")
 
 
 def _lexicon_for_join(lexicon: DataFrame) -> DataFrame:
@@ -197,24 +153,35 @@ def _lexicon_for_join(lexicon: DataFrame) -> DataFrame:
     )
 
 
-def link_exact(
-    sigs: DataFrame, lexicon: DataFrame, doc_cols: tuple[str, ...] = DOC_COLS
+def sig_match_map(
+    vocab_sigs: DataFrame,
+    lexicon: DataFrame,
+    threshold: float = DEFAULT_FUZZY_THRESHOLD,
+    with_fuzzy: bool = True,
 ) -> DataFrame:
-    """Broadcast hash join candidates x lexicon; merge the translation
-    fan-out per span (groupBy over MATCHES only — tiny)."""
-    joined = sigs.join(
-        F.broadcast(_lexicon_for_join(lexicon)), on=["sig", "entityKind"], how="inner"
-    )
-    return (
-        joined.groupBy(*doc_cols, "start", "n", "surface")
-        .agg(
-            F.array_distinct(F.flatten(F.collect_set("entityIds"))).alias(
-                "entityIds"
-            )
-        )
+    """(sig, entityKind) -> (entityIds, tier, score) over the distinct
+    signature table. tier 2 = exact lexicon hit (score 1.0); tier 1 =
+    blocked fuzzy hit (best score, dense ties kept -> ids merged)."""
+    sd = vocab_sigs.select("sig", "entityKind").distinct()
+    lex = _lexicon_for_join(lexicon)
+    exact = (
+        sd.join(lex, on=["sig", "entityKind"], how="inner")
         .withColumn("tier", F.lit(2))
         .withColumn("score", F.lit(1.0))
     )
+    if not with_fuzzy:
+        return exact
+    miss = sd.filter(F.col("entityKind") == "label").join(
+        lex.filter(F.col("entityKind") == "label").select("sig"),
+        "sig",
+        "left_anti",
+    )
+    fuzzy = (
+        fuzzy_sig_scores(miss.select("sig"), lexicon, threshold=threshold)
+        .withColumn("entityKind", F.lit("label"))
+        .withColumn("tier", F.lit(1))
+    )
+    return exact.unionByName(fuzzy.select(*exact.columns))
 
 
 def _block_keys(sig: F.Column) -> F.Column:
@@ -225,25 +192,26 @@ def _block_keys(sig: F.Column) -> F.Column:
     )
 
 
-def link_fuzzy(
-    sigs: DataFrame,
+def fuzzy_sig_scores(
+    miss_sigs: DataFrame,
     lexicon: DataFrame,
     threshold: float = DEFAULT_FUZZY_THRESHOLD,
-    doc_cols: tuple[str, ...] = DOC_COLS,
 ) -> DataFrame:
-    """Blocked fuzzy tier over exact-join misses.
+    """Blocked fuzzy scoring of distinct unmatched signatures.
 
-    Only label-kind signatures within plausible length bounds are
-    considered; blocking (shared 2-char prefix OR suffix, length delta
+    Blocking (shared 2-char prefix OR suffix block key, length delta
     <= max(2, 20% of the shorter)) bounds the scored pair count to the
-    neighbourhood of the lexicon.
-    """
-    spark = sigs.sparkSession
+    neighbourhood of the lexicon; scoring is a vectorized Jaro-Winkler +
+    trigram-TF-IDF-cosine pandas UDF. Returns (sig, entityIds, score)
+    with dense best-score ties merged (multi-mapping is a feature,
+    reference README.md:18)."""
     label_lex = lexicon.filter(F.col("entityKind") == "label")
 
     # IDF over the (small) lexicon signature corpus, closed over by the UDF.
-    lex_sigs = [r["entityLabelNormalised"] for r in
-                label_lex.select("entityLabelNormalised").distinct().collect()]
+    lex_sigs = [
+        r["entityLabelNormalised"]
+        for r in label_lex.select("entityLabelNormalised").distinct().collect()
+    ]
     idf = build_idf(lex_sigs)
 
     @F.pandas_udf(DoubleType())
@@ -252,18 +220,9 @@ def link_fuzzy(
             [combined_score(x, y, idf) for x, y in zip(a, b)], dtype=float
         )
 
-    cand = (
-        sigs.filter(
-            (F.col("entityKind") == "label")
-            & (F.length("sig") >= FUZZY_MIN_SIG_CHARS)
-            & (F.length("sig") <= FUZZY_MAX_SIG_CHARS)
-        )
-        .select("sig")
-        .join(
-            F.broadcast(label_lex.select(F.col("entityLabelNormalised").alias("sig"))),
-            "sig",
-            "left_anti",
-        )
+    cand = miss_sigs.filter(
+        (F.length("sig") >= FUZZY_MIN_SIG_CHARS)
+        & (F.length("sig") <= FUZZY_MAX_SIG_CHARS)
     )
 
     lex_blocks = label_lex.select(
@@ -292,7 +251,7 @@ def link_fuzzy(
     from pyspark.sql import Window
 
     w = Window.partitionBy("sig").orderBy(F.col("score").desc())
-    best = (
+    return (
         scored.withColumn("rk", F.dense_rank().over(w))
         .filter(F.col("rk") == 1)
         .groupBy("sig")
@@ -304,6 +263,123 @@ def link_fuzzy(
         )
     )
 
+
+def surface_match_map(
+    surfaces: DataFrame,
+    lexicon: DataFrame,
+    threshold: float = DEFAULT_FUZZY_THRESHOLD,
+    with_fuzzy: bool = True,
+) -> DataFrame:
+    """DISTINCT surface strings -> (surface, tier) -> (entityIds, score).
+
+    The whole per-query transformation chain (kind dispatch, translation
+    fan-out, track heuristic, two-track normalisation, exact + fuzzy
+    matching) runs HERE, over the distinct surface vocabulary — never
+    over the corpus. Ids are merged across the variant fan-out per
+    (surface, tier), so the corpus-side join needs no follow-up groupBy.
+    """
+    q = candidate_queries(surfaces)
+    vocab = distinct_query_vocab(q)
+    mm = sig_match_map(vocab, lexicon, threshold=threshold, with_fuzzy=with_fuzzy)
+    label_matches = vocab.join(mm, on=["sig", "entityKind"], how="inner").select(
+        *QUERY_KEY, "entityIds", "tier", "score"
+    )
+    return (
+        q.join(label_matches, on=QUERY_KEY, how="inner")
+        .groupBy("surface", "tier")
+        .agg(
+            F.array_distinct(F.flatten(F.collect_set("entityIds"))).alias(
+                "entityIds"
+            ),
+            F.max("score").alias("score"),
+        )
+    )
+
+
+def link_matches(
+    candidates: DataFrame,
+    lexicon: DataFrame,
+    threshold: float = DEFAULT_FUZZY_THRESHOLD,
+    with_fuzzy: bool = True,
+    doc_cols: tuple[str, ...] = DOC_COLS,
+    materialize_match_map: bool = True,
+) -> DataFrame:
+    """Candidate n-gram stream -> per-span matches.
+
+    Corpus cost: one narrow pass ending in the distinct-surface hash
+    aggregate (shuffle payload = per-partition vocabulary), one narrow
+    pass carrying a single INNER BROADCAST JOIN on ``surface`` against
+    the vocabulary-level match map (<= 2 rows per surface: one per tier).
+    No corpus-sized groupBy, explode fan-out, or Python anywhere.
+
+    ``materialize_match_map`` (default) executes the vocabulary-level
+    dataflow eagerly as its own job under LOW shuffle partitioning
+    (its ~10 stages move only ~10^4 rows — at default partitioning their
+    task-scheduling overhead is a fixed serial cost that caps strong
+    scaling), then rebuilds the map as a literal DataFrame so the final
+    corpus plan holds exactly one scan and one broadcast. Disable to
+    keep the whole thing one lazy plan (e.g. for ``explain`` on the
+    full lineage, or when the vocabulary is too large to collect —
+    at which point broadcasting it would be wrong anyway).
+    """
+    smap = surface_match_map(
+        candidates.select("surface").distinct(),
+        lexicon,
+        threshold=threshold,
+        with_fuzzy=with_fuzzy,
+    )
+    if materialize_match_map:
+        spark = candidates.sparkSession
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            rows = smap.collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        smap = spark.createDataFrame(rows, smap.schema)
+    return candidates.join(F.broadcast(smap), on="surface", how="inner").select(
+        *doc_cols, "start", "n", "surface", "entityIds", "tier", "score"
+    )
+
+
+def link_exact(
+    sigs: DataFrame, lexicon: DataFrame, doc_cols: tuple[str, ...] = DOC_COLS
+) -> DataFrame:
+    """Exact tier over a signature-attached stream (broadcast hash join;
+    merge the translation fan-out per span). Kept as a standalone operator
+    for direct use/tests; the full pipeline uses ``link_matches``."""
+    joined = sigs.join(
+        F.broadcast(_lexicon_for_join(lexicon)), on=["sig", "entityKind"], how="inner"
+    )
+    return (
+        joined.groupBy(*doc_cols, "start", "n", "surface")
+        .agg(
+            F.array_distinct(F.flatten(F.collect_set("entityIds"))).alias(
+                "entityIds"
+            )
+        )
+        .withColumn("tier", F.lit(2))
+        .withColumn("score", F.lit(1.0))
+    )
+
+
+def link_fuzzy(
+    sigs: DataFrame,
+    lexicon: DataFrame,
+    threshold: float = DEFAULT_FUZZY_THRESHOLD,
+    doc_cols: tuple[str, ...] = DOC_COLS,
+) -> DataFrame:
+    """Fuzzy tier over exact-join misses of a signature-attached stream.
+    Standalone operator; the full pipeline uses ``link_matches``."""
+    lex = _lexicon_for_join(lexicon)
+    miss = (
+        sigs.filter(F.col("entityKind") == "label")
+        .select("sig")
+        .distinct()
+        .join(lex.filter(F.col("entityKind") == "label").select("sig"),
+              "sig", "left_anti")
+    )
+    best = fuzzy_sig_scores(miss, lexicon, threshold=threshold)
     return (
         sigs.filter(F.col("entityKind") == "label")
         .join(F.broadcast(best), "sig")

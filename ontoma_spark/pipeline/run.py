@@ -31,18 +31,34 @@ from ontoma_spark.pipeline.lineage import run_resumable
 
 def prepare_reference_tables(spark: SparkSession, terms_path: str | None = None):
     """Lexicon + canonical map + token-prefix Bloom, built once and
-    cached (all ontology-sized)."""
+    cached (all ontology-sized).
+
+    Every table here is ontology-sized (10^4-10^6 rows), so the stages are
+    dominated by task-scheduling overhead, not data: the union-find loop
+    alone runs ~4 shuffles per iteration. Shuffle partitions are pinned
+    LOW for the duration of the build (and restored afterwards) — at 32
+    cores the default 96-partition shuffles made this prep 3x SLOWER than
+    at 2 cores, pure tiny-task overhead. Corpus-side plans are unaffected:
+    they are planned after the conf is restored.
+    """
     from ontoma_spark.operators.linker import build_token_bloom
 
-    terms = (
-        spark.read.parquet(terms_path) if terms_path else ontology_terms_df(spark)
-    )
-    label_lut = as_label_lut(terms)
-    lexicon = build_lexicon([label_lut, as_id_lut(terms)]).cache()
-    lexicon.count()
-    canonical = canonical_map(terms).cache()
-    canonical.count()
-    bloom = build_token_bloom(label_lut)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        terms = (
+            spark.read.parquet(terms_path)
+            if terms_path
+            else ontology_terms_df(spark)
+        )
+        label_lut = as_label_lut(terms)
+        lexicon = build_lexicon([label_lut, as_id_lut(terms)]).cache()
+        lexicon.count()
+        canonical = canonical_map(terms).cache()
+        canonical.count()
+        bloom = build_token_bloom(label_lut)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return lexicon, canonical, bloom
 
 

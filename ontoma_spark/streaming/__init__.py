@@ -1,0 +1,6 @@
+from ontoma_spark.streaming.incremental import (
+    stream_event_rollup,
+    stream_repo_triples,
+)
+
+__all__ = ["stream_repo_triples", "stream_event_rollup"]

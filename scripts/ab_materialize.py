@@ -1,0 +1,34 @@
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+from ontoma_spark.core.session import get_spark
+from ontoma_spark.datagen import generate_repos
+from ontoma_spark.pipeline.run import prepare_reference_tables
+from ontoma_spark.operators.mentions import extract_candidates
+from ontoma_spark.operators.linker import link_matches
+from ontoma_spark.pipeline.kg import resolve_overlaps, matches_to_triples
+
+master = sys.argv[1]
+rows = int(sys.argv[2]) if len(sys.argv) > 2 else 150000
+spark = get_spark(app_name="ab", master=master)
+lex, canon, bloom = prepare_reference_tables(spark)
+repos = generate_repos(spark, rows).persist(); repos.count()
+
+def run(mat):
+    cands = extract_candidates(repos, token_bloom=bloom)
+    m = link_matches(cands, lex, materialize_match_map=mat)
+    t = matches_to_triples(resolve_overlaps(m), canon)
+    t0 = time.time(); n = t.count(); return round(time.time()-t0,2), n
+
+# warm both paths on small input
+w = generate_repos(spark, 2000).persist(); w.count()
+for mat in (False, True):
+    c = extract_candidates(w, token_bloom=bloom)
+    matches_to_triples(resolve_overlaps(link_matches(c, lex, materialize_match_map=mat)), canon).count()
+w.unpersist()
+
+out = {}
+for trial in range(2):
+    for mat in (False, True):
+        sec, n = run(mat)
+        out.setdefault(f"mat={mat}", []).append(sec)
+print(json.dumps({"master": master, "rows": rows, "t": out}))

@@ -1,0 +1,35 @@
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+from ontoma_spark.core.session import get_spark
+from ontoma_spark.datagen import generate_repos
+from ontoma_spark.pipeline.run import prepare_reference_tables
+from ontoma_spark.operators import mentions as M
+import pyspark.sql.functions as F
+
+spark = get_spark(app_name="pc", master="local[8]")
+lex, canon, bloom = prepare_reference_tables(spark)
+repos = generate_repos(spark, 150000).persist(); repos.count()
+t = {}
+def timed(name, fn):
+    t0=time.time(); fn(); t[name]=round(time.time()-t0,2)
+
+toks = M.tokenize_content(F.col("content"))
+base = repos.withColumn("_toks", toks)
+# warm
+base.limit(1000).agg(F.sum(F.size("_toks"))).collect()
+
+timed("t1_tokenize", lambda: base.agg(F.sum(F.size("_toks"))).collect())
+stop_flags = F.transform(F.col("_toks"), lambda x: F.array_contains(F.lit(M.ALL_STOP_WORDS), x))
+timed("t2_stops_arraycontains", lambda: base.withColumn("_s", stop_flags)
+      .agg(F.sum(F.size(F.filter("_s", lambda b: b)))).collect())
+stop_isin = F.transform(F.col("_toks"), lambda x: x.isin(*M.ALL_STOP_WORDS))
+timed("t3_stops_isin", lambda: base.withColumn("_s", stop_isin)
+      .agg(F.sum(F.size(F.filter("_s", lambda b: b)))).collect())
+ok = F.expr(M._token_ok_flags_sql(bloom, "_toks"))
+timed("t4_okflags", lambda: base.withColumn("_o", ok)
+      .agg(F.sum(F.size(F.filter("_o", lambda b: b)))).collect())
+timed("t5_full_extract", lambda: M.extract_candidates(repos, token_bloom=bloom).count())
+from ontoma_spark.operators.linker import candidate_queries, distinct_query_vocab
+timed("t6_cq", lambda: candidate_queries(M.extract_candidates(repos, token_bloom=bloom)).count())
+timed("t7_vocab", lambda: distinct_query_vocab(candidate_queries(M.extract_candidates(repos, token_bloom=bloom))).count())
+print(json.dumps(t))

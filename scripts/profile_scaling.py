@@ -1,0 +1,62 @@
+"""Phase-level profiling of the KG linker at a given master, to locate
+the non-scaling component. Usage: python scripts/profile_scaling.py local[2] 150000
+"""
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+from ontoma_spark.core.session import get_spark
+from ontoma_spark.datagen import generate_repos
+from ontoma_spark.pipeline.run import prepare_reference_tables
+from ontoma_spark.operators.linker import (
+    candidate_queries, link_exact, link_fuzzy, with_signatures)
+from ontoma_spark.operators.mentions import extract_candidates
+from ontoma_spark.pipeline.kg import resolve_overlaps, matches_to_triples, build_triples
+from pyspark import StorageLevel
+import pyspark.sql.functions as F
+
+master = sys.argv[1] if len(sys.argv) > 1 else "local[8]"
+rows = int(sys.argv[2]) if len(sys.argv) > 2 else 150000
+
+spark = get_spark(app_name="profile", master=master)
+t = {}
+t0 = time.time(); lex, canon, bloom = prepare_reference_tables(spark); t["prep_ref"] = time.time()-t0
+
+# warmup
+warm = generate_repos(spark, 2000).persist(); warm.count()
+wt = build_triples(warm, lex, canon, token_bloom=bloom); wt.count()
+if wt._sigs_handle is not None: wt._sigs_handle.unpersist(blocking=True)
+warm.unpersist()
+
+repos = generate_repos(spark, rows).persist(); repos.count()
+
+t0 = time.time()
+cands = extract_candidates(repos)
+n_cand = cands.count(); t["cand_count"] = round(time.time()-t0,2)
+
+t0 = time.time()
+cq = candidate_queries(cands, token_bloom=bloom)
+n_cq = cq.count(); t["cand_queries_count"] = round(time.time()-t0,2)
+
+t0 = time.time()
+sigs = with_signatures(cq).drop("entityLabel", "nlpPipelineTrack").persist(StorageLevel.MEMORY_AND_DISK)
+n_sigs = sigs.count(); t["sigs_persist_count"] = round(time.time()-t0,2)
+
+t0 = time.time()
+exact = link_exact(sigs, lex)
+n_exact = exact.count(); t["exact"] = round(time.time()-t0,2)
+
+t0 = time.time()
+fuzzy = link_fuzzy(sigs, lex)
+n_fuzzy = fuzzy.count(); t["fuzzy"] = round(time.time()-t0,2)
+
+t0 = time.time()
+matches = exact.unionByName(fuzzy.select(*exact.columns))
+resolved = resolve_overlaps(matches)
+n_res = resolved.count(); t["resolve"] = round(time.time()-t0,2)
+
+t0 = time.time()
+triples = matches_to_triples(resolved, canon)
+n_tr = triples.count(); t["triples"] = round(time.time()-t0,2)
+
+print(json.dumps({"master": master, "rows": rows, "counts": {
+    "cand": n_cand, "cq": n_cq, "sigs": n_sigs, "exact": n_exact,
+    "fuzzy": n_fuzzy, "resolved": n_res, "triples": n_tr}, "phase_sec": t}))

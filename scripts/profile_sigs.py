@@ -1,0 +1,39 @@
+"""Isolate the non-scaling component of the signature stage."""
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+from ontoma_spark.core.session import get_spark
+from ontoma_spark.datagen import generate_repos
+from ontoma_spark.pipeline.run import prepare_reference_tables
+from ontoma_spark.operators.linker import candidate_queries, with_signatures
+from ontoma_spark.operators.mentions import extract_candidates
+from ontoma_spark.functions.normalize import (
+    symbol_signature, term_signature_unstemmed)
+from pyspark import StorageLevel
+import pyspark.sql.functions as F
+
+master = sys.argv[1]
+rows = int(sys.argv[2]) if len(sys.argv) > 2 else 150000
+spark = get_spark(app_name="profile_sigs", master=master)
+lex, canon, bloom = prepare_reference_tables(spark)
+repos = generate_repos(spark, rows).persist(); repos.count()
+t = {}
+
+def timed(name, df_fn):
+    t0 = time.time(); r = df_fn(); dt = time.time()-t0; t[name] = round(dt,2); return r
+
+cq = candidate_queries(extract_candidates(repos), token_bloom=bloom)
+# warm
+with_signatures(candidate_queries(extract_candidates(repos.limit(2000)), token_bloom=bloom)).count()
+
+timed("a_cq_count", lambda: cq.count())
+timed("b_sigs_nostem_count", lambda: cq.withColumn(
+    "sig", F.when(F.col("nlpPipelineTrack")=="term",
+                  term_signature_unstemmed(F.col("entityLabel")))
+           .otherwise(symbol_signature(F.col("entityLabel")))).filter(F.length("sig")>0).count())
+timed("c_sigs_stem_count", lambda: with_signatures(cq).count())
+sigs = with_signatures(cq).drop("entityLabel","nlpPipelineTrack").persist(StorageLevel.MEMORY_AND_DISK)
+timed("d_sigs_persist_count", lambda: sigs.count())
+# distinct label cardinality (for the memoisation redesign)
+timed("e_distinct_labels", lambda: cq.select("entityLabel","nlpPipelineTrack").distinct().count())
+print(json.dumps({"master": master, "t": t,
+                  "distinct": cq.select("entityLabel","nlpPipelineTrack").distinct().count()}))

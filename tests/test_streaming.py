@@ -1,0 +1,137 @@
+"""Structured Streaming front-ends: incremental KG linking + windowed
+event rollups. Each test drives file-source micro-batches explicitly via
+``processAllAvailable`` so results are deterministic."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.datagen import generate_repos
+from ontoma_spark.pipeline.kg import build_triples
+from ontoma_spark.streaming import stream_event_rollup, stream_repo_triples
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture(scope="module")
+def kg_refs(spark):
+    from ontoma_spark.pipeline.run import prepare_reference_tables
+
+    lex, canon, bloom = prepare_reference_tables(spark)
+    return {"lex": lex, "canon": canon, "bloom": bloom}
+
+
+def test_stream_repo_triples_incremental(spark, kg_refs, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    wave1 = generate_repos(spark, 150)
+    wave1.write.mode("append").parquet(input_dir)
+
+    q = stream_repo_triples(
+        spark, input_dir, out_dir, ckpt,
+        kg_refs["lex"], kg_refs["canon"], token_bloom=kg_refs["bloom"],
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.read.parquet(out_dir).count()
+        assert n1 > 0
+
+        # second wave: only the NEW files are processed
+        wave2 = generate_repos(spark, 100).withColumn(
+            "path", F.concat(F.lit("wave2/"), F.col("path"))
+        )
+        wave2.write.mode("append").parquet(input_dir)
+        q.processAllAvailable()
+        out = spark.read.parquet(out_dir)
+        n2 = out.count()
+        assert n2 > n1
+        # at least two distinct micro-batches committed
+        assert out.select("batchId").distinct().count() >= 2
+    finally:
+        q.stop()
+
+    # incremental result == batch result over the union (ignoring batchId)
+    batch = build_triples(
+        spark.read.parquet(input_dir),
+        kg_refs["lex"], kg_refs["canon"], token_bloom=kg_refs["bloom"],
+    )
+    key = ["repo", "path", "commit", "start", "n", "subj", "pred", "obj"]
+    streamed = spark.read.parquet(out_dir).select(*key)
+    assert streamed.exceptAll(batch.select(*key)).count() == 0
+    assert batch.select(*key).exceptAll(streamed).count() == 0
+
+
+def test_stream_repo_triples_restart_resumes(spark, kg_refs, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+    generate_repos(spark, 120).write.mode("append").parquet(input_dir)
+
+    q = stream_repo_triples(
+        spark, input_dir, out_dir, ckpt,
+        kg_refs["lex"], kg_refs["canon"], token_bloom=kg_refs["bloom"],
+    )
+    q.processAllAvailable()
+    q.stop()
+    n1 = spark.read.parquet(out_dir).count()
+
+    # restart from the same checkpoint: already-seen files are NOT
+    # reprocessed (no duplicate triples)...
+    q2 = stream_repo_triples(
+        spark, input_dir, out_dir, ckpt,
+        kg_refs["lex"], kg_refs["canon"], token_bloom=kg_refs["bloom"],
+    )
+    try:
+        q2.processAllAvailable()
+        assert spark.read.parquet(out_dir).count() == n1
+        # ...but files arriving after the restart are
+        generate_repos(spark, 40).withColumn(
+            "path", F.concat(F.lit("late/"), F.col("path"))
+        ).write.mode("append").parquet(input_dir)
+        q2.processAllAvailable()
+        assert spark.read.parquet(out_dir).count() > n1
+    finally:
+        q2.stop()
+
+
+def test_stream_event_rollup_watermarked_window(spark, tmp_path):
+    input_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+    rows = [
+        (1, "2024-01-01 00:10:00", 1, "click", 1.0),
+        (2, "2024-01-01 00:40:00", 2, "click", 2.0),
+        (3, "2024-01-01 01:05:00", 1, "view", 5.0),
+        (4, "2024-01-01 01:59:00", 3, "click", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", F.lit("{}").alias("props"),
+    )
+    df.write.mode("append").parquet(input_dir)
+
+    q = stream_event_rollup(
+        spark, input_dir, ckpt, query_name="rollup_t1"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"].isoformat(), r["event_type"]): (
+                r["n_events"], r["sum_value"]
+            )
+            for r in spark.sql("SELECT * FROM rollup_t1").collect()
+        }
+        assert got[("2024-01-01T00:00:00", "click")] == (2, 3.0)
+        assert got[("2024-01-01T01:00:00", "click")] == (1, 3.0)
+        assert got[("2024-01-01T01:00:00", "view")] == (1, 5.0)
+    finally:
+        q.stop()
