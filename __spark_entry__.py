@@ -455,6 +455,58 @@ def q24_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(docs, max_hamming=6)
 
 
+def q25_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event rollup (batch twin of the streaming
+    watermarked aggregation in ontoma_spark/streaming)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the classic analytic-window composition."""
+    e = _t(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ; go through timestamp (session tz is
+    # pinned UTC) to fractional epoch seconds — matches DuckDB epoch()
+    sec = F.col("ts").cast("timestamp").cast("double")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = sec - F.lag(sec).over(w_user)
+    with_new = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessioned = with_new.withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.round(F.max(sec) - F.min(sec), 0).alias("duration_sec"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -486,6 +538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_binary_metadata": q22_binary_metadata,
         "q23_kg_triples": q23_kg_triples,
         "q24_simhash_candidates": q24_simhash_candidates,
+        "q25_windowed_event_counts": q25_windowed_event_counts,
+        "q26_sessionization": q26_sessionization,
     }
 
 
@@ -701,5 +755,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS byte_length,
                    sha256(text) AS sha256_hex
             FROM documents
+        """,
+        "q25_windowed_event_counts": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q26_sessionization": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM g
+            )
+            SELECT user_id, session_seq,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   round(max(epoch(ts)) - min(epoch(ts)), 0) AS duration_sec
+            FROM s GROUP BY 1, 2
         """,
     }

@@ -65,6 +65,10 @@ def get_spark(
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
+    if os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS"):
+        conf["spark.driver.extraJavaOptions"] = os.environ[
+            "SPARK_GRAFT_DRIVER_JAVA_OPTS"
+        ]
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:

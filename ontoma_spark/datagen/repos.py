@@ -185,9 +185,21 @@ def _gen_expected_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         )
 
 
-def generate_repos(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
-    """The synthetic input table, generated distributed and deterministic."""
-    rng_range = spark.range(n_rows, numPartitions=partitions)
+def generate_repos(
+    spark: SparkSession,
+    n_rows: int,
+    partitions: int | None = None,
+    start: int = 0,
+) -> DataFrame:
+    """The synthetic input table, generated distributed and deterministic.
+
+    ``start`` offsets the row-id range: every row is a pure function of
+    its id, so ``generate_repos(s, n, start=k)`` is exactly rows
+    [k, k+n) of the canonical table — disjoint slices generated by
+    different processes union to the identical whole (the property the
+    multi-executor scaling emulation relies on).
+    """
+    rng_range = spark.range(start, start + n_rows, numPartitions=partitions)
     return rng_range.mapInPandas(_gen_repos_batch, REPOS_SCHEMA)
 
 

@@ -296,13 +296,116 @@ def surface_match_map(
     )
 
 
+MATCH_MAP_SCHEMA = (
+    "surface string, tier int, "
+    "entityIds array<struct<entityId:string,entitySource:string>>, "
+    "score double"
+)
+
+
+def driver_match_map(
+    vocab_rows: list,
+    lex_rows: list,
+    threshold: float = DEFAULT_FUZZY_THRESHOLD,
+    with_fuzzy: bool = True,
+) -> list[tuple]:
+    """Vocabulary-level matching in plain driver Python.
+
+    Semantically identical to ``surface_match_map`` (exact join on
+    (sig, kind); misses -> prefix/suffix-blocked Jaro-Winkler +
+    trigram-TF-IDF scoring with dense best-score ties kept; ids merged
+    per (surface, tier) across the translation fan-out) but executed as
+    dict lookups over the ~10^4-row collected vocabulary instead of ~12
+    Spark stages. Rationale: those stages move kilobytes but cost a
+    fixed ~30 s of scheduling/exchange/python-worker latency per run —
+    pure SERIAL time that caps N->4N strong scaling (Amdahl). Both
+    inputs are already driver-sized: the lexicon must fit in a broadcast
+    anyway, and the vocabulary is Bloom-bounded.
+
+    Args:
+        vocab_rows: rows (surface, entityLabel, nlpPipelineTrack,
+            entityKind, sig).
+        lex_rows: lexicon rows (entityKind, entityType,
+            entityLabelNormalised, entityIds).
+
+    Returns:
+        list of (surface, tier, entityIds, score) tuples.
+    """
+    # (sig, kind) -> merged entityIds across entityTypes
+    exact_idx: dict[tuple, dict] = {}
+    label_sig_ids: dict[str, dict] = {}
+    for r in lex_rows:
+        key = (r["entityLabelNormalised"], r["entityKind"])
+        bucket = exact_idx.setdefault(key, {})
+        for e in r["entityIds"]:
+            bucket[(e["entityId"], e["entitySource"])] = e
+        if r["entityKind"] == "label":
+            lb = label_sig_ids.setdefault(r["entityLabelNormalised"], {})
+            for e in r["entityIds"]:
+                lb[(e["entityId"], e["entitySource"])] = e
+
+    fuzzy_hits: dict[str, tuple] = {}
+    if with_fuzzy:
+        miss = {
+            r["sig"]
+            for r in vocab_rows
+            if r["entityKind"] == "label"
+            and (r["sig"], "label") not in exact_idx
+            and FUZZY_MIN_SIG_CHARS <= len(r["sig"]) <= FUZZY_MAX_SIG_CHARS
+        }
+        if miss:
+            idf = build_idf(sorted(label_sig_ids))
+            blocks: dict[str, set] = {}
+            for ls in label_sig_ids:
+                blocks.setdefault("P:" + ls[:2], set()).add(ls)
+                blocks.setdefault("S:" + ls[-2:], set()).add(ls)
+            for sig in miss:
+                cands = blocks.get("P:" + sig[:2], set()) | blocks.get(
+                    "S:" + sig[-2:], set()
+                )
+                best_score, best_ids = 0.0, {}
+                for ls in cands:
+                    if abs(len(sig) - len(ls)) > max(
+                        2, int(min(len(sig), len(ls)) * 0.2)
+                    ):
+                        continue
+                    s = combined_score(sig, ls, idf)
+                    if s < threshold:
+                        continue
+                    if s > best_score + 1e-12:
+                        best_score, best_ids = s, dict(label_sig_ids[ls])
+                    elif abs(s - best_score) <= 1e-12:
+                        best_ids.update(label_sig_ids[ls])
+                if best_ids:
+                    fuzzy_hits[sig] = (best_score, best_ids)
+
+    # merge per (surface, tier) across the variant fan-out
+    merged: dict[tuple, dict] = {}
+    scores: dict[tuple, float] = {}
+    for r in vocab_rows:
+        exact = exact_idx.get((r["sig"], r["entityKind"]))
+        if exact:
+            k = (r["surface"], 2)
+            merged.setdefault(k, {}).update(exact)
+            scores[k] = 1.0
+        elif r["entityKind"] == "label" and r["sig"] in fuzzy_hits:
+            score, ids = fuzzy_hits[r["sig"]]
+            k = (r["surface"], 1)
+            merged.setdefault(k, {}).update(ids)
+            scores[k] = max(scores.get(k, 0.0), score)
+    return [
+        (surface, tier, list(ids.values()), scores[(surface, tier)])
+        for (surface, tier), ids in merged.items()
+    ]
+
+
 def link_matches(
     candidates: DataFrame,
     lexicon: DataFrame,
     threshold: float = DEFAULT_FUZZY_THRESHOLD,
     with_fuzzy: bool = True,
     doc_cols: tuple[str, ...] = DOC_COLS,
-    materialize_match_map: bool = True,
+    match_strategy: str = "driver",
 ) -> DataFrame:
     """Candidate n-gram stream -> per-span matches.
 
@@ -312,31 +415,53 @@ def link_matches(
     the vocabulary-level match map (<= 2 rows per surface: one per tier).
     No corpus-sized groupBy, explode fan-out, or Python anywhere.
 
-    ``materialize_match_map`` (default) executes the vocabulary-level
-    dataflow eagerly as its own job under LOW shuffle partitioning
-    (its ~10 stages move only ~10^4 rows — at default partitioning their
-    task-scheduling overhead is a fixed serial cost that caps strong
-    scaling), then rebuilds the map as a literal DataFrame so the final
-    corpus plan holds exactly one scan and one broadcast. Disable to
-    keep the whole thing one lazy plan (e.g. for ``explain`` on the
-    full lineage, or when the vocabulary is too large to collect —
-    at which point broadcasting it would be wrong anyway).
+    ``match_strategy``:
+
+    * ``"driver"`` (default): pass 1 collects the distinct
+      signature-attached vocabulary (ONE job: narrow stage -> hash agg ->
+      narrow + stemmer UDF), the sig-level matching runs as plain Python
+      over it (``driver_match_map``), and the resulting map is inlined
+      as a literal — minimal serial latency, best strong scaling.
+    * ``"spark"``: the vocabulary-level matching stays a lazy Spark plan
+      (``surface_match_map``) — use for ``explain`` on full lineage or
+      if the distinct vocabulary ever outgrows the driver (at which
+      point the broadcast would need rethinking too).
     """
-    smap = surface_match_map(
-        candidates.select("surface").distinct(),
-        lexicon,
-        threshold=threshold,
-        with_fuzzy=with_fuzzy,
-    )
-    if materialize_match_map:
+    if match_strategy == "spark":
+        smap = surface_match_map(
+            candidates.select("surface").distinct(),
+            lexicon,
+            threshold=threshold,
+            with_fuzzy=with_fuzzy,
+        )
+    else:
         spark = candidates.sparkSession
+        # one job: distinct-surface hash agg -> narrow query transform +
+        # inline signature (stemmer UDF touches only these ~10^4 rows)
+        vocab = (
+            candidate_queries(candidates.select("surface").distinct())
+            .withColumn("sig", _signature_expr())
+            .filter(F.length("sig") > 0)
+        )
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
-            rows = smap.collect()
+            vocab_rows = vocab.select(
+                "surface", *QUERY_KEY, "sig"
+            ).collect()
+            lex_rows = getattr(lexicon, "_driver_rows_cache", None)
+            if lex_rows is None:
+                lex_rows = lexicon.collect()
+                try:
+                    lexicon._driver_rows_cache = lex_rows
+                except Exception:
+                    pass
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-        smap = spark.createDataFrame(rows, smap.schema)
+        rows = driver_match_map(
+            vocab_rows, lex_rows, threshold=threshold, with_fuzzy=with_fuzzy
+        )
+        smap = spark.createDataFrame(rows, MATCH_MAP_SCHEMA)
     return candidates.join(F.broadcast(smap), on="surface", how="inner").select(
         *doc_cols, "start", "n", "surface", "entityIds", "tier", "score"
     )

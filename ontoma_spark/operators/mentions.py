@@ -49,6 +49,13 @@ TOKEN_SPLIT_RE = r"[^\p{L}\p{N}_:'\-]+"
 # ... but leading/trailing punctuation of a token is junk ("cancer:" ->
 # "cancer").
 TOKEN_TRIM_RE = r"^[:'\-_]+|[:'\-_]+$"
+# One-pass equivalent of split + edge-trim + drop-empties: a token is an
+# alnum char, or an alnum-edged run whose interior may contain _ : ' -.
+# Single regexp_extract_all allocates one array per doc instead of
+# (split array + N trimmed copies + filtered array) — the tokenizer runs
+# over EVERY corpus byte, so allocation pressure here sets the job's
+# memory-bandwidth footprint.
+TOKEN_RE = r"[\p{L}\p{N}](?:[\p{L}\p{N}_:'\-]*[\p{L}\p{N}])?"
 
 # Single tokens shaped like ontology/xref identifiers take the id-kind
 # query path (reference ontoma.py:301-327); everything else is a label.
@@ -124,9 +131,7 @@ def _token_ok_flags_sql(words: list[int], tokens_col: str) -> str:
 
 def tokenize_content(content: Column) -> Column:
     """content -> array of cleaned tokens (empties removed)."""
-    raw = F.split(content, TOKEN_SPLIT_RE)
-    trimmed = F.transform(raw, lambda t: F.regexp_replace(t, TOKEN_TRIM_RE, ""))
-    return F.filter(trimmed, lambda t: t != "")
+    return F.regexp_extract_all(content, F.lit(TOKEN_RE), 0)
 
 
 def _ngrams_of(

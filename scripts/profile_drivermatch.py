@@ -1,0 +1,41 @@
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+from ontoma_spark.core.session import get_spark
+from ontoma_spark.datagen import generate_repos
+from ontoma_spark.pipeline.run import prepare_reference_tables
+from ontoma_spark.operators.mentions import extract_candidates
+from ontoma_spark.operators.linker import (
+    candidate_queries, _signature_expr, driver_match_map,
+    FUZZY_MIN_SIG_CHARS, FUZZY_MAX_SIG_CHARS)
+import pyspark.sql.functions as F
+
+spark = get_spark(app_name="dm", master="local[8]")
+lex, canon, bloom = prepare_reference_tables(spark)
+repos = generate_repos(spark, 150000).persist(); repos.count()
+cands = extract_candidates(repos, token_bloom=bloom)
+t0=time.time()
+vocab_rows = (candidate_queries(cands.select("surface").distinct())
+    .withColumn("sig", _signature_expr()).filter(F.length("sig")>0)
+    .select("surface","entityLabel","nlpPipelineTrack","entityKind","sig").collect())
+t_vocab = time.time()-t0
+lex_rows = lex.collect()
+exact = {(r["entityLabelNormalised"], r["entityKind"]) for r in lex_rows}
+lbl = {r["entityLabelNormalised"] for r in lex_rows if r["entityKind"]=="label"}
+miss = {r["sig"] for r in vocab_rows if r["entityKind"]=="label"
+        and (r["sig"],"label") not in exact
+        and FUZZY_MIN_SIG_CHARS <= len(r["sig"]) <= FUZZY_MAX_SIG_CHARS}
+# count blocked pairs
+blocks = {}
+for ls in lbl:
+    blocks.setdefault("P:"+ls[:2], set()).add(ls)
+    blocks.setdefault("S:"+ls[-2:], set()).add(ls)
+pairs = 0
+for s in miss:
+    cs = blocks.get("P:"+s[:2], set()) | blocks.get("S:"+s[-2:], set())
+    pairs += sum(1 for ls in cs if abs(len(s)-len(ls)) <= max(2, int(min(len(s),len(ls))*0.2)))
+t0=time.time()
+mm = driver_match_map(vocab_rows, lex_rows)
+t_match = time.time()-t0
+print(json.dumps({"vocab_rows": len(vocab_rows), "lex_rows": len(lex_rows),
+                  "miss": len(miss), "blocked_pairs": pairs, "map_rows": len(mm),
+                  "t_vocab_collect": round(t_vocab,1), "t_driver_match": round(t_match,1)}))

@@ -1,0 +1,40 @@
+"""Phase decomposition of build_triples under honest core pinning."""
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+from ontoma_spark.core.session import get_spark
+from ontoma_spark.datagen import generate_repos
+from ontoma_spark.pipeline.run import prepare_reference_tables
+from ontoma_spark.operators.mentions import extract_candidates
+from ontoma_spark.operators.linker import surface_match_map
+from ontoma_spark.pipeline.kg import resolve_overlaps, matches_to_triples
+import pyspark.sql.functions as F
+
+master, rows = sys.argv[1], int(sys.argv[2])
+spark = get_spark(app_name="pp", master=master)
+t = {}
+t0=time.time(); lex, canon, bloom = prepare_reference_tables(spark); t["prep"]=round(time.time()-t0,1)
+repos = generate_repos(spark, rows).persist(); repos.count()
+# warm
+w = generate_repos(spark, 2000).persist(); w.count()
+c = extract_candidates(w, token_bloom=bloom)
+sm = surface_match_map(c.select("surface").distinct(), lex)
+r = sm.collect()
+smw = spark.createDataFrame(r, sm.schema)
+matches_to_triples(resolve_overlaps(c.join(F.broadcast(smw), "surface", "inner")
+    .select("repo","path","commit","start","n","surface","entityIds","tier","score")), canon).count()
+w.unpersist()
+
+cands = extract_candidates(repos, token_bloom=bloom)
+t0=time.time(); n_s = cands.select("surface").distinct().count(); t["a_distinct_surfaces"]=round(time.time()-t0,1)
+smap = surface_match_map(cands.select("surface").distinct(), lex)
+prev = spark.conf.get("spark.sql.shuffle.partitions")
+spark.conf.set("spark.sql.shuffle.partitions", "8")
+t0=time.time(); rows_c = smap.collect(); t["b_vocab_job_collect"]=round(time.time()-t0,1)
+spark.conf.set("spark.sql.shuffle.partitions", prev)
+lit = spark.createDataFrame(rows_c, smap.schema)
+t0=time.time()
+m = cands.join(F.broadcast(lit), "surface", "inner").select(
+    "repo","path","commit","start","n","surface","entityIds","tier","score")
+tr = matches_to_triples(resolve_overlaps(m), canon)
+n = tr.count(); t["c_pass2_total"]=round(time.time()-t0,1)
+print(json.dumps({"master": master, "rows": rows, "n_surfaces": n_s, "n_map": len(rows_c), "triples": n, "t": t}))

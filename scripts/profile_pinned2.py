@@ -1,0 +1,38 @@
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+from ontoma_spark.core.session import get_spark
+from ontoma_spark.datagen import generate_repos
+from ontoma_spark.pipeline.run import prepare_reference_tables
+from ontoma_spark.operators.mentions import extract_candidates
+from ontoma_spark.operators.linker import (
+    candidate_queries, _signature_expr, driver_match_map, MATCH_MAP_SCHEMA)
+from ontoma_spark.pipeline.kg import resolve_overlaps, matches_to_triples
+import pyspark.sql.functions as F
+
+master, rows, tag = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+spark = get_spark(app_name="pp2", master=master)
+t = {}
+t0=time.time(); lex, canon, bloom = prepare_reference_tables(spark); t["prep"]=round(time.time()-t0,1)
+repos = generate_repos(spark, rows).persist(); repos.count()
+w = generate_repos(spark, 2000).persist(); w.count()
+from ontoma_spark.pipeline.kg import build_triples
+build_triples(w, lex, canon, token_bloom=bloom).count()
+w.unpersist()
+
+cands = extract_candidates(repos, token_bloom=bloom)
+t0=time.time()
+vocab_rows = (candidate_queries(cands.select("surface").distinct())
+    .withColumn("sig", _signature_expr()).filter(F.length("sig")>0)
+    .select("surface","entityLabel","nlpPipelineTrack","entityKind","sig").collect())
+t["A_vocab_job"]=round(time.time()-t0,1)
+lex_rows = lex.collect()
+t0=time.time(); mm = driver_match_map(vocab_rows, lex_rows); t["B_driver_match"]=round(time.time()-t0,2)
+smap = spark.createDataFrame(mm, MATCH_MAP_SCHEMA)
+t0=time.time()
+m = cands.join(F.broadcast(smap), "surface", "inner").select(
+    "repo","path","commit","start","n","surface","entityIds","tier","score")
+n = m.count(); t["C_pass2_join_only"]=round(time.time()-t0,1)
+t0=time.time()
+tr = matches_to_triples(resolve_overlaps(m), canon)
+nt = tr.count(); t["D_full_downstream"]=round(time.time()-t0,1)
+print(json.dumps({"tag": tag, "master": master, "matches": n, "triples": nt, "t": t}))

@@ -119,3 +119,23 @@ def test_linker_plan_has_no_shuffle_joins(kg, spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_driver_and_spark_match_strategies_agree(spark, kg):
+    """The driver-Python vocabulary matcher and the pure-Spark dataflow
+    matcher are two implementations of the same semantics — byte-equal
+    triples required."""
+    from ontoma_spark.operators.linker import link_matches
+
+    cands = extract_candidates(kg["repos"], token_bloom=kg["bloom"])
+    cols = ["repo", "path", "commit", "start", "n", "surface", "tier", "score"]
+    d = link_matches(cands, kg["lex"], match_strategy="driver")
+    s = link_matches(cands, kg["lex"], match_strategy="spark")
+    d_flat = d.select(*cols, F.explode("entityIds").alias("e")).select(
+        *cols, "e.entityId", "e.entitySource"
+    )
+    s_flat = s.select(*cols, F.explode("entityIds").alias("e")).select(
+        *cols, "e.entityId", "e.entitySource"
+    )
+    assert d_flat.exceptAll(s_flat).count() == 0
+    assert s_flat.exceptAll(d_flat).count() == 0
