@@ -478,16 +478,22 @@ def q25_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag + running
-    sum — the classic analytic-window composition."""
+    sum — the classic analytic-window composition.
+
+    All timestamp arithmetic is exact integer MICROSECONDS
+    (unix_micros here, epoch_us in the oracle): no double-epoch
+    rounding at the 1800 s gap boundary, and the emitted duration is a
+    floor-divided BIGINT on both engines.
+    """
     e = _t(spark, sf_dir, "events")
-    # parquet ts is TIMESTAMP_NTZ; go through timestamp (session tz is
-    # pinned UTC) to fractional epoch seconds — matches DuckDB epoch()
-    sec = F.col("ts").cast("timestamp").cast("double")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = sec - F.lag(sec).over(w_user)
+    gap_us = us - F.lag(us).over(w_user)
     with_new = e.withColumn(
         "is_new",
-        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        F.when(
+            gap_us.isNull() | (gap_us > 1800 * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
     )
     sessioned = with_new.withColumn(
         "session_seq",
@@ -502,7 +508,9 @@ def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
                 "session_start"
             ),
-            F.round(F.max(sec) - F.min(sec), 0).alias("duration_sec"),
+            F.floor((F.max(us) - F.min(us)) / F.lit(1_000_000))
+            .cast("long")
+            .alias("duration_sec"),
         )
     )
 
@@ -766,9 +774,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q26_sessionization": """
             WITH g AS (
-              SELECT user_id, event_id, ts, value,
+              SELECT user_id, event_id, ts,
                      CASE WHEN lag(ts) OVER w IS NULL
-                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  > 1800 * 1000000
                           THEN 1 ELSE 0 END AS is_new
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -778,10 +787,11 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS session_seq
               FROM g
             )
-            SELECT user_id, session_seq,
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                    count(*) AS n_events,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-                   round(max(epoch(ts)) - min(epoch(ts)), 0) AS duration_sec
+                   CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000
+                        AS BIGINT) AS duration_sec
             FROM s GROUP BY 1, 2
         """,
     }
