@@ -95,8 +95,6 @@ def kg_scaling_run(master: str, rows: int, row_start: int = 0) -> None:
     warm.count()
     wt = build_triples(warm, lex, canon, token_bloom=bloom)
     wt.count()
-    if wt._sigs_handle is not None:
-        wt._sigs_handle.unpersist(blocking=True)
     warm.unpersist()
 
     def _gc_ms() -> int:

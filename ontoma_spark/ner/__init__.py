@@ -1,0 +1,41 @@
+"""NER preprocessing — reference parity for ``ontoma.ner``.
+
+The reference's NER modules (``ner/drug.py``, ``ner/disease.py``) run
+HuggingFace pipelines ON THE DRIVER via ``toPandas()``
+(reference ner/drug.py:260-284, ner/disease.py:51-83) — its single
+biggest scalability hole. Here the same tiered semantics run
+EXECUTOR-SIDE as Arrow-batched ``mapInPandas`` stages: the regex tier
+is pure Catalyst-adjacent Python over pandas batches, the model tiers
+are pluggable callables loaded once per executor worker, and the
+fallback tier runs only on rows the first model missed — the
+reference's lazy-fallback control flow (ner/drug.py:89-170) preserved
+inside one corpus pass instead of two driver round-trips.
+"""
+
+from ontoma_spark.ner.extractors import (
+    clean_entity_word,
+    entities_from_model_output,
+    extract_with_regex,
+)
+from ontoma_spark.ner.drug import (
+    BIOBERT_LABELS,
+    DRUG_NAME_PATTERNS,
+    DRUGTEMIST_LABELS,
+    extract_drug_entities,
+)
+from ontoma_spark.ner.disease import (
+    DISEASE_LABELS,
+    extract_disease_entities,
+)
+
+__all__ = [
+    "BIOBERT_LABELS",
+    "DISEASE_LABELS",
+    "DRUG_NAME_PATTERNS",
+    "DRUGTEMIST_LABELS",
+    "clean_entity_word",
+    "entities_from_model_output",
+    "extract_disease_entities",
+    "extract_drug_entities",
+    "extract_with_regex",
+]

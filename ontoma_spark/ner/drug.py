@@ -1,0 +1,206 @@
+"""Drug entity extraction (NER preprocessing) — executor-side.
+
+Reference parity: ``ontoma.ner.drug`` (drug.py:173-288). The tiered
+strategy (drug.py:79-170) is preserved exactly —
+
+1. regex tier for biologic/drug suffix patterns (drug.py:18-34),
+2. a precise model tier (BioBERT in the reference),
+3. a fallback model tier (DrugTEMIST) run ONLY on texts where tiers
+   1+2 found nothing,
+
+— but instead of ``df.toPandas()`` on the driver (drug.py:260-263,
+the reference's scalability hole), everything runs inside ONE
+``mapInPandas`` pass: Arrow-batched, model loaded once per executor
+worker, fallback applied to in-batch misses. On a 1000-executor
+cluster each worker holds its own model replica and the corpus never
+leaves the executors.
+
+Model tiers are PLUGGABLE: pass ``biobert_factory`` /
+``drugtemist_factory`` callables returning a batched NER callable
+(texts -> list of entity-dict lists). The default factories construct
+the reference's HuggingFace pipelines and therefore require
+``transformers``/``torch`` — absent in this sandbox, so they raise
+``ImportError`` with instructions; tests inject mock factories
+(mirroring the reference's own mocked-model tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from ontoma_spark.ner.extractors import extract_with_regex, run_model_on_texts
+
+# Biologic and common drug suffix patterns (reference drug.py:18-34).
+DRUG_NAME_PATTERNS = [
+    r"\w*mab\b",       # monoclonal antibodies
+    r"\w*cept\b",      # receptor constructs
+    r"\w*tinib\b",     # kinase inhibitors
+    r"\w*nib\b",       # TKIs
+    r"\w*ciclib\b",    # CDK inhibitors
+    r"\w*tidine\b",    # H2 antagonists
+    r"\w*prazole\b",   # PPIs
+    r"\w*statin\b",    # statins
+    r"\w*olol\b",      # beta blockers
+    r"\w*pril\b",      # ACE inhibitors
+    r"\w*sartan\b",    # ARBs
+    r"\w*floxacin\b",  # fluoroquinolones
+    r"\w*cillin\b",    # penicillins
+    r"\w*mycin\b",     # macrolides
+    r"\w*cycline\b",   # tetracyclines
+]
+
+# Entity label filters per model (reference drug.py:37-45).
+BIOBERT_LABELS = ["CHEMICAL", "DRUG", "MEDICATION", "CHEM"]
+DRUGTEMIST_LABELS = [
+    "CHEMICAL", "DRUG", "MEDICATION", "CHEM", "FARMACO", "NORMALIZABLES",
+]
+
+# One model instance per executor python worker, keyed by factory
+# identity — a mapInPandas partition re-run must not reload the model.
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def _factory_key(factory: Callable) -> str:
+    return f"{getattr(factory, '__module__', '?')}.{getattr(factory, '__qualname__', repr(factory))}"
+
+
+def _load_cached(factory: Callable | None):
+    if factory is None:
+        return None
+    key = _factory_key(factory)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = factory()
+    return _MODEL_CACHE[key]
+
+
+def create_biobert_drug_ner():
+    """Reference default model tier (drug.py:48-61). Requires
+    transformers/torch — unavailable in this sandbox."""
+    raise ImportError(
+        "The default BioBERT drug-NER tier needs the 'transformers' and "
+        "'torch' packages (model alvaroalon2/biobert_chemical_ner, "
+        "tokenizer dmis-lab/biobert-base-cased-v1.1, aggregation 'max'). "
+        "Install them, or pass biobert_factory= with your own batched "
+        "NER callable."
+    )
+
+
+def create_drugtemist_drug_ner():
+    """Reference fallback model tier (drug.py:64-76). Requires
+    transformers/torch — unavailable in this sandbox."""
+    raise ImportError(
+        "The default DrugTEMIST drug-NER tier needs the 'transformers' "
+        "and 'torch' packages (model "
+        "BSC-NLP4BIA/bsc-bio-ehr-es-carmen-drugtemist, aggregation "
+        "'max'). Install them, or pass drugtemist_factory= with your own "
+        "batched NER callable."
+    )
+
+
+def tiered_extract_texts(
+    texts: list[str],
+    primary_model,
+    fallback_model,
+    use_regex: bool,
+    batch_size: int,
+    patterns: list[str] = DRUG_NAME_PATTERNS,
+    primary_labels: list[str] = BIOBERT_LABELS,
+    fallback_labels: list[str] = DRUGTEMIST_LABELS,
+) -> list[list[str]]:
+    """The reference's tiered batch logic (drug.py:79-170) as a pure
+    function: regex ∪ primary; empty non-blank results -> fallback."""
+    n = len(texts)
+    regex_hits = [
+        extract_with_regex(t, patterns) if (use_regex and t) else set()
+        for t in texts
+    ]
+    primary_hits = (
+        run_model_on_texts(primary_model, texts, primary_labels, batch_size)
+        if primary_model is not None
+        else [set() for _ in range(n)]
+    )
+    combined = [r | p for r, p in zip(regex_hits, primary_hits)]
+    if fallback_model is not None:
+        miss_idx = [
+            i
+            for i, c in enumerate(combined)
+            if not c and texts[i] and texts[i].strip()
+        ]
+        if miss_idx:
+            fallback_hits = run_model_on_texts(
+                fallback_model,
+                [texts[i] for i in miss_idx],
+                fallback_labels,
+                batch_size,
+            )
+            for i, hits in zip(miss_idx, fallback_hits):
+                combined[i] = hits
+    return [sorted(c) for c in combined]
+
+
+def extract_drug_entities(
+    spark: SparkSession,
+    df: DataFrame,
+    input_col: str,
+    output_col: str = "extracted_drugs",
+    use_regex: bool = True,
+    use_biobert: bool = True,
+    use_drugtemist: bool = True,
+    batch_size: int = 128,
+    biobert_factory: Callable | None = None,
+    drugtemist_factory: Callable | None = None,
+) -> DataFrame:
+    """Append ``output_col``: array of extracted drug names per row.
+
+    Signature and semantics mirror the reference
+    ``extract_drug_entities`` (drug.py:173-288); execution is
+    distributed (one Arrow-batched ``mapInPandas`` pass, models loaded
+    per executor worker) instead of a driver ``toPandas`` round-trip.
+
+    ``spark`` is accepted for reference signature parity; the plan is
+    built from ``df`` directly.
+    """
+    del spark  # parity arg; everything derives from df
+    if not use_biobert and not use_drugtemist:
+        raise ValueError(
+            "At least one of use_biobert or use_drugtemist must be True"
+        )
+    if input_col not in df.columns:
+        raise ValueError(f"Column '{input_col}' not found in DataFrame")
+
+    primary_factory = (
+        (biobert_factory or create_biobert_drug_ner) if use_biobert else None
+    )
+    fb_factory = (
+        (drugtemist_factory or create_drugtemist_drug_ner)
+        if use_drugtemist
+        else None
+    )
+    # Default factories raise ImportError at plan-build time (driver),
+    # not inside executors — fail fast like the reference's model load.
+    if use_biobert and biobert_factory is None:
+        create_biobert_drug_ner()
+    if use_drugtemist and drugtemist_factory is None:
+        create_drugtemist_drug_ner()
+
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField(output_col, ArrayType(StringType()), True)]
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        primary = _load_cached(primary_factory)
+        fallback = _load_cached(fb_factory)
+        for pdf in batches:
+            texts = pdf[input_col].fillna("").astype(str).tolist()
+            pdf = pdf.copy()
+            pdf[output_col] = tiered_extract_texts(
+                texts, primary, fallback, use_regex, batch_size
+            )
+            yield pdf
+
+    return df.mapInPandas(_extract, schema=out_schema)

@@ -1,0 +1,94 @@
+"""Pure extraction functions shared by the NER tiers.
+
+Semantics mirror the reference's ``ner/_extractors.py``:
+
+* ``extract_with_regex`` — reference _extractors.py:13-31: case-
+  insensitive pattern match, keep matches with length > 3 that don't
+  start with a digit, lowercased.
+* ``entities_from_model_output`` — reference _extractors.py:34-77:
+  filter model entities whose (upper-cased) label CONTAINS any of the
+  wanted labels, strip HuggingFace ``##`` subword joiners, drop
+  single characters and pure numbers, lowercase.
+
+These are plain Python (no Spark imports) so they run identically on
+the driver (tests) and inside executor pandas batches (production).
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def extract_with_regex(text: str, patterns: list[str]) -> set[str]:
+    """Regex tier: pattern hits, cleaned (len > 3, no digit start,
+    lowercase). Reference _extractors.py:13-31."""
+    out: set[str] = set()
+    if not text:
+        return out
+    for pattern in patterns:
+        for match in re.findall(pattern, text, re.IGNORECASE):
+            cleaned = match.strip().lower()
+            if len(cleaned) > 3 and not cleaned[0].isdigit():
+                out.add(cleaned)
+    return out
+
+
+def clean_entity_word(word: str) -> str:
+    """Strip HuggingFace subword artifacts (reference _extractors.py:66)."""
+    return word.strip().replace(" ##", "").replace("##", "").strip()
+
+
+def entities_from_model_output(
+    entities: list[dict], label_filters: list[str]
+) -> set[str]:
+    """Filter + clean one text's model entities
+    (reference _extractors.py:59-71)."""
+    out: set[str] = set()
+    for ent in entities:
+        label = str(ent.get("entity_group", "")).upper()
+        if not any(wanted in label for wanted in label_filters):
+            continue
+        word = clean_entity_word(str(ent.get("word", "")))
+        if len(word) > 1 and not word.isdigit():
+            out.add(word.lower())
+    return out
+
+
+def run_model_on_texts(
+    model,
+    texts: list[str],
+    label_filters: list[str],
+    batch_size: int,
+) -> list[set[str]]:
+    """Run a model callable over texts in batches; one cleaned entity
+    set per text. A failing batch degrades to empty sets (reference
+    _extractors.py:74-77), never fails the job.
+
+    The model callable takes a list of texts and returns a list of
+    entity-dict lists (the HuggingFace batched-pipeline contract,
+    reference _extractors.py:52-57); a callable that only handles
+    single texts (returns a flat entity list) is also accepted.
+    """
+    results: list[set[str]] = []
+    for i in range(0, len(texts), batch_size):
+        batch = texts[i : i + batch_size]
+        try:
+            batch_entities = model(batch)
+            if batch_entities and not isinstance(batch_entities[0], list):
+                batch_entities = [batch_entities]
+        except Exception:
+            # single-text models (the reference's disease path calls the
+            # pipeline one text at a time, disease.py:63)
+            batch_entities = []
+            for t in batch:
+                try:
+                    batch_entities.append(model(t) or [])
+                except Exception:
+                    batch_entities.append([])
+        if len(batch_entities) != len(batch):
+            batch_entities = list(batch_entities) + [
+                [] for _ in range(len(batch) - len(batch_entities))
+            ]
+        for entities in batch_entities:
+            results.append(entities_from_model_output(entities, label_filters))
+    return results

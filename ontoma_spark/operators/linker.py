@@ -69,6 +69,15 @@ FUZZY_MAX_SIG_CHARS = 40
 
 QUERY_KEY = ["entityLabel", "nlpPipelineTrack", "entityKind"]
 
+# Hard cap on the distinct-surface vocabulary the "driver" match strategy
+# may collect. Below it, vocabulary-level matching in plain Python saves
+# ~12 Spark stages of serial scheduling latency (good strong scaling);
+# above it, the collect would grow with the corpus's Bloom-surviving
+# n-gram vocabulary — unbounded driver memory at 100 TB — so the linker
+# falls back to the pure-Spark dataflow, which is byte-equal
+# (tests/test_kg_pipeline.py::test_driver_and_spark_match_strategies_agree).
+DRIVER_VOCAB_CAP = 500_000
+
 
 def candidate_queries(
     candidates: DataFrame, token_bloom: list[int] | None = None
@@ -148,6 +157,7 @@ def with_signatures(queries: DataFrame, vocab: DataFrame | None = None) -> DataF
 def _lexicon_for_join(lexicon: DataFrame) -> DataFrame:
     return lexicon.select(
         F.col("entityLabelNormalised").alias("sig"),
+        "entityType",
         "entityKind",
         "entityIds",
     )
@@ -159,9 +169,15 @@ def sig_match_map(
     threshold: float = DEFAULT_FUZZY_THRESHOLD,
     with_fuzzy: bool = True,
 ) -> DataFrame:
-    """(sig, entityKind) -> (entityIds, tier, score) over the distinct
-    signature table. tier 2 = exact lexicon hit (score 1.0); tier 1 =
-    blocked fuzzy hit (best score, dense ties kept -> ids merged)."""
+    """(sig, entityKind) -> (entityType, entityIds, tier, score) over the
+    distinct signature table. tier 2 = exact lexicon hit (score 1.0);
+    tier 1 = blocked fuzzy hit (best score, dense ties kept).
+
+    Matching probes every ``entityType`` in the lexicon (corpus mentions
+    carry no declared type), but ids are NEVER merged across types — the
+    reference's join key is (entityLabelNormalised, entityType,
+    entityKind) (ontoma.py:392-407), so a label like "ALS" maps to
+    separate DS and GP rows, one per type."""
     sd = vocab_sigs.select("sig", "entityKind").distinct()
     lex = _lexicon_for_join(lexicon)
     exact = (
@@ -202,9 +218,10 @@ def fuzzy_sig_scores(
     Blocking (shared 2-char prefix OR suffix block key, length delta
     <= max(2, 20% of the shorter)) bounds the scored pair count to the
     neighbourhood of the lexicon; scoring is a vectorized Jaro-Winkler +
-    trigram-TF-IDF-cosine pandas UDF. Returns (sig, entityIds, score)
-    with dense best-score ties merged (multi-mapping is a feature,
-    reference README.md:18)."""
+    trigram-TF-IDF-cosine pandas UDF. Returns (sig, entityType,
+    entityIds, score): per signature the best score wins with dense ties
+    kept (multi-mapping is a feature, reference README.md:18), ids
+    grouped per entityType — never merged across types."""
     label_lex = lexicon.filter(F.col("entityKind") == "label")
 
     # IDF over the (small) lexicon signature corpus, closed over by the UDF.
@@ -226,7 +243,9 @@ def fuzzy_sig_scores(
     )
 
     lex_blocks = label_lex.select(
-        F.col("entityLabelNormalised").alias("lexSig"), "entityIds"
+        F.col("entityLabelNormalised").alias("lexSig"),
+        "entityType",
+        "entityIds",
     ).withColumn("bk", F.explode(_block_keys(F.col("lexSig"))))
 
     pairs = (
@@ -239,7 +258,7 @@ def fuzzy_sig_scores(
                 (F.least(F.length("sig"), F.length("lexSig")) * 0.2).cast("int"),
             )
         )
-        .select("sig", "lexSig", "entityIds")
+        .select("sig", "lexSig", "entityType", "entityIds")
         .distinct()
     )
 
@@ -254,7 +273,7 @@ def fuzzy_sig_scores(
     return (
         scored.withColumn("rk", F.dense_rank().over(w))
         .filter(F.col("rk") == 1)
-        .groupBy("sig")
+        .groupBy("sig", "entityType")
         .agg(
             F.array_distinct(F.flatten(F.collect_set("entityIds"))).alias(
                 "entityIds"
@@ -276,17 +295,18 @@ def surface_match_map(
     fan-out, track heuristic, two-track normalisation, exact + fuzzy
     matching) runs HERE, over the distinct surface vocabulary — never
     over the corpus. Ids are merged across the variant fan-out per
-    (surface, tier), so the corpus-side join needs no follow-up groupBy.
+    (surface, tier, entityType), so the corpus-side join needs no
+    follow-up groupBy and never conflates entity types.
     """
     q = candidate_queries(surfaces)
     vocab = distinct_query_vocab(q)
     mm = sig_match_map(vocab, lexicon, threshold=threshold, with_fuzzy=with_fuzzy)
     label_matches = vocab.join(mm, on=["sig", "entityKind"], how="inner").select(
-        *QUERY_KEY, "entityIds", "tier", "score"
+        *QUERY_KEY, "entityType", "entityIds", "tier", "score"
     )
     return (
         q.join(label_matches, on=QUERY_KEY, how="inner")
-        .groupBy("surface", "tier")
+        .groupBy("surface", "tier", "entityType")
         .agg(
             F.array_distinct(F.flatten(F.collect_set("entityIds"))).alias(
                 "entityIds"
@@ -297,7 +317,7 @@ def surface_match_map(
 
 
 MATCH_MAP_SCHEMA = (
-    "surface string, tier int, "
+    "surface string, tier int, entityType string, "
     "entityIds array<struct<entityId:string,entitySource:string>>, "
     "score double"
 )
@@ -313,14 +333,16 @@ def driver_match_map(
 
     Semantically identical to ``surface_match_map`` (exact join on
     (sig, kind); misses -> prefix/suffix-blocked Jaro-Winkler +
-    trigram-TF-IDF scoring with dense best-score ties kept; ids merged
-    per (surface, tier) across the translation fan-out) but executed as
-    dict lookups over the ~10^4-row collected vocabulary instead of ~12
-    Spark stages. Rationale: those stages move kilobytes but cost a
-    fixed ~30 s of scheduling/exchange/python-worker latency per run —
-    pure SERIAL time that caps N->4N strong scaling (Amdahl). Both
-    inputs are already driver-sized: the lexicon must fit in a broadcast
-    anyway, and the vocabulary is Bloom-bounded.
+    trigram-TF-IDF scoring with dense best-score ties kept — EXACT score
+    equality, matching dense_rank semantics; ids merged per
+    (surface, tier, entityType) across the translation fan-out, never
+    across types) but executed as dict lookups over the collected
+    vocabulary instead of ~12 Spark stages. Rationale: those stages move
+    kilobytes but cost a fixed ~30 s of scheduling/exchange/
+    python-worker latency per run — pure SERIAL time that caps N->4N
+    strong scaling (Amdahl). Callers guard the collect with
+    ``DRIVER_VOCAB_CAP`` (see ``link_matches``); the lexicon must fit in
+    a broadcast anyway.
 
     Args:
         vocab_rows: rows (surface, entityLabel, nlpPipelineTrack,
@@ -329,21 +351,24 @@ def driver_match_map(
             entityLabelNormalised, entityIds).
 
     Returns:
-        list of (surface, tier, entityIds, score) tuples.
+        list of (surface, tier, entityType, entityIds, score) tuples.
     """
-    # (sig, kind) -> merged entityIds across entityTypes
+    # (sig, kind) -> {entityType -> {(id, source) -> struct}}
     exact_idx: dict[tuple, dict] = {}
     label_sig_ids: dict[str, dict] = {}
     for r in lex_rows:
         key = (r["entityLabelNormalised"], r["entityKind"])
-        bucket = exact_idx.setdefault(key, {})
+        by_type = exact_idx.setdefault(key, {})
+        bucket = by_type.setdefault(r["entityType"], {})
         for e in r["entityIds"]:
             bucket[(e["entityId"], e["entitySource"])] = e
         if r["entityKind"] == "label":
             lb = label_sig_ids.setdefault(r["entityLabelNormalised"], {})
+            tb = lb.setdefault(r["entityType"], {})
             for e in r["entityIds"]:
-                lb[(e["entityId"], e["entitySource"])] = e
+                tb[(e["entityId"], e["entitySource"])] = e
 
+    # sig -> (best_score, {entityType -> {(id, source) -> struct}})
     fuzzy_hits: dict[str, tuple] = {}
     if with_fuzzy:
         miss = {
@@ -363,7 +388,8 @@ def driver_match_map(
                 cands = blocks.get("P:" + sig[:2], set()) | blocks.get(
                     "S:" + sig[-2:], set()
                 )
-                best_score, best_ids = 0.0, {}
+                best_score = 0.0
+                best_ids: dict[str, dict] = {}
                 for ls in cands:
                     if abs(len(sig) - len(ls)) > max(
                         2, int(min(len(sig), len(ls)) * 0.2)
@@ -372,30 +398,35 @@ def driver_match_map(
                     s = combined_score(sig, ls, idf)
                     if s < threshold:
                         continue
-                    if s > best_score + 1e-12:
-                        best_score, best_ids = s, dict(label_sig_ids[ls])
-                    elif abs(s - best_score) <= 1e-12:
-                        best_ids.update(label_sig_ids[ls])
+                    if s > best_score:
+                        best_score, best_ids = s, {
+                            t: dict(ids) for t, ids in label_sig_ids[ls].items()
+                        }
+                    elif s == best_score:
+                        for t, ids in label_sig_ids[ls].items():
+                            best_ids.setdefault(t, {}).update(ids)
                 if best_ids:
                     fuzzy_hits[sig] = (best_score, best_ids)
 
-    # merge per (surface, tier) across the variant fan-out
+    # merge per (surface, tier, entityType) across the variant fan-out
     merged: dict[tuple, dict] = {}
     scores: dict[tuple, float] = {}
     for r in vocab_rows:
         exact = exact_idx.get((r["sig"], r["entityKind"]))
         if exact:
-            k = (r["surface"], 2)
-            merged.setdefault(k, {}).update(exact)
-            scores[k] = 1.0
+            for etype, ids in exact.items():
+                k = (r["surface"], 2, etype)
+                merged.setdefault(k, {}).update(ids)
+                scores[k] = 1.0
         elif r["entityKind"] == "label" and r["sig"] in fuzzy_hits:
-            score, ids = fuzzy_hits[r["sig"]]
-            k = (r["surface"], 1)
-            merged.setdefault(k, {}).update(ids)
-            scores[k] = max(scores.get(k, 0.0), score)
+            score, by_type = fuzzy_hits[r["sig"]]
+            for etype, ids in by_type.items():
+                k = (r["surface"], 1, etype)
+                merged.setdefault(k, {}).update(ids)
+                scores[k] = max(scores.get(k, 0.0), score)
     return [
-        (surface, tier, list(ids.values()), scores[(surface, tier)])
-        for (surface, tier), ids in merged.items()
+        (surface, tier, etype, list(ids.values()), scores[(surface, tier, etype)])
+        for (surface, tier, etype), ids in merged.items()
     ]
 
 
@@ -405,65 +436,77 @@ def link_matches(
     threshold: float = DEFAULT_FUZZY_THRESHOLD,
     with_fuzzy: bool = True,
     doc_cols: tuple[str, ...] = DOC_COLS,
-    match_strategy: str = "driver",
+    match_strategy: str = "auto",
+    driver_vocab_cap: int = DRIVER_VOCAB_CAP,
+    lex_rows: list | None = None,
 ) -> DataFrame:
     """Candidate n-gram stream -> per-span matches.
 
     Corpus cost: one narrow pass ending in the distinct-surface hash
     aggregate (shuffle payload = per-partition vocabulary), one narrow
     pass carrying a single INNER BROADCAST JOIN on ``surface`` against
-    the vocabulary-level match map (<= 2 rows per surface: one per tier).
-    No corpus-sized groupBy, explode fan-out, or Python anywhere.
+    the vocabulary-level match map (<= 2 rows per (surface, entityType):
+    one per tier). No corpus-sized groupBy, explode fan-out, or Python
+    anywhere.
 
     ``match_strategy``:
 
-    * ``"driver"`` (default): pass 1 collects the distinct
-      signature-attached vocabulary (ONE job: narrow stage -> hash agg ->
-      narrow + stemmer UDF), the sig-level matching runs as plain Python
-      over it (``driver_match_map``), and the resulting map is inlined
-      as a literal — minimal serial latency, best strong scaling.
+    * ``"auto"`` (default): collect the distinct signature-attached
+      vocabulary UP TO ``driver_vocab_cap + 1`` rows (a single
+      CollectLimit job — the limit is the size guard, not an estimate).
+      If the whole vocabulary fit under the cap, match it in plain
+      Python (``driver_match_map``) and inline the map as a literal —
+      minimal serial latency, best strong scaling. If the limit was hit,
+      the vocabulary is NOT driver-sized (e.g. a 100 TB corpus's
+      Bloom-surviving n-grams): fall back to ``"spark"``.
+    * ``"driver"``: force the driver path (no cap) — benchmarks/tests.
     * ``"spark"``: the vocabulary-level matching stays a lazy Spark plan
-      (``surface_match_map``) — use for ``explain`` on full lineage or
-      if the distinct vocabulary ever outgrows the driver (at which
-      point the broadcast would need rethinking too).
+      (``surface_match_map``) — unbounded vocabularies, full-lineage
+      ``explain``.
+
+    ``lex_rows``: pre-collected lexicon rows for the driver path; pass
+    when calling repeatedly (e.g. streaming micro-batches) to skip the
+    per-call lexicon collect.
     """
-    if match_strategy == "spark":
+    if match_strategy not in ("auto", "driver", "spark"):
+        raise ValueError(f"unknown match_strategy: {match_strategy!r}")
+    smap = None
+    if match_strategy in ("auto", "driver"):
+        spark = candidates.sparkSession
+        # one job: distinct-surface hash agg -> narrow query transform +
+        # inline signature (stemmer UDF touches only vocabulary rows)
+        vocab = (
+            candidate_queries(candidates.select("surface").distinct())
+            .withColumn("sig", _signature_expr())
+            .filter(F.length("sig") > 0)
+            .select("surface", *QUERY_KEY, "sig")
+        )
+        if match_strategy == "auto":
+            # CollectLimit short-circuits: if fewer than cap+1 rows come
+            # back, they ARE the complete vocabulary; if exactly cap+1,
+            # the vocabulary exceeds the cap -> spark path.
+            vocab_rows = vocab.limit(driver_vocab_cap + 1).collect()
+            if len(vocab_rows) > driver_vocab_cap:
+                vocab_rows = None
+        else:
+            vocab_rows = vocab.collect()
+        if vocab_rows is not None:
+            if lex_rows is None:
+                lex_rows = lexicon.collect()
+            rows = driver_match_map(
+                vocab_rows, lex_rows, threshold=threshold, with_fuzzy=with_fuzzy
+            )
+            smap = spark.createDataFrame(rows, MATCH_MAP_SCHEMA)
+    if smap is None:
         smap = surface_match_map(
             candidates.select("surface").distinct(),
             lexicon,
             threshold=threshold,
             with_fuzzy=with_fuzzy,
         )
-    else:
-        spark = candidates.sparkSession
-        # one job: distinct-surface hash agg -> narrow query transform +
-        # inline signature (stemmer UDF touches only these ~10^4 rows)
-        vocab = (
-            candidate_queries(candidates.select("surface").distinct())
-            .withColumn("sig", _signature_expr())
-            .filter(F.length("sig") > 0)
-        )
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            vocab_rows = vocab.select(
-                "surface", *QUERY_KEY, "sig"
-            ).collect()
-            lex_rows = getattr(lexicon, "_driver_rows_cache", None)
-            if lex_rows is None:
-                lex_rows = lexicon.collect()
-                try:
-                    lexicon._driver_rows_cache = lex_rows
-                except Exception:
-                    pass
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-        rows = driver_match_map(
-            vocab_rows, lex_rows, threshold=threshold, with_fuzzy=with_fuzzy
-        )
-        smap = spark.createDataFrame(rows, MATCH_MAP_SCHEMA)
     return candidates.join(F.broadcast(smap), on="surface", how="inner").select(
-        *doc_cols, "start", "n", "surface", "entityIds", "tier", "score"
+        *doc_cols, "start", "n", "surface", "entityType", "entityIds",
+        "tier", "score"
     )
 
 
@@ -477,7 +520,7 @@ def link_exact(
         F.broadcast(_lexicon_for_join(lexicon)), on=["sig", "entityKind"], how="inner"
     )
     return (
-        joined.groupBy(*doc_cols, "start", "n", "surface")
+        joined.groupBy(*doc_cols, "start", "n", "surface", "entityType")
         .agg(
             F.array_distinct(F.flatten(F.collect_set("entityIds"))).alias(
                 "entityIds"
@@ -508,7 +551,7 @@ def link_fuzzy(
     return (
         sigs.filter(F.col("entityKind") == "label")
         .join(F.broadcast(best), "sig")
-        .groupBy(*doc_cols, "start", "n", "surface")
+        .groupBy(*doc_cols, "start", "n", "surface", "entityType")
         .agg(
             F.array_distinct(F.flatten(F.collect_set("entityIds"))).alias("entityIds"),
             F.max("score").alias("score"),

@@ -56,7 +56,10 @@ def resolve_overlaps(
     prio = "(CAST(m.n AS DOUBLE) * 1000000.0 + m.tier * 1000.0 + m.score)"
     grouped = matches.groupBy(*doc_cols).agg(
         F.collect_list(
-            F.struct("start", "n", "surface", "entityIds", "tier", "score")
+            F.struct(
+                "start", "n", "surface", "entityType", "entityIds",
+                "tier", "score",
+            )
         ).alias("ms")
     )
     # Pass 1: a fuzzy match that CONTAINS an exact match to the same
@@ -101,6 +104,7 @@ def resolve_overlaps(
         F.col("m.start").alias("start"),
         F.col("m.n").alias("n"),
         F.col("m.surface").alias("surface"),
+        F.col("m.entityType").alias("entityType"),
         F.col("m.entityIds").alias("entityIds"),
         F.col("m.tier").alias("tier"),
         F.col("m.score").alias("score"),
@@ -119,6 +123,7 @@ def matches_to_triples(
         "start",
         "n",
         F.col("surface").alias("mention"),
+        "entityType",
         "tier",
         "score",
         F.explode("entityIds").alias("e"),
@@ -133,6 +138,7 @@ def matches_to_triples(
             "start",
             "n",
             "mention",
+            "entityType",
             "tier",
             "score",
             F.coalesce(F.col("canonicalId"), F.col("objRaw")).alias("obj"),
@@ -144,7 +150,9 @@ def matches_to_triples(
             ),
         )
         .withColumn("subj", F.col("mention"))
-        .dropDuplicates([*doc_cols, "start", "n", "subj", "pred", "obj"])
+        .dropDuplicates(
+            [*doc_cols, "start", "n", "subj", "pred", "obj", "entityType"]
+        )
     )
 
 
@@ -154,23 +162,31 @@ def build_triples(
     canonical: DataFrame,
     fuzzy_threshold: float = DEFAULT_FUZZY_THRESHOLD,
     with_fuzzy: bool = True,
-    persist_signatures: bool | None = None,  # kept for API compat; unused
     token_bloom: list[int] | None = None,
+    match_strategy: str = "auto",
+    lex_rows: list | None = None,
 ) -> DataFrame:
     """Full linker: returns the triple table with provenance columns
-    (repo, path, commit, start, n, subj/mention, pred, obj, tier, score).
+    (repo, path, commit, start, n, subj/mention, entityType, pred, obj,
+    tier, score).
 
     Corpus cost = exactly two narrow passes over the candidate stream
     (one ending in the distinct-vocabulary hash aggregate, one carrying
     the broadcast match join), plus the per-document groupBys over
     MATCHES only. Nothing corpus-sized is persisted, shuffled by content,
     or sent to Python — see operators/linker.py for the full plan story.
+
+    ``match_strategy`` / ``lex_rows`` pass through to ``link_matches``
+    (vocabulary-size-guarded driver matching vs pure-Spark dataflow).
     """
     candidates = extract_candidates(repos, token_bloom=token_bloom)
     matches = link_matches(
-        candidates, lexicon, threshold=fuzzy_threshold, with_fuzzy=with_fuzzy
+        candidates,
+        lexicon,
+        threshold=fuzzy_threshold,
+        with_fuzzy=with_fuzzy,
+        match_strategy=match_strategy,
+        lex_rows=lex_rows,
     )
     resolved = resolve_overlaps(matches)
-    triples = matches_to_triples(resolved, canonical)
-    triples._sigs_handle = None
-    return triples
+    return matches_to_triples(resolved, canonical)

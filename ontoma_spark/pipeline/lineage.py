@@ -124,9 +124,6 @@ def run_resumable(
         )
         lineage.write.mode("append").parquet(lineage_path)
         total_triples += lineage.agg(F.sum("n_triples")).first()[0] or 0
-        sigs_handle = getattr(triples, "_sigs_handle", None)
-        if sigs_handle is not None:
-            sigs_handle.unpersist()
         jobs += 1
         if _fail_after_jobs is not None and jobs >= _fail_after_jobs:
             raise RuntimeError(f"injected failure after {jobs} job group(s)")

@@ -19,9 +19,11 @@ the same dataflow exposed incrementally, the idiomatic-Spark way —
   completeness.
 
 foreachBatch (not a custom sink) is deliberate: the batch linker is
-reused verbatim, Catalyst plans each micro-batch like any batch job
-(broadcast joins included), and the output commit is idempotent per
-batch id.
+reused verbatim and Catalyst plans each micro-batch like any batch job
+(broadcast joins included). foreachBatch is at-least-once, so the sink
+makes the commit idempotent itself: each micro-batch lands in its own
+``batchId=<id>`` partition via dynamic partition overwrite — a retried
+batch REPLACES its partition instead of appending duplicates.
 """
 
 from __future__ import annotations
@@ -55,6 +57,10 @@ def stream_repo_triples(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     repos_stream = reader.parquet(input_dir)
 
+    # Collect the (ontology-sized) lexicon once; every micro-batch's
+    # driver-path matching reuses it instead of re-collecting.
+    lex_rows = lexicon.collect()
+
     def _link_batch(batch_df: DataFrame, batch_id: int) -> None:
         triples = build_triples(
             batch_df,
@@ -62,10 +68,17 @@ def stream_repo_triples(
             canonical,
             with_fuzzy=with_fuzzy,
             token_bloom=token_bloom,
+            lex_rows=lex_rows,
         )
-        triples.withColumn("batchId", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
+        # Idempotent per-batch commit: dynamic overwrite of exactly this
+        # batch's partition — a foreachBatch retry replaces, not appends.
+        (
+            triples.withColumn("batchId", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batchId")
+            .parquet(out_dir)
+        )
 
     return (
         repos_stream.writeStream.foreachBatch(_link_batch)

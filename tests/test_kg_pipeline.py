@@ -128,7 +128,10 @@ def test_driver_and_spark_match_strategies_agree(spark, kg):
     from ontoma_spark.operators.linker import link_matches
 
     cands = extract_candidates(kg["repos"], token_bloom=kg["bloom"])
-    cols = ["repo", "path", "commit", "start", "n", "surface", "tier", "score"]
+    cols = [
+        "repo", "path", "commit", "start", "n", "surface", "entityType",
+        "tier", "score",
+    ]
     d = link_matches(cands, kg["lex"], match_strategy="driver")
     s = link_matches(cands, kg["lex"], match_strategy="spark")
     d_flat = d.select(*cols, F.explode("entityIds").alias("e")).select(
@@ -139,3 +142,61 @@ def test_driver_and_spark_match_strategies_agree(spark, kg):
     )
     assert d_flat.exceptAll(s_flat).count() == 0
     assert s_flat.exceptAll(d_flat).count() == 0
+
+
+@pytest.mark.parametrize("strategy", ["driver", "spark"])
+def test_entity_type_never_merges_across_types(spark, strategy):
+    """A label present in BOTH a DS and a GP lexicon ("ALS") must map to
+    two separate per-type rows — ids never merged across entityType
+    (reference join key: label/type/kind, ontoma.py:392-407)."""
+    from ontoma_spark.operators.linker import link_matches
+
+    lex = spark.createDataFrame(
+        [
+            ("label", "DS", "als", [("MONDO:0004976", "name")]),
+            ("label", "GP", "als", [("ENSG00000120948", "symbol")]),
+            ("label", "DS", "asthma", [("MONDO:0004979", "name")]),
+        ],
+        "entityKind string, entityType string, entityLabelNormalised string,"
+        " entityIds array<struct<entityId:string,entitySource:string>>",
+    )
+    docs = spark.createDataFrame(
+        [("r", "p", "c", "txt", "ALS progression and asthma onset")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    out = link_matches(
+        extract_candidates(docs), lex, match_strategy=strategy, with_fuzzy=False
+    )
+    rows = {
+        (r["surface"], r["entityType"]): sorted(
+            e["entityId"] for e in r["entityIds"]
+        )
+        for r in out.collect()
+    }
+    assert rows[("ALS", "DS")] == ["MONDO:0004976"]
+    assert rows[("ALS", "GP")] == ["ENSG00000120948"]
+    assert rows[("asthma", "DS")] == ["MONDO:0004979"]
+    assert ("asthma", "GP") not in rows
+
+
+def test_auto_strategy_spills_to_spark_above_vocab_cap(spark, kg):
+    """With a tiny driver_vocab_cap, auto must take the spark path (no
+    driver collect of the vocabulary) and still produce identical
+    matches."""
+    from ontoma_spark.operators.linker import link_matches
+
+    cands = extract_candidates(kg["repos"], token_bloom=kg["bloom"])
+    capped = link_matches(
+        cands, kg["lex"], match_strategy="auto", driver_vocab_cap=3
+    )
+    forced = link_matches(cands, kg["lex"], match_strategy="spark")
+    cols = [
+        "repo", "path", "commit", "start", "n", "surface", "entityType",
+        "tier",
+    ]
+    assert (
+        capped.select(*cols).exceptAll(forced.select(*cols)).count() == 0
+    )
+    assert (
+        forced.select(*cols).exceptAll(capped.select(*cols)).count() == 0
+    )
