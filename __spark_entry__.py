@@ -23,6 +23,7 @@ from ontoma_spark.functions.normalize import (
     symbol_signature,
     term_signature_unstemmed,
 )
+from ontoma_spark.functions.stemmer import porter_stem
 from ontoma_spark.functions.text import determine_track, format_identifier
 from ontoma_spark.functions import textstats as TS
 from ontoma_spark.operators.similarity import hyperplane_signs
@@ -118,6 +119,174 @@ _DOCS_NEARDUP_SQL = """
            regexp_replace(text, '^\\S+\\s+', '') AS text
     FROM documents WHERE doc_id % 20 = 3
 """
+
+# ------------------------------------------------- q27 KG-pipeline oracle
+# The documents corpus uses a CLOSED generator vocabulary (verified over
+# sf0.1), which makes the Porter stem SQL-expressible as a CASE map —
+# the one piece of the exact KG tier that is otherwise non-SQL. The
+# lexicon below is an inline raw LUT fed through the REAL build_lexicon;
+# it includes a same-score id tie (multi-mapping), a lower score tier
+# (dense_rank drop), and a DS/GP split of the same label (type-keyed
+# matching).
+_DOC_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+# (entityId, entityLabel, entityScore, nlpPipelineTrack, entitySource,
+#  entityType, entityKind) — RAW_LUT_SCHEMA order.
+KG27_LUT = [
+    ("DS:HASHTBL", "table hash", 1.0, "term", "name", "DS", "label"),
+    ("DS:HASHTBL2", "table hash", 1.0, "term", "exact_synonym", "DS", "label"),
+    ("DS:HASHTBL_OLD", "table hash", 0.9, "term", "related", "DS", "label"),
+    ("DS:CUSTJOIN", "customer join", 1.0, "term", "name", "DS", "label"),
+    ("DS:MERGEGRP", "merge group", 1.0, "term", "name", "DS", "label"),
+    ("DS:SPARK", "spark", 1.0, "symbol", "name", "DS", "label"),
+    ("GP:SPARK", "spark", 1.0, "symbol", "symbol", "GP", "label"),
+]
+
+
+def _stem_case_sql(token_expr: str) -> str:
+    """CASE map of the Porter stem over the closed corpus vocabulary
+    (identity elsewhere — every token this query can see is in the map)."""
+    whens = " ".join(
+        f"WHEN '{w}' THEN '{porter_stem(w)}'"
+        for w in _DOC_VOCAB
+        if porter_stem(w) != w
+    )
+    return f"(CASE {token_expr} {whens} ELSE {token_expr} END)"
+
+
+# Stemmed term-track signature: split -> drop stop words (case-sensitive)
+# -> clean+lower -> Porter (CASE map) -> distinct -> drop empties -> sort
+# -> concat — mirrors term_signature_from_stemmed(stem_tokens(
+# term_tokens_clean(label))).
+_TERM_SIG_STEMMED_SQL = (
+    "array_to_string(list_sort(list_filter(list_distinct("
+    "list_transform(list_transform("
+    "list_filter(string_split_regex({col}, '[\\s\\-/:,;]+'),"
+    f" t -> NOT list_contains({_STOPS_SQL}, t)),"
+    " t -> lower(regexp_replace(t, '[^\\w\\d\\s]|-|/', '', 'g'))),"
+    f" t -> {_stem_case_sql('t')})),"
+    " t -> t IS NOT NULL AND t <> '')), '')"
+)
+
+_TRACK_SQL = """
+    CASE WHEN {col} NOT LIKE '% %' AND (
+             length({col}) <= 6 OR (
+               length({col}) <= 11 AND
+               CASE WHEN length(regexp_replace({col}, '[^A-Za-z]', '', 'g')) = 0
+                    THEN NULL
+                    ELSE length(regexp_replace({col}, '[^A-Z]', '', 'g')) * 1.0
+                         / length(regexp_replace({col}, '[^A-Za-z]', '', 'g'))
+               END > 0.5))
+         THEN 'symbol' ELSE 'term' END
+"""
+
+
+def _q28_oracle_sql() -> str:
+    """DuckDB twin of the NER regex tier (reference _extractors.py:13-31
+    cleaning rules) over deterministic event-derived labels."""
+    from ontoma_spark.ner import DRUG_NAME_PATTERNS
+
+    extracts = ", ".join(
+        f"regexp_extract_all(raw_label, '{p}', 0, 'i')"
+        for p in DRUG_NAME_PATTERNS
+    )
+    return f"""
+        WITH lab AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 4 = 0
+                        THEN 'given drug' || event_id || 'mab daily'
+                      WHEN event_id % 4 = 1
+                        THEN 'dose ' || event_id || 'tinib'
+                      WHEN event_id % 4 = 2
+                        THEN 'plain saline solution'
+                      ELSE 'mix Neostatin and vancomycin' END AS raw_label
+          FROM events
+        )
+        SELECT event_id, raw_label,
+               coalesce(array_to_string(list_sort(list_distinct(list_filter(
+                 list_transform(flatten([{extracts}]),
+                                x -> lower(trim(x))),
+                 x -> length(x) > 3 AND NOT regexp_matches(x, '^[0-9]')))),
+                 ','), '') AS drugs_csv
+        FROM lab
+    """
+
+
+def _q27_oracle_sql() -> str:
+    """DuckDB twin of the exact KG tier over documents: tokenize ->
+    positional 1..5-grams with boundary-stop-word pruning -> surface
+    filters -> per-distinct-surface track + signature -> lexicon
+    (normalise, dense_rank top tier) -> equi-join -> counts."""
+    ngram_lists = []
+    for n in range(1, 6):
+        ngram_lists.append(
+            f"list_filter(list_transform("
+            f"range(1, greatest(len(ts) - {n} + 2, 1)), i -> "
+            f"CASE WHEN NOT list_contains({_STOPS_SQL}, ts[i]) "
+            f"AND NOT list_contains({_STOPS_SQL}, ts[i + {n - 1}]) "
+            f"THEN array_to_string(ts[i:i + {n - 1}], ' ') END), "
+            f"s -> s IS NOT NULL)"
+        )
+    surfaces = "flatten([" + ", ".join(ngram_lists) + "])"
+    lex_values = ", ".join(
+        f"('{eid}', '{label}', {score}, '{track}', '{etype}')"
+        for eid, label, score, track, _src, etype, _kind in KG27_LUT
+    )
+    term_sig = _TERM_SIG_STEMMED_SQL.format(col="surface")
+    sym_sig = _SYMBOL_SIG_SQL.format(col="surface")
+    lex_term_sig = _TERM_SIG_STEMMED_SQL.format(col="label")
+    lex_sym_sig = _SYMBOL_SIG_SQL.format(col="label")
+    track = _TRACK_SQL.format(col="surface")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(text,
+                   '[a-zA-Z0-9](?:[a-zA-Z0-9_:''\\-]*[a-zA-Z0-9])?') AS ts
+          FROM documents
+        ),
+        surf AS (
+          SELECT doc_id, unnest({surfaces}) AS surface FROM toks
+        ),
+        surf_ok AS (
+          SELECT doc_id, surface FROM surf
+          WHERE length(surface) BETWEEN 2 AND 64
+            AND regexp_matches(surface, '[a-zA-Z]')
+        ),
+        vsig AS (
+          SELECT surface,
+                 CASE WHEN ({track}) = 'symbol'
+                      THEN {sym_sig} ELSE {term_sig} END AS sig
+          FROM (SELECT DISTINCT surface FROM surf_ok)
+        ),
+        lex_raw(entity_id, label, score, lex_track, etype) AS (
+          VALUES {lex_values}
+        ),
+        lex_sig AS (
+          SELECT entity_id, score, etype,
+                 CASE WHEN lex_track = 'symbol'
+                      THEN {lex_sym_sig} ELSE {lex_term_sig} END AS sig
+          FROM lex_raw
+        ),
+        lex AS (
+          SELECT sig, etype, entity_id FROM (
+            SELECT *, dense_rank() OVER (
+                     PARTITION BY etype, sig ORDER BY score DESC) AS rk
+            FROM lex_sig) WHERE rk = 1
+        )
+        SELECT s.surface AS surface, l.etype AS entityType,
+               l.entity_id AS entity_id,
+               count(DISTINCT s.doc_id) AS n_docs,
+               count(*) AS n_mentions
+        FROM surf_ok s
+        JOIN vsig v ON s.surface = v.surface
+        JOIN lex l ON v.sig = l.sig
+        GROUP BY 1, 2, 3
+    """
 
 
 # ---------------------------------------------------------------- queries
@@ -515,6 +684,88 @@ def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q27_kg_exact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KG tier END-TO-END with a full DuckDB oracle: the real
+    candidate extractor (tokenise -> boundary-stop-pruned 1..5-grams),
+    the real lexicon build (translation fan-out, two-track normalisation
+    incl. Porter stemming, dense_rank score tiers, collect_set), and the
+    real vocabulary-level linker over the documents corpus. The closed
+    generator vocabulary makes the stem SQL-expressible (CASE map), so
+    unlike q23 this is value-checked, not rows-only."""
+    from ontoma_spark.lexicon.build import RAW_LUT_SCHEMA, build_lexicon
+    from ontoma_spark.operators.linker import link_matches
+    from ontoma_spark.operators.mentions import extract_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    repos = d.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    lexicon = build_lexicon(
+        [spark.createDataFrame(KG27_LUT, RAW_LUT_SCHEMA)]
+    )
+    matches = link_matches(
+        extract_candidates(repos), lexicon, with_fuzzy=False
+    )
+    return (
+        matches.select(
+            "path",
+            "surface",
+            "entityType",
+            F.explode(F.col("entityIds.entityId")).alias("entity_id"),
+        )
+        .groupBy("surface", "entityType", "entity_id")
+        .agg(
+            F.countDistinct("path").alias("n_docs"),
+            F.count("*").alias("n_mentions"),
+        )
+    )
+
+
+def q28_ner_regex_drugs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NER preprocessing regex tier through the REAL executor-side
+    mapInPandas path (ontoma_spark.ner.extract_drug_entities with an
+    empty model tier): deterministic drug-like labels derived from
+    events, extracted + cleaned (len > 3, no digit start, lowercase,
+    sorted) exactly as the reference's regex tier."""
+    from ontoma_spark.ner import extract_drug_entities
+
+    e = _t(spark, sf_dir, "events")
+    label = (
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(F.lit("given drug"), F.col("event_id"), F.lit("mab daily")),
+        )
+        .when(
+            F.col("event_id") % 4 == 1,
+            F.concat(F.lit("dose "), F.col("event_id"), F.lit("tinib")),
+        )
+        .when(F.col("event_id") % 4 == 2, F.lit("plain saline solution"))
+        .otherwise(F.lit("mix Neostatin and vancomycin"))
+    )
+    df = e.select("event_id", label.alias("raw_label"))
+
+    def empty_model_factory():
+        return lambda texts: [[] for _ in texts]
+
+    out = extract_drug_entities(
+        spark,
+        df,
+        input_col="raw_label",
+        output_col="drugs",
+        biobert_factory=empty_model_factory,
+        use_drugtemist=False,
+    )
+    return out.select(
+        "event_id",
+        "raw_label",
+        F.array_join("drugs", ",").alias("drugs_csv"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -548,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_simhash_candidates": q24_simhash_candidates,
         "q25_windowed_event_counts": q25_windowed_event_counts,
         "q26_sessionization": q26_sessionization,
+        "q27_kg_exact_pipeline": q27_kg_exact_pipeline,
+        "q28_ner_regex_drugs": q28_ner_regex_drugs,
     }
 
 
@@ -794,4 +1047,48 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS duration_sec
             FROM s GROUP BY 1, 2
         """,
+        "q24_simhash_candidates": f"""
+            WITH docs AS ({_DOCS_NEARDUP_SQL}),
+            words AS (
+              SELECT doc_id, unnest({_WORDS_SQL.format(col="text")}) AS w
+              FROM docs
+            ),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv
+              FROM words
+            ),
+            bits AS (
+              SELECT doc_id, t.i AS i,
+                     sum(CASE WHEN (hv >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN range(64) t(i)
+              GROUP BY 1, 2
+            ),
+            sim AS (
+              SELECT d.doc_id,
+                     coalesce(s.s, 0::HUGEINT) AS s
+              FROM (SELECT DISTINCT doc_id FROM docs) d
+              LEFT JOIN (
+                SELECT doc_id,
+                       sum(CASE WHEN v > 0 THEN (1::HUGEINT << i)
+                                ELSE 0::HUGEINT END) AS s
+                FROM bits GROUP BY 1) s USING (doc_id)
+            ),
+            chunks AS (
+              SELECT doc_id, s, c.ci AS ci,
+                     (s >> (c.ci * 16)) & 65535 AS cv
+              FROM sim CROSS JOIN range(4) c(ci)
+            ),
+            pairs AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                              x.s AS sa, y.s AS sb
+              FROM chunks x JOIN chunks y
+                ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id
+            )
+            SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+            FROM pairs
+            WHERE bit_count(xor(sa, sb)) <= 6
+        """,
+        "q27_kg_exact_pipeline": _q27_oracle_sql(),
+        "q28_ner_regex_drugs": _q28_oracle_sql(),
     }

@@ -1,0 +1,87 @@
+"""Disease entity extraction (NER preprocessing) — executor-side.
+
+Reference parity: ``ontoma.ner.disease`` (disease.py:18-101). Single
+model tier filtered to DISEASE labels, blank texts skipped without a
+model call (disease.py:55-58), ``##``-stripped / length>1 / non-digit
+cleaning (disease.py:63-71), sorted lowercase output.
+
+Distributed execution: one Arrow-batched ``mapInPandas`` pass instead
+of the reference's driver ``toPandas`` round-trip (disease.py:51-83).
+The model is pluggable via ``model_factory`` (the default needs
+transformers/torch — absent here; tests inject mocks, as the
+reference's own tests do).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from ontoma_spark.ner.extractors import run_model_on_texts
+
+DISEASE_LABELS = ["DISEASE"]
+
+
+def create_biobert_disease_ner():
+    """Reference default model (disease.py:91-101). Requires
+    transformers/torch — unavailable in this sandbox."""
+    raise ImportError(
+        "The default BioBERT disease-NER tier needs the 'transformers' "
+        "and 'torch' packages (model alvaroalon2/biobert_diseases_ner, "
+        "aggregation 'max'). Install them, or pass model_factory= with "
+        "your own NER callable."
+    )
+
+
+def extract_disease_entities(
+    spark: SparkSession,
+    df: DataFrame,
+    input_col: str,
+    output_col: str = "extracted_diseases",
+    batch_size: int = 128,
+    model_factory: Callable | None = None,
+) -> DataFrame:
+    """Append ``output_col``: array of extracted disease names per row.
+
+    Signature mirrors the reference ``extract_disease_entities``
+    (disease.py:18-88); execution is one distributed ``mapInPandas``
+    pass. Blank/None texts yield ``[]`` without touching the model.
+    """
+    del spark  # parity arg; everything derives from df
+    if input_col not in df.columns:
+        raise ValueError(f"Column '{input_col}' not found in DataFrame")
+
+    factory = model_factory or create_biobert_disease_ner
+    if model_factory is None:
+        create_biobert_disease_ner()  # fail fast on the driver
+
+    from ontoma_spark.ner.drug import _load_cached
+
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField(output_col, ArrayType(StringType()), True)]
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _load_cached(factory)
+        for pdf in batches:
+            texts = pdf[input_col].fillna("").astype(str).tolist()
+            results: list[list[str]] = [[] for _ in texts]
+            live_idx = [i for i, t in enumerate(texts) if t and t.strip()]
+            if live_idx:
+                hits = run_model_on_texts(
+                    model,
+                    [texts[i] for i in live_idx],
+                    DISEASE_LABELS,
+                    batch_size,
+                )
+                for i, h in zip(live_idx, hits):
+                    results[i] = sorted(h)
+            pdf = pdf.copy()
+            pdf[output_col] = results
+            yield pdf
+
+    return df.mapInPandas(_extract, schema=out_schema)

@@ -1,0 +1,290 @@
+"""NER preprocessing tests — mirror the reference's mocked-model tests
+(reference tests/test_ner_disease_extraction.py,
+tests/test_ner_drug_extraction.py): no real models, the factories are
+mocks, and extraction runs through the real executor-side mapInPandas
+path."""
+
+from __future__ import annotations
+
+import pytest
+
+from ontoma_spark.ner import (
+    extract_disease_entities,
+    extract_drug_entities,
+    extract_with_regex,
+    DRUG_NAME_PATTERNS,
+)
+
+
+# -------------------------------------------------------------- factories
+# Factories are created INSIDE maker functions so cloudpickle ships them
+# to executor workers by VALUE — a module-level function in a test file
+# would pickle by reference to 'test_ner', which workers can't import.
+
+
+def _mk_disease_factory():
+    """Single-text callable (the reference's disease path calls the
+    pipeline one text at a time)."""
+
+    def factory():
+        def pipeline(text):
+            responses = {
+                "Metastatic melanoma treatment": [
+                    {"entity_group": "DISEASE", "word": "Melanoma"},
+                ],
+                "Type 2 diabetes and resistant hypertension": [
+                    {"entity_group": "DISEASE", "word": "Diabetes"},
+                    {"entity_group": "gene", "word": "TP53"},
+                    {"entity_group": "DISEASE", "word": "hypertension"},
+                ],
+                "Rare syndrome": [
+                    {"entity_group": "DISEASE", "word": "Syndrome"},
+                ],
+            }
+            return responses.get(text, [])
+
+        return pipeline
+
+    return factory
+
+
+def _mk_drug_factory():
+    """Batched callable (texts -> list of entity lists), the
+    HuggingFace batched-pipeline contract."""
+
+    def factory():
+        def pipeline(texts):
+            responses = {
+                "Aspirin 100mg tablets": [
+                    {"entity_group": "CHEMICAL", "word": "Aspirin"},
+                ],
+                "Aspirin 100mg tablets with imatinib": [
+                    {"entity_group": "CHEMICAL", "word": "Aspirin"},
+                ],
+                "subword case": [
+                    {"entity_group": "DRUG", "word": "ima ##tini ##b"},
+                ],
+                "junk entities": [
+                    {"entity_group": "CHEMICAL", "word": "7"},
+                    {"entity_group": "CHEMICAL", "word": "x"},
+                    {"entity_group": "GENE", "word": "BRCA1"},
+                ],
+            }
+            return [responses.get(t, []) for t in texts]
+
+        return pipeline
+
+    return factory
+
+
+def _mk_fallback_factory():
+    def factory():
+        def pipeline(texts):
+            responses = {
+                "Brandoprex forte": [
+                    {"entity_group": "FARMACO", "word": "Brandoprex"},
+                ],
+            }
+            return [responses.get(t, []) for t in texts]
+
+        return pipeline
+
+    return factory
+
+
+def _mk_empty_factory():
+    def factory():
+        return lambda texts: [[] for _ in texts]
+
+    return factory
+
+
+# ------------------------------------------------------------------ regex
+
+
+def test_extract_with_regex_patterns():
+    hits = extract_with_regex(
+        "Treated with Trastuzumab and imatinib; compare 4-tinib controls",
+        DRUG_NAME_PATTERNS,
+    )
+    assert "trastuzumab" in hits
+    assert "imatinib" in hits
+    # matches that start with a digit or are too short are dropped
+    assert "4-tinib" not in hits
+    assert not any(h[0].isdigit() for h in hits)
+
+
+def test_extract_with_regex_empty_text():
+    assert extract_with_regex("", DRUG_NAME_PATTERNS) == set()
+
+
+# ---------------------------------------------------------------- disease
+
+
+def test_extract_disease_entities_basic(spark):
+    test_data = [
+        ("Metastatic melanoma treatment", ["melanoma"]),
+        (
+            "Type 2 diabetes and resistant hypertension",
+            ["diabetes", "hypertension"],
+        ),
+        ("unknown condition", []),
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t, _ in test_data], ["raw_indication"]
+    )
+    out = extract_disease_entities(
+        spark,
+        df,
+        input_col="raw_indication",
+        output_col="disease_entities",
+        model_factory=_mk_disease_factory(),
+    )
+    got = {
+        r["raw_indication"]: sorted(r["disease_entities"])
+        for r in out.collect()
+    }
+    for text, expected in test_data:
+        assert got[text] == sorted(expected), text
+
+
+def test_extract_disease_entities_blank_rows(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), (None,), ("Rare syndrome",)],
+        "raw_indication string",
+    )
+    out = extract_disease_entities(
+        spark,
+        df,
+        input_col="raw_indication",
+        model_factory=_mk_disease_factory(),
+    )
+    rows = out.collect()
+    by_text = {r["raw_indication"]: r["extracted_diseases"] for r in rows}
+    assert by_text["Rare syndrome"] == ["syndrome"]
+    assert by_text[""] == []
+    assert by_text["   "] == []
+    assert by_text[None] == []
+
+
+def test_extract_disease_entities_invalid_column(spark):
+    df = spark.createDataFrame([("x",)], ["raw_indication"])
+    with pytest.raises(ValueError, match="not found"):
+        extract_disease_entities(
+            spark, df, input_col="nope", model_factory=_mk_disease_factory()
+        )
+
+
+def test_extract_disease_entities_default_needs_models(spark):
+    df = spark.createDataFrame([("x",)], ["raw_indication"])
+    with pytest.raises(ImportError, match="transformers"):
+        extract_disease_entities(spark, df, input_col="raw_indication")
+
+
+# ------------------------------------------------------------------- drug
+
+
+def test_extract_drug_entities_tiered(spark):
+    rows = [
+        # regex tier + model tier combine
+        ("Aspirin 100mg tablets with imatinib", {"aspirin", "imatinib"}),
+        # model only
+        ("Aspirin 100mg tablets", {"aspirin"}),
+        # neither regex nor primary -> fallback tier
+        ("Brandoprex forte", {"brandoprex"}),
+        # nothing anywhere
+        ("sterile water", set()),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["label"])
+    out = extract_drug_entities(
+        spark,
+        df,
+        input_col="label",
+        output_col="drugs",
+        biobert_factory=_mk_drug_factory(),
+        drugtemist_factory=_mk_fallback_factory(),
+    )
+    got = {r["label"]: set(r["drugs"]) for r in out.collect()}
+    for text, expected in rows:
+        assert got[text] == expected, text
+
+
+def test_extract_drug_entities_fallback_only_on_misses(spark):
+    """A text the primary tier resolves must NOT consult the fallback:
+    give the fallback a conflicting answer and check it's absent."""
+
+    df = spark.createDataFrame(
+        [("Aspirin 100mg tablets",), ("Brandoprex forte",)], ["label"]
+    )
+    out = extract_drug_entities(
+        spark,
+        df,
+        input_col="label",
+        use_regex=False,
+        biobert_factory=_mk_drug_factory(),
+        drugtemist_factory=_mk_fallback_factory(),
+    )
+    got = {r["label"]: set(r["extracted_drugs"]) for r in out.collect()}
+    assert got["Aspirin 100mg tablets"] == {"aspirin"}
+    assert got["Brandoprex forte"] == {"brandoprex"}
+
+
+def test_extract_drug_entities_subword_and_junk_cleanup(spark):
+    df = spark.createDataFrame(
+        [("subword case",), ("junk entities",)], ["label"]
+    )
+    out = extract_drug_entities(
+        spark,
+        df,
+        input_col="label",
+        use_regex=False,
+        biobert_factory=_mk_drug_factory(),
+        use_drugtemist=False,
+    )
+    got = {r["label"]: r["extracted_drugs"] for r in out.collect()}
+    # ' ##' joiners stripped -> imatinib
+    assert got["subword case"] == ["imatinib"]
+    # single chars, pure digits, and non-matching labels dropped
+    assert got["junk entities"] == []
+
+
+def test_extract_drug_entities_requires_a_model_tier(spark):
+    df = spark.createDataFrame([("x",)], ["label"])
+    with pytest.raises(ValueError, match="use_biobert or use_drugtemist"):
+        extract_drug_entities(
+            spark, df, input_col="label",
+            use_biobert=False, use_drugtemist=False,
+        )
+
+
+def test_extract_drug_entities_regex_only_with_empty_models(spark):
+    df = spark.createDataFrame(
+        [("given trastuzumab weekly",), ("no drugs here",)], ["label"]
+    )
+    out = extract_drug_entities(
+        spark,
+        df,
+        input_col="label",
+        biobert_factory=_mk_empty_factory(),
+        use_drugtemist=False,
+    )
+    got = {r["label"]: r["extracted_drugs"] for r in out.collect()}
+    assert got["given trastuzumab weekly"] == ["trastuzumab"]
+    assert got["no drugs here"] == []
+
+
+def test_extract_drug_entities_preserves_schema_and_order_cols(spark):
+    df = spark.createDataFrame(
+        [(1, "Aspirin 100mg tablets"), (2, None)], "id long, label string"
+    )
+    out = extract_drug_entities(
+        spark,
+        df,
+        input_col="label",
+        biobert_factory=_mk_drug_factory(),
+        use_drugtemist=False,
+    )
+    assert out.columns == ["id", "label", "extracted_drugs"]
+    by_id = {r["id"]: r["extracted_drugs"] for r in out.collect()}
+    assert by_id[1] == ["aspirin"]
+    assert by_id[2] == []
