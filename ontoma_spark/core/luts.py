@@ -1,0 +1,69 @@
+"""Named LUT stage types — the reference's three-stage data model.
+
+The reference wraps the one logical LUT table in three schema-validated
+stage types (``RawEntityLUT`` -> ``NormalisedEntityLUT`` ->
+``ReadyEntityLUT``; reference dataset/raw_entity_lut.py:15-30 et al.),
+with each schema stored as a Spark-schema JSON resource parsed via
+``StructType.fromJson`` (reference common/schemas.py:42-54, resources
+under src/ontoma/schemas/*.json).
+
+Same pattern here: JSON resources live in ``ontoma_spark/schemas/`` and
+each stage class is a ``Dataset`` that validates eagerly on
+construction and reassignment. ``build_lexicon`` passes every stage
+boundary through these types, so a datasource that emits a malformed
+LUT fails at the boundary with a full discrepancy list, not deep inside
+a later job.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import lru_cache
+from importlib import resources
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+from ontoma_spark.core.dataset import Dataset
+
+
+@lru_cache(maxsize=None)
+def load_schema(name: str) -> StructType:
+    """Parse ``ontoma_spark/schemas/<name>.json`` via StructType.fromJson
+    (the reference's resource-loading pattern, common/schemas.py:42-54)."""
+    text = (
+        resources.files("ontoma_spark")
+        .joinpath("schemas", f"{name}.json")
+        .read_text()
+    )
+    return StructType.fromJson(json.loads(text))
+
+
+class RawEntityLUT(Dataset):
+    """Stage 1: one row per (entityId, entityLabel) with score/track/
+    source/type/kind dimensions (reference raw_entity_lut.py:15-30)."""
+
+    SCHEMA_NAME = "raw_entity_lut"
+
+    def __init__(self, df: DataFrame) -> None:
+        super().__init__(df, load_schema(self.SCHEMA_NAME))
+
+
+class NormalisedEntityLUT(Dataset):
+    """Stage 2: raw + ``entityLabelNormalised``
+    (reference normalised_entity_lut.py:15-30)."""
+
+    SCHEMA_NAME = "normalised_entity_lut"
+
+    def __init__(self, df: DataFrame) -> None:
+        super().__init__(df, load_schema(self.SCHEMA_NAME))
+
+
+class ReadyEntityLUT(Dataset):
+    """Stage 3: (kind, type, normalised label) -> entityIds array
+    (reference ready_entity_lut.py:15-30)."""
+
+    SCHEMA_NAME = "ready_entity_lut"
+
+    def __init__(self, df: DataFrame) -> None:
+        super().__init__(df, load_schema(self.SCHEMA_NAME))

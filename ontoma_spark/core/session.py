@@ -109,7 +109,7 @@ def ship_package(spark: SparkSession) -> None:
             if "__pycache__" in root:
                 continue
             for fn in files:
-                if not fn.endswith(".py"):
+                if not fn.endswith((".py", ".json")):
                     continue
                 full = os.path.join(root, fn)
                 rel = os.path.join(

@@ -184,16 +184,29 @@ def build_lexicon(luts: list[DataFrame]) -> DataFrame:
     union -> memoised two-track normalisation -> drop empty signatures ->
     dense_rank top score tier per (kind, type, signature) keeping ties
     (multi-mapping is a feature) -> collect_set of (entityId, entitySource).
+
+    Every stage boundary passes through its named LUT type
+    (Raw/Normalised/ReadyEntityLUT — the reference's three-stage data
+    model, dataset/raw_entity_lut.py:15-30 et al.), so a malformed
+    datasource fails eagerly with the full schema diff.
     """
-    raw = concatenate_luts(luts)
-    normalised = normalise_entities(raw.select(RAW_LUT_SCHEMA.fieldNames())).filter(
-        F.col("entityLabelNormalised").isNotNull()
-        & (F.length("entityLabelNormalised") > 0)
+    from ontoma_spark.core.luts import (
+        NormalisedEntityLUT,
+        RawEntityLUT,
+        ReadyEntityLUT,
     )
+
+    raw = RawEntityLUT(concatenate_luts(luts)).df
+    normalised = NormalisedEntityLUT(
+        normalise_entities(raw.select(RAW_LUT_SCHEMA.fieldNames())).filter(
+            F.col("entityLabelNormalised").isNotNull()
+            & (F.length("entityLabelNormalised") > 0)
+        )
+    ).df
     w = Window.partitionBy(
         "entityKind", "entityType", "entityLabelNormalised"
     ).orderBy(F.col("entityScore").desc())
-    return (
+    ready = (
         normalised.withColumn("entityRank", F.dense_rank().over(w))
         .filter(F.col("entityRank") == 1)
         .groupBy("entityKind", "entityType", "entityLabelNormalised")
@@ -203,3 +216,4 @@ def build_lexicon(luts: list[DataFrame]) -> DataFrame:
             ).alias("entityIds")
         )
     )
+    return ReadyEntityLUT(ready).df

@@ -8,6 +8,14 @@
   from md5 (reproducible everywhere, incl. the SQL oracle), bucket =
   sign-bit string; search only within the probe's bucket — the scale
   path when the corpus is too large for brute force per query.
+* IVF variant: a coarse quantizer (k centroids) partitions the corpus
+  into cells; each query probes its ``n_probe`` nearest cells and ranks
+  exactly within them. Centroids come either from ``train_centroids``
+  (pyspark.ml KMeans, seeded) or from ``deterministic_centroids`` (md5
+  pseudo-random — pure function of (dim, k), reproducible in any
+  engine, which is what lets the driver's DuckDB oracle replicate the
+  whole IVF path). Cell assignment and probing are pure Column algebra
+  over centroid LITERALS — broadcast-free, narrow, codegen-friendly.
 """
 
 from __future__ import annotations
@@ -94,6 +102,129 @@ def lsh_bucket_expr(vec_col: str, planes: list[list[int]]) -> F.Column:
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def deterministic_centroids(dim: int, n_cells: int) -> list[list[float]]:
+    """md5-derived pseudo-random centroids in [-1, 1] — a pure function
+    of (dim, n_cells), identical in any engine (the SQL oracle inlines
+    the same literals). For quantizers fitted to the data distribution
+    use ``train_centroids`` instead."""
+    cells = []
+    for c in range(n_cells):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"cell:{c}:{i}".encode()).digest()
+            v = int.from_bytes(h[:4], "big") / 2**31 - 1.0  # [-1, 1)
+            row.append(round(v, 6))
+        cells.append(row)
+    return cells
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Fit the IVF coarse quantizer with pyspark.ml KMeans (seeded).
+
+    Returns plain centroid lists so downstream assignment stays pure
+    Column algebra (no VectorUDT in the hot path)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feat)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _centroid_dists(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    """array<struct<dist,double idx,int>> of squared-L2 distances to each
+    centroid literal (struct order makes array_sort/array_min rank by
+    distance with deterministic index tie-break)."""
+    entries = []
+    for idx, c in enumerate(centroids):
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(
+            F.struct(d.alias("dist"), F.lit(idx).alias("idx"))
+        )
+    return F.array(*entries)
+
+
+def ivf_cell_expr(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    """Nearest-centroid cell id (argmin of squared L2)."""
+    return F.array_min(_centroid_dists(vec_col, centroids))["idx"]
+
+
+def ivf_probe_cells_expr(
+    vec_col: str, centroids: list[list[float]], n_probe: int
+) -> F.Column:
+    """The ``n_probe`` nearest cell ids, closest first."""
+    ranked = F.slice(
+        F.array_sort(_centroid_dists(vec_col, centroids)), 1, n_probe
+    )
+    return F.transform(ranked, lambda s: s["idx"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus rows live in their nearest
+    cell; each query ranks exactly within its ``n_probe`` nearest cells.
+
+    With ``centroids=None`` the quantizer is trained on the corpus
+    (KMeans, seeded). The corpus-side work is one narrow pass (literal
+    centroid distances, no broadcast variable, no shuffle); the join on
+    cell ids replaces brute force's cross join, cutting scored pairs by
+    ~n_cells/n_probe.
+    """
+    if centroids is None:
+        centroids = train_centroids(corpus, n_cells, vec_col=vec_col)
+    c = corpus.select(
+        F.col(key_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        ivf_cell_expr(vec_col, centroids).alias("cell"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(key_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(
+                ivf_probe_cells_expr(vec_col, centroids, n_probe)
+            ).alias("cell"),
+        )
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )
 
 
 def lsh_topk(

@@ -40,6 +40,12 @@ def prepare_reference_tables(spark: SparkSession, terms_path: str | None = None)
     cores the default 96-partition shuffles made this prep 3x SLOWER than
     at 2 cores, pure tiny-task overhead. Corpus-side plans are unaffected:
     they are planned after the conf is restored.
+
+    Scope note: this session-conf flip is safe ONLY because this
+    function runs at application startup, before any concurrent jobs
+    (streams, parallel queries) are planned. Nothing in the per-batch /
+    per-query hot path mutates session conf (the linker's former
+    override was removed for exactly that race).
     """
     from ontoma_spark.operators.linker import build_token_bloom
 

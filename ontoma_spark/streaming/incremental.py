@@ -70,21 +70,28 @@ def stream_repo_triples(
             token_bloom=token_bloom,
             lex_rows=lex_rows,
         )
-        # Idempotent per-batch commit: dynamic overwrite of exactly this
-        # batch's partition — a foreachBatch retry replaces, not appends.
-        (
-            triples.withColumn("batchId", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batchId")
-            .parquet(out_dir)
-        )
+        write_batch_idempotent(triples, batch_id, out_dir)
 
     return (
         repos_stream.writeStream.foreachBatch(_link_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
         .start()
+    )
+
+
+def write_batch_idempotent(
+    df: DataFrame, batch_id: int, out_dir: str
+) -> None:
+    """Idempotent per-batch commit: dynamic overwrite of exactly the
+    ``batchId=<id>`` partition — a foreachBatch retry (at-least-once
+    delivery) REPLACES its partition instead of appending duplicates."""
+    (
+        df.withColumn("batchId", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batchId")
+        .parquet(out_dir)
     )
 
 

@@ -1,0 +1,174 @@
+"""Disease-datasource golden tests, tier by tier — mirrors the
+reference's disease extraction semantics
+(reference datasource/disease.py:24-135: label tiers name 1.0 /
+exact 0.999 / narrow 0.998 / broad 0.997 / related 0.996 with the
+tbd-track acronym heuristic and the dual-translation fan-out; id tiers
+current id 1.0 / crossref 0.999 / obsolete 0.998 with blocklist
+filtering and format_identifier canonicalisation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from ontoma_spark.datagen.fixtures import ONTOLOGY_SCHEMA
+from ontoma_spark.lexicon import as_id_lut, as_label_lut
+
+
+def _term(
+    id="EFO_0000305",
+    name="breast carcinoma",
+    exact=None,
+    narrow=None,
+    broad=None,
+    related=None,
+    dbXRefs=None,
+    obsoleteXRefs=None,
+    obsoleteTerms=None,
+):
+    return (
+        id, name, exact, narrow, broad, related,
+        dbXRefs, obsoleteXRefs, obsoleteTerms,
+    )
+
+
+@pytest.fixture(scope="module")
+def one_term_label_lut(spark):
+    terms = spark.createDataFrame(
+        [
+            _term(
+                exact=["breast cancer", "cancer of breast"],
+                narrow=["invasive breast carcinoma"],
+                broad=["carcinoma"],
+                related=["mammary neoplasm"],
+            )
+        ],
+        ONTOLOGY_SCHEMA,
+    )
+    return {
+        (r["entityLabel"], r["entitySource"]): r
+        for r in as_label_lut(terms).collect()
+    }
+
+
+def test_label_tiers_scores_and_sources(one_term_label_lut):
+    """Score/source per field, reference disease.py:43-57."""
+    expected = {
+        ("breast carcinoma", "name"): 1.0,
+        ("breast cancer", "exact_synonym"): 0.999,
+        ("cancer of breast", "exact_synonym"): 0.999,
+        ("invasive breast carcinoma", "narrow_synonym"): 0.998,
+        ("carcinoma", "broad_synonym"): 0.997,
+        ("mammary neoplasm", "related_synonym"): 0.996,
+    }
+    assert set(one_term_label_lut) == set(expected)
+    for key, score in expected.items():
+        row = one_term_label_lut[key]
+        assert row["entityScore"] == score, key
+        assert row["entityId"] == "EFO_0000305"
+        assert row["entityType"] == "DS"
+        assert row["entityKind"] == "label"
+
+
+def test_label_track_heuristic_resolved_per_row(one_term_label_lut):
+    """tbd track resolves per label: multi-word -> term (the acronym
+    heuristic, reference common/utils.py:32-34)."""
+    for key, row in one_term_label_lut.items():
+        assert row["nlpPipelineTrack"] == "term", key
+
+
+def test_label_acronym_gets_symbol_track(spark):
+    terms = spark.createDataFrame(
+        [_term(name="breast carcinoma", exact=["NSCLC", "TNBC tumour"])],
+        ONTOLOGY_SCHEMA,
+    )
+    tracks = {
+        r["entityLabel"]: r["nlpPipelineTrack"]
+        for r in as_label_lut(terms).collect()
+    }
+    assert tracks["NSCLC"] == "symbol"  # single short acronym
+    assert tracks["TNBC tumour"] == "term"  # multi-word stays term
+
+
+def test_label_translation_fanout_and_dedup(spark):
+    """Greek letters transliterate; identical variants collapse to one
+    row (disease.py:76-83 explode of get_alternative_translations)."""
+    terms = spark.createDataFrame(
+        [_term(name="β-thalassemia")], ONTOLOGY_SCHEMA
+    )
+    labels = sorted(
+        r["entityLabel"]
+        for r in as_label_lut(terms).filter("entitySource = 'name'").collect()
+    )
+    # β transliterates to 'b' (single-char translate, text.py GREEK maps);
+    # both translation variants agree on pure-greek input -> one row
+    assert labels == ["b-thalassemia"]
+
+
+def test_label_null_and_empty_fields_drop_cleanly(spark):
+    terms = spark.createDataFrame(
+        [_term(name="asthma", exact=["", "asthma variant"])],
+        ONTOLOGY_SCHEMA,
+    )
+    rows = as_label_lut(terms).collect()
+    labels = {r["entityLabel"] for r in rows}
+    # empty string filtered; null arrays (narrow/broad/related) yield no rows
+    assert labels == {"asthma", "asthma variant"}
+
+
+def test_id_tiers_scores_and_formatting(spark):
+    terms = spark.createDataFrame(
+        [
+            _term(
+                id="EFO_0000305",
+                dbXRefs=["ORDO:158300", "MONDO:0007254"],
+                obsoleteXRefs=["OMIM:114480"],
+                obsoleteTerms=["EFO_9999999"],
+            )
+        ],
+        ONTOLOGY_SCHEMA,
+    )
+    rows = {
+        (r["entityLabel"], r["entitySource"]): r
+        for r in as_id_lut(terms).collect()
+    }
+    expected = {
+        ("EFO:0000305", "current_id"): 1.0,
+        ("ORPHANET:158300", "crossref"): 0.999,  # ORDO -> ORPHANET
+        ("MONDO:0007254", "crossref"): 0.999,
+        ("OMIM:114480", "obsolete_xref"): 0.998,
+        ("EFO:9999999", "obsolete_term"): 0.998,
+    }
+    assert set(rows) == set(expected)
+    for key, score in expected.items():
+        assert rows[key]["entityScore"] == score, key
+        assert rows[key]["nlpPipelineTrack"] == "symbol", key
+        assert rows[key]["entityKind"] == "id", key
+
+
+def test_id_crossref_blocklist_filtered(spark):
+    """Junk-prefixed crossrefs are dropped; medical vocabularies are NOT
+    (reference utils.py:197-214 blocklist: PMID, DOI:, ORCID, PERSON,
+    ISBN, WIKIPEDIA, HTTP, QUANT, UM-BBD_PATHWAYID)."""
+    terms = spark.createDataFrame(
+        [
+            _term(
+                id="EFO_0000305",
+                dbXRefs=[
+                    "MONDO:0007254",
+                    "ICD10:C50",
+                    "PMID:12345678",
+                    "DOI:10.1000/xyz",
+                    "WIKIPEDIA:Breast_cancer",
+                ],
+            )
+        ],
+        ONTOLOGY_SCHEMA,
+    )
+    labels = {
+        r["entityLabel"]
+        for r in as_id_lut(terms).filter("entitySource = 'crossref'").collect()
+    }
+    assert "MONDO:0007254" in labels
+    assert any(l.startswith("ICD10") for l in labels)  # kept
+    assert not any("PMID" in l or "DOI" in l or "WIKIPEDIA" in l for l in labels)

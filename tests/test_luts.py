@@ -1,0 +1,90 @@
+"""Named LUT stage types: JSON-resource schemas via StructType.fromJson
+and eager validation at every build_lexicon stage boundary (the
+reference's three-stage data model, dataset/raw_entity_lut.py:15-30,
+common/schemas.py:42-54)."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+from pyspark.sql.types import StructType
+
+from ontoma_spark.core.luts import (
+    NormalisedEntityLUT,
+    RawEntityLUT,
+    ReadyEntityLUT,
+    load_schema,
+)
+from ontoma_spark.core.schemas import SchemaValidationError
+from ontoma_spark.lexicon import build_lexicon
+from ontoma_spark.lexicon.build import RAW_LUT_SCHEMA, READY_LEXICON_SCHEMA
+
+
+def _raw_rows(spark):
+    return spark.createDataFrame(
+        [("EFO:1", "asthma", 1.0, "term", "name", "DS", "label")],
+        RAW_LUT_SCHEMA,
+    )
+
+
+def test_schemas_load_from_json_resources():
+    for name, code_schema in [
+        ("raw_entity_lut", RAW_LUT_SCHEMA),
+        ("ready_entity_lut", READY_LEXICON_SCHEMA),
+    ]:
+        loaded = load_schema(name)
+        assert isinstance(loaded, StructType)
+        assert [f.name for f in loaded.fields] == [
+            f.name for f in code_schema.fields
+        ]
+        assert [f.dataType for f in loaded.fields] == [
+            f.dataType for f in code_schema.fields
+        ]
+    norm = load_schema("normalised_entity_lut")
+    assert [f.name for f in norm.fields] == [
+        *[f.name for f in RAW_LUT_SCHEMA.fields],
+        "entityLabelNormalised",
+    ]
+
+
+def test_raw_lut_accepts_valid(spark):
+    RawEntityLUT(_raw_rows(spark))  # no raise
+
+
+def test_raw_lut_rejects_missing_mandatory(spark):
+    bad = _raw_rows(spark).drop("entityScore")
+    with pytest.raises(SchemaValidationError, match="entityScore"):
+        RawEntityLUT(bad)
+
+
+def test_raw_lut_rejects_unexpected_column(spark):
+    bad = _raw_rows(spark).withColumn("extra", F.lit(1))
+    with pytest.raises(SchemaValidationError, match="unexpected"):
+        RawEntityLUT(bad)
+
+
+def test_normalised_lut_requires_normalised_column(spark):
+    with pytest.raises(SchemaValidationError, match="entityLabelNormalised"):
+        NormalisedEntityLUT(_raw_rows(spark))
+    NormalisedEntityLUT(
+        _raw_rows(spark).withColumn("entityLabelNormalised", F.lit("asthma"))
+    )  # no raise
+
+
+def test_ready_lut_rejects_type_mismatch(spark):
+    bad = spark.createDataFrame(
+        [("label", "DS", "asthma", ["EFO:1"])],
+        "entityKind string, entityType string, entityLabelNormalised string,"
+        " entityIds array<string>",
+    )
+    with pytest.raises(SchemaValidationError, match="entityIds"):
+        ReadyEntityLUT(bad)
+
+
+def test_build_lexicon_validates_stage_boundaries(spark):
+    # valid input builds and the output satisfies the Ready schema
+    lex = build_lexicon([_raw_rows(spark)])
+    ReadyEntityLUT(lex)  # no raise
+    # malformed datasource fails eagerly at the Raw boundary
+    with pytest.raises(SchemaValidationError):
+        build_lexicon([_raw_rows(spark).drop("entityKind")])

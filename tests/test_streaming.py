@@ -101,6 +101,31 @@ def test_stream_repo_triples_restart_resumes(spark, kg_refs, tmp_path):
         q2.stop()
 
 
+def test_batch_commit_is_idempotent_on_retry(spark, tmp_path):
+    """foreachBatch is at-least-once: re-committing the SAME batch id
+    (a retried micro-batch) must REPLACE its partition, not append
+    duplicates; other batches are untouched."""
+    from ontoma_spark.streaming.incremental import write_batch_idempotent
+
+    out = str(tmp_path / "triples")
+    df1 = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "z")], "id long, v string")
+    write_batch_idempotent(df1, 0, out)
+    write_batch_idempotent(df2, 1, out)
+    assert spark.read.parquet(out).count() == 3
+
+    # retry of batch 0 (same rows): replaced, not appended
+    write_batch_idempotent(df1, 0, out)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert got.filter("batchId = 0").count() == 2
+    # retry with corrected content replaces the partition wholesale
+    write_batch_idempotent(df2, 0, out)
+    got = spark.read.parquet(out)
+    assert got.filter("batchId = 0").count() == 1
+    assert got.filter("batchId = 1").count() == 1
+
+
 def test_stream_event_rollup_watermarked_window(spark, tmp_path):
     input_dir = str(tmp_path / "ev")
     ckpt = str(tmp_path / "ckpt")
