@@ -766,6 +766,79 @@ def q28_ner_regex_drugs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 8
+IVF_PROBE = 2
+
+
+def q29_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbours with the engine-independent
+    md5 quantizer (deterministic_centroids): cell assignment, n_probe
+    probing, exact in-cell cosine ranking — fully oracle-checked. The
+    KMeans-trained quantizer path is covered by pytest recall tests."""
+    from ontoma_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = deterministic_centroids(EMBED_DIM, IVF_CELLS)
+    out = ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=3,
+        centroids=cents,
+        n_probe=IVF_PROBE,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q29_oracle_sql() -> str:
+    from ontoma_spark.operators.similarity import deterministic_centroids
+
+    cents = deterministic_centroids(EMBED_DIM, IVF_CELLS)
+    dist_structs = ", ".join(
+        "{'dist': "
+        + " + ".join(
+            f"(e[{i + 1}] - ({v}))*(e[{i + 1}] - ({v}))"
+            for i, v in enumerate(c)
+        )
+        + f", 'idx': {idx}}}"
+        for idx, c in enumerate(cents)
+    )
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ),
+        cells AS (
+          SELECT vec_id, e,
+                 list_sort([{dist_structs}]) AS ranked
+          FROM emb
+        ),
+        corpus AS (
+          SELECT vec_id AS neighbor_id, e AS cv,
+                 ranked[1].idx AS cell
+          FROM cells
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, e AS qv,
+                 unnest(list_transform(ranked[1:{IVF_PROBE}], s -> s.idx)) AS cell
+          FROM cells WHERE vec_id < 5
+        )
+        SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank FROM (
+          SELECT p.query_id, c.neighbor_id,
+                 list_cosine_similarity(c.cv, p.qv) AS sim,
+                 row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(c.cv, p.qv) DESC,
+                            c.neighbor_id ASC) AS rank
+          FROM corpus c JOIN probes p USING (cell)
+          WHERE c.neighbor_id <> p.query_id)
+        WHERE rank <= 3
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -801,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_sessionization": q26_sessionization,
         "q27_kg_exact_pipeline": q27_kg_exact_pipeline,
         "q28_ner_regex_drugs": q28_ner_regex_drugs,
+        "q29_ivf_topk": q29_ivf_topk,
     }
 
 
@@ -1091,4 +1165,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q27_kg_exact_pipeline": _q27_oracle_sql(),
         "q28_ner_regex_drugs": _q28_oracle_sql(),
+        "q29_ivf_topk": _q29_oracle_sql(),
     }

@@ -53,3 +53,63 @@ def test_lsh_topk_subset_of_bucket(vecs):
     assert 4 not in ids
     # near-identical vectors share all sign buckets
     assert 1 in ids
+
+
+def test_deterministic_centroids_pure():
+    from ontoma_spark.operators.similarity import deterministic_centroids
+
+    a = deterministic_centroids(4, 3)
+    assert a == deterministic_centroids(4, 3)
+    assert len(a) == 3 and all(len(r) == 4 for r in a)
+    assert all(-1.0 <= v < 1.0 for r in a for v in r)
+
+
+def test_ivf_topk_deterministic_quantizer(vecs):
+    from ontoma_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_topk,
+    )
+
+    cents = deterministic_centroids(4, 2)
+    out = ivf_topk(
+        vecs, vecs.filter("vec_id = 0"), k=2, centroids=cents, n_probe=2
+    ).collect()
+    # probing ALL cells (n_probe = n_cells) == exact brute force
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_ivf_topk_trained_quantizer_recall(spark, vecs):
+    """KMeans-trained quantizer, full probe: must reproduce the exact
+    brute-force top-1 for every query (recall@1 = 1.0 when n_probe
+    covers all cells)."""
+    from ontoma_spark.operators.similarity import ivf_topk, cosine_topk
+
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk(vecs, vecs, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(vecs, vecs, k=1, n_cells=2, n_probe=2).collect()
+    }
+    assert approx == exact
+
+
+def test_ivf_single_probe_searches_subset(vecs):
+    """n_probe=1 restricts each query to one cell: results are a subset
+    of the full-probe results for the same quantizer."""
+    from ontoma_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_topk,
+    )
+
+    cents = deterministic_centroids(4, 2)
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(vecs, vecs, k=5, centroids=cents, n_probe=2).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(vecs, vecs, k=5, centroids=cents, n_probe=1).collect()
+    }
+    assert single <= full
