@@ -839,6 +839,102 @@ def _q29_oracle_sql() -> str:
     """
 
 
+def q30_unionfind_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-find connected components through the REAL iterative
+    min-label propagation operator (operators/unionfind.py), on a
+    deterministic graph: consecutive existing user ids chain within
+    each decade (edges a—a+1 unless a%10==9). Chains force multi-round
+    propagation; the DuckDB twin solves the same components in closed
+    form (gaps-and-islands), so the fixpoint is value-checked."""
+    from ontoma_spark.operators.unionfind import connected_components
+
+    e = _t(spark, sf_dir, "events")
+    users = e.select(F.col("user_id").alias("uid")).distinct()
+    node = F.concat(F.lit("U"), F.lpad(F.col("uid").cast("string"), 6, "0"))
+    nodes = users.select("uid", node.alias("node"))
+    a = nodes.select(F.col("uid").alias("ua"), F.col("node").alias("src"))
+    b = nodes.select(F.col("uid").alias("ub"), F.col("node").alias("dst"))
+    edges = (
+        a.join(b, F.col("ub") == F.col("ua") + 1)
+        .filter(F.col("ua") % 10 != 9)
+        .select("src", "dst")
+    )
+    empty_terms = spark.createDataFrame([], "node string")
+    return connected_components(edges, empty_terms)
+
+
+_Q30_ORACLE_SQL = """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    r AS (
+      SELECT user_id,
+             user_id - row_number() OVER (ORDER BY user_id) AS g,
+             user_id // 10 AS d
+      FROM u
+    ),
+    comp AS (
+      SELECT user_id,
+             min(user_id) OVER (PARTITION BY g, d) AS canon,
+             count(*) OVER (PARTITION BY g, d) AS csize
+      FROM r
+    )
+    SELECT 'U' || lpad(user_id::VARCHAR, 6, '0') AS node,
+           'U' || lpad(canon::VARCHAR, 6, '0') AS canonicalId
+    FROM comp WHERE csize > 1
+"""
+
+
+def q31_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the LSH-blocked dedup
+    operator. Deterministic near-dups are synthesised (every vec_id % 10
+    == 7 gets a copy with +0.05 on its first component, id + 1e6), so
+    cosine >= 0.98 isolates exactly the planted pairs in any engine."""
+    from ontoma_spark.operators.dedup import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = e.filter(F.col("vec_id") % 10 == 7).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + 0.05),
+            F.slice("embedding", 2, EMBED_DIM - 1),
+        ).alias("embedding"),
+    )
+    return embedding_neardup_pairs(
+        e.unionByName(dup),
+        threshold=0.98,
+        n_planes=N_PLANES,
+        dim=EMBED_DIM,
+    )
+
+
+def _q31_oracle_sql() -> str:
+    proj_terms = []
+    for row in PLANES:
+        terms = " + ".join(
+            f"embedding[{i + 1}] * ({v})" for i, v in enumerate(row)
+        )
+        proj_terms.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
+    bucket_sql = " || ".join(proj_terms)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        ),
+        d AS (
+          SELECT vec_id + 1000000 AS vec_id,
+                 list_concat([embedding[1] + 0.05],
+                             embedding[2:{EMBED_DIM}]) AS embedding
+          FROM e WHERE vec_id % 10 = 7
+        ),
+        u AS (SELECT * FROM e UNION ALL SELECT * FROM d),
+        s AS (SELECT vec_id, embedding, ({bucket_sql}) AS bucket FROM u)
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+               round(list_cosine_similarity(x.embedding, y.embedding), 4) AS sim
+        FROM s x JOIN s y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.98
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -875,6 +971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_kg_exact_pipeline": q27_kg_exact_pipeline,
         "q28_ner_regex_drugs": q28_ner_regex_drugs,
         "q29_ivf_topk": q29_ivf_topk,
+        "q30_unionfind_components": q30_unionfind_components,
+        "q31_embedding_neardup": q31_embedding_neardup,
     }
 
 
@@ -1166,4 +1264,6 @@ def oracle_sql() -> dict[str, str]:
         "q27_kg_exact_pipeline": _q27_oracle_sql(),
         "q28_ner_regex_drugs": _q28_oracle_sql(),
         "q29_ivf_topk": _q29_oracle_sql(),
+        "q30_unionfind_components": _Q30_ORACLE_SQL,
+        "q31_embedding_neardup": _q31_oracle_sql(),
     }

@@ -3,20 +3,22 @@ local[$SPARK_GRAFT_CPUS], plus the north-rule scaling evidence — the KG
 pipeline run at N and 4N parallelism on the SAME deterministic input,
 under THREE protocols (all reported, see BENCH/BASELINE.md):
 
-1. executor-count emulation (headline): one 1-core pinned executor
-   process vs four 1-core pinned executor processes on disjoint input
-   quarters — models adding whole executors (own JVM/heap/GC), the
-   thing the north rule scales;
-2. literal same-JVM local[1] vs local[4] (N and 4N cores);
+1. HEADLINE: literal same-JVM, same-application local[1] vs local[4]
+   (N and 4N cores, same input, no pinning, no emulation) — the
+   round-2 sanctioned reading of the N-vs-4N-executors rule;
+2. executor-count emulation: one 1-core pinned executor process vs
+   four 1-core pinned executor processes on disjoint input slices —
+   models adding whole executors (own JVM/heap/GC);
 3. literal same-JVM local[8] vs local[32] — reported honestly; on this
    single box it measures the shared memory-bandwidth ceiling (see the
-   hardware probes), not the dataflow.
+   hardware probes: pure memcpy saturates by ~8 procs), not the
+   dataflow.
 
 Prints ONE JSON line:
 {"metric": "bench_suite", "value": <total sec>, "unit": "sec",
  "queries": {name: sec, ...}, "sf": <sf>,
- "scaling": {"low": {...}, "high": {...}, "efficiency": ...,
-             "literal_1v4": {...}, "literal_8v32": {...}}}
+ "scaling": {"low": {...}, "high": {...}, "efficiency": <literal 1v4>,
+             "emulated_executors": {...}, "literal_8v32": {...}}}
 """
 
 from __future__ import annotations
@@ -296,6 +298,15 @@ def main() -> None:
     literal_1v4 = _literal_pair(1, 4, KG_ROWS)
     literal_8v32 = _literal_pair(8, 32, KG_ROWS)
 
+    emulated = {
+        "low": low,
+        "high": high,
+        "speedup": speedup,
+        "executor_ratio": N_EXECUTORS,
+        "efficiency": efficiency,
+        "trial_efficiencies": trial_efficiencies,
+    }
+
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -310,13 +321,16 @@ def main() -> None:
         "kg_triples": n_triples,
         "scaling": {
             "rows": KG_ROWS,
-            "low": low,
-            "high": high,
-            "speedup": speedup,
-            "executor_ratio": N_EXECUTORS,
-            "efficiency": efficiency,
-            "trial_efficiencies": trial_efficiencies,
-            "literal_1v4": literal_1v4,
+            "protocol": (
+                "literal same-JVM same-application local[1] vs local[4] "
+                "(N vs 4N cores) on the same input"
+            ),
+            "low": literal_1v4["low"],
+            "high": literal_1v4["high"],
+            "speedup": literal_1v4["speedup"],
+            "core_ratio": literal_1v4["core_ratio"],
+            "efficiency": literal_1v4["efficiency"],
+            "emulated_executors": emulated,
             "literal_8v32": literal_8v32,
             "hardware_probe": probe,
         },
@@ -380,6 +394,8 @@ def _burn_mem(_: int) -> float:
 
 def _write_bench_md(result: dict) -> None:
     s = result["scaling"]
+    em = s["emulated_executors"]
+    l8 = s["literal_8v32"]
     lines = [
         "# BENCH — measured numbers",
         "",
@@ -388,60 +404,59 @@ def _write_bench_md(result: dict) -> None:
         "",
         "## Scaling evidence (north rule: efficiency >= 0.8 from N to 4N)",
         "",
-        "Protocol: executor-COUNT scaling (the rule's N vs 4N executors), "
-        "emulated as independent executor processes. N = one 1-core "
-        "executor JVM, `taskset`-pinned to one physical core, linking "
-        "the whole deterministic input. 4N = four identical executor "
-        "processes on four disjoint pinned cores, concurrently linking "
-        "disjoint quarters of the SAME input (rows are pure functions "
-        "of row id, so the quarters union to the baseline input exactly "
-        "— the summed 4N triple count equals the baseline count: "
-        f"{s['high'].get('triples_match_baseline')}). This mirrors how "
-        "a real cluster scales — whole executors with their own "
-        "JVM/heap/GC — instead of piling threads into one JVM, which "
-        "on a single box hits the shared memory-bandwidth ceiling (the "
-        "probes below quantify it: tight-ALU work scales near-linearly "
-        "to 32 procs, pure memcpy saturates by ~8). Per-core busy "
-        "fractions ~1.0 at both sizes show every core stayed fed — no "
-        "serial or idle-stall component in the dataflow.",
+        "HEADLINE protocol — literal, same application, same input: the "
+        "KG linker run in one Spark JVM at local[1] (N cores) and again "
+        "at local[4] (4N cores), identical deterministic input, no "
+        "pinning, no emulation. Session startup, lexicon build, and "
+        "input materialisation are excluded from the timed region; the "
+        "linker dataflow itself is what scales.",
+        "",
+        "| run | wall sec | triples/sec | GC pause s |",
+        "| --- | --- | --- | --- |",
+        f"| N = local[1] | {s['low']['sec']} | {s['low']['triples_per_sec']} | {s['low'].get('gc_pause_sec')} |",
+        f"| 4N = local[4] | {s['high']['sec']} | {s['high']['triples_per_sec']} | {s['high'].get('gc_pause_sec')} |",
+        "",
+        f"Throughput ratio {s['speedup']}x over a {s['core_ratio']}x core "
+        f"ratio -> **scaling efficiency {s['efficiency']}**.",
+        "",
+        "## Secondary protocols",
+        "",
+        "### Executor-count emulation (pinned 1-core processes)",
+        "",
+        "N = one 1-core executor JVM `taskset`-pinned to one core "
+        "linking the whole input; 4N = four such processes on disjoint "
+        "cores linking disjoint slices of the SAME input (slices union "
+        "to the baseline exactly; summed triple count equals baseline: "
+        f"{em['high'].get('triples_match_baseline')}). Models whole "
+        "executors with their own JVM/heap/GC.",
         "",
         "| cluster | wall sec | triples/sec | cpu busy frac | GC pause s |",
         "| --- | --- | --- | --- | --- |",
-        f"| N (1 executor) | {s['low']['sec']} | {s['low']['triples_per_sec']} | {s['low'].get('cpu_busy_frac')} | {s['low'].get('gc_pause_sec')} |",
-        f"| 4N (4 executors) | {s['high']['sec']} (per-executor: {s['high'].get('quads_sec')}) | {s['high']['triples_per_sec']} | {s['high'].get('cpu_busy_frac')} | {s['high'].get('gc_pause_sec')} |",
+        f"| N (1 executor) | {em['low']['sec']} | {em['low']['triples_per_sec']} | {em['low'].get('cpu_busy_frac')} | {em['low'].get('gc_pause_sec')} |",
+        f"| 4N (4 executors) | {em['high']['sec']} (per-executor: {em['high'].get('quads_sec')}) | {em['high']['triples_per_sec']} | {em['high'].get('cpu_busy_frac')} | {em['high'].get('gc_pause_sec')} |",
         "",
-        f"Throughput ratio {s['speedup']}x over a {s['executor_ratio']}x "
-        f"executor ratio -> **scaling efficiency {s['efficiency']}** "
-        f"(per-trial: {s.get('trial_efficiencies')}).",
+        f"Efficiency {em['efficiency']} "
+        f"(per-trial: {em.get('trial_efficiencies')}). Note: pinning the "
+        "whole process tree (JVM + GC threads) to ONE core taxes the "
+        "1-core baseline and the emulation alike; the unpinned literal "
+        "protocol above is both stricter (shared heap) and faster.",
         "",
-        "## Literal same-JVM N-vs-4N pairs (same input, no pinning)",
+        "### Literal local[8] vs local[32]",
         "",
-        "The same job run twice in ONE Spark application at two task-slot "
-        "counts. These are the honest single-JVM numbers: a shared heap "
-        "means allocation/GC contention and a shared memory bus, which is "
-        "precisely what separate executors avoid — the emulation above "
-        "models executors, these model threads.",
+        "| run | wall sec | triples/sec |",
+        "| --- | --- | --- |",
+        f"| local[8] | {l8['low']['sec']} | {l8['low']['triples_per_sec']} |",
+        f"| local[32] | {l8['high']['sec']} | {l8['high']['triples_per_sec']} |",
         "",
-        "| protocol | low t/s | high t/s | speedup | core ratio | efficiency |",
-        "| --- | --- | --- | --- | --- | --- |",
-    ] + [
-        f"| local[{lo}] vs local[{hi}] | {p['low']['triples_per_sec']} "
-        f"| {p['high']['triples_per_sec']} | {p['speedup']}x "
-        f"| {p['core_ratio']} | **{p['efficiency']}** |"
-        for lo, hi, p in [
-            (1, 4, s["literal_1v4"]),
-            (8, 32, s["literal_8v32"]),
-        ]
-    ] + [
-        "",
-        "Interpretation: the 1-vs-4 literal pair stays under this box's "
-        "memory-bandwidth knee and shows the dataflow itself scales; the "
-        "8-vs-32 pair saturates the single shared memory bus (the memcpy "
-        "probe below saturates by ~8 concurrent processes on this VM) — "
-        "cores stay >85% busy but per-core IPC collapses. On a real "
-        "multi-node cluster each executor brings its own memory "
-        "bandwidth, which is what the pinned-executor emulation (and the "
-        "north rule) measures.",
+        f"Efficiency {l8['efficiency']}. This pair saturates the single "
+        "shared memory bus: the memcpy probe below saturates by ~8 "
+        "concurrent processes on this VM, so beyond ~8 string-heavy "
+        "threads cores stay busy while per-core IPC collapses "
+        "(local[32] can run SLOWER than local[8]). On a real multi-node "
+        "cluster each executor brings its own memory bandwidth — the "
+        "8->32 wall is a one-box artifact, which is why the rule's "
+        "N-vs-4N-executor criterion is evidenced by the two protocols "
+        "above.",
         "",
         "## Per-query wall seconds",
         "",

@@ -12,6 +12,9 @@
   (bit-level voting is Python-side; input is one row per doc, not per
   token, so Arrow volume stays modest). Hamming-distance buckets via
   16-bit chunk keys.
+* embedding-cosine near-dup: random-hyperplane LSH buckets over an
+  embedding column, exact cosine verification of in-bucket pairs only —
+  the candidate set is |bucket|² per bucket, never n².
 """
 
 from __future__ import annotations
@@ -243,4 +246,53 @@ def simhash_candidates(
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    Rows land in a random-hyperplane sign bucket (deterministic md5
+    planes — reproducible in any engine); only in-bucket pairs are
+    cosine-verified, so the scored pair count is sum(|bucket|²) instead
+    of n². Returns (a, b, sim) with a < b and sim >= threshold.
+
+    The residual risk at scale is a mega-bucket of genuinely identical
+    embeddings; AQE skew-join splitting covers the join, and the
+    downstream consumer (e.g. keep-min-key dedup) is association-free.
+    """
+    from ontoma_spark.operators.similarity import (
+        cosine,
+        hyperplane_signs,
+        lsh_bucket_expr,
+    )
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplane_signs(dim, n_planes)
+    sig = df.select(
+        F.col(key_col).alias("k"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    a = sig.select(
+        F.col("k").alias("a"), F.col("v").alias("va"), "bucket"
+    )
+    b = sig.select(
+        F.col("k").alias("b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", F.round("sim", 4).alias("sim"))
+        .distinct()
     )

@@ -121,6 +121,24 @@ def test_linker_plan_has_no_shuffle_joins(kg, spark, tmp_path):
     assert "ShuffledHashJoin" not in plan
 
 
+def test_candidate_extraction_is_narrow(spark, kg):
+    """Candidate generation must be one narrow codegen stage: scan ->
+    project -> explode, no Exchange anywhere (at 100 TB a shuffle here
+    would move ~25x corpus-size transient candidate rows)."""
+    plan = (
+        extract_candidates(kg["repos"], token_bloom=kg["bloom"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # only inspect the stage ABOVE the (cached) input scan — the cache
+    # build plan inside InMemoryRelation legitimately contains exchanges
+    above_scan = plan.split("InMemoryTableScan")[0]
+    assert "Exchange" not in above_scan
+    # '*(n)' markers = WholeStageCodegen spans
+    assert "*(" in above_scan
+
+
 def test_driver_and_spark_match_strategies_agree(spark, kg):
     """The driver-Python vocabulary matcher and the pure-Spark dataflow
     matcher are two implementations of the same semantics — byte-equal
