@@ -860,7 +860,10 @@ def q30_unionfind_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     empty_terms = spark.createDataFrame([], "node string")
-    return connected_components(edges, empty_terms)
+    # strategy="spark" pins the ITERATIVE propagation path so the oracle
+    # value-checks the distributed fixpoint; the guarded driver fast
+    # path is byte-equality-tested against it in tests/test_unionfind.py
+    return connected_components(edges, empty_terms, strategy="spark")
 
 
 _Q30_ORACLE_SQL = """

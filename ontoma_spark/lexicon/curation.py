@@ -93,3 +93,10 @@ def curation_label_lut(
         .distinct()
         .select(RAW_LUT_SCHEMA.fieldNames())
     )
+
+
+def read_curation_tsv(spark, path: str) -> DataFrame:
+    """Curation TSV source (reference README.md:13: tab-separated with
+    SEMANTIC_TAG / PROPERTY_VALUE columns, caller-loaded). Header row
+    required; all columns read as strings."""
+    return spark.read.csv(path, sep="\t", header=True)

@@ -41,10 +41,68 @@ def _priority_key(node: F.Column, is_term: F.Column) -> F.Column:
     )
 
 
+# Edge-count cap for the driver fast path: an ontology xref graph is
+# 10^5-10^6 edges — trivially driver-sized, and the iterative Spark loop
+# costs ~4 shuffle rounds + localCheckpoints of pure overhead there. The
+# guard is a CollectLimit (exact, not an estimate): above the cap the
+# iterative distributed path runs instead.
+DRIVER_EDGE_CAP = 2_000_000
+
+
+def _driver_components(
+    edge_rows: list, term_rows: list
+) -> list[tuple[str, str]]:
+    """Union-find in plain Python — semantics identical to the Spark
+    min-label propagation: per component, the minimum ``_priority_key``
+    (current-term flag, ontology-prefix rank, id) wins."""
+    terms = {r["node"] for r in term_rows}
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def add(x: str) -> None:
+        if x not in parent:
+            parent[x] = x
+
+    for r in edge_rows:
+        a, b = r["src"], r["dst"]
+        add(a)
+        add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    for t in terms:
+        add(t)
+
+    def key(n: str) -> str:
+        prefix = n.split(":", 1)[0]
+        try:
+            rank = _PREFIX_RANKS.index(prefix)
+        except ValueError:
+            rank = len(_PREFIX_RANKS)
+        flag = "0" if n in terms else "1"
+        return f"{flag}|{rank:02d}|{n}"
+
+    best: dict[str, str] = {}
+    for n in parent:
+        root = find(n)
+        if root not in best or key(n) < key(best[root]):
+            best[root] = n
+    return [(n, best[find(n)]) for n in parent]
+
+
 def connected_components(
     edges: DataFrame,
     term_nodes: DataFrame,
     max_iterations: int = 20,
+    strategy: str = "auto",
+    driver_edge_cap: int = DRIVER_EDGE_CAP,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list.
 
@@ -52,13 +110,34 @@ def connected_components(
         edges: columns (src, dst) — node key strings.
         term_nodes: single column (node) — nodes that are current ontology
             terms (preferred canonical representatives).
-        max_iterations: convergence guard.
+        max_iterations: convergence guard (spark path).
+        strategy: ``"auto"`` (driver union-find when the edge list fits
+            under ``driver_edge_cap`` — the CollectLimit IS the size
+            guard — else distributed), ``"driver"`` (forced), or
+            ``"spark"`` (forced iterative propagation).
+        driver_edge_cap: row cap for the auto guard.
 
     Returns:
         DataFrame (node, canonicalId): every node mapped to the raw id of
         its component's best representative.
     """
     spark = edges.sparkSession
+    if strategy not in ("auto", "driver", "spark"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    if strategy in ("auto", "driver"):
+        if strategy == "auto":
+            edge_rows = edges.select("src", "dst").limit(
+                driver_edge_cap + 1
+            ).collect()
+            if len(edge_rows) > driver_edge_cap:
+                edge_rows = None
+        else:
+            edge_rows = edges.select("src", "dst").collect()
+        if edge_rows is not None:
+            rows = _driver_components(edge_rows, term_nodes.collect())
+            return spark.createDataFrame(
+                rows, "node string, canonicalId string"
+            )
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -81,3 +81,18 @@ def test_mention_stats_over_triples(spark):
     }
     assert got["cancer"] == (3, 2)
     assert got["asthma"] == (1, 1)
+
+
+def test_read_curation_tsv(spark, tmp_path):
+    from ontoma_spark.lexicon.curation import read_curation_tsv
+
+    p = tmp_path / "curation.tsv"
+    p.write_text(
+        "PROPERTY_VALUE\tSEMANTIC_TAG\n"
+        "breast cancer\thttp://www.ebi.ac.uk/efo/EFO_0000305\n"
+    )
+    df = read_curation_tsv(spark, str(p))
+    assert df.columns == ["PROPERTY_VALUE", "SEMANTIC_TAG"]
+    row = df.first()
+    assert row["PROPERTY_VALUE"] == "breast cancer"
+    assert row["SEMANTIC_TAG"].endswith("EFO_0000305")

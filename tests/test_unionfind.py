@@ -39,3 +39,47 @@ def test_connected_components_disjoint_components(spark):
     out = {r["node"]: r["canonicalId"] for r in connected_components(edges, terms).collect()}
     assert out["OMIM:9"] == "EFO:1"
     assert out["OMIM:8"] == "HP:2"
+
+
+def test_driver_and_spark_component_strategies_agree(spark):
+    """The guarded driver union-find and the iterative Spark propagation
+    are two implementations of one semantics — byte-equal output
+    required (same contract as the linker's dual strategies)."""
+    edges = spark.createDataFrame(
+        [
+            ("B", "C"), ("C", "D"), ("D", "E"), ("E", "F"),   # chain
+            ("MONDO:1", "OMIM:2"), ("OMIM:2", "ORPHANET:3"),  # ranked
+            ("EFO:9", "EFO:9"),                               # self loop
+        ],
+        "src string, dst string",
+    )
+    terms = spark.createDataFrame([("B",), ("MONDO:1",)], "node string")
+    d = {
+        r["node"]: r["canonicalId"]
+        for r in connected_components(edges, terms, strategy="driver").collect()
+    }
+    s = {
+        r["node"]: r["canonicalId"]
+        for r in connected_components(edges, terms, strategy="spark").collect()
+    }
+    assert d == s
+    assert d["F"] == "B"
+    assert d["ORPHANET:3"] == "MONDO:1"
+
+
+def test_auto_strategy_spills_to_spark_above_edge_cap(spark):
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("X", "Y")], "src string, dst string"
+    )
+    terms = spark.createDataFrame([], "node string")
+    capped = {
+        r["node"]: r["canonicalId"]
+        for r in connected_components(
+            edges, terms, strategy="auto", driver_edge_cap=1
+        ).collect()
+    }
+    forced = {
+        r["node"]: r["canonicalId"]
+        for r in connected_components(edges, terms, strategy="spark").collect()
+    }
+    assert capped == forced
