@@ -100,7 +100,11 @@ _WORDS_SQL = "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), w -> w
 
 def _docs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ perturbed copies (doc_id+1000000, first word dropped)
-    of every doc with doc_id % 20 == 3 — deterministic in any engine."""
+    of every doc with doc_id % 20 == 3 — deterministic in any engine.
+
+    Repartitioned to the session parallelism: the small test parquet is
+    a single scan partition, which would serialise the downstream
+    per-doc shingle/minhash/simhash expressions into one task."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     d2 = (
         d.filter(F.col("doc_id") % 20 == 3)
@@ -109,7 +113,9 @@ def _docs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
         )
     )
-    return d.unionByName(d2)
+    return d.unionByName(d2).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 _DOCS_NEARDUP_SQL = """
@@ -514,11 +520,14 @@ def q19_neardup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(ws, i, 3), " "),
         ),
     ).otherwise(F.array(F.array_join(ws, " ")))
+    # cache: the self-join otherwise evaluates the shingle+md5 subplan
+    # INSIDE the broadcast build — single-threaded (~7 core-seconds
+    # serialized at sf0.1); cached, both sides read the materialised rows
     sig = docs.select(
         F.col("doc_id").alias("k"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("mh"),
         F.array_distinct(ws).alias("wset"),
-    )
+    ).cache()
     a = sig.select(F.col("k").alias("a"), F.col("mh"), F.col("wset").alias("wa"))
     b = sig.select(F.col("k").alias("b"), F.col("mh"), F.col("wset").alias("wb"))
     return (

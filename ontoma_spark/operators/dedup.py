@@ -25,9 +25,18 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql.types import LongType
 
 from ontoma_spark.functions.textstats import words
+
+# Self-join inputs are persisted before joining: Spark otherwise
+# re-evaluates the (expensive) signature subplan INSIDE the broadcast
+# build — single-threaded — or once per join side. Signatures are tiny
+# relative to the corpus (a few hashes/chunks per doc), so
+# MEMORY_AND_DISK is safe at any scale; callers may unpersist via the
+# returned DataFrame's lineage once consumed.
+_PERSIST = StorageLevel.MEMORY_AND_DISK
 
 
 def content_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -92,28 +101,32 @@ def minhash_candidate_pairs(
         F.col(key_col).alias("k"),
         minhash_signature(F.col(text_col), n_hashes).alias("sig"),
     )
-    banded = sig.select(
-        "k",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows + 1, rows),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("k", "bb.band", "bb.bucket")
+    banded = (
+        sig.select(
+            "k",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.array_join(
+                                    F.transform(
+                                        F.slice("sig", b * rows + 1, rows),
+                                        lambda x: x.cast("string"),
+                                    ),
+                                    ",",
+                                )
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("k", "bb.band", "bb.bucket")
+        .persist(_PERSIST)
+    )
     left = banded.withColumnRenamed("k", "a")
     right = banded.withColumnRenamed("k", "b")
     return (
@@ -133,8 +146,9 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact word-set Jaccard on candidate pairs; keep >= threshold."""
     sets = df.select(
-        F.col(key_col).alias("k"), F.array_distinct(words(F.col(text_col))).alias("ws")
-    )
+        F.col(key_col).alias("k"),
+        F.array_distinct(words(F.col(text_col))).alias("ws"),
+    ).persist(_PERSIST)
     a = sets.select(F.col("k").alias("a"), F.col("ws").alias("wa"))
     b = sets.select(F.col("k").alias("b"), F.col("ws").alias("wb"))
     return (
@@ -213,9 +227,11 @@ def simhash_candidates(
     Blocking: split the 64-bit hash into 4 x 16-bit chunks; by pigeonhole
     any pair within Hamming distance 3 shares at least one exact chunk.
     """
+    # persist: without it the self-join runs the SimHash pandas UDF
+    # again inside the broadcast build, single-threaded
     sh = df.select(
         F.col(key_col).alias("k"), simhash64(F.col(text_col)).alias("sh")
-    )
+    ).persist(_PERSIST)
     chunks = sh.select(
         "k",
         "sh",
@@ -281,7 +297,7 @@ def embedding_neardup_pairs(
         F.col(key_col).alias("k"),
         F.col(vec_col).cast("array<double>").alias("v"),
         lsh_bucket_expr(vec_col, planes).alias("bucket"),
-    )
+    ).persist(_PERSIST)
     a = sig.select(
         F.col("k").alias("a"), F.col("v").alias("va"), "bucket"
     )
