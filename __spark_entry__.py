@@ -947,6 +947,87 @@ def _q31_oracle_sql() -> str:
     """
 
 
+CURATION_INDEX_IDS = [f"EFO_{i}" for i in range(0, 20, 2)]
+
+
+def q32_curation_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual-curation datasource end-to-end through the REAL
+    curation_label_lut operator: IRI-tail id extraction, '#'-segment /
+    ICD-prefix label cleanup, tbd-track resolution, translation
+    fan-out, validity inner join against the disease index (odd EFO ids
+    are absent -> dropped), and the regex junk filter. Curation rows
+    are derived deterministically from events; the DuckDB twin
+    replicates every step."""
+    from ontoma_spark.lexicon.curation import curation_label_lut
+
+    e = _t(spark, sf_dir, "events")
+    pv = (
+        F.when(F.col("event_id") % 5 == 0, F.lit("breast carcinoma"))
+        .when(F.col("event_id") % 5 == 1, F.lit("#C50 breast cancer"))
+        .when(
+            F.col("event_id") % 5 == 2,
+            F.lit("mapping#Chapter IV neoplasm of breast"),
+        )
+        .when(F.col("event_id") % 5 == 3, F.lit("1)"))
+        .otherwise(F.lit("NSCLC"))
+    )
+    curation = e.select(
+        pv.alias("PROPERTY_VALUE"),
+        F.concat(
+            F.lit("http://www.ebi.ac.uk/efo/EFO_"),
+            (F.col("event_id") % 20).cast("string"),
+        ).alias("SEMANTIC_TAG"),
+    )
+    index = spark.createDataFrame(
+        [(i,) for i in CURATION_INDEX_IDS], "id string"
+    )
+    return curation_label_lut(curation, index)
+
+
+def _q32_oracle_sql() -> str:
+    idx_values = ", ".join(f"('{i}')" for i in CURATION_INDEX_IDS)
+    clean = (
+        "CASE WHEN pv LIKE '%#%' THEN regexp_extract("
+        "string_split(pv, '#')[-1],"
+        " '^(?:[A-Z]{1}[0-9]{2}[-.A-Z0-9]* |Chapter [IVX]+ )?(.+)$', 1) "
+        "ELSE pv END"
+    )
+    track = _TRACK_SQL.format(col="entityLabel")
+    return f"""
+        WITH cur AS (
+          SELECT CASE WHEN event_id % 5 = 0 THEN 'breast carcinoma'
+                      WHEN event_id % 5 = 1 THEN '#C50 breast cancer'
+                      WHEN event_id % 5 = 2
+                        THEN 'mapping#Chapter IV neoplasm of breast'
+                      WHEN event_id % 5 = 3 THEN '1)'
+                      ELSE 'NSCLC' END AS pv_raw,
+                 'http://www.ebi.ac.uk/efo/EFO_' || (event_id % 20) AS tag
+          FROM events
+        ),
+        ext AS (
+          SELECT lower(regexp_extract(tag, '^http.+/(\\w+_\\w+)$', 1))
+                   AS join_id,
+                 {clean.replace("pv", "trim(pv_raw)")} AS entityLabel
+          FROM cur
+        ),
+        idx(id) AS (VALUES {idx_values})
+        SELECT DISTINCT
+               i.id AS entityId,
+               e.entityLabel AS entityLabel,
+               1.0 AS entityScore,
+               ({track}) AS nlpPipelineTrack,
+               'manual_curation' AS entitySource,
+               'DS' AS entityType,
+               'label' AS entityKind
+        FROM ext e
+        JOIN (SELECT id, replace(lower(id), ':', '_') AS join_id
+              FROM idx) i USING (join_id)
+        WHERE NOT regexp_matches(e.entityLabel, '^[12]\\)$')
+          AND e.entityLabel IS NOT NULL AND e.entityLabel <> ''
+          AND i.id IS NOT NULL AND i.id <> ''
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -985,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_ivf_topk": q29_ivf_topk,
         "q30_unionfind_components": q30_unionfind_components,
         "q31_embedding_neardup": q31_embedding_neardup,
+        "q32_curation_lut": q32_curation_lut,
     }
 
 
@@ -1278,4 +1360,5 @@ def oracle_sql() -> dict[str, str]:
         "q29_ivf_topk": _q29_oracle_sql(),
         "q30_unionfind_components": _Q30_ORACLE_SQL,
         "q31_embedding_neardup": _q31_oracle_sql(),
+        "q32_curation_lut": _q32_oracle_sql(),
     }
