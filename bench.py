@@ -62,6 +62,10 @@ HEADLINE = [
     "q19_neardup_minhash_jaccard",
     "q20_ann_cosine_topk",
     "q21_lsh_buckets",
+    "q24_simhash_candidates",
+    "q26_sessionization",
+    "q29_ivf_topk",
+    "q31_embedding_neardup",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels that
+back executor UDFs and driver fast paths. These run without Spark, so
+hypothesis can afford hundreds of examples."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from ontoma_spark.functions.fuzzy import (
+    build_idf,
+    combined_score,
+    jaro,
+    jaro_winkler,
+    tfidf_cosine,
+)
+from ontoma_spark.functions.stemmer import porter_stem
+from ontoma_spark.ner import DRUG_NAME_PATTERNS, extract_with_regex
+from ontoma_spark.operators.similarity import (
+    deterministic_centroids,
+    hyperplane_signs,
+)
+from ontoma_spark.operators.unionfind import _driver_components
+
+words = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=15)
+texts = st.text(
+    alphabet=string.ascii_letters + string.digits + " .-_,", max_size=80
+)
+
+
+@settings(max_examples=300)
+@given(words)
+def test_porter_stem_deterministic_and_nonempty(w):
+    s = porter_stem(w)
+    assert s == porter_stem(w)
+    assert len(s) >= 1
+    # Porter only rewrites suffixes: the first character survives, and
+    # the stem never grows by more than the odd restored 'e'
+    assert s[0] == w[0]
+    assert len(s) <= len(w) + 1
+
+
+@settings(max_examples=200)
+@given(words, words)
+def test_jaro_bounds_symmetry_identity(a, b):
+    j = jaro(a, b)
+    assert 0.0 <= j <= 1.0
+    assert abs(j - jaro(b, a)) < 1e-12
+    assert jaro(a, a) == 1.0
+
+
+@settings(max_examples=200)
+@given(words, words)
+def test_jaro_winkler_dominates_jaro(a, b):
+    assert jaro_winkler(a, b) >= jaro(a, b) - 1e-12
+    assert jaro_winkler(a, b) <= 1.0 + 1e-12
+
+
+@settings(max_examples=100)
+@given(st.lists(words, min_size=1, max_size=8, unique=True), words, words)
+def test_combined_score_bounds_and_identity(vocab, a, b):
+    idf = build_idf(vocab)
+    s = combined_score(a, b, idf)
+    assert 0.0 <= s <= 1.0 + 1e-12
+    assert combined_score(a, a, idf) >= combined_score(a, b, idf) - 1e-12
+    # symmetry
+    assert abs(s - combined_score(b, a, idf)) < 1e-9
+
+
+@settings(max_examples=100)
+@given(st.lists(words, min_size=1, max_size=8, unique=True), words)
+def test_trigram_cosine_self_similarity(vocab, a):
+    idf = build_idf(vocab)
+    if len(a) >= 3:
+        assert abs(tfidf_cosine(a, a, idf) - 1.0) < 1e-9
+
+
+@settings(max_examples=200)
+@given(texts)
+def test_regex_extraction_cleanup_invariants(t):
+    hits = extract_with_regex(t, DRUG_NAME_PATTERNS)
+    for h in hits:
+        assert h == h.lower()
+        assert len(h) > 3
+        assert not h[0].isdigit()
+        assert h in t.lower()
+
+
+@settings(max_examples=50)
+@given(st.integers(1, 16), st.integers(1, 8))
+def test_planes_and_centroids_pure(dim, n):
+    assert hyperplane_signs(dim, n) == hyperplane_signs(dim, n)
+    c = deterministic_centroids(dim, n)
+    assert c == deterministic_centroids(dim, n)
+    assert len(c) == n and all(len(r) == dim for r in c)
+
+
+_edge = st.tuples(st.integers(0, 15), st.integers(0, 15))
+
+
+@settings(max_examples=150)
+@given(st.lists(_edge, min_size=1, max_size=25))
+def test_driver_components_invariants(pairs):
+    rows = [{"src": f"N{a}", "dst": f"N{b}"} for a, b in pairs]
+    out = dict(_driver_components(rows, []))
+    # every endpoint is mapped, and maps to a node in its own component
+    comp_of = {}
+    for n, c in out.items():
+        comp_of.setdefault(c, set()).add(n)
+    for a, b in pairs:
+        assert out[f"N{a}"] == out[f"N{b}"]  # connected -> same canonical
+    for canon, members in comp_of.items():
+        assert canon in members  # representative belongs to its component
+        assert canon == min(members)  # no terms -> plain min id wins
+    # direction-invariance: reversed edges give the same components
+    rev = [{"src": r["dst"], "dst": r["src"]} for r in rows]
+    assert dict(_driver_components(rev, [])) == out
