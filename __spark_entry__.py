@@ -52,6 +52,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with vectors as array<double>, repartitioned to the
+    session parallelism — the small test parquet scans as ONE partition,
+    which would serialise the per-row dot-product folds into one task."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def _sf_rows(sf_dir: str) -> int:
     """Synthetic repos row count scaled like the other tables."""
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -548,9 +562,7 @@ def q19_neardup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q20_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = _emb(spark, sf_dir).withColumnRenamed("embedding", "v")
     q = F.broadcast(
         emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -579,9 +591,7 @@ def q20_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q21_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = _emb(spark, sf_dir).withColumnRenamed("embedding", "v")
     bits = []
     for row in PLANES:
         proj = F.aggregate(
@@ -789,9 +799,7 @@ def q29_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
+    emb = _emb(spark, sf_dir)
     cents = deterministic_centroids(EMBED_DIM, IVF_CELLS)
     out = ivf_topk(
         emb,
@@ -902,9 +910,7 @@ def q31_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine >= 0.98 isolates exactly the planted pairs in any engine."""
     from ontoma_spark.operators.dedup import embedding_neardup_pairs
 
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
+    e = _emb(spark, sf_dir)
     dup = e.filter(F.col("vec_id") % 10 == 7).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.concat(
