@@ -59,8 +59,11 @@ DRUGTEMIST_LABELS = [
     "CHEMICAL", "DRUG", "MEDICATION", "CHEM", "FARMACO", "NORMALIZABLES",
 ]
 
-# One model instance per executor python worker, keyed by factory
-# identity — a mapInPandas partition re-run must not reload the model.
+# One model instance per executor python worker, keyed by the factory's
+# module-qualified name — a mapInPandas partition re-run must not reload
+# the model. Caveat: two DIFFERENT factories sharing a qualname (e.g.
+# two bare lambdas) would collide in one worker; name your factories
+# distinctly (the defaults and all documented usage do).
 _MODEL_CACHE: dict[str, object] = {}
 
 
