@@ -1034,6 +1034,93 @@ def _q32_oracle_sql() -> str:
     """
 
 
+def q33_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing END-TO-END with a round-trip oracle: fake
+    media blobs (magic + big-endian dims/frame-count header + payload)
+    are PACKED with Column algebra, then the REAL mapInPandas decode
+    stage must recover width/height/nFrames from the bytes; resize
+    planning and frame-sampling run on the decoded metadata. The DuckDB
+    twin constructs byte-identical blobs (hex packing) and computes the
+    expected metadata directly — so a decode bug cannot cancel out."""
+    from ontoma_spark.operators.multimodal import (
+        decode_media,
+        resize_meta,
+        sample_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 300 + 16).cast("int")
+    h = (F.col("doc_id") % 200 + 16).cast("int")
+    nf = (F.col("doc_id") % 50 + 1).cast("int")
+    blob = F.concat(
+        F.lit(b"FAKE"),
+        F.unhex(F.lpad(F.hex(w), 4, "0")),
+        F.unhex(F.lpad(F.hex(h), 4, "0")),
+        F.unhex(F.lpad(F.hex(nf), 8, "0")),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    media = d.select(F.col("doc_id").alias("key"), blob.alias("payload")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # JVM-side digests of the packed bytes: blob_digest (sha256 of the
+    # lowercase hex — DuckDB can reproduce it) pins the bytes against
+    # the oracle; jvm_sha cross-checks the decode stage's Python-side
+    # sha256 (sha_ok must be uniformly true).
+    digests = media.select(
+        "key",
+        F.sha2(F.col("payload"), 256).alias("jvm_sha"),
+        F.sha2(F.lower(F.hex(F.col("payload"))), 256).alias("blob_digest"),
+    )
+    meta = decode_media(media)
+    resized = resize_meta(meta)
+    frames = (
+        sample_frames(meta, every_n=7)
+        .groupBy("key")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        resized.join(frames, "key")
+        .join(digests, "key")
+        .select(
+            "key",
+            F.col("byteLength").cast("long").alias("byteLength"),
+            (F.col("sha256") == F.col("jvm_sha")).alias("sha_ok"),
+            "blob_digest",
+            "width",
+            "height",
+            "targetWidth",
+            "targetHeight",
+            "n_sampled",
+        )
+    )
+
+
+_Q33_ORACLE_SQL = """
+    WITH m AS (
+      SELECT doc_id AS key,
+             ((doc_id % 300) + 16)::INTEGER AS width,
+             ((doc_id % 200) + 16)::INTEGER AS height,
+             ((doc_id % 50) + 1)::INTEGER AS nframes,
+             ('FAKE'::BLOB
+               || from_hex(lpad(to_hex((doc_id % 300) + 16), 4, '0'))
+               || from_hex(lpad(to_hex((doc_id % 200) + 16), 4, '0'))
+               || from_hex(lpad(to_hex((doc_id % 50) + 1), 8, '0'))
+               || encode(text)) AS blob
+      FROM documents)
+    SELECT key,
+           octet_length(blob)::BIGINT AS byteLength,
+           true AS sha_ok,
+           sha256(lower(to_hex(blob))) AS blob_digest,
+           width, height,
+           ceil(width * least(1.0, 256.0 / greatest(width, height)))
+             ::INTEGER AS targetWidth,
+           ceil(height * least(1.0, 256.0 / greatest(width, height)))
+             ::INTEGER AS targetHeight,
+           ((nframes - 1) // 7 + 1)::BIGINT AS n_sampled
+    FROM m
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1073,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_unionfind_components": q30_unionfind_components,
         "q31_embedding_neardup": q31_embedding_neardup,
         "q32_curation_lut": q32_curation_lut,
+        "q33_multimodal_pipeline": q33_multimodal_pipeline,
     }
 
 
@@ -1367,4 +1455,5 @@ def oracle_sql() -> dict[str, str]:
         "q30_unionfind_components": _Q30_ORACLE_SQL,
         "q31_embedding_neardup": _q31_oracle_sql(),
         "q32_curation_lut": _q32_oracle_sql(),
+        "q33_multimodal_pipeline": _Q33_ORACLE_SQL,
     }
