@@ -2,12 +2,15 @@
 
 ``queries()`` exposes every operator family from SURVEY.md §2 plus the
 training-data-pipeline extras (dedup, similarity search, text analysis,
-multimodal plumbing, KG linking) over the driver-provided tables;
-``oracle_sql()`` gives the DuckDB twin for each SQL-expressible query.
-Column names and (rounded) values are aligned pairwise.
+multimodal plumbing, NER, IVF, union-find, curation, KG linking) over
+the driver-provided tables; ``oracle_sql()`` gives the DuckDB twin for
+each query. Column names and values are aligned pairwise.
 
-Non-SQL-expressible entries (full KG pipeline with Porter stemming +
-fuzzy UDF tier; SimHash UDF) have no oracle — rows-only check.
+Every entry but one is value-checked: q23 (the full KG pipeline) keeps
+a rows-only check because its fuzzy tier (Jaro-Winkler + TF-IDF UDF) is
+not SQL-expressible — its exact tier is value-checked end-to-end by
+q27, which makes even the Porter stemming SQL-expressible via a
+closed-vocabulary CASE map.
 """
 
 from __future__ import annotations
