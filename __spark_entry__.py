@@ -1124,6 +1124,103 @@ _Q33_ORACLE_SQL = """
 """
 
 
+def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click, plus the latest prior purchase of the
+    same user (inclusive at equality, null when no prior purchase).
+    Implementation is the tagged-union + running-window operator — ONE
+    shuffle on user_id, no join node — vs DuckDB's native ASOF LEFT
+    JOIN as the oracle."""
+    from ontoma_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+    )
+    # no-prior-purchase rows keep left-outer semantics; nulls are
+    # coalesced to -1 sentinels so the value-hash compare is null-safe
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_ts_micros"),
+        F.coalesce(F.col("asof_event_id"), F.lit(-1)).alias("purchase_id"),
+        F.coalesce(F.col("asof_ts_micros"), F.lit(-1)).alias("asof_ts_micros"),
+        F.coalesce(F.round("asof_value", 2), F.lit(-1.0)).alias(
+            "purchase_value"
+        ),
+    )
+
+
+_Q34_ORACLE_SQL = """
+    WITH p AS (SELECT user_id, ts, event_id, value FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click')
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           epoch_us(c.ts) AS click_ts_micros,
+           coalesce(p.event_id, -1) AS purchase_id,
+           coalesce(epoch_us(p.ts), -1) AS asof_ts_micros,
+           coalesce(round(p.value, 2), -1.0) AS purchase_value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q35_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks attributed to the 2-hour half-open window
+    after each purchase by the same user. Implementation is the
+    bucketed-equi-join + residual-predicate operator (each interval
+    explodes into its covered hour buckets, each point buckets once) —
+    Catalyst gets a plain hash join instead of an inequality
+    nested-loop. Oracle: DuckDB's native inequality join."""
+    from ontoma_spark.operators.joins import range_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    windows = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    joined = range_join(
+        clicks, windows, "ts", "start_ts", "end_ts", on=["user_id"]
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_ts_micros"),
+    )
+
+
+_Q35_ORACLE_SQL = """
+    WITH c AS (SELECT user_id, event_id AS click_id, ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS start_ts,
+                      ts + INTERVAL 2 HOUR AS end_ts FROM events
+               WHERE event_type = 'purchase')
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           epoch_us(c.ts) AS click_ts_micros
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND c.ts >= p.start_ts AND c.ts < p.end_ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1164,6 +1261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_embedding_neardup": q31_embedding_neardup,
         "q32_curation_lut": q32_curation_lut,
         "q33_multimodal_pipeline": q33_multimodal_pipeline,
+        "q34_asof_join": q34_asof_join,
+        "q35_range_join": q35_range_join,
     }
 
 
@@ -1459,4 +1558,6 @@ def oracle_sql() -> dict[str, str]:
         "q31_embedding_neardup": _q31_oracle_sql(),
         "q32_curation_lut": _q32_oracle_sql(),
         "q33_multimodal_pipeline": _Q33_ORACLE_SQL,
+        "q34_asof_join": _Q34_ORACLE_SQL,
+        "q35_range_join": _Q35_ORACLE_SQL,
     }

@@ -1,0 +1,152 @@
+"""As-of join and range join — interval/event operators Spark's built-in
+join set lacks (the reference has no analogue; these back the
+training-data-pipeline surface: aligning events to the latest prior state,
+attributing points to time windows).
+
+Scale design, not theta-joins:
+
+* ``asof_join`` NEVER materialises a join at all. Both sides are tagged
+  and unioned, then ONE window pass per key carries the latest right-side
+  payload forward (``last(..., ignorenulls=True)`` over a running frame).
+  Cost = one shuffle on the key — the same price as the groupBy any
+  per-key rollup already pays. A BroadcastNestedLoopJoin or a
+  range-condition SortMergeJoin over the raw inequality would replay the
+  whole right side per left row; this is linear.
+* ``range_join`` turns ``start <= point < end`` into an equi-join by
+  exploding each interval into the coarse time buckets it covers and
+  bucketing each point once, then applying the exact predicate as a
+  residual filter. With buckets sized near the median interval length the
+  fan-out is O(1) per interval and Catalyst gets a plain hash join it can
+  shuffle or broadcast like any other.
+
+Skew note (100 TB): both operators shuffle on the caller's key columns.
+A pathologically hot key (one user with a billion events) concentrates
+in one task — pre-split such keys with a salt on the RIGHT side only if
+profiling shows it; AQE skew-join handles the range-join's bucket join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def _as_micros(df: DataFrame, col: str) -> Column:
+    """Numeric event-time axis: timestamps become exact epoch
+    microseconds (integer arithmetic — no double-rounding drift);
+    numeric columns pass through as long."""
+    if dict(df.dtypes)[col].startswith("timestamp"):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    return F.col(col).cast("long")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_micros: int | None = None,
+) -> DataFrame:
+    """Left-outer as-of join: every ``left`` row, plus the payload of the
+    latest ``right`` row with ``right_ts <= left_ts`` in the same ``on``
+    group (inclusive at equality; right-side ties at identical
+    ``(key, ts)`` resolve deterministically to the max payload struct).
+
+    ``right_cols`` payload columns are emitted with an ``asof_`` prefix
+    (null when no prior right row, or when the match is older than
+    ``tolerance_micros``).
+
+    Implementation: tagged union + one running-frame window — no join
+    node in the plan; one shuffle on ``on``.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in set(on) | {right_ts}]
+    payload = F.struct(
+        _as_micros(right, right_ts).alias("_asof_ts"),
+        *[F.col(c) for c in right_cols],
+    )
+    # side 0 sorts before side 1 at equal ts -> inclusive (>=) semantics
+    r = right.select(
+        *on,
+        _as_micros(right, right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        payload.alias("_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns
+          if c not in set(on)],
+    )
+    l = left.select(
+        *on,
+        _as_micros(left, left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        *[F.col(c) for c in left.columns if c not in set(on)],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side", "_r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l.unionByName(r)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance_micros is not None:
+        matched = matched.withColumn(
+            "_m",
+            F.when(
+                F.col("_ts") - F.col("_m._asof_ts") <= F.lit(tolerance_micros),
+                F.col("_m"),
+            ),
+        )
+    out_cols = (
+        [F.col(c) for c in on]
+        + [F.col(c) for c in left.columns if c not in set(on)]
+        + [F.col("_m._asof_ts").alias("asof_ts_micros")]
+        + [F.col(f"_m.{c}").alias(f"asof_{c}") for c in right_cols]
+    )
+    return matched.select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    on: list[str] | None = None,
+    bucket_micros: int = 3_600_000_000,
+) -> DataFrame:
+    """Inner join of ``points`` to every ``intervals`` row whose
+    ``[start, end)`` half-open window contains the point (plus optional
+    ``on`` equi-keys). Bucketed equi-join + residual predicate — each
+    point lands in exactly one bucket, so no post-join dedup is needed.
+
+    Output: all ``on``/point columns plus the interval's columns.
+    Size ``bucket_micros`` near the median interval length: an interval
+    explodes into ``len/bucket + 1`` bucket rows.
+    """
+    on = on or []
+    p = points.withColumn("_pts", _as_micros(points, point_ts)).withColumn(
+        "_bucket", F.floor(F.col("_pts") / bucket_micros)
+    )
+    iv = (
+        intervals.withColumn("_s", _as_micros(intervals, start_col))
+        .withColumn("_e", _as_micros(intervals, end_col))
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_s") / bucket_micros),
+                    F.floor((F.col("_e") - 1) / bucket_micros),
+                )
+            ),
+        )
+    )
+    joined = p.join(iv, on=on + ["_bucket"], how="inner").filter(
+        (F.col("_pts") >= F.col("_s")) & (F.col("_pts") < F.col("_e"))
+    )
+    drop = {"_pts", "_bucket", "_s", "_e"}
+    return joined.select(*[c for c in joined.columns if c not in drop])

@@ -34,13 +34,15 @@ def ddb():
 
 
 def _norm(v):
+    if v is None:
+        return (0, "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return round(v, 6)
+            return (1, "nan")
+        return (1, round(v, 6))
     if isinstance(v, bytes):
-        return v.hex()
-    return v
+        return (1, v.hex())
+    return (1, v)
 
 
 def _rows_from_spark(df):

@@ -1,0 +1,133 @@
+"""As-of join and range join operator tests.
+
+The reference (opentargets/OnToma) has no interval/event join; these
+back the training-data-pipeline surface. Semantics are pinned against
+hand-computed fixtures; plan tests pin the scale contract — asof_join
+compiles to a window pass with NO join node, range_join compiles to a
+plain equi hash join (never a nested-loop over the inequality).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.operators.joins import asof_join, range_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("AAPL", _ts("2024-01-01T09:00:00"), 100.0),
+            ("AAPL", _ts("2024-01-01T09:00:05"), 101.0),
+            ("AAPL", _ts("2024-01-01T09:01:00"), 102.0),
+            ("MSFT", _ts("2024-01-01T09:00:03"), 300.0),
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("AAPL", _ts("2024-01-01T08:59:59"), 1),   # before any quote
+            ("AAPL", _ts("2024-01-01T09:00:05"), 2),   # equality -> inclusive
+            ("AAPL", _ts("2024-01-01T09:00:59"), 3),   # latest prior = 101
+            ("AAPL", _ts("2024-01-01T09:30:00"), 4),   # latest overall = 102
+            ("MSFT", _ts("2024-01-01T09:00:02"), 5),   # key isolation
+            ("MSFT", _ts("2024-01-01T09:00:04"), 6),
+        ],
+        "sym string, ts timestamp, trade_id int",
+    )
+    return trades, quotes
+
+
+def test_asof_semantics(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on=["sym"], right_cols=["px"])
+    got = {r["trade_id"]: r["asof_px"] for r in out.collect()}
+    assert got == {1: None, 2: 101.0, 3: 101.0, 4: 102.0, 5: None, 6: 300.0}
+    assert out.count() == trades.count()  # left-outer: every left row kept
+
+
+def test_asof_tolerance(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], right_cols=["px"],
+        tolerance_micros=10_000_000,  # 10s
+    )
+    got = {r["trade_id"]: r["asof_px"] for r in out.collect()}
+    # trade 2 matches at 0s age; trades 3 (54s) and 4 (29min) are stale
+    assert got[2] == 101.0
+    assert got[3] is None and got[4] is None
+
+
+def test_asof_right_tie_breaks_to_max_payload(spark):
+    right = spark.createDataFrame(
+        [("k", 10, "a"), ("k", 10, "b")], "key string, t long, v string"
+    )
+    left = spark.createDataFrame([("k", 11)], "key string, t long")
+    out = asof_join(left, right, on=["key"], left_ts="t", right_ts="t",
+                    right_cols=["v"])
+    assert out.collect()[0]["asof_v"] == "b"  # deterministic max-struct tie
+
+
+def test_asof_plan_has_no_join_node(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on=["sym"], right_cols=["px"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # tagged union + window: zero join nodes
+    assert "Window" in plan
+
+
+def test_range_join_semantics(spark):
+    points = spark.createDataFrame(
+        [(1, 0), (1, 3_600_000_000), (1, 7_199_999_999), (1, 7_200_000_000),
+         (2, 100)],
+        "uid int, t long",
+    )
+    intervals = spark.createDataFrame(
+        [(1, "w1", 0, 7_200_000_000),        # [0h, 2h) -> first three points
+         (1, "w2", 3_600_000_000, 3_600_000_001),  # 1-us window
+         (2, "w3", 0, 50)],                  # excludes point at 100
+        "uid int, wid string, s long, e long",
+    )
+    out = range_join(points, intervals, "t", "s", "e", on=["uid"])
+    got = sorted((r["t"], r["wid"]) for r in out.collect())
+    assert got == [
+        (0, "w1"), (3_600_000_000, "w1"), (3_600_000_000, "w2"),
+        (7_199_999_999, "w1"),
+    ]
+
+
+def test_range_join_timestamp_inputs_and_plan(spark):
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:30:00"), "c1")],
+        "uid int, ts timestamp, pid string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T12:00:00"), "p1")],
+        "uid int, s timestamp, e timestamp, wid string",
+    )
+    out = range_join(points, intervals, "ts", "s", "e", on=["uid"])
+    rows = out.collect()
+    assert [(r["pid"], r["wid"]) for r in rows] == [("c1", "p1")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the inequality must NOT surface as a nested-loop join
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_range_join_no_duplicate_matches(spark):
+    # interval spanning many buckets still yields each (point, interval)
+    # pair exactly once — the point buckets once, not per covered bucket
+    points = spark.createDataFrame([(1, 5_000_000_000)], "uid int, t long")
+    intervals = spark.createDataFrame(
+        [(1, "wide", 0, 40_000_000_000)], "uid int, wid string, s long, e long"
+    )
+    out = range_join(points, intervals, "t", "s", "e", on=["uid"])
+    assert out.count() == 1
