@@ -2,5 +2,6 @@ from ontoma_spark.streaming.incremental import (
     stream_event_rollup,
     stream_repo_triples,
 )
+from ontoma_spark.streaming.sessions import sessionize_stream
 
-__all__ = ["stream_repo_triples", "stream_event_rollup"]
+__all__ = ["stream_repo_triples", "stream_event_rollup", "sessionize_stream"]

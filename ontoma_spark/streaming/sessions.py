@@ -1,0 +1,149 @@
+"""Stateful streaming sessionization — ``applyInPandasWithState``.
+
+The streaming twin of the batch gap-sessionizer (driver contract q26):
+the batch version is a lag + running-sum window over the full history;
+this one holds ONE open session per user in Spark's keyed state store
+and closes it either when a later event arrives past the gap or when
+the event-time watermark passes the session's expiry — so state is
+bounded by (active users × one small struct) regardless of how much
+history has flowed through, which is the only formulation that survives
+an unbounded stream.
+
+Semantics pinned to the batch twin:
+* gap: a session closes when the NEXT event of the same user is more
+  than ``gap_sec`` after the previous one (strict >, matching the batch
+  ``gap_us > 1800s`` predicate).
+* arithmetic: exact integer microseconds end-to-end (no double epochs).
+* output row per CLOSED session: (user_id, session_start_micros,
+  session_end_micros, n_events, sum_value). Sessions still open at the
+  watermark stay in state and are emitted by the timeout path once the
+  watermark passes ``last_ts + gap``.
+
+The reference (opentargets/OnToma) is batch-only — SURVEY §2.10; this
+is part of the training-data-pipeline extension surface.
+
+Scale notes: the state store shuffles once on user_id (same key as any
+per-user rollup); per-key state is O(1); late rows beyond the watermark
+are dropped by Spark before reaching the function, so reprocessing
+storms can't resurrect closed sessions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    DoubleType,
+    StructField,
+    StructType,
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_micros", LongType()),
+        StructField("session_end_micros", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+# open-session state: (start_us, last_us, n_events, sum_value)
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def _sessionize_group_fn(gap_sec: int):
+    gap_us = gap_sec * 1_000_000
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int, int, float]] = []
+
+        if state.hasTimedOut:
+            # watermark passed last_us + gap with no newer event: the
+            # open session can never be extended — emit and clear.
+            start_us, last_us, n, sv = state.get
+            closed.append((user_id, start_us, last_us, n, sv))
+            state.remove()
+            yield pd.DataFrame(
+                closed,
+                columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields],
+            )
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # exact integer microseconds; stable (ts, event_id) order
+        # matches the batch twin's window ordering
+        us = (rows["ts"].astype("datetime64[us]").astype("int64")).to_numpy()
+        order = pd.DataFrame(
+            {"us": us, "eid": rows["event_id"].to_numpy()}
+        ).sort_values(["us", "eid"])
+        vals = rows["value"].to_numpy()[order.index.to_numpy()]
+        us = order["us"].to_numpy()
+
+        if state.exists:
+            start_us, last_us, n, sv = state.get
+        else:
+            start_us, last_us, n, sv = None, 0, 0, 0.0
+
+        for t, v in zip(us, vals):
+            t = int(t)
+            v = float(v) if v == v else 0.0  # NaN-safe sum
+            if start_us is None:
+                start_us, last_us, n, sv = t, t, 1, v
+            elif t - last_us > gap_us:
+                closed.append((user_id, start_us, last_us, n, sv))
+                start_us, last_us, n, sv = t, t, 1, v
+            else:
+                last_us, n, sv = t, n + 1, sv + v
+
+        state.update((int(start_us), int(last_us), int(n), float(sv)))
+        # expire once the watermark proves no extension can arrive;
+        # Spark rejects timeouts at-or-before the current watermark
+        expiry_ms = last_us // 1000 + gap_sec * 1000
+        state.setTimeoutTimestamp(
+            max(expiry_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields],
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Gap-sessionize a STREAMING events DataFrame (schema: event_id,
+    ts timestamp, user_id, event_type, value, ...) into closed-session
+    rows. Compose with ``writeStream`` at the call site."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group_fn(gap_sec),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,235 @@
+"""Stateful streaming sessionization (applyInPandasWithState): gap
+close, watermark/timeout close, cross-batch session stitching, and
+checkpoint-restart resume. File-source micro-batches are driven with
+``processAllAvailable`` so batch boundaries are deterministic."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from ontoma_spark.streaming.sessions import sessionize_stream
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double"
+)
+
+T0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+
+
+def _ev(eid, minutes, uid, value=1.0):
+    return (eid, T0 + dt.timedelta(minutes=minutes), uid, "click", value)
+
+
+def _write_batch(spark, rows, input_dir, name):
+    spark.createDataFrame(rows, EVENTS_DDL).coalesce(1).write.parquet(
+        os.path.join(input_dir, name)
+    )
+
+
+def _start(spark, input_dir, ckpt, qname, gap_sec=1800):
+    events = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+    )
+    sessions = sessionize_stream(
+        events, gap_sec=gap_sec, watermark_delay="1 minute"
+    )
+    return (
+        sessions.writeStream.queryName(qname)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+def _rows(spark, qname):
+    return {
+        (r.user_id, r.session_start_micros, r.session_end_micros,
+         r.n_events, r.sum_value)
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+    }
+
+
+def _us(minutes):
+    return int((T0 + dt.timedelta(minutes=minutes)).timestamp() * 1_000_000)
+
+
+def test_gap_and_timeout_close(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    # batch 1: user 1 has two events 10 min apart (one session);
+    # user 2 one event
+    _write_batch(
+        spark,
+        [_ev(1, 0, 1), _ev(2, 10, 1, 2.5), _ev(3, 5, 2)],
+        input_dir,
+        "b1",
+    )
+    q = _start(spark, input_dir, ckpt, "sess1")
+    try:
+        q.processAllAvailable()
+        # nothing closed yet: watermark hasn't passed any expiry
+        assert _rows(spark, "sess1") == set()
+
+        # batch 2: user 1 event 40 min after their last (> 30-min gap
+        # -> closes session 1 immediately via the gap path); a far-
+        # future event pushes the watermark past every open expiry so
+        # the remaining sessions close via the TIMEOUT path on batch 3
+        _write_batch(
+            spark, [_ev(4, 50, 1), _ev(5, 600, 99)], input_dir, "b2"
+        )
+        q.processAllAvailable()
+        got = _rows(spark, "sess1")
+        assert (1, _us(0), _us(10), 2, 3.5) in got  # gap-closed
+
+        # batch 3: any new data triggers timeout processing under the
+        # advanced watermark
+        _write_batch(spark, [_ev(6, 610, 99)], input_dir, "b3")
+        q.processAllAvailable()
+        got = _rows(spark, "sess1")
+        assert (2, _us(5), _us(5), 1, 1.0) in got      # timeout-closed
+        assert (1, _us(50), _us(50), 1, 1.0) in got    # timeout-closed
+    finally:
+        q.stop()
+
+
+def test_cross_batch_session_stitching(spark, tmp_path):
+    """Events of ONE session split across micro-batches must merge."""
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    _write_batch(spark, [_ev(1, 0, 7)], input_dir, "b1")
+    q = _start(spark, input_dir, ckpt, "sess2")
+    try:
+        q.processAllAvailable()
+        # same session continues in the next batch (10 < 30 min gap)
+        _write_batch(spark, [_ev(2, 10, 7, 4.0)], input_dir, "b2")
+        q.processAllAvailable()
+        # close it: next event is 40 min later
+        _write_batch(spark, [_ev(3, 50, 7)], input_dir, "b3")
+        q.processAllAvailable()
+        assert (7, _us(0), _us(10), 2, 5.0) in _rows(spark, "sess2")
+    finally:
+        q.stop()
+
+
+def test_restart_resumes_open_state(spark, tmp_path):
+    """Open sessions survive a stop/start via the checkpoint: state is
+    rebuilt and a post-restart event still stitches into it. Uses a
+    parquet sink — the memory sink does not support checkpoint
+    recovery."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    def _start_file(qname):
+        events = (
+            spark.readStream.schema(EVENTS_DDL)
+            .option("recursiveFileLookup", "true")
+            .parquet(input_dir)
+        )
+        sessions = sessionize_stream(
+            events, gap_sec=1800, watermark_delay="1 minute"
+        )
+        return (
+            sessions.writeStream.queryName(qname)
+            .format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write_batch(spark, [_ev(1, 0, 3), _ev(2, 10, 3)], input_dir, "b1")
+    q = _start_file("sess3a")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    _write_batch(spark, [_ev(3, 15, 3), _ev(4, 60, 3)], input_dir, "b2")
+    q = _start_file("sess3b")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.session_start_micros, r.session_end_micros,
+         r.n_events, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # one stitched session 0..15 min with 3 events closed by the
+    # 45-min-later event — NOT two fragments
+    assert (3, _us(0), _us(15), 3, 3.0) in got
+    assert not any(r[1] == _us(15) for r in got)
+
+
+def test_matches_batch_twin_when_all_closed(spark, tmp_path):
+    """Once every session is forced closed, streaming output equals the
+    batch lag+running-sum sessionizer on the same rows."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    rows = [
+        _ev(1, 0, 1), _ev(2, 20, 1), _ev(3, 60, 1),
+        _ev(4, 0, 2), _ev(5, 45, 2), _ev(6, 46, 2),
+    ]
+    _write_batch(spark, rows, input_dir, "b1")
+    q = _start(spark, input_dir, ckpt, "sess4")
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, [_ev(99, 10_000, 42)], input_dir, "b2")
+        q.processAllAvailable()
+        _write_batch(spark, [_ev(100, 10_001, 42)], input_dir, "b3")
+        q.processAllAvailable()
+        streamed = {
+            r for r in _rows(spark, "sess4") if r[0] != 42
+        }
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(rows, EVENTS_DDL)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    expected = {
+        (r.user_id, r.s, r.e, r.n, r.sv)
+        for r in (
+            batch.withColumn(
+                "new",
+                F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
+            )
+            .withColumn(
+                "seq",
+                F.sum("new").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .groupBy("user_id", "seq")
+            .agg(
+                F.min(us).alias("s"),
+                F.max(us).alias("e"),
+                F.count("*").alias("n"),
+                F.sum("value").alias("sv"),
+            )
+            .collect()
+        )
+    }
+    assert streamed == expected
