@@ -1221,6 +1221,46 @@ _Q35_ORACLE_SQL = """
 """
 
 
+def q36_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT k-gram Jaccard near-dup pairs (no MinHash): shingle
+    inverted-index self-join with per-pair intersection counts — the
+    set-similarity-join layout. Same planted-neardup corpus as q19, so
+    the two methods' outputs are directly comparable; the oracle is the
+    identical computation in DuckDB SQL."""
+    from ontoma_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs_with_neardups(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        docs, key_col="doc_id", text_col="text", k=3, threshold=0.5
+    )
+
+
+_Q36_ORACLE_SQL = f"""
+    WITH docs AS ({_DOCS_NEARDUP_SQL}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(ws) >= 3
+                    THEN list_transform(range(1, len(ws) - 1),
+                           i -> array_to_string(ws[i:i+2], ' '))
+                    ELSE [array_to_string(ws, ' ')] END) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               w -> w <> '') AS ws
+            FROM docs)),
+    posts AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s
+              FROM sh),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, a.nsh AS na, b.nsh AS nb,
+             count(*) AS i
+      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT a, b, round(i * 1.0 / (na + nb - i), 4) AS jaccard
+    FROM inter
+    WHERE i * 1.0 / (na + nb - i) >= 0.5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1263,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_multimodal_pipeline": q33_multimodal_pipeline,
         "q34_asof_join": q34_asof_join,
         "q35_range_join": q35_range_join,
+        "q36_ngram_jaccard_exact": q36_ngram_jaccard_exact,
     }
 
 
@@ -1560,4 +1601,5 @@ def oracle_sql() -> dict[str, str]:
         "q33_multimodal_pipeline": _Q33_ORACLE_SQL,
         "q34_asof_join": _Q34_ORACLE_SQL,
         "q35_range_join": _Q35_ORACLE_SQL,
+        "q36_ngram_jaccard_exact": _Q36_ORACLE_SQL,
     }

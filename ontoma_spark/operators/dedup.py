@@ -8,6 +8,9 @@
   shingle arrays); no Python in the hot path.
 * n-gram Jaccard verification: exact word-set Jaccard on candidate pairs
   only (array_intersect/array_union).
+* n-gram Jaccard, exact: shingle inverted-index self-join (posting
+  lists), per-pair intersection counts — no sketch, with a stop-shingle
+  document-frequency cap as the web-scale knob.
 * SimHash: 64-bit sign-vote fingerprint via a vectorized pandas UDF
   (bit-level voting is Python-side; input is one row per doc, not per
   token, so Arrow volume stays modest). Hamming-distance buckets via
@@ -23,7 +26,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as SparkWindow
 import pyspark.sql.functions as F
 from pyspark import StorageLevel
 from pyspark.sql.types import LongType
@@ -164,6 +167,64 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT word-k-gram Jaccard near-dup pairs via a shingle inverted
+    index — no MinHash approximation anywhere.
+
+    Dataflow: distinct shingles per doc -> explode (posting list) ->
+    self-join on the shingle -> per-pair count = |A ∩ B|;
+    |A ∪ B| = |A| + |B| − |A ∩ B|. Only pairs sharing ≥1 shingle are
+    ever materialised, so cost is Σ df(s)² over shingle document
+    frequencies, not n² — the classic set-similarity-join layout
+    (cf. VernicaCarey SIGMOD'10).
+
+    ``max_shingle_df`` drops posting lists longer than the cap (stop
+    shingles) BEFORE the self-join — at web scale a boilerplate shingle
+    shared by 10^8 docs would otherwise create a 10^16-row join block.
+    Capped runs undercount intersections by at most the number of
+    dropped shingles, so results become a lower bound; leave None for
+    exact (the oracle-checked configuration).
+    """
+    sh = df.select(
+        F.col(key_col).alias("k"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    posts = sh.select(
+        "k", F.size("sh").alias("nsh"), F.explode("sh").alias("s")
+    )
+    if max_shingle_df is not None:
+        posts = posts.withColumn(
+            "_df", F.count("*").over(SparkWindow.partitionBy("s"))
+        ).filter(F.col("_df") <= max_shingle_df).drop("_df")
+    # persist: otherwise BOTH self-join sides (and a broadcast build)
+    # re-tokenise + re-explode the whole corpus from the raw scan
+    posts = posts.persist(_PERSIST)
+    a = posts.select(
+        F.col("k").alias("a"), F.col("nsh").alias("na"), "s"
+    )
+    b = posts.select(
+        F.col("k").alias("b"), F.col("nsh").alias("nb"), "s"
+    )
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.filter(jac >= threshold)
+        .select("a", "b", F.round(jac, 4).alias("jaccard"))
     )
 
 

@@ -8,6 +8,7 @@ from ontoma_spark.operators.dedup import (
     jaccard_pairs,
     minhash_candidate_pairs,
     near_duplicates,
+    ngram_jaccard_pairs,
     simhash_candidates,
     simhash64,
 )
@@ -66,3 +67,41 @@ def test_simhash_null_and_empty(spark):
     df = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
     vals = [r["h"] for r in df.select(simhash64("text").alias("h")).collect()]
     assert vals == [0, 0]
+
+
+def test_ngram_jaccard_exact_pairs(docs):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0            # identical docs: all shingles shared
+    # doc1 = doc3 + " today": doc3's 11 shingles are a strict subset of
+    # doc1's 12 -> inter=11, union=12
+    assert got[(1, 3)] == round(11 / 12, 4)
+    # block-rotation keeps intra-block runs: 5 of 9 shingles survive
+    assert got[(4, 5)] == round(5 / 9, 4)
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    # a shingle present in every doc is dropped by the DF cap; the two
+    # docs that ONLY share that boilerplate shingle stop pairing
+    rows = [
+        (1, "common header line alpha beta gamma"),
+        (2, "common header line delta epsilon zeta"),
+        (3, "common header line alpha beta gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # docs 1/2 share ONLY "common header line": jaccard = 1/7
+    uncapped = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.1).collect()
+    }
+    assert (1, 2) in uncapped and (1, 3) in uncapped
+    capped = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.1, max_shingle_df=2
+        ).collect()
+    }
+    assert (1, 3) in capped        # true dups still pair on rare shingles
+    assert (1, 2) not in capped    # boilerplate-only pair pruned
