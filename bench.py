@@ -67,6 +67,9 @@ HEADLINE = [
     "q26_sessionization",
     "q29_ivf_topk",
     "q31_embedding_neardup",
+    "q34_asof_join",
+    "q35_range_join",
+    "q36_ngram_jaccard_exact",
 ]
 
 
