@@ -1261,6 +1261,41 @@ _Q36_ORACLE_SQL = f"""
 """
 
 
+def q37_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog register table over events.user_id —
+    the OPEN sketch (bucket = md5 hex[0:2], rho = 57 − bit_length of
+    the next 56 bits), pure integer arithmetic reproduced exactly by
+    the DuckDB oracle. Mergeability (groupBy bucket max) is what ships
+    at 100 TB: per-partition partials of ≤256 ints instead of a global
+    distinct shuffle."""
+    from ontoma_spark.functions.sketches import hll_registers
+
+    e = _t(spark, sf_dir, "events")
+    return hll_registers(e, "user_id")
+
+
+_Q37_ORACLE_SQL = """
+    WITH h AS (
+      SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+      WHERE user_id IS NOT NULL),
+    parts AS (
+      SELECT CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1
+                  AS INTEGER) * 16
+             + CAST(strpos('0123456789abcdef', substr(hx, 2, 1)) - 1
+                    AS INTEGER) AS bucket,
+             (SELECT sum(CAST(strpos('0123456789abcdef',
+                                     substr(hx, 2 + i, 1)) - 1 AS BIGINT)
+                         << (4 * (14 - i)))
+              FROM range(1, 15) t(i)) AS chunk
+      FROM h)
+    SELECT bucket,
+           max(CASE WHEN chunk = 0 THEN 57
+                    ELSE 57 - length(bin(chunk)) END) AS max_rho
+    FROM parts
+    GROUP BY bucket
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1304,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_asof_join": q34_asof_join,
         "q35_range_join": q35_range_join,
         "q36_ngram_jaccard_exact": q36_ngram_jaccard_exact,
+        "q37_hll_registers": q37_hll_registers,
     }
 
 
@@ -1602,4 +1638,5 @@ def oracle_sql() -> dict[str, str]:
         "q34_asof_join": _Q34_ORACLE_SQL,
         "q35_range_join": _Q35_ORACLE_SQL,
         "q36_ngram_jaccard_exact": _Q36_ORACLE_SQL,
+        "q37_hll_registers": _Q37_ORACLE_SQL,
     }

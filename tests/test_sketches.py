@@ -1,0 +1,50 @@
+"""Deterministic HyperLogLog: register construction, mergeability
+(sketch-of-union == union-of-sketches), and estimate accuracy."""
+
+from __future__ import annotations
+
+import pytest
+
+from ontoma_spark.functions.sketches import (
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _regs(df):
+    return {(r["bucket"], r["max_rho"]) for r in df.collect()}
+
+
+def test_registers_deterministic_and_bounded(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "v")
+    r1 = hll_registers(df, "v")
+    r2 = hll_registers(df, "v")
+    assert _regs(r1) == _regs(r2)
+    assert r1.count() <= 256
+    assert all(1 <= rho <= 57 for _, rho in _regs(r1))
+
+
+def test_merge_equals_sketch_of_union(spark):
+    a = spark.range(0, 6_000).withColumnRenamed("id", "v")
+    b = spark.range(4_000, 10_000).withColumnRenamed("id", "v")
+    union = spark.range(0, 10_000).withColumnRenamed("id", "v")
+    merged = hll_merge(hll_registers(a, "v"), hll_registers(b, "v"))
+    assert _regs(merged) == _regs(hll_registers(union, "v"))
+
+
+@pytest.mark.parametrize("n", [100, 2_000, 50_000])
+def test_estimate_within_error_bound(spark, n):
+    df = spark.range(n).withColumnRenamed("id", "v")
+    est = hll_estimate(hll_registers(df, "v"))
+    # m=256 -> ~6.5% std error; allow 3 sigma
+    assert abs(est - n) / n < 0.2, (n, est)
+
+
+def test_nulls_skipped(spark):
+    df = spark.createDataFrame(
+        [(None,), ("x",), ("x",), ("y",)], "v string"
+    )
+    regs = hll_registers(df, "v")
+    # two distinct non-null values -> at most two registers
+    assert regs.count() <= 2
