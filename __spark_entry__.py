@@ -1296,6 +1296,95 @@ _Q37_ORACLE_SQL = """
 """
 
 
+def q38_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch cells over events.user_id — 4 salted md5
+    hashes × 256 columns, cell-wise-summable (mergeable) frequency
+    sketch; integer-exact so the oracle reproduces every cell."""
+    from ontoma_spark.functions.sketches import cms_table
+
+    e = _t(spark, sf_dir, "events")
+    return cms_table(e, "user_id")
+
+
+_Q38_ORACLE_SQL = """
+    WITH v AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events
+               WHERE user_id IS NOT NULL),
+    cells AS (
+      SELECT r AS row,
+             CAST(strpos('0123456789abcdef',
+                    substr(md5('cms' || r || ':' || s), 1, 1)) - 1
+                  AS INTEGER) * 16
+             + CAST(strpos('0123456789abcdef',
+                      substr(md5('cms' || r || ':' || s), 2, 1)) - 1
+                    AS INTEGER) AS col
+      FROM v CROSS JOIN range(0, 4) t(r))
+    SELECT CAST(row AS INTEGER) AS row, col, count(*) AS cnt
+    FROM cells GROUP BY 1, 2
+"""
+
+
+def q39_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic consistent hash sample of documents: md5-keyed
+    32-bit draw < fraction — same keys kept in any table/engine/rerun
+    (unlike df.sample, whose kept set depends on partitioning)."""
+    from ontoma_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_sample(d, "doc_id", 0.25, salt="eval")
+
+
+_Q39_ORACLE_SQL = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE (SELECT sum(CAST(strpos('0123456789abcdef',
+                             substr(md5('eval:' || CAST(doc_id AS VARCHAR)),
+                                    i, 1)) - 1 AS BIGINT)
+                      << (4 * (8 - i)))
+           FROM range(1, 9) t(i)) < {int(0.25 * (1 << 32))}
+"""
+
+
+def q40_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: documents laid end-to-end in doc_id
+    order (token offsets via the two-pass distributed prefix sum) and
+    split at exact 512-token boundaries; one row per (doc, chunk) with
+    the tokens the doc contributes to that chunk."""
+    from ontoma_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                lambda w: w != "",
+            )
+        ).cast("long").alias("tokens"),
+    )
+    return pack_sequences(d, "doc_id", "tokens", ctx_tokens=512)
+
+
+_Q40_ORACLE_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             w -> w <> '')) AS tokens
+      FROM documents),
+    spans AS (
+      SELECT doc_id, tokens,
+             CAST(sum(tokens) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+      FROM toks WHERE tokens > 0),
+    chunks AS (
+      SELECT doc_id, e - tokens AS s, e,
+             unnest(range((e - tokens) // 512, (e - 1) // 512 + 1))
+               AS chunk_id
+      FROM spans)
+    SELECT doc_id, chunk_id,
+           least(e, (chunk_id + 1) * 512)
+           - greatest(s, chunk_id * 512) AS chunk_tokens
+    FROM chunks
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1340,6 +1429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_range_join": q35_range_join,
         "q36_ngram_jaccard_exact": q36_ngram_jaccard_exact,
         "q37_hll_registers": q37_hll_registers,
+        "q38_cms_cells": q38_cms_cells,
+        "q39_hash_sample": q39_hash_sample,
+        "q40_pack_sequences": q40_pack_sequences,
     }
 
 
@@ -1639,4 +1731,7 @@ def oracle_sql() -> dict[str, str]:
         "q35_range_join": _Q35_ORACLE_SQL,
         "q36_ngram_jaccard_exact": _Q36_ORACLE_SQL,
         "q37_hll_registers": _Q37_ORACLE_SQL,
+        "q38_cms_cells": _Q38_ORACLE_SQL,
+        "q39_hash_sample": _Q39_ORACLE_SQL,
+        "q40_pack_sequences": _Q40_ORACLE_SQL,
     }

@@ -70,6 +70,8 @@ HEADLINE = [
     "q34_asof_join",
     "q35_range_join",
     "q36_ngram_jaccard_exact",
+    "q37_hll_registers",
+    "q40_pack_sequences",
 ]
 
 

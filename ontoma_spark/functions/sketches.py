@@ -78,6 +78,87 @@ def hll_merge(*registers: DataFrame) -> DataFrame:
     return out.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_table(
+    df: DataFrame,
+    col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Count-min sketch as an OPEN table (row, col, cnt): ``depth``
+    salted md5 hashes, each mapping the value to one of ``width``
+    columns; cnt = total (optionally weighted) occurrences hashed there.
+
+    Integer-exact and deterministic, so the DuckDB oracle (q38)
+    reproduces every cell. Merging sketches is cell-wise sum
+    (groupBy(row, col).sum) — per-partition partials are depth×width
+    cells regardless of input, the sketch property that replaces a
+    full frequency table at 100 TB. Point estimate = min over rows of
+    the value's cells (overestimates only, by CMS construction).
+    """
+    v = F.col(col).cast("string")
+    w = weight if weight is not None else F.lit(1).cast("long")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                # first 2 hex chars of salted md5 -> 8-bit column
+                F.conv(F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), v)), 1, 2), 16, 10)
+                .cast("int")
+                .alias("col"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(cells).alias("c"), w.alias("w"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_point_estimate(
+    sketch: DataFrame, values: DataFrame, col: str, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Frequency upper bound for each value in ``values``: min over the
+    depth rows of the value's cell counts (a broadcast-sized join —
+    the sketch is at most depth×width rows)."""
+    v = F.col(col).cast("string")
+    probes = values.select(
+        F.col(col).alias("value"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"cms{r}:"), v)), 1, 2
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("int")
+                        .alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("value", "c.row", "c.col")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy("value")
+        .agg(F.min("cnt").alias("freq_upper_bound"))
+    )
+
+
 def hll_estimate(registers: DataFrame, m: int = M_DEFAULT) -> float:
     """Cardinality estimate from a register table. The register table
     is at most m rows regardless of input size, so collecting it is a

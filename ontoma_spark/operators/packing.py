@@ -1,0 +1,116 @@
+"""Distributed prefix sum + context-window sequence packing.
+
+``running_total`` is the scalable global-cumsum primitive: a plain
+``Window.orderBy(...)`` with no partition key collapses the whole
+dataset into ONE task, so instead we do the classic two-pass prefix
+sum — per-range-partition local cumsums in parallel, then a
+partition-offset table (one row per partition, driver-sized by
+construction) broadcast back. The result is invariant to where the
+range boundaries land, so it stays deterministic even though
+``repartitionByRange`` samples.
+
+``pack_sequences`` builds on it: the Megatron-style packing used to
+assemble LLM training batches — documents are laid end-to-end in a
+deterministic order (token offsets = prefix sums) and split at exact
+``ctx_tokens`` boundaries; a document straddling a boundary
+contributes its tokens to both chunks. Output is one row per
+(doc, chunk) with the token span, from which a batch builder slices
+the actual token arrays. All SQL-expressible -> full DuckDB oracle
+(driver contract q40).
+
+The reference (opentargets/OnToma) has no packing surface; this backs
+the training-data-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def running_total(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact inclusive prefix sum of ``value_col`` over the GLOBAL
+    ``order_col`` order, without a single-task global window.
+
+    Pass 1: range-partition + sort by ``order_col``; local cumsum per
+    partition (parallel). Pass 2: per-partition totals (one row per
+    partition) are prefix-summed over the partition ids — partition id
+    order equals key order because the partitioner is range — and
+    broadcast back as offsets.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_local", F.sum(F.col(value_col)).over(w_local))
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # one row per partition — the only single-task window in the plan,
+    # and it is O(num_partitions), not O(rows)
+    offsets = (
+        d.groupBy("_pid")
+        .agg(F.sum(F.col(value_col)).alias("_ptot"))
+        .withColumn("_off", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    ctx_tokens: int = 512,
+) -> DataFrame:
+    """Assign each document to the context-window chunks it occupies
+    when all docs are concatenated in ``key_col`` order and split every
+    ``ctx_tokens`` tokens.
+
+    Output: (key, chunk_id, chunk_tokens) — one row per chunk the doc
+    overlaps, ``chunk_tokens`` = how many of the doc's tokens land in
+    that chunk. Zero-token docs are dropped (they occupy no span).
+    """
+    with_end = running_total(
+        df.select(key_col, token_col).filter(F.col(token_col) > 0),
+        key_col,
+        token_col,
+        out_col="_end",
+    )
+    start = F.col("_end") - F.col(token_col)
+    first_chunk = F.floor(start / ctx_tokens)
+    last_chunk = F.floor((F.col("_end") - 1) / ctx_tokens)
+    exploded = with_end.select(
+        F.col(key_col),
+        start.alias("_start"),
+        F.col("_end"),
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+    )
+    chunk_lo = F.col("chunk_id") * ctx_tokens
+    chunk_hi = chunk_lo + ctx_tokens
+    return exploded.select(
+        key_col,
+        "chunk_id",
+        (
+            F.least(F.col("_end"), chunk_hi)
+            - F.greatest(F.col("_start"), chunk_lo)
+        ).cast("long").alias("chunk_tokens"),
+    )

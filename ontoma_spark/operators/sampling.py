@@ -1,0 +1,68 @@
+"""Deterministic (consistent) hash sampling.
+
+``df.sample()`` is seeded per-partition, so the kept set changes with
+partitioning and between tables — useless when a documents table and
+its embeddings table must be sampled CONSISTENTLY. Hash sampling keys
+the decision on the row's identity: md5(salt:key)'s first 32 bits as a
+uniform draw, kept iff below ``fraction``·2^32. The same key makes the
+same decision everywhere — across tables, partitionings, engines, and
+reruns — which is what a training-data pipeline needs to carve
+held-out slices that line up across modalities. Integer-exact, so the
+DuckDB oracle (q39) reproduces the kept set bit-for-bit.
+
+The reference (opentargets/OnToma) has no sampling surface; this backs
+the training-data-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+_U32 = 1 << 32
+
+
+def hash_draw(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform 32-bit draw in [0, 2^32) for a key."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose key's draw falls below ``fraction`` — the same
+    key is kept or dropped identically in every table sampled with the
+    same salt. Filters are pure Column algebra, so Catalyst pushes them
+    into the scan where possible."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    threshold = int(fraction * _U32)
+    return df.filter(hash_draw(F.col(key_col), salt) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> dict[str, DataFrame]:
+    """Disjoint deterministic splits (e.g. train/val/test): the [0,1)
+    draw axis is cut at the cumulative fractions; every key lands in
+    exactly one split, stable across tables and reruns."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError("fractions sum must be <= 1")
+    draw = hash_draw(F.col(key_col), salt)
+    out: dict[str, DataFrame] = {}
+    lo = 0.0
+    for name, frac in fractions.items():
+        hi = lo + frac
+        out[name] = df.filter(
+            (draw >= int(lo * _U32)) & (draw < int(hi * _U32))
+        )
+        lo = hi
+    return out

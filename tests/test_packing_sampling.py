@@ -1,0 +1,111 @@
+"""Distributed prefix sum, sequence packing, consistent hash sampling,
+and count-min sketch."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.functions.sketches import cms_point_estimate, cms_table
+from ontoma_spark.operators.packing import pack_sequences, running_total
+from ontoma_spark.operators.sampling import hash_sample, hash_split
+
+
+def test_running_total_matches_single_task_window(spark):
+    df = spark.range(1, 1001).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("v")
+    )
+    got = {
+        (r["k"], r["running"])
+        for r in running_total(df, "k", "v", num_partitions=8).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    exp = {
+        (r["k"], r["running"])
+        for r in df.withColumn("running", F.sum("v").over(w)).collect()
+    }
+    assert got == exp
+
+
+def test_running_total_no_global_row_window(spark):
+    df = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    out = running_total(df, "k", "v", num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only unpartitioned window runs over the per-partition totals
+    # (8 rows), visible as the offsets subplan, not over the data rows
+    assert plan.count("Window") == 2
+
+
+def test_pack_sequences_spans_and_conservation(spark):
+    rows = [(1, 300), (2, 300), (3, 600), (4, 100), (5, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    out = pack_sequences(df, "doc_id", "tokens", ctx_tokens=512).collect()
+    got = {(r["doc_id"], r["chunk_id"]): r["chunk_tokens"] for r in out}
+    # layout: doc1 [0,300) doc2 [300,600) doc3 [600,1200) doc4 [1200,1300)
+    assert got[(1, 0)] == 300
+    assert got[(2, 0)] == 212 and got[(2, 1)] == 88   # straddles 512
+    assert got[(3, 1)] == 424 and got[(3, 2)] == 176  # straddles 1024
+    assert got[(4, 2)] == 100
+    assert not any(d == 5 for d, _ in got)            # zero-token dropped
+    # conservation: per-doc chunk tokens sum to the doc's tokens
+    sums: dict[int, int] = {}
+    for (d, _), t in got.items():
+        sums[d] = sums.get(d, 0) + t
+    assert sums == {1: 300, 2: 300, 3: 600, 4: 100}
+
+
+def test_hash_sample_consistent_across_tables(spark):
+    a = spark.range(10_000).select(F.col("id").alias("k"), F.lit("a").alias("t"))
+    b = spark.range(10_000).select(F.col("id").alias("k"), F.lit("b").alias("t"))
+    ka = {r["k"] for r in hash_sample(a, "k", 0.3, salt="s1").collect()}
+    kb = {r["k"] for r in hash_sample(b, "k", 0.3, salt="s1").collect()}
+    assert ka == kb                       # same keys kept in both tables
+    assert 0.25 < len(ka) / 10_000 < 0.35  # near the target fraction
+    kc = {r["k"] for r in hash_sample(a, "k", 0.3, salt="s2").collect()}
+    assert ka != kc                       # salt changes the sample
+
+
+def test_hash_split_disjoint_and_exhaustive(spark):
+    df = spark.range(5_000).withColumnRenamed("id", "k")
+    parts = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    keys = {n: {r["k"] for r in d.collect()} for n, d in parts.items()}
+    assert keys["train"] | keys["val"] | keys["test"] == set(range(5_000))
+    assert not (keys["train"] & keys["val"])
+    assert not (keys["val"] & keys["test"])
+    assert 0.75 < len(keys["train"]) / 5_000 < 0.85
+
+
+def test_cms_point_estimates_upper_bound_and_exact_heavies(spark):
+    # skewed stream: value 0 appears 1000x, others once
+    df = spark.range(2_000).select(
+        F.when(F.col("id") < 1000, 0).otherwise(F.col("id")).alias("v")
+    )
+    sk = cms_table(df, "v")
+    probes = spark.createDataFrame([(0,), (1500,), (999_999,)], "v long")
+    est = {
+        r["value"]: r["freq_upper_bound"]
+        for r in cms_point_estimate(sk, probes, "v").collect()
+    }
+    assert est[0] >= 1000          # never underestimates
+    assert est[0] <= 1010          # width 256, 1999 rows: tiny noise
+    assert 1 <= est[1500] <= 20
+    # absent values can only collide upward, never go negative
+    assert est[999_999] >= 0
+
+
+def test_cms_merge_is_cellwise_sum(spark):
+    a = spark.range(500).withColumnRenamed("id", "v")
+    b = spark.range(500).withColumnRenamed("id", "v")
+    both = a.unionByName(b)
+    merged = (
+        cms_table(a, "v")
+        .unionByName(cms_table(b, "v"))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_table(both, "v")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
