@@ -1,0 +1,26 @@
+from ontoma_spark.operators.dedup import (
+    exact_duplicate_clusters,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from ontoma_spark.operators.joins import asof_join, range_join
+from ontoma_spark.operators.packing import pack_sequences, running_total
+from ontoma_spark.operators.sampling import hash_sample, hash_split
+
+__all__ = [
+    "asof_join",
+    "exact_duplicate_clusters",
+    "hash_sample",
+    "hash_split",
+    "jaccard_pairs",
+    "minhash_candidate_pairs",
+    "near_duplicates",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
+    "range_join",
+    "running_total",
+    "simhash_candidates",
+]
