@@ -1385,6 +1385,108 @@ _Q40_ORACLE_SQL = """
 """
 
 
+def q41_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT continuous quantiles (linear interpolation) —
+    F.percentile, the deterministic counterpart of percentile_approx,
+    vs DuckDB quantile_cont. Exactness costs a per-group sort, which at
+    scale Spark runs as a partial-sort aggregate per group, not a
+    global sort."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
+
+
+_Q41_ORACLE_SQL = """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+def q42_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user-bucket event-type count matrix. The value list
+    is EXPLICIT — with it Spark pivots in a single aggregate pass; an
+    implicit list would first run a distinct job to discover columns."""
+    e = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.withColumn("user_bucket", (F.col("user_id") % 10).cast("int"))
+        .groupBy("user_bucket")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
+_Q42_ORACLE_SQL = """
+    SELECT CAST(user_id % 10 AS INTEGER) AS user_bucket,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'view')     AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'error')    AS error
+    FROM events GROUP BY 1
+"""
+
+
+def q43_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per-(region, nation) revenue plus nation
+    and grand totals in ONE aggregate pass (Spark expands the grouping
+    sets map-side; no second scan). Labels coalesced to 'ALL' with
+    grouping() flags kept, so subtotal rows are unambiguous."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "g_region",
+            "g_nation",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+_Q43_ORACLE_SQL = """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           CAST(grouping(r_name) AS INTEGER) AS g_region,
+           CAST(grouping(n_name) AS INTEGER) AS g_nation,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1432,6 +1534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_cms_cells": q38_cms_cells,
         "q39_hash_sample": q39_hash_sample,
         "q40_pack_sequences": q40_pack_sequences,
+        "q41_exact_quantiles": q41_exact_quantiles,
+        "q42_pivot_event_matrix": q42_pivot_event_matrix,
+        "q43_rollup_revenue": q43_rollup_revenue,
     }
 
 
@@ -1734,4 +1839,7 @@ def oracle_sql() -> dict[str, str]:
         "q38_cms_cells": _Q38_ORACLE_SQL,
         "q39_hash_sample": _Q39_ORACLE_SQL,
         "q40_pack_sequences": _Q40_ORACLE_SQL,
+        "q41_exact_quantiles": _Q41_ORACLE_SQL,
+        "q42_pivot_event_matrix": _Q42_ORACLE_SQL,
+        "q43_rollup_revenue": _Q43_ORACLE_SQL,
     }

@@ -1,0 +1,94 @@
+"""Randomized cross-checks: seeded random inputs, brute-force Python
+reference computations, exact equality. Covers the operators whose edge
+cases live in boundary arithmetic (as-of tie/gap handling, range-join
+bucket edges, prefix-sum partition seams) where hand-picked fixtures
+tend to miss."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.operators.joins import asof_join, range_join
+from ontoma_spark.operators.packing import running_total
+
+SEEDS = [7, 23, 99]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_asof_join_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    keys = ["a", "b", "c"]
+    left = [
+        (rng.choice(keys), rng.randrange(0, 1000), i) for i in range(120)
+    ]
+    right = [
+        (rng.choice(keys), rng.randrange(0, 1000), 1000 + i, float(i))
+        for i in range(80)
+    ]
+    ldf = spark.createDataFrame(left, "k string, t long, lid int")
+    rdf = spark.createDataFrame(right, "k string, t long, rid int, v double")
+    got = {
+        r["lid"]: (r["asof_rid"], r["asof_v"])
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="t", right_ts="t",
+            right_cols=["rid", "v"],
+        ).collect()
+    }
+
+    def brute(k, t):
+        cands = [r for r in right if r[0] == k and r[1] <= t]
+        if not cands:
+            return (None, None)
+        # max by (ts, payload struct) — the operator's documented
+        # deterministic tie-break
+        best = max(cands, key=lambda r: (r[1], r[2], r[3]))
+        return (best[2], best[3])
+
+    assert len(got) == len(left)
+    for k, t, lid in left:
+        assert got[lid] == brute(k, t), (seed, k, t, lid)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize("bucket", [64, 1000])
+def test_range_join_matches_bruteforce(spark, seed, bucket):
+    rng = random.Random(seed)
+    points = [(rng.randrange(0, 2), rng.randrange(0, 5000), i) for i in range(150)]
+    intervals = []
+    for i in range(60):
+        s = rng.randrange(0, 5000)
+        intervals.append((rng.randrange(0, 2), 100 + i, s, s + rng.randrange(0, 400)))
+    pdf = spark.createDataFrame(points, "g int, t long, pid int")
+    idf = spark.createDataFrame(intervals, "g int, wid int, s long, e long")
+    got = {
+        (r["pid"], r["wid"])
+        for r in range_join(
+            pdf, idf, "t", "s", "e", on=["g"], bucket_micros=bucket
+        ).collect()
+    }
+    exp = {
+        (pid, wid)
+        for (g, t, pid) in points
+        for (gg, wid, s, e) in intervals
+        if g == gg and s <= t < e
+    }
+    assert got == exp, (seed, bucket)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_running_total_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    rows = [(i, rng.randrange(-50, 200)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    got = {
+        r["k"]: r["running"]
+        for r in running_total(df, "k", "v", num_partitions=5).collect()
+    }
+    acc = 0
+    for k, v in sorted(rows):
+        acc += v
+        assert got[k] == acc, (seed, k)
