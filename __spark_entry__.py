@@ -240,11 +240,13 @@ def _q28_oracle_sql() -> str:
     """
 
 
-def _q27_oracle_sql() -> str:
-    """DuckDB twin of the exact KG tier over documents: tokenize ->
+def _q27_cte_prefix() -> str:
+    """Shared WITH-prefix of the exact-KG-tier DuckDB twin: tokenize ->
     positional 1..5-grams with boundary-stop-word pruning -> surface
     filters -> per-distinct-surface track + signature -> lexicon
-    (normalise, dense_rank top tier) -> equi-join -> counts."""
+    (normalise, dense_rank top tier) -> per-occurrence ``matches``
+    relation (doc_id, surface, etype, entity_id). q27 aggregates it;
+    q44 projects it into a co-mention entity graph."""
     ngram_lists = []
     for n in range(1, 6):
         ngram_lists.append(
@@ -300,16 +302,45 @@ def _q27_oracle_sql() -> str:
             SELECT *, dense_rank() OVER (
                      PARTITION BY etype, sig ORDER BY score DESC) AS rk
             FROM lex_sig) WHERE rk = 1
+        ),
+        matches AS (
+          SELECT s.doc_id, s.surface, l.etype, l.entity_id
+          FROM surf_ok s
+          JOIN vsig v ON s.surface = v.surface
+          JOIN lex l ON v.sig = l.sig
         )
-        SELECT s.surface AS surface, l.etype AS entityType,
-               l.entity_id AS entity_id,
-               count(DISTINCT s.doc_id) AS n_docs,
+    """
+
+
+def _q27_oracle_sql() -> str:
+    """Exact KG tier end-to-end: aggregate the matches relation."""
+    return (
+        _q27_cte_prefix()
+        + """
+        SELECT surface, etype AS entityType, entity_id,
+               count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_mentions
-        FROM surf_ok s
-        JOIN vsig v ON s.surface = v.surface
-        JOIN lex l ON v.sig = l.sig
+        FROM matches
         GROUP BY 1, 2, 3
     """
+    )
+
+
+def _q44_oracle_sql() -> str:
+    """Co-mention graph over the exact KG tier: distinct (doc, entity)
+    pairs -> equi-self-join on doc with src < dst -> distinct-doc
+    counts per undirected edge."""
+    return (
+        _q27_cte_prefix()
+        + """
+        , de AS (SELECT DISTINCT doc_id, entity_id FROM matches)
+        SELECT a.entity_id AS src, b.entity_id AS dst,
+               count(*) AS n_docs
+        FROM de a JOIN de b
+          ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+        GROUP BY 1, 2
+    """
+    )
 
 
 # ---------------------------------------------------------------- queries
@@ -706,14 +737,13 @@ def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q27_kg_exact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact KG tier END-TO-END with a full DuckDB oracle: the real
-    candidate extractor (tokenise -> boundary-stop-pruned 1..5-grams),
-    the real lexicon build (translation fan-out, two-track normalisation
-    incl. Porter stemming, dense_rank score tiers, collect_set), and the
-    real vocabulary-level linker over the documents corpus. The closed
-    generator vocabulary makes the stem SQL-expressible (CASE map), so
-    unlike q23 this is value-checked, not rows-only."""
+def _q27_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact-KG-tier matches over documents: the real candidate
+    extractor (tokenise -> boundary-stop-pruned 1..5-grams), the real
+    lexicon build (translation fan-out, two-track normalisation incl.
+    Porter stemming, dense_rank score tiers, collect_set), and the real
+    vocabulary-level linker. One row per (path, surface) with the
+    entityIds array; q27 aggregates it, q44 projects it to a graph."""
     from ontoma_spark.lexicon.build import RAW_LUT_SCHEMA, build_lexicon
     from ontoma_spark.operators.linker import link_matches
     from ontoma_spark.operators.mentions import extract_candidates
@@ -729,9 +759,16 @@ def q27_kg_exact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicon = build_lexicon(
         [spark.createDataFrame(KG27_LUT, RAW_LUT_SCHEMA)]
     )
-    matches = link_matches(
+    return link_matches(
         extract_candidates(repos), lexicon, with_fuzzy=False
     )
+
+
+def q27_kg_exact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KG tier END-TO-END with a full DuckDB oracle. The closed
+    generator vocabulary makes the stem SQL-expressible (CASE map), so
+    unlike q23 this is value-checked, not rows-only."""
+    matches = _q27_matches(spark, sf_dir)
     return (
         matches.select(
             "path",
@@ -1487,6 +1524,134 @@ _Q43_ORACLE_SQL = """
 """
 
 
+def q44_comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention graph over the exact KG tier (the read-side
+    graph projection of an entity-linking run): distinct (doc, entity)
+    pairs from the real extract->build->link pipeline, equi-self-joined
+    on the doc key (never all-pairs across docs), one undirected edge
+    per entity pair with its distinct-doc support count."""
+    from ontoma_spark.operators.graph import comention_edges
+
+    m = _q27_matches(spark, sf_dir)
+    de = m.select(
+        F.col("path").alias("doc"),
+        F.explode(F.col("entityIds.entityId")).alias("entity"),
+    )
+    return comention_edges(de, doc_col="doc", entity_col="entity")
+
+
+def q45_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 iters, d=0.85, dangling mass
+    dropped) through the REAL iterative operator (operators/graph.py)
+    on a deterministic event-derived directed graph; per-iteration
+    equi-join + groupBy, lineage cut by localCheckpoint. The oracle
+    unrolls the same three iterations as chained CTEs."""
+    from ontoma_spark.operators.graph import pagerank
+
+    e = _t(spark, sf_dir, "events")
+    edges = e.select(
+        (F.col("user_id") % 50).alias("src"),
+        (F.col("event_id") % 37).alias("dst"),
+    ).distinct()
+    pr = pagerank(edges, n_iter=3, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _q45_oracle_sql() -> str:
+    d = 0.85
+    its = []
+    prev = "r0"
+    for i in (1, 2, 3):
+        its.append(f"""
+        it{i} AS (
+          SELECT nd.node,
+                 (1 - {d}) / (SELECT n FROM nn)
+                 + {d} * coalesce(sum(r.rank / o.odeg), 0) AS rank
+          FROM nodes nd
+          LEFT JOIN edges e ON e.dst = nd.node
+          LEFT JOIN {prev} r ON e.src = r.node
+          LEFT JOIN outdeg o ON e.src = o.src
+          GROUP BY nd.node
+        )""")
+        prev = f"it{i}"
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT user_id % 50 AS src, event_id % 37 AS dst
+          FROM events
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges
+          UNION
+          SELECT dst FROM edges
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        outdeg AS (
+          SELECT src, CAST(count(*) AS DOUBLE) AS odeg
+          FROM edges GROUP BY 1
+        ),
+        r0 AS (
+          SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+        ),{",".join(its)}
+        SELECT node, round(rank, 6) AS rank FROM it3
+    """
+
+
+def q46_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation through the REAL operator
+    (operators/salted_agg.py): phase 1 groups on (key, salt) so a hot
+    key's rows spread across reducers, phase 2 merges the partials. The
+    final aggregate is salt-independent by construction, so the oracle
+    is the plain GROUP BY — value equality proves the two-phase split
+    changes the shuffle shape, not the semantics."""
+    from ontoma_spark.operators.salted_agg import salted_count
+
+    e = _t(spark, sf_dir, "events")
+    return salted_count(
+        e, ["event_type"], n_salts=16, count_col="n",
+        distinct_col="user_id",
+    )
+
+
+_Q46_ORACLE_SQL = """
+    SELECT event_type, count(*) AS n,
+           count(DISTINCT user_id) AS n_distinct_user_id
+    FROM events GROUP BY 1
+"""
+
+
+def q47_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (distinct semantics): customers
+    holding a high-value order split by whether their account balance
+    is positive. Both set ops hash-aggregate then merge — one shuffle
+    each on the single join column."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    pos = c.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return big.intersect(pos).withColumn(
+        "op", F.lit("intersect")
+    ).unionByName(
+        big.subtract(pos).withColumn("op", F.lit("except"))
+    )
+
+
+_Q47_ORACLE_SQL = """
+    SELECT custkey, 'intersect' AS op FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    UNION ALL
+    SELECT custkey, 'except' AS op FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1537,6 +1702,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_exact_quantiles": q41_exact_quantiles,
         "q42_pivot_event_matrix": q42_pivot_event_matrix,
         "q43_rollup_revenue": q43_rollup_revenue,
+        "q44_comention_edges": q44_comention_edges,
+        "q45_entity_pagerank": q45_entity_pagerank,
+        "q46_salted_agg": q46_salted_agg,
+        "q47_set_ops": q47_set_ops,
     }
 
 
@@ -1842,4 +2011,8 @@ def oracle_sql() -> dict[str, str]:
         "q41_exact_quantiles": _Q41_ORACLE_SQL,
         "q42_pivot_event_matrix": _Q42_ORACLE_SQL,
         "q43_rollup_revenue": _Q43_ORACLE_SQL,
+        "q44_comention_edges": _q44_oracle_sql(),
+        "q45_entity_pagerank": _q45_oracle_sql(),
+        "q46_salted_agg": _Q46_ORACLE_SQL,
+        "q47_set_ops": _Q47_ORACLE_SQL,
     }

@@ -6,12 +6,20 @@ from ontoma_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_candidates,
 )
+from ontoma_spark.operators.graph import (
+    comention_edges,
+    entity_degrees,
+    pagerank,
+)
 from ontoma_spark.operators.joins import asof_join, range_join
 from ontoma_spark.operators.packing import pack_sequences, running_total
 from ontoma_spark.operators.sampling import hash_sample, hash_split
 
 __all__ = [
     "asof_join",
+    "comention_edges",
+    "entity_degrees",
+    "pagerank",
     "exact_duplicate_clusters",
     "hash_sample",
     "hash_split",

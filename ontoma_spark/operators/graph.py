@@ -1,0 +1,161 @@
+"""Graph analytics over materialised (subj, pred, obj) triple tables.
+
+The north star materialises linked mentions as triples in graph tables;
+this module supplies the read-side graph operators a KG consumer needs
+on top of them: document-level co-mention edges (the standard
+"entities that occur together" projection of an entity-linking run),
+node degrees, and fixed-iteration PageRank for entity salience.
+
+The reference (opentargets/OnToma) stops at per-string mappings
+(src/ontoma/ontoma.py:392-407) and has no graph layer; these operators
+are part of the graft's added KG surface, like the union-find closure
+in operators/unionfind.py.
+
+Scale notes
+-----------
+* ``comention_edges`` is an equi-self-join on the document key — both
+  sides shuffle-partition by doc, never all-pairs across docs. Per-doc
+  cost is quadratic in the number of DISTINCT linked entities in that
+  doc, which for ontology linking is small and bounded; hub documents
+  are handled by AQE skew-join, and ``max_entities_per_doc`` hard-caps
+  pathological docs (cap applied deterministically by entity id, and
+  capped docs are countable by the caller before trusting edge counts).
+* ``pagerank`` is the standard iterative dataflow: per iteration one
+  equi-join (edges ⋈ ranks on src) and one groupBy(dst) — both shuffle
+  on node id, partial aggregation map-side. The rank table is |V| rows
+  (≪ |E|) so Spark's AQE broadcasts it against the edge table when it
+  fits. ``localCheckpoint`` per iteration cuts the growing lineage —
+  the classic iterative-Spark pitfall (same treatment as
+  operators/unionfind.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def comention_edges(
+    doc_entities: DataFrame,
+    doc_col: str = "doc_id",
+    entity_col: str = "entity_id",
+    min_docs: int = 1,
+    max_entities_per_doc: int | None = None,
+) -> DataFrame:
+    """Undirected co-mention edges between entities linked in the same
+    document.
+
+    Input: one row per (document, linked entity) — duplicates allowed,
+    they are deduplicated first. Output: (src, dst, n_docs) with
+    src < dst (each undirected edge exactly once) and n_docs the number
+    of distinct documents where the pair co-occurs.
+
+    ``max_entities_per_doc`` optionally keeps only the first K entities
+    per doc (ordered by entity id — deterministic), bounding the
+    quadratic per-doc blow-up from pathological hub documents.
+    """
+    de = (
+        doc_entities.select(
+            F.col(doc_col).alias("__doc"),
+            F.col(entity_col).alias("__ent"),
+        )
+        .distinct()
+    )
+    if max_entities_per_doc is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__doc").orderBy("__ent")
+        de = (
+            de.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_entities_per_doc)
+            .drop("__rn")
+        )
+    a = de.select(
+        F.col("__doc"), F.col("__ent").alias("src")
+    )
+    b = de.select(
+        F.col("__doc"), F.col("__ent").alias("dst")
+    )
+    edges = (
+        a.join(b, on="__doc")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    if min_docs > 1:
+        edges = edges.filter(F.col("n_docs") >= min_docs)
+    return edges
+
+
+def entity_degrees(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Node degree from an undirected edge list (each edge stored once
+    with src < dst): (node, degree). One union + one groupBy — a single
+    shuffle on node id with map-side partial counts."""
+    nodes = edges.select(F.col(src).alias("node")).unionAll(
+        edges.select(F.col(dst).alias("node"))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("degree"))
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank on a directed edge list; returns
+    (node, rank).
+
+    Documented semantics (the SQL oracle implements exactly these):
+    ranks start uniform at 1/N over the node set (union of srcs and
+    dsts); each iteration computes
+    ``rank(v) = (1-d)/N + d * sum over edges u->v of rank(u)/outdeg(u)``.
+    Dangling-node mass is dropped, not redistributed — the common
+    simplification; totals therefore need not sum to 1.
+
+    N (one scalar) is the only driver-side value; everything else stays
+    distributed. Each iteration is lineage-cut with a lazy
+    ``localCheckpoint`` so the plan stays O(1) deep regardless of
+    ``n_iter``.
+    """
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+    )
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("__src").agg(F.count("*").alias("__odeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contribs = (
+            e.join(out_deg, on="__src")
+            .join(ranks.withColumnRenamed("node", "__src"), on="__src")
+            .select(
+                F.col("__dst").alias("node"),
+                (F.col("rank") / F.col("__odeg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            nodes.join(contribs, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

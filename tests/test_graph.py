@@ -1,0 +1,109 @@
+"""Graph operators (operators/graph.py) vs brute-force Python
+references: co-mention edge construction, degree counts, and
+fixed-iteration PageRank on seeded random graphs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ontoma_spark.operators.graph import (
+    comention_edges,
+    entity_degrees,
+    pagerank,
+)
+
+SEEDS = [3, 41]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_comention_edges_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    rows = [
+        (f"d{rng.randrange(12)}", f"E{rng.randrange(9)}") for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, entity_id string")
+    got = {
+        (r["src"], r["dst"]): r["n_docs"]
+        for r in comention_edges(df).collect()
+    }
+    docs: dict[str, set[str]] = {}
+    for d, e in rows:
+        docs.setdefault(d, set()).add(e)
+    exp: dict[tuple[str, str], int] = {}
+    for ents in docs.values():
+        es = sorted(ents)
+        for i in range(len(es)):
+            for j in range(i + 1, len(es)):
+                exp[(es[i], es[j])] = exp.get((es[i], es[j]), 0) + 1
+    assert got == exp, seed
+
+
+def test_comention_min_docs_and_cap(spark):
+    rows = [
+        ("d1", "A"), ("d1", "B"), ("d1", "C"),
+        ("d2", "A"), ("d2", "B"),
+        ("d3", "A"), ("d3", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, entity_id string")
+    strong = {
+        (r["src"], r["dst"])
+        for r in comention_edges(df, min_docs=3).collect()
+    }
+    assert strong == {("A", "B")}
+    # cap=2 keeps only A,B per doc (ordered by id) -> C never pairs
+    capped = {
+        (r["src"], r["dst"])
+        for r in comention_edges(df, max_entities_per_doc=2).collect()
+    }
+    assert capped == {("A", "B")}
+
+
+def test_entity_degrees(spark):
+    edges = spark.createDataFrame(
+        [("A", "B", 2), ("A", "C", 1), ("B", "C", 1)],
+        "src string, dst string, n_docs long",
+    )
+    got = {r["node"]: r["degree"] for r in entity_degrees(edges).collect()}
+    assert got == {"A": 2, "B": 2, "C": 2}
+
+
+def _brute_pagerank(edges, n_iter, d):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        contrib = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            contrib[v] += rank[u] / out[u]
+        rank = {v: (1 - d) / n + d * contrib[v] for v in nodes}
+    return rank
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_pagerank_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    edges = sorted(
+        {(rng.randrange(20), rng.randrange(20)) for _ in range(60)}
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=3).collect()}
+    exp = _brute_pagerank(edges, 3, 0.85)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12), (seed, v)
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    # on a directed cycle every node keeps rank 1/N at every iteration
+    n = 6
+    df = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=4).collect()}
+    for v, r in got.items():
+        assert r == pytest.approx(1.0 / n, abs=1e-12), v
