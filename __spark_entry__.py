@@ -1652,6 +1652,51 @@ _Q47_ORACLE_SQL = """
 """
 
 
+def q48_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF with per-document top-k salient terms through the
+    REAL operator (operators/tfidf.py): tf shuffles on (doc, term) —
+    evenly spread; df on term alone is algebraic (map-side combine eats
+    Zipf skew); the |vocab|-sized (term, df) table broadcasts into the
+    scoring join so the corpus never reshuffles on the hot term key."""
+    from ontoma_spark.operators.tfidf import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(d, key_col="doc_id", text_col="text", top_k=5)
+
+
+_Q48_ORACLE_SQL = """
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+      WHERE length(t.term) >= 2
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dfx AS (
+      SELECT term, count(*) AS dfn FROM tf GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((1.0 + (SELECT n_docs FROM n))
+                         / (1.0 + dfx.dfn)) + 1.0) AS score
+      FROM tf JOIN dfx USING (term)
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY score DESC, term ASC
+             ) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, rnk, round(score, 6) AS score
+    FROM ranked WHERE rnk <= 5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1706,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_entity_pagerank": q45_entity_pagerank,
         "q46_salted_agg": q46_salted_agg,
         "q47_set_ops": q47_set_ops,
+        "q48_tfidf_topk": q48_tfidf_topk,
     }
 
 
@@ -2015,4 +2061,5 @@ def oracle_sql() -> dict[str, str]:
         "q45_entity_pagerank": _q45_oracle_sql(),
         "q46_salted_agg": _Q46_ORACLE_SQL,
         "q47_set_ops": _Q47_ORACLE_SQL,
+        "q48_tfidf_topk": _Q48_ORACLE_SQL,
     }

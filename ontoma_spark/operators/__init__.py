@@ -14,10 +14,12 @@ from ontoma_spark.operators.graph import (
 from ontoma_spark.operators.joins import asof_join, range_join
 from ontoma_spark.operators.packing import pack_sequences, running_total
 from ontoma_spark.operators.sampling import hash_sample, hash_split
+from ontoma_spark.operators.tfidf import corpus_tokens, tfidf_top_terms
 
 __all__ = [
     "asof_join",
     "comention_edges",
+    "corpus_tokens",
     "entity_degrees",
     "pagerank",
     "exact_duplicate_clusters",
@@ -31,4 +33,5 @@ __all__ = [
     "range_join",
     "running_total",
     "simhash_candidates",
+    "tfidf_top_terms",
 ]

@@ -1,0 +1,89 @@
+"""Corpus-level TF-IDF with per-document top-k salient terms.
+
+The training-data-pipeline counterpart of the linker's per-pair TF-IDF
+fuzzy scorer (functions/fuzzy.py builds IDF over the LEXICON token
+space): this operator scores every (document, term) of the corpus
+itself — the standard keyword-extraction / quality-signal primitive.
+
+Scale notes
+-----------
+* Tokenisation is a narrow codegen pass (split + explode); no Python.
+* Term frequency groups by (doc, term) — the doc component spreads the
+  shuffle evenly, no hot keys.
+* Document frequency groups by term alone; a Zipf-hot term ("the") is
+  safe because `count` is algebraic — map-side partial aggregation
+  collapses each partition's contribution to one row before the
+  shuffle (the same reason salting is NOT needed here, unlike
+  collect_set-style aggregates in operators/salted_agg.py).
+* The vocabulary table (term, df) is |vocab| rows — orders of magnitude
+  smaller than the corpus — and is broadcast into the scoring join, so
+  the corpus never reshuffles on the skewed term key.
+* Top-k per document is a window partitioned by doc (bounded state).
+* N (corpus document count) is the only driver-side scalar.
+
+The smooth-IDF formula ln((1+N)/(1+df)) + 1 (sklearn's default) keeps
+every score strictly positive so top-k never degenerates on ubiquitous
+terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def corpus_tokens(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 2,
+) -> DataFrame:
+    """(doc, term) token stream: lowercase, split on non-alphanumerics,
+    drop short residue. Pure Catalyst — one narrow pass."""
+    return (
+        df.select(
+            F.col(key_col).alias("doc_id"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
+            ).alias("term"),
+        )
+        .filter(F.length("term") >= min_term_len)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+    min_term_len: int = 2,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, term, rnk, score).
+
+    score = tf * (ln((1+N)/(1+df)) + 1); ties broken deterministically
+    by term so the result is engine-independent (the DuckDB oracle in
+    the driver contract reproduces it bit-for-bit after round(.,6)).
+    """
+    toks = corpus_tokens(df, key_col, text_col, min_term_len)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf rows are distinct (doc, term), so df(term) = row count per term
+    dfx = tf.groupBy("term").agg(F.count("*").alias("dfn"))
+    n_docs = df.count()
+    scored = tf.join(F.broadcast(dfx), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * (F.log((1.0 + n_docs) / (1.0 + F.col("dfn"))) + 1.0)
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("doc_id", "term", "rnk", F.round("score", 6).alias("score"))
+    )

@@ -1,0 +1,65 @@
+"""Unit tests for the corpus TF-IDF top-k operator (operators/tfidf.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.tfidf import corpus_tokens, tfidf_top_terms
+
+
+def _fixture(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry cherry dates"),
+            (3, "apple apple apple zebra!!"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_corpus_tokens_splits_and_filters(spark):
+    toks = corpus_tokens(
+        spark.createDataFrame([(1, "A b, cc-dd 9x")], ["doc_id", "text"])
+    ).collect()
+    assert sorted(t["term"] for t in toks) == ["cc", "dd", "9x"][::-1] or sorted(
+        t["term"] for t in toks
+    ) == ["9x", "cc", "dd"]
+
+
+def test_tfidf_hand_computed(spark):
+    out = tfidf_top_terms(_fixture(spark), top_k=2)
+    rows = {(r["doc_id"], r["rnk"]): (r["term"], r["score"]) for r in out.collect()}
+    n = 3
+
+    def score(tf, dfn):
+        return round(tf * (math.log((1 + n) / (1 + dfn)) + 1), 6)
+
+    # doc 3: apple tf=3 df=2, zebra tf=1 df=1
+    assert rows[(3, 1)] == ("apple", score(3, 2))
+    assert rows[(3, 2)] == ("zebra", score(1, 1))
+    # doc 2: cherry tf=2 df=2 beats dates tf=1 df=1
+    assert rows[(2, 1)] == ("cherry", score(2, 2))
+    assert rows[(2, 2)] == ("dates", score(1, 1))
+
+
+def test_tfidf_tie_broken_by_term(spark):
+    # doc 1: apple tf=2 df=2, banana tf=1 df=2, cherry tf=1 df=2 —
+    # banana/cherry tie exactly; banana wins rank 2 alphabetically.
+    out = tfidf_top_terms(_fixture(spark), top_k=3)
+    d1 = {r["rnk"]: r["term"] for r in out.filter(F.col("doc_id") == 1).collect()}
+    assert d1 == {1: "apple", 2: "banana", 3: "cherry"}
+
+
+def test_tfidf_topk_bounds_rows(spark):
+    out = tfidf_top_terms(_fixture(spark), top_k=1)
+    assert out.count() == 3
+    assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_tfidf_plan_broadcasts_vocab(spark):
+    plan = tfidf_top_terms(_fixture(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
