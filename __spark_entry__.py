@@ -1697,6 +1697,94 @@ _Q48_ORACLE_SQL = """
 """
 
 
+# (entityId, typo'd label, entityType) — a lexicon of misspelled corpus
+# words: every entry is >=1 edit from every corpus word, so the exact
+# tier misses all of them and the EDIT-DISTANCE fuzzy tier must recover
+# the links. Includes a dist-1 tie ("filter" -> fillter/filtter, ids
+# merged sorted per type), a DS/GP split of the same typo ("windoww",
+# never merged across types), and an unreachable entry (zzzzzzz).
+KG49_TYPO_LEX = [
+    ("DS:CUSTOMR", "custommer", "DS"),
+    ("DS:WINDOW2", "windoww", "DS"),
+    ("GP:WINDOW", "windoww", "GP"),
+    ("DS:STREEM", "streem", "DS"),
+    ("DS:VECTOR", "vektor", "DS"),
+    ("DS:FILTER", "fillter", "DS"),
+    ("DS:FILTER2", "filtter", "DS"),
+    ("DS:QUERYX", "querry", "DS"),
+    ("DS:NOMATCH", "zzzzzzz", "DS"),
+]
+
+
+def q49_edit_distance_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM fuzzy tier: distinct corpus words linked to a typo'd
+    lexicon via the REAL levenshtein_sig_scores operator
+    (operators/linker.py) — block keys + length band + built-in
+    thresholded levenshtein, zero Python workers, whole-stage codegen
+    end to end. The lexicon side broadcasts; the only shuffle is the
+    distinct-vocabulary aggregate (bounded by |vocab|, not corpus)."""
+    from ontoma_spark.operators.linker import levenshtein_sig_scores
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+")
+            ).alias("sig")
+        )
+        .filter(F.col("sig") != "")
+        .distinct()
+    )
+    lex = spark.createDataFrame(
+        [(s, t, "label", [i]) for i, s, t in KG49_TYPO_LEX],
+        "entityLabelNormalised string, entityType string, "
+        "entityKind string, entityIds array<string>",
+    )
+    return levenshtein_sig_scores(words, lex, max_dist=2)
+
+
+def _q49_oracle_sql() -> str:
+    lex_values = ", ".join(
+        f"('{i}', '{s}', '{t}')" for i, s, t in KG49_TYPO_LEX
+    )
+    words = _WORDS_SQL.format(col="text")
+    return f"""
+        WITH w AS (
+          SELECT DISTINCT t.w AS sig
+          FROM documents, unnest({words}) AS t(w)
+        ),
+        cand AS (
+          SELECT sig FROM w WHERE length(sig) BETWEEN 5 AND 40
+        ),
+        lex(lex_id, lexSig, entityType) AS (VALUES {lex_values}),
+        pairs AS (
+          SELECT DISTINCT c.sig, l.lexSig, l.entityType, l.lex_id
+          FROM cand c JOIN lex l
+            ON (substring(c.sig, 1, 2) = substring(l.lexSig, 1, 2)
+                OR substring(c.sig, length(c.sig) - 1, 2)
+                   = substring(l.lexSig, length(l.lexSig) - 1, 2))
+           AND abs(length(c.sig) - length(l.lexSig))
+               <= greatest(2, CAST(floor(
+                    least(length(c.sig), length(l.lexSig)) * 0.2) AS INT))
+        ),
+        scored AS (
+          SELECT sig, entityType, lex_id,
+                 levenshtein(sig, lexSig) AS dist
+          FROM pairs WHERE levenshtein(sig, lexSig) <= 2
+        ),
+        ranked AS (
+          SELECT *, dense_rank() OVER (
+            PARTITION BY sig ORDER BY dist ASC) AS rk
+          FROM scored
+        )
+        SELECT sig, entityType,
+               list_sort(list_distinct(list(lex_id))) AS entityIds,
+               min(dist) AS dist
+        FROM ranked WHERE rk = 1
+        GROUP BY sig, entityType
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1752,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_salted_agg": q46_salted_agg,
         "q47_set_ops": q47_set_ops,
         "q48_tfidf_topk": q48_tfidf_topk,
+        "q49_edit_distance_link": q49_edit_distance_link,
     }
 
 
@@ -2062,4 +2151,5 @@ def oracle_sql() -> dict[str, str]:
         "q46_salted_agg": _Q46_ORACLE_SQL,
         "q47_set_ops": _Q47_ORACLE_SQL,
         "q48_tfidf_topk": _Q48_ORACLE_SQL,
+        "q49_edit_distance_link": _q49_oracle_sql(),
     }

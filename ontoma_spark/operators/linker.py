@@ -283,6 +283,73 @@ def fuzzy_sig_scores(
     )
 
 
+def levenshtein_sig_scores(
+    miss_sigs: DataFrame,
+    lexicon: DataFrame,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Pure-JVM edit-distance fuzzy tier over distinct unmatched
+    signatures — a whole-stage-codegen sibling of ``fuzzy_sig_scores``
+    for deployments that must stay entirely JVM-side (no Python workers
+    in the hot path at all).
+
+    Identical blocking (shared 2-char prefix OR suffix block key,
+    length delta <= max(2, 20% of the shorter signature)); scoring is
+    the built-in ``levenshtein(sig, lexSig, max_dist)`` — Spark's
+    threshold form short-circuits the DP once the running distance
+    exceeds ``max_dist``, so per-pair cost is O(max_dist * min_len),
+    not O(len^2). Per signature the MINIMUM distance wins with dense
+    ties kept (multi-mapping preserved); ids are grouped per
+    ``entityType`` and never merged across types — the reference keys
+    matches on (label, type, kind) (ontoma.py:392-407).
+
+    Returns (sig, entityType, entityIds sorted, dist).
+    """
+    label_lex = lexicon.filter(F.col("entityKind") == "label")
+    cand = miss_sigs.filter(
+        (F.length("sig") >= FUZZY_MIN_SIG_CHARS)
+        & (F.length("sig") <= FUZZY_MAX_SIG_CHARS)
+    )
+    lex_blocks = label_lex.select(
+        F.col("entityLabelNormalised").alias("lexSig"),
+        "entityType",
+        "entityIds",
+    ).withColumn("bk", F.explode(_block_keys(F.col("lexSig"))))
+
+    pairs = (
+        cand.withColumn("bk", F.explode(_block_keys(F.col("sig"))))
+        .join(F.broadcast(lex_blocks), "bk")
+        .filter(
+            F.abs(F.length("sig") - F.length("lexSig"))
+            <= F.greatest(
+                F.lit(2),
+                (F.least(F.length("sig"), F.length("lexSig")) * 0.2).cast("int"),
+            )
+        )
+        .select("sig", "lexSig", "entityType", "entityIds")
+        .distinct()
+    )
+
+    scored = pairs.withColumn(
+        "dist", F.levenshtein(F.col("sig"), F.col("lexSig"), max_dist)
+    ).filter(F.col("dist") >= 0)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sig").orderBy(F.col("dist").asc())
+    return (
+        scored.withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("sig", "entityType")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_set("entityIds")))
+            ).alias("entityIds"),
+            F.min("dist").alias("dist"),
+        )
+    )
+
+
 def surface_match_map(
     surfaces: DataFrame,
     lexicon: DataFrame,

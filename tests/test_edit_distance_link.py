@@ -1,0 +1,164 @@
+"""levenshtein_sig_scores — the pure-JVM edit-distance fuzzy tier.
+
+Covers: recovery of typo'd lexicon entries, the max_dist cutoff, dense
+tie-keeping with sorted id merge, the type-keyed no-merge invariant
+(reference joins on (label, type, kind), ontoma.py:392-407), the length
+band, and a physical-plan assertion that the whole operator runs inside
+the JVM (no Python workers) with a broadcast-only join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.operators.linker import levenshtein_sig_scores
+
+LEX_SCHEMA = (
+    "entityLabelNormalised string, entityType string, "
+    "entityKind string, entityIds array<string>"
+)
+
+
+def _lex(spark, rows):
+    return spark.createDataFrame(
+        [(s, t, "label", [i]) for i, s, t in rows], LEX_SCHEMA
+    )
+
+
+def _sigs(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "sig string")
+
+
+@pytest.fixture(scope="module")
+def linked(spark):
+    lex = _lex(
+        spark,
+        [
+            ("DS:CUST", "custommer", "DS"),
+            ("DS:WIN", "windoww", "DS"),
+            ("GP:WIN", "windoww", "GP"),
+            ("DS:FILT_A", "fillter", "DS"),
+            ("DS:FILT_B", "filtter", "DS"),
+            ("DS:FAR", "zzzzzzz", "DS"),
+        ],
+    )
+    sigs = _sigs(spark, ["customer", "window", "filter", "unrelated"])
+    out = levenshtein_sig_scores(sigs, lex, max_dist=2)
+    return {r["sig"]: r for r in out.collect()}, out
+
+
+def test_typos_recovered_within_max_dist(linked):
+    rows, _ = linked
+    assert rows[("customer")]["entityIds"] == ["DS:CUST"]
+    assert rows["customer"]["dist"] == 1
+
+
+def test_beyond_max_dist_dropped(linked):
+    rows, _ = linked
+    assert "unrelated" not in rows
+
+
+def test_dense_ties_merge_ids_sorted_within_type(linked):
+    rows, _ = linked
+    # fillter and filtter are both dist 1 from "filter": tie kept,
+    # ids merged per type in sorted order.
+    assert rows["filter"]["entityIds"] == ["DS:FILT_A", "DS:FILT_B"]
+    assert rows["filter"]["dist"] == 1
+
+
+def test_types_never_merge(spark):
+    lex = _lex(
+        spark,
+        [("DS:WIN", "windoww", "DS"), ("GP:WIN", "windoww", "GP")],
+    )
+    out = levenshtein_sig_scores(_sigs(spark, ["window"]), lex).collect()
+    by_type = {r["entityType"]: r["entityIds"] for r in out}
+    assert by_type == {"DS": ["DS:WIN"], "GP": ["GP:WIN"]}
+
+
+def test_non_label_kinds_excluded(spark):
+    lex = spark.createDataFrame(
+        [("window", "DS", "id", ["DS:ID"])], LEX_SCHEMA
+    )
+    assert levenshtein_sig_scores(_sigs(spark, ["window"]), lex).count() == 0
+
+
+def test_length_band_blocks_distant_lengths(spark):
+    # Same 2-char prefix, but the length delta (5) exceeds
+    # max(2, 20% of shorter) — pair never scored.
+    lex = _lex(spark, [("DS:LONG", "windowwwwww", "DS")])
+    assert levenshtein_sig_scores(_sigs(spark, ["window"]), lex).count() == 0
+
+
+def test_min_sig_chars_filter(spark):
+    # Signatures below FUZZY_MIN_SIG_CHARS (5) never enter the tier.
+    lex = _lex(spark, [("DS:ABC", "abcd", "DS")])
+    assert levenshtein_sig_scores(_sigs(spark, ["abc"]), lex).count() == 0
+
+
+def test_plan_is_jvm_only_with_broadcast_join(spark):
+    lex = _lex(spark, [("DS:CUST", "custommer", "DS")])
+    out = levenshtein_sig_scores(_sigs(spark, ["customer"]), lex)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "EvalPython" not in plan  # no Python workers anywhere
+
+
+def test_agrees_with_brute_force(spark):
+    # Randomized cross-check against a driver-side brute force over the
+    # same blocking rules.
+    import random
+
+    rng = random.Random(49)
+    alpha = "abcdef"
+    words = list(
+        {"".join(rng.choices(alpha, k=rng.randint(5, 9))) for _ in range(60)}
+    )
+    lex_rows = [
+        (f"ID:{i}", "".join(rng.choices(alpha, k=rng.randint(5, 9))), "DS")
+        for i in range(25)
+    ]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    def blocked(w, s):
+        if not (
+            w[:2] == s[:2] or w[-2:] == s[-2:]
+        ):
+            return False
+        return abs(len(w) - len(s)) <= max(2, int(min(len(w), len(s)) * 0.2))
+
+    expected = {}
+    for w in words:
+        best = None
+        ids = set()
+        for i, s, _t in lex_rows:
+            if not blocked(w, s):
+                continue
+            d = lev(w, s)
+            if d > 2:
+                continue
+            if best is None or d < best:
+                best, ids = d, {i}
+            elif d == best:
+                ids.add(i)
+        if best is not None:
+            expected[w] = (best, sorted(ids))
+
+    out = levenshtein_sig_scores(
+        _sigs(spark, words), _lex(spark, lex_rows), max_dist=2
+    ).collect()
+    got = {r["sig"]: (r["dist"], list(r["entityIds"])) for r in out}
+    assert got == expected
