@@ -1785,6 +1785,44 @@ def _q49_oracle_sql() -> str:
     """
 
 
+def q50_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exportable Bloom filter (functions/sketches.py::bloom_bits) over
+    the corpus token vocabulary: the filter is an OPEN table of <= 4096
+    set bit positions — mergeable by union+distinct, reproducible
+    cross-engine (integer-exact oracle), and shippable to a non-Spark
+    producer as a scan prefilter. One map-side-combined distinct of at
+    most m rows per partition; corpus never shuffles."""
+    from ontoma_spark.functions.sketches import bloom_bits
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"[^a-z0-9]+")).alias("w")
+    ).filter(F.col("w") != "")
+    return bloom_bits(words, "w").orderBy("bit")
+
+
+_HEX1 = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+
+def _q50_oracle_sql() -> str:
+    words = _WORDS_SQL.format(col="text")
+    b1 = _HEX1.format(h="hx", i=1)
+    b2 = _HEX1.format(h="hx", i=2)
+    b3 = _HEX1.format(h="hx", i=3)
+    return f"""
+        WITH w AS (
+          SELECT DISTINCT t.w AS v
+          FROM documents, unnest({words}) AS t(w)
+        ),
+        h AS (
+          SELECT md5('bf' || CAST(i AS VARCHAR) || ':' || v) AS hx
+          FROM w, range(0, 4) AS t(i)
+        )
+        SELECT DISTINCT CAST({b1} * 256 + {b2} * 16 + {b3} AS INT) AS bit
+        FROM h ORDER BY bit
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1841,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_set_ops": q47_set_ops,
         "q48_tfidf_topk": q48_tfidf_topk,
         "q49_edit_distance_link": q49_edit_distance_link,
+        "q50_bloom_bits": q50_bloom_bits,
     }
 
 
@@ -2152,4 +2191,5 @@ def oracle_sql() -> dict[str, str]:
         "q47_set_ops": _Q47_ORACLE_SQL,
         "q48_tfidf_topk": _Q48_ORACLE_SQL,
         "q49_edit_distance_link": _q49_oracle_sql(),
+        "q50_bloom_bits": _q50_oracle_sql(),
     }

@@ -159,6 +159,81 @@ def cms_point_estimate(
     )
 
 
+BLOOM_K = 4
+BLOOM_M = 4096  # 12-bit positions = first 3 hex chars of the salted md5
+
+
+def _bloom_bit(value: Column, salt: int) -> Column:
+    """One 12-bit position: first 3 hex chars of md5(f'bf{salt}:'+v)."""
+    h = F.md5(F.concat(F.lit(f"bf{salt}:"), value.cast("string")))
+    return F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+
+
+def bloom_bits(
+    df: DataFrame, col: str, k: int = BLOOM_K, m: int = BLOOM_M
+) -> DataFrame:
+    """Bloom filter as an OPEN table of distinct set bit positions
+    (bit int) — same design rationale as the HLL/CMS tables above: the
+    filter ships as at most ``m`` small integers, merges across
+    partitions/datasets/engines with a plain union+distinct, and is
+    bit-for-bit reproducible in any engine that has md5 (DuckDB oracle
+    q50). ``k`` salted md5 hashes per value; nulls skipped.
+
+    This is the exportable twin of the linker's in-plan token-prefix
+    Bloom (operators/mentions.py builds its bitmap with xxhash64 and
+    inlines it as a literal — fastest inside one Spark plan, but opaque
+    to other systems). Use THIS one when the filter must cross an
+    engine boundary: e.g. sketch the lexicon's token vocabulary once,
+    hand the bit table to a downstream scan job (or a non-Spark
+    producer) to pre-drop rows that cannot match.
+    """
+    if m != 4096:
+        raise ValueError("m=4096 is the pinned bit count (12-bit positions)")
+    v = F.col(col)
+    return (
+        df.filter(v.isNotNull())
+        .select(
+            F.explode(
+                F.array(*[_bloom_bit(v, i) for i in range(k)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_merge(*bit_tables: DataFrame) -> DataFrame:
+    """Union bit tables from any number of partial filters (the bitwise
+    OR of classic bloom filters, as a set union)."""
+    out = bit_tables[0]
+    for t in bit_tables[1:]:
+        out = out.unionByName(t)
+    return out.distinct()
+
+
+def bloom_might_contain(
+    bits: DataFrame, values: DataFrame, col: str, k: int = BLOOM_K
+) -> DataFrame:
+    """(value, might_contain) for each probe value: true iff ALL k of
+    the value's bit positions are set. The bit table is at most m rows,
+    so the probe join broadcasts; false means definitely absent."""
+    v = F.col(col)
+    probes = values.filter(v.isNotNull()).select(
+        v.alias("value"),
+        F.explode(F.array(*[_bloom_bit(v, i) for i in range(k)])).alias(
+            "bit"
+        ),
+    )
+    return (
+        probes.join(
+            F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left"
+        )
+        .groupBy("value")
+        .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k).alias(
+            "might_contain"
+        ))
+    )
+
+
 def hll_estimate(registers: DataFrame, m: int = M_DEFAULT) -> float:
     """Cardinality estimate from a register table. The register table
     is at most m rows regardless of input size, so collecting it is a

@@ -48,3 +48,62 @@ def test_nulls_skipped(spark):
     regs = hll_registers(df, "v")
     # two distinct non-null values -> at most two registers
     assert regs.count() <= 2
+
+
+# ------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives(spark):
+    from ontoma_spark.functions.sketches import bloom_bits, bloom_might_contain
+
+    vals = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(300)], "v string"
+    )
+    bits = bloom_bits(vals, "v")
+    probed = bloom_might_contain(bits, vals, "v").collect()
+    assert all(r["might_contain"] for r in probed)
+    assert len(probed) == 300
+
+
+def test_bloom_definite_absence_mostly(spark):
+    from ontoma_spark.functions.sketches import bloom_bits, bloom_might_contain
+
+    present = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(200)], "v string"
+    )
+    absent = spark.createDataFrame(
+        [(f"other{i}",) for i in range(200)], "v string"
+    )
+    bits = bloom_bits(present, "v")
+    hits = [
+        r["might_contain"]
+        for r in bloom_might_contain(bits, absent, "v").collect()
+    ]
+    # FPR for n=200, k=4, m=4096: (1 - e^(-kn/m))^k ~ 0.09% -> expect ~0
+    assert sum(hits) <= 5
+
+
+def test_bloom_merge_equals_filter_of_union(spark):
+    from ontoma_spark.functions.sketches import bloom_bits, bloom_merge
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(100)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(100)], "v string")
+    u = a.unionByName(b)
+    merged = sorted(
+        r["bit"] for r in bloom_merge(bloom_bits(a, "v"), bloom_bits(b, "v")).collect()
+    )
+    direct = sorted(r["bit"] for r in bloom_bits(u, "v").collect())
+    assert merged == direct
+
+
+def test_bloom_bits_bounded_and_deterministic(spark):
+    from ontoma_spark.functions.sketches import bloom_bits
+
+    df = spark.createDataFrame(
+        [(f"t{i % 50}",) for i in range(1000)], "v string"
+    )
+    b1 = sorted(r["bit"] for r in bloom_bits(df, "v").collect())
+    b2 = sorted(r["bit"] for r in bloom_bits(df, "v").collect())
+    assert b1 == b2
+    assert len(b1) <= 4 * 50
+    assert all(0 <= x < 4096 for x in b1)
