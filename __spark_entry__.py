@@ -1823,6 +1823,37 @@ def _q50_oracle_sql() -> str:
     """
 
 
+def q51_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-spreading large x large join through the REAL salted_join
+    operator (operators/joins.py): left rows get a deterministic row-hash
+    salt, the right side replicates once per salt, and the shuffle key
+    becomes (key, salt) so a hot key fans out over n_salts tasks instead
+    of one straggler. Value-equal to the plain join — the oracle IS the
+    plain join."""
+    from ontoma_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, sup, "l_suppkey", "s_suppkey", n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+_Q51_ORACLE_SQL = """
+    SELECT s_nationkey,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1880,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_tfidf_topk": q48_tfidf_topk,
         "q49_edit_distance_link": q49_edit_distance_link,
         "q50_bloom_bits": q50_bloom_bits,
+        "q51_salted_join": q51_salted_join,
     }
 
 
@@ -2192,4 +2224,5 @@ def oracle_sql() -> dict[str, str]:
         "q48_tfidf_topk": _Q48_ORACLE_SQL,
         "q49_edit_distance_link": _q49_oracle_sql(),
         "q50_bloom_bits": _q50_oracle_sql(),
+        "q51_salted_join": _Q51_ORACLE_SQL,
     }

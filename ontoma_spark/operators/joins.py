@@ -150,3 +150,45 @@ def range_join(
     )
     drop = {"_pts", "_bucket", "_s", "_e"}
     return joined.select(*[c for c in joined.columns if c not in drop])
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-spreading inner equi-join for LARGE x LARGE joins where the
+    key is hot ("cancer" on both sides) and the right side is too big to
+    broadcast.
+
+    A plain shuffle join hashes both sides on the key, so every row of a
+    hot key lands in ONE task — the straggler that stalls a 1000-executor
+    stage. Here the left side gets a deterministic per-row salt
+    (xxhash64 of the whole row mod n_salts — rows with the SAME key
+    spread across n_salts buckets) and the right side is replicated once
+    per salt value, so the join key becomes (key, salt) and the hot key's
+    work fans out over n_salts tasks. Cost: right side shuffles n_salts
+    copies — the standard trade (replicate the smaller side, split the
+    bigger one). Result is value-equal to the plain join (q51 oracle).
+
+    When the right side DOES fit in memory, broadcast it instead — no
+    shuffle at all (the linker's strategy). When skew is only visible at
+    runtime, AQE's skew-join split handles sort-merge joins; this
+    operator is the explicit remedy for known-hot keys and for plans AQE
+    cannot rewrite (e.g. a bucketed co-located join you don't want
+    re-partitioned).
+    """
+    salt = F.pmod(
+        F.xxhash64(F.struct(*[F.col(c) for c in left.columns])),
+        F.lit(n_salts),
+    ).cast("int")
+    salted_left = left.withColumn("_salt", salt)
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    cond = (
+        salted_left[left_key] == salted_right[right_key]
+    ) & (salted_left["_salt"] == salted_right["_salt"])
+    return salted_left.join(salted_right, cond, "inner").drop("_salt")

@@ -1,0 +1,82 @@
+"""salted_join — skew-spreading large x large equi-join.
+
+Value-equality to the plain join on a pathologically skewed key (one key
+holds half the rows), salt-distribution evidence (the hot key's rows
+really do spread over multiple (key, salt) buckets), and a plan check
+that the shuffle join keys include the salt when broadcast is disabled.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.joins import salted_join
+
+
+def _skewed(spark):
+    # key 7 owns 500 of 1000 left rows; right side has 50 keys x 2 rows
+    left = spark.range(0, 1000).select(
+        F.when(F.col("id") < 500, F.lit(7))
+        .otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(0, 100).select(
+        (F.col("id") % 50).alias("rk"), F.col("id").alias("rv")
+    )
+    return left, right
+
+
+def test_value_equal_to_plain_join(spark):
+    left, right = _skewed(spark)
+    got = sorted(
+        (r["k"], r["lv"], r["rk"], r["rv"])
+        for r in salted_join(left, right, "k", "rk", n_salts=8).collect()
+    )
+    exp = sorted(
+        (r["k"], r["lv"], r["rk"], r["rv"])
+        for r in left.join(right, left["k"] == right["rk"]).collect()
+    )
+    assert got == exp
+    assert len(got) == 1000 * 2  # every left row matches 2 right rows
+
+
+def test_hot_key_spreads_over_salts(spark):
+    left, _ = _skewed(spark)
+    salts = (
+        left.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.struct(*[F.col(c) for c in left.columns])),
+                F.lit(8),
+            ),
+        )
+        .filter(F.col("k") == 7)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts >= 6  # 500 hot rows spread over ~all 8 buckets
+
+
+def test_shuffle_key_includes_salt(spark):
+    left, right = _skewed(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            salted_join(left, right, "k", "rk", n_salts=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "_salt" in plan  # join/exchange keyed on (key, _salt)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_salt_column_leaks(spark):
+    left, right = _skewed(spark)
+    out = salted_join(left, right, "k", "rk")
+    assert "_salt" not in out.columns
