@@ -1854,6 +1854,29 @@ _Q51_ORACLE_SQL = """
 """
 
 
+def q52_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version compaction through the REAL latest_snapshot operator
+    (operators/dedup.py): newest event per user as an aggregation
+    (max_by with map-side combine — one candidate per partition x key
+    crosses the shuffle, never the full version history)."""
+    from ontoma_spark.operators.dedup import latest_snapshot
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    return latest_snapshot(
+        ev, keys=["user_id"], order_col="ts", tiebreak_col="event_id"
+    ).select("user_id", "ts", "event_id", "event_type", "value")
+
+
+_Q52_ORACLE_SQL = """
+    SELECT user_id, ts, event_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1912,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_edit_distance_link": q49_edit_distance_link,
         "q50_bloom_bits": q50_bloom_bits,
         "q51_salted_join": q51_salted_join,
+        "q52_latest_snapshot": q52_latest_snapshot,
     }
 
 
@@ -2225,4 +2249,5 @@ def oracle_sql() -> dict[str, str]:
         "q49_edit_distance_link": _q49_oracle_sql(),
         "q50_bloom_bits": _q50_oracle_sql(),
         "q51_salted_join": _Q51_ORACLE_SQL,
+        "q52_latest_snapshot": _Q52_ORACLE_SQL,
     }

@@ -373,3 +373,32 @@ def embedding_neardup_pairs(
         .select("a", "b", F.round("sim", 4).alias("sim"))
         .distinct()
     )
+
+
+def latest_snapshot(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Version compaction: keep the LATEST row per key — the snapshot
+    view of an append-only versioned table (e.g. (repo, path) -> newest
+    commit's content before linking, so re-pushed files don't double
+    their mentions).
+
+    Deliberately an AGGREGATION, not a window: ``max_by(payload,
+    (order, tiebreak))`` gets map-side partial aggregation, so the
+    shuffle carries ONE candidate row per (input partition, key) instead
+    of every version of every file — a window's row_number would sort
+    and ship the full history. Hot keys therefore cost one row per
+    upstream partition, not a straggler task. ``tiebreak_col`` must make
+    the ordering struct unique per key (determinism); ties in
+    ``order_col`` alone resolve to the larger tiebreak.
+    """
+    ordk = F.struct(F.col(order_col), F.col(tiebreak_col))
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(F.max_by(payload, ordk).alias("_row"))
+        .select("_row.*")
+    )

@@ -105,3 +105,63 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     }
     assert (1, 3) in capped        # true dups still pair on rare shingles
     assert (1, 2) not in capped    # boilerplate-only pair pruned
+
+
+# ------------------------------------------------- latest_snapshot
+
+
+def test_latest_snapshot_keeps_newest_version(spark):
+    from ontoma_spark.operators.dedup import latest_snapshot
+
+    df = spark.createDataFrame(
+        [
+            ("r1", "a.py", 1, "v1"),
+            ("r1", "a.py", 3, "v3"),
+            ("r1", "a.py", 2, "v2"),
+            ("r1", "b.py", 1, "only"),
+            ("r2", "a.py", 9, "other-repo"),
+        ],
+        "repo string, path string, version int, content string",
+    )
+    out = latest_snapshot(
+        df, keys=["repo", "path"], order_col="version", tiebreak_col="content"
+    )
+    got = {(r["repo"], r["path"]): (r["version"], r["content"]) for r in out.collect()}
+    assert got == {
+        ("r1", "a.py"): (3, "v3"),
+        ("r1", "b.py"): (1, "only"),
+        ("r2", "a.py"): (9, "other-repo"),
+    }
+
+
+def test_latest_snapshot_tiebreak_deterministic(spark):
+    from ontoma_spark.operators.dedup import latest_snapshot
+
+    df = spark.createDataFrame(
+        [("k", 5, 10, "low"), ("k", 5, 20, "high")],
+        "k string, ver int, seq int, payload string",
+    )
+    for _ in range(3):
+        out = latest_snapshot(
+            df, keys=["k"], order_col="ver", tiebreak_col="seq"
+        ).collect()
+        assert [(r["seq"], r["payload"]) for r in out] == [(20, "high")]
+
+
+def test_latest_snapshot_plan_has_partial_aggregation(spark):
+    from ontoma_spark.operators.dedup import latest_snapshot
+
+    df = spark.range(0, 100).select(
+        (F.col("id") % 10).alias("k"),
+        F.col("id").alias("ver"),
+        F.col("id").alias("seq"),
+    )
+    plan = (
+        latest_snapshot(df, keys=["k"], order_col="ver", tiebreak_col="seq")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # map-side combine: a partial max_by aggregate runs before the exchange
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
