@@ -1,0 +1,163 @@
+"""Snapshot-versioned parquet tables: Iceberg's commit model, minimally.
+
+The north rule materialises KG triples into Iceberg graph tables. When a
+real Iceberg catalog is configured, ``core/storage.py::TableStore``
+routes through ``writeTo`` and this module is unnecessary. This is the
+fallback for plain-filesystem deployments (and this sandbox, which ships
+no Iceberg jar): the same core semantics — immutable data files, an
+append-only metadata log of snapshots, one atomic pointer swap per
+commit, time travel and rollback by snapshot id — implemented on
+directories of parquet.
+
+Layout under the table root:
+
+    data/snap-<version>/...      parquet written ONCE, never mutated
+    metadata/snap-<version>.json snapshot: manifest of data dirs + stats
+    metadata/current             the only mutable file (atomic replace)
+
+Commit protocol (writer side):
+1. write the new data directory (crash here leaves an orphan dir that no
+   snapshot references — invisible to readers, GC-able);
+2. create ``snap-N.json`` with O_EXCL — two concurrent committers race
+   on the same N and exactly one wins (optimistic concurrency, the loser
+   retries on a fresh N), matching Iceberg's CAS-on-metadata model;
+3. atomically replace ``current``.
+
+Readers resolve ``current`` (or an explicit version) to a manifest and
+union-scan exactly those directories — a half-finished write is never
+visible. On a local/POSIX filesystem ``os.replace`` provides the atomic
+swap; on an object store this last step is what a catalog/metastore is
+for (Iceberg delegates it to the catalog for the same reason).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same snapshot version first."""
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        self._meta = os.path.join(root, "metadata")
+        self._data = os.path.join(root, "data")
+        os.makedirs(self._meta, exist_ok=True)
+        os.makedirs(self._data, exist_ok=True)
+
+    # ------------------------------------------------------------ metadata
+
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self._meta, f"snap-{version:06d}.json")
+
+    def current_version(self) -> int | None:
+        cur = os.path.join(self._meta, "current")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int) -> dict:
+        with open(self._snap_path(version)) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """All committed snapshots, oldest first."""
+        out = []
+        for name in sorted(os.listdir(self._meta)):
+            if name.startswith("snap-") and name.endswith(".json"):
+                with open(os.path.join(self._meta, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    # ------------------------------------------------------------- commits
+
+    def _commit(self, manifest: list[str], operation: str, rows: int) -> int:
+        while True:
+            parent = self.current_version()
+            version = 1 if parent is None else parent + 1
+            snap = {
+                "version": version,
+                "parent": parent,
+                "operation": operation,
+                "manifest": manifest,
+                "row_count": rows,
+            }
+            try:
+                fd = os.open(
+                    self._snap_path(version),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError as e:
+                # a concurrent committer took this version; if OUR
+                # manifest was derived from the now-stale parent the
+                # caller must rebuild it -> surface the conflict
+                raise CommitConflict(
+                    f"snapshot {version} already committed"
+                ) from e
+            with os.fdopen(fd, "w") as f:
+                json.dump(snap, f)
+            tmp = os.path.join(self._meta, f".current.tmp.{version}")
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, os.path.join(self._meta, "current"))
+            return version
+
+    def _write_data(self, df: DataFrame, version_hint: int) -> tuple[str, int]:
+        rel = f"snap-{version_hint:06d}"
+        path = os.path.join(self._data, rel)
+        df.write.mode("error").parquet(path)
+        n = self.spark.read.parquet(path).count()
+        return rel, n
+
+    def append(self, df: DataFrame) -> int:
+        """New snapshot = parent's manifest + one new data dir."""
+        parent = self.current_version()
+        base = [] if parent is None else self.snapshot(parent)["manifest"]
+        base_rows = 0 if parent is None else self.snapshot(parent)["row_count"]
+        rel, n = self._write_data(df, (parent or 0) + 1)
+        return self._commit([*base, rel], "append", base_rows + n)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """New snapshot referencing ONLY the new data dir; prior data
+        dirs stay on disk so older snapshots remain readable."""
+        parent = self.current_version()
+        rel, n = self._write_data(df, (parent or 0) + 1)
+        return self._commit([rel], "overwrite", n)
+
+    def rollback(self, version: int) -> int:
+        """Commit a NEW snapshot whose manifest is an old snapshot's —
+        history stays append-only (Iceberg's rollback semantics)."""
+        old = self.snapshot(version)
+        return self._commit(old["manifest"], "rollback", old["row_count"])
+
+    # -------------------------------------------------------------- reads
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Scan the table as of ``version`` (default: current)."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"{self.root}: no committed snapshot")
+        manifest = self.snapshot(v)["manifest"]
+        if not manifest:
+            raise ValueError(f"snapshot {v} has an empty manifest")
+        paths = [os.path.join(self._data, rel) for rel in manifest]
+        return self.spark.read.parquet(*paths)
+
+    # ------------------------------------------------------------ cleanup
+
+    def orphaned_data_dirs(self) -> list[str]:
+        """Data dirs referenced by NO snapshot (crash leftovers) —
+        safe to delete."""
+        referenced: set[str] = set()
+        for snap in self.history():
+            referenced.update(snap["manifest"])
+        return sorted(
+            d for d in os.listdir(self._data) if d not in referenced
+        )

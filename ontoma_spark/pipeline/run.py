@@ -78,6 +78,13 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--buckets-per-job", type=int, default=8)
     ap.add_argument("--no-fuzzy", action="store_true")
+    ap.add_argument(
+        "--snapshot-table",
+        help="publish the finished triple set as a new snapshot of this "
+        "versioned table (core/snapshots.py) — consumers keep reading "
+        "the previous version until the commit pointer swaps; prior "
+        "versions stay time-travel readable",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="ontoma_spark_kg", master=args.master)
@@ -107,6 +114,18 @@ def main(argv: list[str] | None = None) -> dict:
     summary["triples_per_sec"] = (
         round(summary["triples_written"] / wall, 1) if wall > 0 else None
     )
+    if args.snapshot_table:
+        import os
+
+        from ontoma_spark.core.snapshots import SnapshotTable
+        from ontoma_spark.pipeline.lineage import TRIPLES_DIR
+
+        table = SnapshotTable(spark, args.snapshot_table)
+        summary["snapshot_version"] = table.overwrite(
+            spark.read.parquet(os.path.join(args.out, TRIPLES_DIR)).drop(
+                "bucket"
+            )
+        )
     print(json.dumps(summary))
     return summary
 

@@ -1,0 +1,111 @@
+"""SnapshotTable — the Iceberg-model commit layer over parquet.
+
+Covers append/overwrite snapshot chains, time travel, rollback as a new
+snapshot, crash invisibility (data dir without a snapshot json is never
+read), commit-version contention, and orphan detection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ontoma_spark.core.snapshots import CommitConflict, SnapshotTable
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "v")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "t"))
+
+
+def test_append_chain_and_time_travel(spark, table):
+    v1 = table.append(_df(spark, 0, 10))
+    v2 = table.append(_df(spark, 10, 15))
+    assert (v1, v2) == (1, 2)
+    assert table.read().count() == 15
+    assert table.read(version=1).count() == 10
+    assert sorted(r["v"] for r in table.read(version=2).collect()) == list(
+        range(15)
+    )
+
+
+def test_overwrite_keeps_old_snapshots_readable(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.overwrite(_df(spark, 100, 103))
+    assert sorted(r["v"] for r in table.read().collect()) == [100, 101, 102]
+    assert table.read(version=1).count() == 10  # time travel still works
+
+
+def test_rollback_is_a_new_snapshot(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.overwrite(_df(spark, 100, 103))
+    v3 = table.rollback(1)
+    assert v3 == 3
+    assert table.read().count() == 10
+    # history is append-only: all three snapshots remain
+    assert [s["version"] for s in table.history()] == [1, 2, 3]
+    assert table.snapshot(3)["operation"] == "rollback"
+
+
+def test_crashed_write_is_invisible(spark, table):
+    table.append(_df(spark, 0, 10))
+    # simulate a writer that died after step 1 (data written, no commit)
+    _df(spark, 900, 999).write.parquet(
+        os.path.join(table.root, "data", "snap-999999")
+    )
+    assert table.read().count() == 10
+    assert table.orphaned_data_dirs() == ["snap-999999"]
+
+
+def test_commit_conflict_raises(spark, table):
+    table.append(_df(spark, 0, 5))
+    # another writer steals version 2 between manifest build and commit
+    with open(table._snap_path(2), "w") as f:
+        json.dump({"version": 2, "manifest": [], "row_count": 0}, f)
+    with pytest.raises(CommitConflict):
+        table.append(_df(spark, 5, 8))
+
+
+def test_row_count_stat_tracked(spark, table):
+    table.append(_df(spark, 0, 7))
+    table.append(_df(spark, 7, 9))
+    assert table.snapshot(2)["row_count"] == 9
+    assert table.snapshot(2)["parent"] == 1
+
+
+def test_read_empty_table_raises(spark, table):
+    with pytest.raises(ValueError):
+        table.read()
+
+
+def test_pipeline_publishes_versioned_snapshots(spark, tmp_path):
+    """Two pipeline runs -> two table versions, both readable."""
+    from ontoma_spark.pipeline import run as runmod
+
+    snap_root = str(tmp_path / "graph_table")
+    for i in (1, 2):
+        out = str(tmp_path / f"out{i}")
+        summary = runmod.main(
+            [
+                "--synthetic-rows", "200",
+                "--out", out,
+                "--n-buckets", "4",
+                "--buckets-per-job", "4",
+                "--no-fuzzy",
+                "--snapshot-table", snap_root,
+            ]
+        )
+        assert summary["snapshot_version"] == i
+
+    table = SnapshotTable(spark, snap_root)
+    assert table.current_version() == 2
+    n1 = table.read(version=1).count()
+    n2 = table.read(version=2).count()
+    assert n1 == n2 == table.snapshot(2)["row_count"] > 0
+    assert "bucket" not in table.read().columns
