@@ -1877,6 +1877,95 @@ _Q52_ORACLE_SQL = """
 """
 
 
+def q53_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE through the REAL SnapshotTable operator
+    (core/snapshots.py): upserts + inserts against a committed base
+    snapshot, then a scan of the resulting table version. Only data
+    files containing a matched key are rewritten; the rest are carried
+    by manifest reference."""
+    import tempfile
+
+    from ontoma_spark.core.snapshots import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="q53_"))
+    t.append(d.repartition(4, "doc_id"))
+    updates = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", F.upper("text").alias("text")
+    )
+    inserts = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.reverse("text").alias("text"),
+    )
+    t.merge(updates.unionByName(inserts), keys=["doc_id"])
+    return t.read().select(
+        "doc_id", "lang", F.md5("text").alias("text_md5")
+    )
+
+
+_Q53_ORACLE_SQL = """
+    WITH base AS (SELECT doc_id, lang, text FROM documents),
+    src AS (
+      SELECT doc_id, lang, upper(text) AS text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, lang, reverse(text)
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    final AS (
+      SELECT * FROM base
+      WHERE doc_id NOT IN (SELECT doc_id FROM src)
+      UNION ALL
+      SELECT * FROM src
+    )
+    SELECT doc_id, lang, md5(text) AS text_md5 FROM final
+"""
+
+
+def q54_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed change set between table versions through the REAL
+    SnapshotTable.diff operator: v1 (base) -> merge (updates+inserts)
+    -> delete -> diff(v1, current) classifying every key as
+    added/removed/updated."""
+    import tempfile
+
+    from ontoma_spark.core.snapshots import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="q54_"))
+    t.append(d.repartition(4, "doc_id"))
+    updates = d.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "lang", F.concat("text", F.lit(" v2")).alias("text")
+    )
+    inserts = d.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "lang", "text"
+    )
+    t.merge(updates.unionByName(inserts), keys=["doc_id"])
+    t.delete_where(F.col("doc_id") % 9 == 3)
+    return t.diff(1, t.current_version(), keys=["doc_id"])
+
+
+_Q54_ORACLE_SQL = """
+    WITH base AS (SELECT doc_id FROM documents),
+    upd AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+    ins AS (SELECT doc_id + 500000 AS doc_id
+            FROM documents WHERE doc_id % 6 = 0),
+    post_merge AS (SELECT doc_id FROM base UNION SELECT doc_id FROM ins),
+    del AS (SELECT doc_id FROM post_merge WHERE doc_id % 9 = 3)
+    SELECT doc_id, change FROM (
+      SELECT doc_id, 'removed' AS change FROM base
+      WHERE doc_id IN (SELECT doc_id FROM del)
+      UNION ALL
+      SELECT doc_id, 'updated' FROM upd
+      WHERE doc_id NOT IN (SELECT doc_id FROM del)
+      UNION ALL
+      SELECT doc_id, 'added' FROM ins
+      WHERE doc_id NOT IN (SELECT doc_id FROM del)
+    )
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1936,6 +2025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_bloom_bits": q50_bloom_bits,
         "q51_salted_join": q51_salted_join,
         "q52_latest_snapshot": q52_latest_snapshot,
+        "q53_snapshot_merge": q53_snapshot_merge,
+        "q54_snapshot_diff": q54_snapshot_diff,
     }
 
 
@@ -2250,4 +2341,6 @@ def oracle_sql() -> dict[str, str]:
         "q50_bloom_bits": _q50_oracle_sql(),
         "q51_salted_join": _Q51_ORACLE_SQL,
         "q52_latest_snapshot": _Q52_ORACLE_SQL,
+        "q53_snapshot_merge": _Q53_ORACLE_SQL,
+        "q54_snapshot_diff": _Q54_ORACLE_SQL,
     }

@@ -35,11 +35,65 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(Exception):
     """Another writer committed the same snapshot version first."""
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+    """Interleaved-bit (Morton) key over numeric ``cols``.
+
+    Each column is linearly scaled to ``bits`` bits against its global
+    min/max (one tiny aggregate), then the bits are interleaved so
+    locality in ANY column maps to locality in the key — range-
+    clustering by this key gives every file a tight min/max box on all
+    participating columns at once, which is what makes multi-column
+    stats pruning effective. Pure JVM expression (shift/and/or tree),
+    whole-stage-codegen friendly.
+    """
+    row = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    nc = len(cols)
+    scaled = []
+    for c in cols:
+        mn = float(row[f"mn_{c}"])
+        mx = float(row[f"mx_{c}"])
+        span = (mx - mn) or 1.0
+        s = (
+            (F.col(c).cast("double") - F.lit(mn))
+            / F.lit(span)
+            * F.lit((1 << bits) - 1)
+        ).cast("long")
+        scaled.append(F.greatest(F.lit(0), F.least(s, F.lit((1 << bits) - 1))))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * nc + i))
+    return z
+
+
+def cluster_by_zorder(
+    df: DataFrame, cols: list[str], num_files: int | None = None
+) -> DataFrame:
+    """Range-cluster rows by their Morton key so co-located key ranges
+    land in the same files (tight per-file stats on every ``cols``
+    member). One range shuffle + local sort. An explicit ``num_files``
+    pins the output file count (and keeps AQE from coalescing small
+    benchmark inputs into one file); default sizes by
+    ``spark.sql.shuffle.partitions``."""
+    z = zorder_key(df, cols)
+    keyed = df.withColumn("_zkey", z)
+    if num_files is not None:
+        keyed = keyed.repartitionByRange(num_files, "_zkey")
+    else:
+        keyed = keyed.repartitionByRange("_zkey")
+    return keyed.sortWithinPartitions("_zkey").drop("_zkey")
 
 
 class SnapshotTable:
@@ -78,7 +132,13 @@ class SnapshotTable:
 
     # ------------------------------------------------------------- commits
 
-    def _commit(self, manifest: list[str], operation: str, rows: int) -> int:
+    def _commit(
+        self,
+        manifest: list[str],
+        operation: str,
+        rows: int,
+        file_stats: dict | None = None,
+    ) -> int:
         while True:
             parent = self.current_version()
             version = 1 if parent is None else parent + 1
@@ -88,6 +148,7 @@ class SnapshotTable:
                 "operation": operation,
                 "manifest": manifest,
                 "row_count": rows,
+                "file_stats": file_stats or {},
             }
             try:
                 fd = os.open(
@@ -109,46 +170,344 @@ class SnapshotTable:
             os.replace(tmp, os.path.join(self._meta, "current"))
             return version
 
-    def _write_data(self, df: DataFrame, version_hint: int) -> tuple[str, int]:
+    def _write_data(
+        self,
+        df: DataFrame,
+        version_hint: int,
+        stats_cols: list[str] | None = None,
+    ) -> tuple[str, int, dict]:
         rel = f"snap-{version_hint:06d}"
         path = os.path.join(self._data, rel)
         df.write.mode("error").parquet(path)
         n = self.spark.read.parquet(path).count()
-        return rel, n
+        stats: dict[str, dict] = {}
+        if stats_cols:
+            stats = self._collect_file_stats(path, stats_cols)
+        return rel, n, stats
 
-    def append(self, df: DataFrame) -> int:
-        """New snapshot = parent's manifest + one new data dir."""
+    def _collect_file_stats(
+        self, path: str, stats_cols: list[str]
+    ) -> dict[str, dict]:
+        """Per-FILE min/max for ``stats_cols`` — the Iceberg manifest
+        column-stats model. One aggregation pass grouped by physical
+        file; the result is metadata-sized (#files x #cols), so the
+        collect is safe at any data scale."""
+        aggs = []
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        rows = (
+            self.spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("_file"))
+            .agg(*aggs)
+            .collect()
+        )
+        out: dict[str, dict] = {}
+        for r in rows:
+            out[self._rel_from_uri(r["_file"])] = {
+                c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
+            }
+        return out
+
+    def _rel_from_uri(self, uri: str) -> str:
+        """Map an ``input_file_name()`` URI back to a data-root-relative
+        path (the form manifests store)."""
+        p = uri
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+        prefix = self._data.rstrip("/") + "/"
+        if not p.startswith(prefix):
+            raise ValueError(f"file {uri} is outside the table data root")
+        return p[len(prefix):]
+
+    def _entry_files(self, entry: str) -> list[str]:
+        """Physical parquet files under one manifest entry (a data dir
+        or a single retained file), data-root-relative. Driver-side
+        metadata walk — the same role as reading an Iceberg manifest."""
+        abspath = os.path.join(self._data, entry)
+        if os.path.isfile(abspath):
+            return [entry]
+        out = []
+        for dirpath, _dirs, files in os.walk(abspath):
+            for name in files:
+                if name.endswith(".parquet"):
+                    rel = os.path.relpath(
+                        os.path.join(dirpath, name), self._data
+                    )
+                    out.append(rel)
+        return sorted(out)
+
+    def _manifest_files(self, version: int) -> list[str]:
+        files: list[str] = []
+        for entry in self.snapshot(version)["manifest"]:
+            files.extend(self._entry_files(entry))
+        return files
+
+    def append(
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        zorder: list[str] | None = None,
+        zorder_files: int | None = None,
+    ) -> int:
+        """New snapshot = parent's manifest + one new data dir.
+
+        ``stats_cols`` records per-file min/max in the snapshot (enables
+        ``read(where=...)`` file pruning); ``zorder`` range-clusters the
+        rows on an interleaved-bit key first so those stats are tight.
+        """
         parent = self.current_version()
-        base = [] if parent is None else self.snapshot(parent)["manifest"]
-        base_rows = 0 if parent is None else self.snapshot(parent)["row_count"]
-        rel, n = self._write_data(df, (parent or 0) + 1)
-        return self._commit([*base, rel], "append", base_rows + n)
+        base: list[str] = []
+        stats: dict = {}
+        base_rows = 0
+        if parent is not None:
+            psnap = self.snapshot(parent)
+            base = psnap["manifest"]
+            base_rows = psnap["row_count"]
+            stats = dict(psnap.get("file_stats", {}))
+        if zorder:
+            df = cluster_by_zorder(df, zorder, zorder_files)
+            stats_cols = sorted(set(stats_cols or []) | set(zorder))
+        rel, n, new_stats = self._write_data(df, (parent or 0) + 1, stats_cols)
+        stats.update(new_stats)
+        return self._commit([*base, rel], "append", base_rows + n, stats)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        zorder: list[str] | None = None,
+        zorder_files: int | None = None,
+    ) -> int:
         """New snapshot referencing ONLY the new data dir; prior data
         dirs stay on disk so older snapshots remain readable."""
         parent = self.current_version()
-        rel, n = self._write_data(df, (parent or 0) + 1)
-        return self._commit([rel], "overwrite", n)
+        if zorder:
+            df = cluster_by_zorder(df, zorder, zorder_files)
+            stats_cols = sorted(set(stats_cols or []) | set(zorder))
+        rel, n, stats = self._write_data(df, (parent or 0) + 1, stats_cols)
+        return self._commit([rel], "overwrite", n, stats)
+
+    # ----------------------------------------------------- row-level ops
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Copy-on-write MERGE (upsert by ``keys``): rows of ``source``
+        replace current rows with the same key; unmatched source rows
+        are inserts.
+
+        File-granular, like Iceberg's copy-on-write MERGE INTO: only
+        data files that physically CONTAIN a matched key are rewritten.
+        Untouched files are carried into the new manifest by reference —
+        zero bytes moved for them. At 100 TB the rewrite cost is
+        proportional to the touched-file footprint, not the table size;
+        the touched-file discovery is one semi-join grouped by
+        ``input_file_name()`` whose result (a file list) is
+        metadata-sized.
+        """
+        parent = self.current_version()
+        if parent is None:
+            rel, n, stats = self._write_data(source, 1, stats_cols)
+            return self._commit([rel], "merge", n, stats)
+        psnap = self.snapshot(parent)
+        cur = self.read(parent).withColumn("_file", F.input_file_name())
+        key_df = source.select(*keys).distinct()
+        touched_uris = [
+            r["_file"]
+            for r in cur.join(key_df, on=keys, how="left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+        touched_rel = {self._rel_from_uri(u) for u in touched_uris}
+        untouched = [
+            f
+            for f in self._manifest_files(parent)
+            if f not in touched_rel
+        ]
+        if touched_uris:
+            touched_df = cur.filter(F.col("_file").isin(touched_uris))
+            touched_rows = touched_df.count()
+            survivors = touched_df.join(
+                key_df, on=keys, how="left_anti"
+            ).drop("_file")
+            new_rows = survivors.unionByName(source)
+        else:
+            touched_rows = 0
+            new_rows = source
+        rel, n, new_stats = self._write_data(
+            new_rows, parent + 1, stats_cols
+        )
+        old_stats = psnap.get("file_stats", {})
+        stats = {f: old_stats[f] for f in untouched if f in old_stats}
+        stats.update(new_stats)
+        return self._commit(
+            [*untouched, rel],
+            "merge",
+            psnap["row_count"] - touched_rows + n,
+            stats,
+        )
+
+    def delete_where(
+        self, condition: Column, stats_cols: list[str] | None = None
+    ) -> int:
+        """Copy-on-write row-level DELETE: rewrite only the data files
+        that contain at least one row matching ``condition``; carry
+        every other file by reference."""
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError(f"{self.root}: no committed snapshot")
+        psnap = self.snapshot(parent)
+        cur = self.read(parent).withColumn("_file", F.input_file_name())
+        touched_uris = [
+            r["_file"]
+            for r in cur.filter(condition)
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+        touched_rel = {self._rel_from_uri(u) for u in touched_uris}
+        untouched = [
+            f
+            for f in self._manifest_files(parent)
+            if f not in touched_rel
+        ]
+        old_stats = psnap.get("file_stats", {})
+        stats = {f: old_stats[f] for f in untouched if f in old_stats}
+        if not touched_uris:
+            return self._commit(
+                untouched, "delete", psnap["row_count"], stats
+            )
+        touched_df = cur.filter(F.col("_file").isin(touched_uris))
+        touched_rows = touched_df.count()
+        survivors = touched_df.filter(~condition).drop("_file")
+        rel, n, new_stats = self._write_data(
+            survivors, parent + 1, stats_cols
+        )
+        stats.update(new_stats)
+        return self._commit(
+            [*untouched, rel],
+            "delete",
+            psnap["row_count"] - touched_rows + n,
+            stats,
+        )
+
+    def diff(
+        self, v_old: int, v_new: int, keys: list[str]
+    ) -> DataFrame:
+        """Keyed change set between two snapshots: one row per key that
+        was ``added``, ``removed``, or ``updated`` (non-key columns
+        differ). A full outer join on the keys comparing a row hash —
+        one shuffle per side, no driver materialisation."""
+        old = self.read(v_old)
+        new = self.read(v_new)
+        val_cols = sorted(c for c in old.columns if c not in keys)
+        if sorted(new.columns) != sorted(old.columns):
+            raise ValueError("diff requires identical schemas")
+
+        def hashed(df: DataFrame, tag: str) -> DataFrame:
+            return df.select(
+                *keys,
+                F.sha2(
+                    F.to_json(F.struct(*[F.col(c) for c in val_cols])), 256
+                ).alias(f"_h_{tag}"),
+            )
+
+        joined = hashed(old, "old").join(
+            hashed(new, "new"), on=keys, how="full_outer"
+        )
+        return joined.select(
+            *keys,
+            F.when(F.col("_h_old").isNull(), F.lit("added"))
+            .when(F.col("_h_new").isNull(), F.lit("removed"))
+            .when(F.col("_h_old") != F.col("_h_new"), F.lit("updated"))
+            .alias("change"),
+        ).filter(F.col("change").isNotNull())
 
     def rollback(self, version: int) -> int:
         """Commit a NEW snapshot whose manifest is an old snapshot's —
         history stays append-only (Iceberg's rollback semantics)."""
         old = self.snapshot(version)
-        return self._commit(old["manifest"], "rollback", old["row_count"])
+        return self._commit(
+            old["manifest"],
+            "rollback",
+            old["row_count"],
+            old.get("file_stats", {}),
+        )
 
     # -------------------------------------------------------------- reads
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Scan the table as of ``version`` (default: current)."""
+    def read(
+        self,
+        version: int | None = None,
+        where: list[tuple[str, object, object]] | None = None,
+    ) -> DataFrame:
+        """Scan the table as of ``version`` (default: current).
+
+        ``where`` is a list of (col, lo, hi) range predicates. Files
+        whose recorded min/max stats cannot intersect every range are
+        SKIPPED before Spark ever lists them (Iceberg-style data
+        skipping on manifest column stats); files lacking stats are
+        scanned. The residual ``BETWEEN`` filters are still applied, so
+        the result equals an unpruned scan + filter exactly.
+        """
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError(f"{self.root}: no committed snapshot")
-        manifest = self.snapshot(v)["manifest"]
+        snap = self.snapshot(v)
+        manifest = snap["manifest"]
         if not manifest:
             raise ValueError(f"snapshot {v} has an empty manifest")
-        paths = [os.path.join(self._data, rel) for rel in manifest]
-        return self.spark.read.parquet(*paths)
+        if not where:
+            paths = [os.path.join(self._data, rel) for rel in manifest]
+            return self.spark.read.parquet(*paths)
+        files = self.scan_files(v, where)
+        if files:
+            df = self.spark.read.parquet(
+                *[os.path.join(self._data, f) for f in files]
+            )
+        else:
+            # every file pruned: empty frame with the table schema
+            any_file = self._manifest_files(v)[0]
+            schema = self.spark.read.parquet(
+                os.path.join(self._data, any_file)
+            ).schema
+            df = self.spark.createDataFrame([], schema)
+        for c, lo, hi in where:
+            df = df.filter(F.col(c).between(F.lit(lo), F.lit(hi)))
+        return df
+
+    def scan_files(
+        self,
+        version: int,
+        where: list[tuple[str, object, object]] | None = None,
+    ) -> list[str]:
+        """The physical files a ``read(version, where)`` would scan,
+        after stats-based pruning. Exposed for plan inspection/tests."""
+        snap = self.snapshot(version)
+        stats = snap.get("file_stats", {})
+        out = []
+        for f in self._manifest_files(version):
+            fs = stats.get(f)
+            keep = True
+            for c, lo, hi in where or []:
+                if fs is None or c not in fs:
+                    continue  # no stats -> cannot prune
+                fmin, fmax = fs[c]
+                if fmin is None or fmax is None:
+                    continue
+                if fmax < lo or fmin > hi:
+                    keep = False
+                    break
+            if keep:
+                out.append(f)
+        return out
 
     # ------------------------------------------------------------ cleanup
 
@@ -157,7 +516,10 @@ class SnapshotTable:
         safe to delete."""
         referenced: set[str] = set()
         for snap in self.history():
-            referenced.update(snap["manifest"])
+            for entry in snap["manifest"]:
+                # an entry may be a dir or a single retained file; the
+                # top-level dir is live if ANY entry lives under it
+                referenced.add(entry.split("/", 1)[0])
         return sorted(
             d for d in os.listdir(self._data) if d not in referenced
         )

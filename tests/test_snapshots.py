@@ -84,6 +84,134 @@ def test_read_empty_table_raises(spark, table):
         table.read()
 
 
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, val string")
+
+
+def test_merge_upserts_and_inserts(spark, table):
+    t = table
+    t.append(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.merge(_kv(spark, [(2, "B"), (9, "Z")]), keys=["k"])
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 9: "Z"}
+    assert t.snapshot(t.current_version())["operation"] == "merge"
+    assert t.snapshot(t.current_version())["row_count"] == 4
+    # time travel to pre-merge still works
+    assert {r["k"]: r["val"] for r in t.read(version=1).collect()} == {
+        1: "a", 2: "b", 3: "c"
+    }
+
+
+def test_merge_is_file_granular_cow(spark, table):
+    """Files without a matched key are carried by REFERENCE, not
+    rewritten — the copy-on-write contract that bounds merge cost by
+    the touched-file footprint."""
+    t = table
+    # two appends -> at least two distinct physical files
+    t.append(_kv(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.append(_kv(spark, [(10, "x"), (11, "y")]).coalesce(1))
+    files_before = set(t._manifest_files(2))
+    # touch only the second file's keys
+    t.merge(_kv(spark, [(10, "X")]), keys=["k"])
+    files_after = set(t._manifest_files(3))
+    carried = files_before & files_after
+    assert carried, "untouched file should be carried by reference"
+    # the carried file is exactly the one holding keys 1,2
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "b", 10: "X", 11: "y"}
+
+
+def test_merge_into_empty_table(spark, table):
+    v = table.merge(_kv(spark, [(1, "a")]), keys=["k"])
+    assert v == 1
+    assert table.read().count() == 1
+
+
+def test_merge_no_matches_appends_only(spark, table):
+    t = table
+    t.append(_kv(spark, [(1, "a")]).coalesce(1))
+    t.merge(_kv(spark, [(2, "b")]), keys=["k"])
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+
+
+def test_delete_where_cow(spark, table):
+    import pyspark.sql.functions as F
+
+    t = table
+    t.append(_kv(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.append(_kv(spark, [(10, "x"), (11, "y")]).coalesce(1))
+    before = set(t._manifest_files(2))
+    t.delete_where(F.col("k") == 10)
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 11}
+    assert t.snapshot(3)["row_count"] == 3
+    assert before & set(t._manifest_files(3)), "untouched file carried"
+    # delete matching nothing commits a no-op snapshot
+    t.delete_where(F.col("k") == 777)
+    assert t.read().count() == 3
+
+
+def test_diff_between_snapshots(spark, table):
+    t = table
+    t.append(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.merge(_kv(spark, [(2, "B"), (9, "Z")]), keys=["k"])
+    changes = {
+        r["k"]: r["change"] for r in t.diff(1, 2, keys=["k"]).collect()
+    }
+    assert changes == {2: "updated", 9: "added"}
+    # reverse direction flips added/removed
+    rev = {r["k"]: r["change"] for r in t.diff(2, 1, keys=["k"]).collect()}
+    assert rev == {2: "updated", 9: "removed"}
+
+
+def test_stats_pruning_skips_files(spark, table):
+    t = table
+    for lo in (0, 100, 200, 300):
+        t.append(
+            _df(spark, lo, lo + 50).coalesce(1), stats_cols=["v"]
+        )
+    v = t.current_version()
+    all_files = t._manifest_files(v)
+    pruned = t.scan_files(v, where=[("v", 120, 130)])
+    assert len(pruned) == 1 and len(all_files) == 4
+    got = sorted(r["v"] for r in t.read(where=[("v", 120, 130)]).collect())
+    assert got == list(range(120, 131))
+    # fully-out-of-range predicate -> empty result, schema preserved
+    empty = t.read(where=[("v", 10_000, 20_000)])
+    assert empty.count() == 0 and empty.columns == ["v"]
+
+
+def test_zorder_clusters_both_columns(spark, tmp_path):
+    """After z-order clustering, a range predicate on EITHER column
+    prunes most files."""
+    from ontoma_spark.core.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "zt"))
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(0, 4096)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+        .repartition(8)
+    )
+    t.overwrite(df, zorder=["x", "y"], zorder_files=16)
+    v = t.current_version()
+    nfiles = len(t._manifest_files(v))
+    assert nfiles > 1
+    for col in ("x", "y"):
+        kept = t.scan_files(v, where=[(col, 0, 7)])
+        assert len(kept) < nfiles, f"no pruning on {col}"
+    got = sorted(
+        (r["x"], r["y"])
+        for r in t.read(where=[("x", 0, 3), ("y", 0, 3)]).collect()
+    )
+    assert got == sorted(
+        (x, y) for x in range(4) for y in range(4)
+    )
+
+
 def test_pipeline_publishes_versioned_snapshots(spark, tmp_path):
     """Two pipeline runs -> two table versions, both readable."""
     from ontoma_spark.pipeline import run as runmod
