@@ -1966,6 +1966,52 @@ _Q54_ORACLE_SQL = """
 """
 
 
+def q55_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact x fact join through the REAL bucketing operator
+    (operators/bucketing.py): lineitem and orders are written
+    hash-bucketed on orderkey with the same bucket count, then joined
+    with zero Exchange on either side (the 100 TB economics: pay the
+    shuffle once at write, amortise over every later join)."""
+    import uuid
+
+    from ontoma_spark.operators.bucketing import (
+        bucketed_equijoin,
+        write_bucketed,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    # unique names: the joined frame is lazy, so the tables must outlive
+    # this call (and a fresh session must not trip over a previous run's
+    # managed-table location)
+    tag = uuid.uuid4().hex[:8]
+    t_li, t_ord = f"q55_lineitem_{tag}", f"q55_orders_{tag}"
+    write_bucketed(li, t_li, ["orderkey"], 8)
+    write_bucketed(orders, t_ord, ["orderkey"], 8)
+    joined = bucketed_equijoin(spark, t_li, t_ord, ["orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q55_ORACLE_SQL = """
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -2027,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_latest_snapshot": q52_latest_snapshot,
         "q53_snapshot_merge": q53_snapshot_merge,
         "q54_snapshot_diff": q54_snapshot_diff,
+        "q55_bucketed_join": q55_bucketed_join,
     }
 
 
@@ -2343,4 +2390,5 @@ def oracle_sql() -> dict[str, str]:
         "q52_latest_snapshot": _Q52_ORACLE_SQL,
         "q53_snapshot_merge": _Q53_ORACLE_SQL,
         "q54_snapshot_diff": _Q54_ORACLE_SQL,
+        "q55_bucketed_join": _Q55_ORACLE_SQL,
     }

@@ -1,0 +1,67 @@
+"""Bucketed tables: co-located, shuffle-free large x large equi-joins.
+
+The reference joins its LUT against query frames after a broadcast
+(reference/src/ontoma/ontoma.py map join); that covers dim-sized right
+sides. At 100 TB the OTHER join shape — fact x fact on a shared key
+(e.g. mention triples x document metadata on doc_id, or two snapshot
+generations on file path) — cannot broadcast and would shuffle both
+sides on every query. Spark's answer is bucketing: write both tables
+hash-bucketed (and sorted) on the join key with the same bucket count;
+the bucket id IS the partition contract, so a later sort-merge join
+reads matching buckets pairwise with NO Exchange on either side. The
+shuffle is paid once at write time and amortised over every subsequent
+join, which is exactly the economics a 1000-executor cluster wants.
+
+Sizing guidance for the 100 TB case: pick ``n_buckets`` so one bucket
+of the LARGER table is ~128-512 MB (e.g. 50 TB side -> 131072 buckets);
+both tables MUST use identical ``n_buckets`` and key order or Spark
+falls back to a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Materialise ``df`` as a parquet table hash-bucketed on ``keys``.
+
+    ``sort=True`` additionally sorts rows inside each bucket file by the
+    keys. Spark does not use that ordering to elide the join's Sort
+    (SPARK-19256 was never implemented) — the payoff is run-length-
+    friendly encoding and row-group min/max skipping; the join's Sort
+    stays partition-local over co-located buckets, after zero shuffle.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, keys[0], *keys[1:])
+    )
+    if sort:
+        writer = writer.sortBy(keys[0], *keys[1:])
+    writer.saveAsTable(table)
+
+
+def bucketed_equijoin(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    keys: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket keys.
+
+    The ``merge`` hint pins sort-merge join (a broadcast would also be
+    shuffle-free but only proves the small-table case); with both scans
+    bucketed on ``keys`` the physical plan contains no Exchange — see
+    ``tests/test_bucketing.py`` for the plan assertion.
+    """
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.hint("merge").join(right, on=keys, how=how)

@@ -1,0 +1,78 @@
+"""Bucketed co-located joins: write-once shuffle, shuffle-free joins.
+
+Asserts the physical contract (no Exchange above either bucketed scan)
+and value equality against the plain shuffled join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.operators.bucketing import bucketed_equijoin, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, tmp_path_factory):
+    # spark.sql.warehouse.dir is static per-JVM; managed tables land in
+    # the session default and are dropped (files deleted) on teardown
+    facts = spark.range(0, 5000).select(
+        (F.col("id") % 400).alias("k"), (F.col("id") * 3).alias("a")
+    )
+    dims = spark.range(0, 2000).select(
+        (F.col("id") % 400).alias("k"), (F.col("id") + 7).alias("b")
+    )
+    write_bucketed(facts, "bt_facts", ["k"], 8)
+    write_bucketed(dims, "bt_dims", ["k"], 8)
+    yield facts, dims
+    spark.sql("DROP TABLE IF EXISTS bt_facts")
+    spark.sql("DROP TABLE IF EXISTS bt_dims")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
+    out = bucketed_equijoin(spark, "bt_facts", "bt_dims", ["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_bucketed_join_values_match_plain_join(spark, bucketed_pair):
+    facts, dims = bucketed_pair
+    expected = sorted(
+        (r["k"], r["a"], r["b"])
+        for r in facts.join(dims, "k").collect()
+    )
+    got = sorted(
+        (r["k"], r["a"], r["b"])
+        for r in bucketed_equijoin(
+            spark, "bt_facts", "bt_dims", ["k"]
+        ).collect()
+    )
+    assert got == expected
+
+
+def test_bucketed_scan_reports_buckets(spark, bucketed_pair):
+    """The scan itself is bucket-aware (SelectedBucketsCount in the
+    FileScan), which is what licenses the Exchange elimination. Note
+    Spark does NOT eliminate the Sort from sortBy metadata (SPARK-19256
+    was never implemented); the join's Sort runs partition-local over
+    co-located buckets, with no shuffle before it."""
+    out = bucketed_equijoin(spark, "bt_facts", "bt_dims", ["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+
+
+def test_mismatched_buckets_fall_back_to_shuffle(spark, bucketed_pair):
+    """A table bucketed with a DIFFERENT count cannot co-locate — the
+    plan regains an Exchange (correctness never depends on bucketing)."""
+    other = spark.range(0, 100).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("c")
+    )
+    write_bucketed(other, "bt_other", ["k"], 4)
+    try:
+        out = bucketed_equijoin(spark, "bt_facts", "bt_other", ["k"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan
+        assert out.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_other")
