@@ -2012,6 +2012,77 @@ _Q55_ORACLE_SQL = """
 """
 
 
+def q56_code_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-code content analysis through the REAL code kernels
+    (functions/code.py): license detection + comment/code split over a
+    deterministically code-shaped corpus (SPDX header, block comment,
+    injected line comments). Pure Catalyst — no UDFs."""
+    from ontoma_spark.functions import code as C
+
+    d = _t(spark, sf_dir, "documents")
+    lic = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("MIT"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("Apache-2.0"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("GPL-3.0-only"))
+        .otherwise(F.lit(""))
+    )
+    header = F.when(
+        lic != "",
+        F.concat(F.lit("// SPDX-License-Identifier: "), lic, F.lit("\n")),
+    ).otherwise(F.lit(""))
+    block = F.concat(
+        F.lit("/* "), F.substring("text", 1, 20), F.lit(" */\n")
+    )
+    body = F.regexp_replace("text", " join ", "\n# joined here\n")
+    content = F.concat(header, block, body)
+    stats = C.comment_stats(content)
+    return d.select(
+        "doc_id",
+        C.detect_license(content).alias("license"),
+        stats["n_line_comments"].cast("long").alias("n_line_comments"),
+        stats["n_block_comments"].cast("long").alias("n_block_comments"),
+        stats["comment_chars"].alias("comment_chars"),
+        stats["code_chars"].cast("long").alias("code_chars"),
+    )
+
+
+_Q56_ORACLE_SQL = r"""
+    WITH synth AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 4 = 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+                   WHEN doc_id % 4 = 1 THEN '// SPDX-License-Identifier: Apache-2.0' || chr(10)
+                   WHEN doc_id % 4 = 2 THEN '// SPDX-License-Identifier: GPL-3.0-only' || chr(10)
+                   ELSE '' END)
+             || '/* ' || substring(text, 1, 20) || ' */' || chr(10)
+             || replace(text, ' join ',
+                        chr(10) || '# joined here' || chr(10)) AS content
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, content,
+             regexp_extract_all(content,
+               '(?m)^[ \t]*(?://|#)[ \t]?(.*)$', 1) AS line_bodies,
+             regexp_extract_all(content,
+               '(?s)/\*(.*?)\*/', 1) AS block_bodies
+      FROM synth
+    )
+    SELECT doc_id,
+           nullif(regexp_extract(content,
+             'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)', 1), '')
+             AS license,
+           CAST(len(line_bodies) AS BIGINT) AS n_line_comments,
+           CAST(len(block_bodies) AS BIGINT) AS n_block_comments,
+           CAST(coalesce(list_sum(list_transform(line_bodies, x -> length(x))), 0)
+              + coalesce(list_sum(list_transform(block_bodies, x -> length(x))), 0)
+              AS BIGINT) AS comment_chars,
+           CAST(length(regexp_replace(
+                  regexp_replace(content, '(?s)/\*(.*?)\*/', '', 'g'),
+                  '(?m)^[ \t]*(?://|#)[ \t]?(.*)$', '', 'g'))
+             AS BIGINT) AS code_chars
+    FROM parsed
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -2074,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_snapshot_merge": q53_snapshot_merge,
         "q54_snapshot_diff": q54_snapshot_diff,
         "q55_bucketed_join": q55_bucketed_join,
+        "q56_code_comments": q56_code_comments,
     }
 
 
@@ -2391,4 +2463,5 @@ def oracle_sql() -> dict[str, str]:
         "q53_snapshot_merge": _Q53_ORACLE_SQL,
         "q54_snapshot_diff": _Q54_ORACLE_SQL,
         "q55_bucketed_join": _Q55_ORACLE_SQL,
+        "q56_code_comments": _Q56_ORACLE_SQL,
     }

@@ -165,6 +165,7 @@ def build_triples(
     token_bloom: list[int] | None = None,
     match_strategy: str = "auto",
     lex_rows: list | None = None,
+    content_col: str = "content",
 ) -> DataFrame:
     """Full linker: returns the triple table with provenance columns
     (repo, path, commit, start, n, subj/mention, entityType, pred, obj,
@@ -178,8 +179,15 @@ def build_triples(
 
     ``match_strategy`` / ``lex_rows`` pass through to ``link_matches``
     (vocabulary-size-guarded driver matching vs pure-Spark dataflow).
+
+    ``content_col`` selects the text channel: raw ``content``, or a
+    derived column such as ``functions/code.py::comment_text`` so
+    source-code corpora link mentions from their natural-language
+    channel (comments/docstrings) instead of identifiers.
     """
-    candidates = extract_candidates(repos, token_bloom=token_bloom)
+    candidates = extract_candidates(
+        repos, token_bloom=token_bloom, content_col=content_col
+    )
     matches = link_matches(
         candidates,
         lexicon,

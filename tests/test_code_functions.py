@@ -1,0 +1,95 @@
+"""Code-content kernels: comments, license detection, code/comment split."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.functions import code as C
+
+SAMPLE = (
+    "// SPDX-License-Identifier: Apache-2.0\n"
+    "/* block one\nspans lines */\n"
+    "# hash note\n"
+    "def f(x):\n"
+    "    return x  \n"
+    "  // trailing idea\n"
+)
+
+
+@pytest.fixture(scope="module")
+def one(spark):
+    return spark.createDataFrame([(SAMPLE,)], "content string")
+
+
+def test_line_comments(one):
+    got = one.select(C.line_comments(F.col("content")).alias("c")).first()["c"]
+    assert got == [
+        "SPDX-License-Identifier: Apache-2.0",
+        "hash note",
+        "trailing idea",
+    ]
+
+
+def test_block_comments(one):
+    got = one.select(C.block_comments(F.col("content")).alias("c")).first()["c"]
+    assert got == [" block one\nspans lines "]
+
+
+def test_spdx_and_heuristic_license(spark):
+    rows = spark.createDataFrame(
+        [
+            ("// SPDX-License-Identifier: MIT\ncode",),
+            ("/* Licensed under the Apache License, v2 */",),
+            ("Permission granted under the MIT License terms",),
+            ("no license here",),
+        ],
+        "content string",
+    ).select(C.detect_license(F.col("content")).alias("lic"))
+    assert [r["lic"] for r in rows.collect()] == [
+        "MIT",
+        "Apache-2.0",
+        "MIT",
+        None,
+    ]
+
+
+def test_strip_comments_keeps_code(one):
+    got = one.select(C.strip_comments(F.col("content")).alias("s")).first()["s"]
+    assert "def f(x):" in got and "return x" in got
+    assert "SPDX" not in got and "block one" not in got
+    assert "hash note" not in got and "trailing idea" not in got
+
+
+def test_comment_stats(one):
+    s = one.select(C.comment_stats(F.col("content")).alias("s")).first()["s"]
+    assert s["n_line_comments"] == 3
+    assert s["n_block_comments"] == 1
+    bodies = [
+        "SPDX-License-Identifier: Apache-2.0",
+        "hash note",
+        "trailing idea",
+        " block one\nspans lines ",
+    ]
+    assert s["comment_chars"] == sum(len(b) for b in bodies)
+    assert s["code_chars"] > 0
+
+
+def test_comment_text_is_nl_channel(one):
+    got = one.select(C.comment_text(F.col("content")).alias("t")).first()["t"]
+    assert "hash note" in got and "block one" in got
+    assert "def f" not in got
+
+
+def test_empty_and_commentless_content(spark):
+    rows = spark.createDataFrame(
+        [("",), ("just code, no markers",)], "content string"
+    ).select(
+        C.comment_stats(F.col("content")).alias("s"),
+        C.detect_license(F.col("content")).alias("lic"),
+    )
+    for r in rows.collect():
+        assert r["s"]["n_line_comments"] == 0
+        assert r["s"]["n_block_comments"] == 0
+        assert r["s"]["comment_chars"] == 0
+        assert r["lic"] is None

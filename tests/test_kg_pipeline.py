@@ -218,3 +218,36 @@ def test_auto_strategy_spills_to_spark_above_vocab_cap(spark, kg):
     assert (
         forced.select(*cols).exceptAll(capped.select(*cols)).count() == 0
     )
+
+
+def test_comment_channel_links_only_comment_mentions(spark, kg):
+    """Source-code mode: route the mention extractor through
+    functions/code.py::comment_text so only the natural-language channel
+    (comments) is linked — the same surface string sitting in CODE must
+    not produce a triple."""
+    from ontoma_spark.functions.code import comment_text
+
+    from ontoma_spark.datagen import ontology_terms_df
+
+    label = ontology_terms_df(spark).first()["name"].lower()
+    code_repo = spark.createDataFrame(
+        [
+            (
+                "r1", "a.py", "c1",
+                f"# patient with {label} observed\n"
+                f"x = solve('{label}')\n",
+            ),
+            (
+                "r1", "b.py", "c1",
+                f"y = lookup('{label}')  \n",  # code only, no comment
+            ),
+        ],
+        "repo string, path string, commit string, content string",
+    ).withColumn("nl", comment_text(F.col("content")))
+    triples = build_triples(
+        code_repo, kg["lex"], kg["canon"], content_col="nl",
+        token_bloom=kg["bloom"],
+    )
+    rows = triples.select("path", "subj").collect()
+    assert any(r["path"] == "a.py" for r in rows), "comment mention missing"
+    assert not any(r["path"] == "b.py" for r in rows), "code-only mention linked"
