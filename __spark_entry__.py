@@ -2083,6 +2083,79 @@ _Q56_ORACLE_SQL = r"""
 """
 
 
+_DRAW_SQL = (
+    "(('0x' || substr(md5('{salt}:' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT)"
+)
+
+
+def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling through the REAL
+    stratified_hash_sample operator: each language gets its own
+    keep-fraction (the training-mix rebalance move), decided by a
+    consistent md5 draw — no join, no shuffle, filter inside the scan."""
+    from ontoma_spark.operators.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(
+        d,
+        key_col="doc_id",
+        strata_col="lang",
+        fractions={"en": 0.5, "de": 0.9, "zh": 0.05},
+        default_fraction=0.2,
+        salt="mix",
+    )
+
+
+_Q57_ORACLE_SQL = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_DRAW_SQL.format(salt="mix", key="doc_id")} <
+          CASE lang WHEN 'en' THEN {int(0.5 * (1 << 32))}
+                    WHEN 'de' THEN {int(0.9 * (1 << 32))}
+                    WHEN 'zh' THEN {int(0.05 * (1 << 32))}
+                    ELSE {int(0.2 * (1 << 32))} END
+"""
+
+
+def q58_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis exponential race) through the REAL
+    weighted_sample_topk operator: per-language top-20 by
+    log(u)/weight priority with a consistent md5 draw as u."""
+    from ontoma_spark.operators.sampling import weighted_sample_topk
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            (F.length("text") % 7 + 1).cast("double").alias("w"),
+        )
+    )
+    out = weighted_sample_topk(
+        d, key_col="doc_id", weight_col="w", k=20,
+        group_cols=["lang"], salt="race",
+    )
+    return out.select("doc_id", "lang", out["w"].cast("long").alias("w"))
+
+
+_Q58_ORACLE_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, lang, (length(text) % 7) + 1 AS w FROM documents
+    ),
+    p AS (
+      SELECT doc_id, lang, w,
+             ln(({_DRAW_SQL.format(salt="race", key="doc_id")} + 1)
+                / 4294967296.0) / w AS pr
+      FROM d
+    )
+    SELECT doc_id, lang, CAST(w AS BIGINT) AS w
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY pr DESC, doc_id ASC) AS rk
+          FROM p)
+    WHERE rk <= 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -2146,6 +2219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_snapshot_diff": q54_snapshot_diff,
         "q55_bucketed_join": q55_bucketed_join,
         "q56_code_comments": q56_code_comments,
+        "q57_stratified_sample": q57_stratified_sample,
+        "q58_weighted_topk_sample": q58_weighted_topk_sample,
     }
 
 
@@ -2464,4 +2539,6 @@ def oracle_sql() -> dict[str, str]:
         "q54_snapshot_diff": _Q54_ORACLE_SQL,
         "q55_bucketed_join": _Q55_ORACLE_SQL,
         "q56_code_comments": _Q56_ORACLE_SQL,
+        "q57_stratified_sample": _Q57_ORACLE_SQL,
+        "q58_weighted_topk_sample": _Q58_ORACLE_SQL,
     }

@@ -66,3 +66,78 @@ def hash_split(
         )
         lo = hi
     return out
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its
+    own keep-fraction (e.g. downsample boilerplate languages hard, keep
+    rare ones whole — the standard training-mix move). Same key + same
+    salt -> same decision, independent of partitioning; strata not in
+    ``fractions`` fall back to ``default_fraction``.
+
+    Implementation is a single Column CASE over the stratum — no join,
+    no shuffle; the filter stays inside the scan's codegen stage.
+    """
+    for v in fractions.values():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("fractions must be in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    draw = hash_draw(F.col(key_col), salt)
+    threshold = F.lit(int(default_fraction * _U32))
+    for stratum, frac in sorted(fractions.items()):
+        threshold = (
+            F.when(F.col(strata_col) == stratum, F.lit(int(frac * _U32)))
+            .otherwise(threshold)
+        )
+    return df.filter(draw < threshold)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (top-k by
+    exponential-race priority, Efraimidis-Spirakis A-ES): each row gets
+    priority u^(1/w) with u a deterministic uniform draw from its key;
+    the k highest priorities are an exact weighted sample. Rank inside
+    ``group_cols`` when given (per-language quotas), else globally.
+
+    Distributed shape: priority is pure Column algebra; top-k is one
+    window rank per group — partial aggregation keeps only k candidates
+    per partition crossing the shuffle when Spark applies the rank
+    filter pushdown (and k rows per group afterwards regardless).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    # u in (0, 1]: (draw + 1) / 2^32 avoids log(0) downstream
+    u = (hash_draw(F.col(key_col), salt) + 1) / F.lit(float(_U32))
+    # log(u)/w is monotone in u^(1/w) and numerically safer
+    priority = F.log(u) / F.col(weight_col).cast("double")
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.asc("_neg_priority"), F.col(key_col).asc()
+        )
+    else:
+        w = Window.partitionBy().orderBy(
+            F.asc("_neg_priority"), F.col(key_col).asc()
+        )
+    return (
+        df.withColumn("_neg_priority", -priority)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_neg_priority", "_rk")
+    )

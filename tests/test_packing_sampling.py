@@ -109,3 +109,84 @@ def test_cms_merge_is_cellwise_sum(spark):
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in direct.collect()
     }
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from ontoma_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_hash_sample(
+        df, "k", "lang", {"en": 0.5, "de": 0.05}, salt="s"
+    )
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 800 < counts["en"] < 1200      # ~1000 of 2000
+    assert 50 < counts["de"] < 160        # ~100 of 2000
+    # per-stratum kept set == plain hash_sample at that fraction
+    en_only = df.filter(F.col("lang") == "en")
+    expect_en = {r["k"] for r in hash_sample(en_only, "k", 0.5, "s").collect()}
+    got_en = {r["k"] for r in out.filter(F.col("lang") == "en").collect()}
+    assert got_en == expect_en
+    # repartitioning does not change the kept set
+    again = stratified_hash_sample(
+        df.repartition(13), "k", "lang", {"en": 0.5, "de": 0.05}, salt="s"
+    )
+    assert {(r["k"]) for r in again.collect()} == {
+        (r["k"]) for r in out.collect()
+    }
+    # unknown stratum with default_fraction=0 keeps nothing
+    assert (
+        stratified_hash_sample(df, "k", "lang", {"en": 0.5}, salt="s")
+        .filter(F.col("lang") == "de")
+        .count()
+        == 0
+    )
+
+
+def test_weighted_topk_prefers_heavy_rows(spark):
+    """Across many salts, a row with 50x the weight must be selected
+    far more often than a light row (exponential-race correctness)."""
+    from ontoma_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(i, 50.0 if i < 10 else 1.0) for i in range(110)], "k long, w double"
+    ).cache()
+    heavy_hits = light_hits = 0
+    for s in range(30):
+        kept = {
+            r["k"]
+            for r in weighted_sample_topk(
+                df, "k", "w", k=10, salt=f"t{s}"
+            ).collect()
+        }
+        heavy_hits += sum(1 for k in kept if k < 10)
+        light_hits += sum(1 for k in kept if k >= 10)
+    heavy_rate = heavy_hits / (30 * 10)    # 10 heavy rows, 30 trials
+    light_rate = light_hits / (30 * 100)   # 100 light rows
+    assert heavy_rate > 10 * light_rate, (heavy_rate, light_rate)
+
+
+def test_weighted_topk_grouped_and_deterministic(spark):
+    from ontoma_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 5 + 1).cast("double").alias("w"),
+    )
+    out = weighted_sample_topk(df, "k", "w", k=7, group_cols=["g"], salt="x")
+    counts = {r["g"]: r["n"] for r in
+              out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 7, "1": 7, "2": 7, "3": 7}
+    again = weighted_sample_topk(
+        df.repartition(17), "k", "w", k=7, group_cols=["g"], salt="x"
+    )
+    assert sorted(r["k"] for r in again.collect()) == sorted(
+        r["k"] for r in out.collect()
+    )
