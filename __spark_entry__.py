@@ -2156,6 +2156,86 @@ _Q58_ORACLE_SQL = f"""
 """
 
 
+def q59_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour / 15-minute event rollup: every event lands in 4
+    overlapping windows (Spark expands this inside the aggregation — no
+    pre-explode). The streaming twin is the same expression under a
+    watermark; the oracle expands the 4 window starts explicitly."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_Q59_ORACLE_SQL = """
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                    - (i.i * INTERVAL '15 minutes'),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events CROSS JOIN range(4) i(i)
+    GROUP BY 1, 2
+"""
+
+
+def q60_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the co-mention entity graph
+    (same exact-tier KG dataflow as q44) through the REAL
+    triangle_counts operator: degree-ordered edge orientation bounds
+    the wedge join by the graph's arboricity (the m^1.5 algorithm) —
+    the hot side is wedges-per-forward-degree, not all 2-paths."""
+    from ontoma_spark.operators.graph import comention_edges, triangle_counts
+
+    m = _q27_matches(spark, sf_dir)
+    de = m.select(
+        F.col("path").alias("doc"),
+        F.explode(F.col("entityIds.entityId")).alias("entity"),
+    )
+    edges = comention_edges(de, doc_col="doc", entity_col="entity")
+    return triangle_counts(edges.select("src", "dst"))
+
+
+def _q60_oracle_sql() -> str:
+    return (
+        _q27_cte_prefix()
+        + """
+        , de AS (SELECT DISTINCT doc_id, entity_id FROM matches),
+        e AS (
+          SELECT a.entity_id AS src, b.entity_id AS dst
+          FROM de a JOIN de b
+            ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+          GROUP BY 1, 2
+        ),
+        tri AS (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM e e1 JOIN e e2 ON e1.dst = e2.src
+          JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        pernode AS (
+          SELECT node, count(*) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+          ) GROUP BY 1
+        )
+        SELECT node, n_triangles FROM pernode
+    """
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -2221,6 +2301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_code_comments": q56_code_comments,
         "q57_stratified_sample": q57_stratified_sample,
         "q58_weighted_topk_sample": q58_weighted_topk_sample,
+        "q59_sliding_window_counts": q59_sliding_window_counts,
+        "q60_triangle_count": q60_triangle_count,
     }
 
 
@@ -2541,4 +2623,6 @@ def oracle_sql() -> dict[str, str]:
         "q56_code_comments": _Q56_ORACLE_SQL,
         "q57_stratified_sample": _Q57_ORACLE_SQL,
         "q58_weighted_topk_sample": _Q58_ORACLE_SQL,
+        "q59_sliding_window_counts": _Q59_ORACLE_SQL,
+        "q60_triangle_count": _q60_oracle_sql(),
     }

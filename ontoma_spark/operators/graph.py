@@ -159,3 +159,57 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts: (node, n_triangles) for
+    every node in at least one triangle.
+
+    Input: one row per undirected edge with ``src < dst``. The classic
+    distributed m^1.5 algorithm: orient every edge from its lower
+    (degree, id) endpoint to the higher, so each node's FORWARD degree
+    is O(sqrt(m)); wedges are a self-join of the oriented list on its
+    midpoint (bounded by sum of forward-degree^2, not degree^2 — hub
+    nodes stop being quadratic), and a semi-join against the oriented
+    list closes them. Each triangle is found exactly once, then fanned
+    out to its three corners for the per-node count. Three shuffles on
+    node ids total; no step is driver-side.
+    """
+    deg = entity_degrees(edges)
+    e = (
+        edges.join(
+            deg.select(
+                F.col("node").alias("src"), F.col("degree").alias("_ds")
+            ),
+            "src",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("dst"), F.col("degree").alias("_dd")
+            ),
+            "dst",
+        )
+    )
+    src_first = (F.col("_ds") < F.col("_dd")) | (
+        (F.col("_ds") == F.col("_dd")) & (F.col("src") < F.col("dst"))
+    )
+    fwd = e.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    )
+    wedges = fwd.alias("e1").join(
+        fwd.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("a"),
+        F.col("e1.v").alias("b"),
+        F.col("e2.v").alias("c"),
+    )
+    closed = wedges.join(
+        fwd.alias("e3"),
+        (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+        "left_semi",
+    )
+    corners = closed.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

@@ -107,3 +107,45 @@ def test_pagerank_uniform_on_cycle(spark):
     got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=4).collect()}
     for v, r in got.items():
         assert r == pytest.approx(1.0 / n, abs=1e-12), v
+
+
+def test_triangle_counts_vs_bruteforce(spark):
+    """Degree-oriented distributed count equals the brute-force per-node
+    triangle tally on a random graph."""
+    import itertools
+    import random
+
+    from ontoma_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for _ in range(160)
+            for a, b in [(rng.choice(nodes), rng.choice(nodes))]
+            if a != b
+        }
+    )
+    eset = set(edges)
+    expected: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if ((a, b) in eset and (b, c) in eset and (a, c) in eset):
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df).collect()
+    }
+    assert got == expected and expected, (len(expected), len(got))
+
+
+def test_triangle_counts_triangle_free_graph(spark):
+    from ontoma_spark.operators.graph import triangle_counts
+
+    # a star graph has no triangles
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "src int, dst int"
+    )
+    assert triangle_counts(df).count() == 0
