@@ -138,6 +138,7 @@ class SnapshotTable:
         operation: str,
         rows: int,
         file_stats: dict | None = None,
+        properties: dict | None = None,
     ) -> int:
         while True:
             parent = self.current_version()
@@ -149,6 +150,7 @@ class SnapshotTable:
                 "manifest": manifest,
                 "row_count": rows,
                 "file_stats": file_stats or {},
+                "properties": properties or {},
             }
             try:
                 fd = os.open(
@@ -297,6 +299,7 @@ class SnapshotTable:
         source: DataFrame,
         keys: list[str],
         stats_cols: list[str] | None = None,
+        properties: dict | None = None,
     ) -> int:
         """Copy-on-write MERGE (upsert by ``keys``): rows of ``source``
         replace current rows with the same key; unmatched source rows
@@ -314,7 +317,7 @@ class SnapshotTable:
         parent = self.current_version()
         if parent is None:
             rel, n, stats = self._write_data(source, 1, stats_cols)
-            return self._commit([rel], "merge", n, stats)
+            return self._commit([rel], "merge", n, stats, properties)
         psnap = self.snapshot(parent)
         cur = self.read(parent).withColumn("_file", F.input_file_name())
         key_df = source.select(*keys).distinct()
@@ -352,6 +355,7 @@ class SnapshotTable:
             "merge",
             psnap["row_count"] - touched_rows + n,
             stats,
+            properties,
         )
 
     def delete_where(

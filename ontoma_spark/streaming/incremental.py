@@ -137,3 +137,88 @@ def stream_event_rollup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_snapshot_upsert(
+    spark: SparkSession,
+    input_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    schema: str,
+    keys: list[str],
+    order_col: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incrementally UPSERT a keyed record stream into a SnapshotTable
+    (core/snapshots.py) — the streaming twin of Iceberg MERGE INTO.
+
+    Each micro-batch is reduced to one row per key (latest by
+    ``order_col`` when given, else an arbitrary-but-deterministic
+    max_by) and copy-on-write merged into the table: only data files
+    containing a matched key are rewritten.
+
+    Exactly-once table state under foreachBatch's at-least-once
+    delivery: the merge commit records its ``stream_batch_id`` in the
+    snapshot properties; a retried batch sees its own id already
+    committed at the current version and skips, so no duplicate
+    snapshot (and no wasted rewrite) is produced. Replaying an OLDER
+    batch after later ones committed is impossible within one stream
+    (foreachBatch ids are monotone per checkpoint), which is what makes
+    the single high-water-mark check sufficient.
+    """
+    from ontoma_spark.core.snapshots import SnapshotTable
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_batch_into_snapshot(
+            spark, table_root, batch_df, batch_id, keys, order_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def upsert_batch_into_snapshot(
+    spark: SparkSession,
+    table_root: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    keys: list[str],
+    order_col: str | None = None,
+) -> int | None:
+    """One micro-batch's guarded copy-on-write merge (the foreachBatch
+    body of ``stream_snapshot_upsert``, exposed for direct testing).
+    Returns the committed snapshot version, or None when the batch id
+    was already committed (a retry) and the call was a no-op."""
+    from ontoma_spark.core.snapshots import SnapshotTable
+
+    table = SnapshotTable(spark, table_root)
+    current = table.current_version()
+    if current is not None:
+        seen = table.snapshot(current).get("properties", {}).get(
+            "stream_batch_id"
+        )
+        if seen is not None and int(seen) >= batch_id:
+            return None  # retried batch: state already committed
+    value_cols = [c for c in batch_df.columns if c not in keys]
+    if order_col is not None:
+        others = [c for c in value_cols if c != order_col]
+        src = batch_df.groupBy(*keys).agg(
+            F.max_by(F.struct(order_col, *others), F.col(order_col)).alias(
+                "_v"
+            )
+        )
+        src = src.select(*keys, *[F.col(f"_v.{c}") for c in value_cols])
+    else:
+        src = batch_df.dropDuplicates(keys)
+    return table.merge(
+        src, keys, properties={"stream_batch_id": int(batch_id)}
+    )

@@ -160,3 +160,68 @@ def test_stream_event_rollup_watermarked_window(spark, tmp_path):
         assert got[("2024-01-01T01:00:00", "view")] == (1, 5.0)
     finally:
         q.stop()
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "k long, ts long, val string"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_snapshot_upsert_merges_and_resumes(spark, tmp_path):
+    from ontoma_spark.core.snapshots import SnapshotTable
+    from ontoma_spark.streaming.incremental import stream_snapshot_upsert
+
+    src = str(tmp_path / "in")
+    table_root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(spark, src, [(1, 10, "a"), (2, 10, "b"), (1, 11, "a2")])
+
+    q = stream_snapshot_upsert(
+        spark, src, table_root, ckpt,
+        schema="k long, ts long, val string",
+        keys=["k"], order_col="ts",
+    )
+    q.processAllAvailable(); q.stop()
+    t = SnapshotTable(spark, table_root)
+    got = {r["k"]: (r["ts"], r["val"]) for r in t.read().collect()}
+    assert got == {1: (11, "a2"), 2: (10, "b")}  # latest-per-key won
+
+    # second wave: update k=2, insert k=3; restart from checkpoint
+    _write_events(spark, src, [(2, 20, "B"), (3, 20, "c")])
+    q2 = stream_snapshot_upsert(
+        spark, src, table_root, ckpt,
+        schema="k long, ts long, val string",
+        keys=["k"], order_col="ts",
+    )
+    q2.processAllAvailable(); q2.stop()
+    got = {r["k"]: (r["ts"], r["val"]) for r in t.read().collect()}
+    assert got == {1: (11, "a2"), 2: (20, "B"), 3: (20, "c")}
+    # first wave's rows were NOT reprocessed (checkpoint carried over):
+    # table history = one merge per micro-batch, each recording its id
+    ops = [s["operation"] for s in t.history()]
+    assert ops.count("merge") == len(ops)
+
+
+def test_stream_snapshot_upsert_retry_is_noop(spark, tmp_path):
+    """A foreachBatch retry (same batch id) must not commit a second
+    snapshot — the stream_batch_id high-water mark makes it a no-op."""
+    from ontoma_spark.core.snapshots import SnapshotTable
+    from ontoma_spark.streaming.incremental import (
+        upsert_batch_into_snapshot,
+    )
+
+    table_root = str(tmp_path / "t2")
+    batch = spark.createDataFrame([(1, "x"), (2, "y")], "k long, val string")
+    v1 = upsert_batch_into_snapshot(spark, table_root, batch, 0, ["k"])
+    assert v1 == 1
+    # retry of batch 0: no new snapshot, state unchanged
+    assert upsert_batch_into_snapshot(spark, table_root, batch, 0, ["k"]) is None
+    t = SnapshotTable(spark, table_root)
+    assert t.current_version() == 1
+    assert t.read().count() == 2
+    # the NEXT batch id commits normally
+    nxt = spark.createDataFrame([(2, "Y")], "k long, val string")
+    assert upsert_batch_into_snapshot(spark, table_root, nxt, 1, ["k"]) == 2
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got == {1: "x", 2: "Y"}
