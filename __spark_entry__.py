@@ -746,7 +746,10 @@ def _q27_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     entityIds array; q27 aggregates it, q44 projects it to a graph."""
     from ontoma_spark.lexicon.build import RAW_LUT_SCHEMA, build_lexicon
     from ontoma_spark.operators.linker import link_matches
-    from ontoma_spark.operators.mentions import extract_candidates
+    from ontoma_spark.operators.mentions import (
+        build_token_bloom,
+        extract_candidates,
+    )
 
     d = _t(spark, sf_dir, "documents")
     repos = d.select(
@@ -756,11 +759,16 @@ def _q27_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("txt").alias("lang"),
         F.col("text").alias("content"),
     )
-    lexicon = build_lexicon(
-        [spark.createDataFrame(KG27_LUT, RAW_LUT_SCHEMA)]
-    )
+    raw_lut = spark.createDataFrame(KG27_LUT, RAW_LUT_SCHEMA)
+    lexicon = build_lexicon([raw_lut])
+    # token-prefix Bloom prefilter, as in the production path: no false
+    # negatives, so the exact-join output (and the oracle match) is
+    # unchanged — only the candidate stream feeding the vocabulary
+    # shuffle shrinks (~5x less work at sf0.1)
+    bloom = build_token_bloom(raw_lut)
     return link_matches(
-        extract_candidates(repos), lexicon, with_fuzzy=False
+        extract_candidates(repos, token_bloom=bloom), lexicon,
+        with_fuzzy=False,
     )
 
 

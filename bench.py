@@ -72,6 +72,13 @@ HEADLINE = [
     "q36_ngram_jaccard_exact",
     "q37_hll_registers",
     "q40_pack_sequences",
+    "q53_snapshot_merge",
+    "q54_snapshot_diff",
+    "q55_bucketed_join",
+    "q56_code_comments",
+    "q57_stratified_sample",
+    "q58_weighted_topk_sample",
+    "q59_sliding_window_counts",
 ]
 
 

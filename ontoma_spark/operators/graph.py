@@ -175,6 +175,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     out to its three corners for the per-node count. Three shuffles on
     node ids total; no step is driver-side.
     """
+    # the input is also consumed three times (degree union x2 + the
+    # orientation join); same persist rationale as fwd below
+    edges = edges.persist()
     deg = entity_degrees(edges)
     e = (
         edges.join(
@@ -193,10 +196,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     src_first = (F.col("_ds") < F.col("_dd")) | (
         (F.col("_ds") == F.col("_dd")) & (F.col("src") < F.col("dst"))
     )
+    # fwd is referenced three times below (both wedge sides + closure);
+    # without a persist each reference recomputes the whole upstream
+    # lineage — for a KG-derived edge list that is the full linker
+    # dataflow, 3x. The oriented edge list is O(m), far smaller than its
+    # lineage, so persist it.
     fwd = e.select(
         F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
-    )
+    ).persist()
     wedges = fwd.alias("e1").join(
         fwd.alias("e2"), F.col("e1.v") == F.col("e2.u")
     ).select(

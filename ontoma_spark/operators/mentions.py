@@ -224,8 +224,20 @@ def extract_candidates(
     out = repos.withColumn("_toks", tokens).withColumn("_stops", stop_flags)
     ok_flags = ok1_flags = None
     if token_bloom is not None:
+        # stop-word tokens are Bloom-EXEMPT: the term-track signature
+        # deletes them, so "customer a join" legitimately matches the
+        # lexicon entry "customer join" — a stop word interior to an
+        # n-gram must never veto it (boundary stops are already pruned
+        # by the stop-flag check in _ngrams_of). Without the exemption
+        # the prefilter has false negatives vs the engine's own
+        # signature semantics.
         out = out.withColumn(
-            "_ok", F.expr(_token_ok_flags_sql(token_bloom, "_toks"))
+            "_ok",
+            F.zip_with(
+                F.expr(_token_ok_flags_sql(token_bloom, "_toks")),
+                F.col("_stops"),
+                lambda ok, st: ok | st,
+            ),
         ).withColumn(
             "_ok1",
             F.zip_with(
