@@ -2244,6 +2244,45 @@ def _q60_oracle_sql() -> str:
     )
 
 
+def q61_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filtered join through the REAL bloom_filtered_join
+    operator: lineitem prefiltered by a Bloom bitmap of a small orders
+    subset's keys before the shuffle join. Bloom false positives are
+    killed by the join itself, so the result is value-identical to the
+    plain join (the oracle IS the plain join)."""
+    from ontoma_spark.operators.joins import bloom_filtered_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_quantity"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 19 == 0)
+        )
+        .select(F.col("o_orderkey").alias("orderkey"), "o_totalprice")
+    )
+    joined = bloom_filtered_join(li, urgent, "orderkey")
+    return joined.groupBy("orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.max("o_totalprice"), 2).alias("totalprice"),
+    )
+
+
+_Q61_ORACLE_SQL = """
+    SELECT l.l_orderkey AS orderkey,
+           count(*) AS n_items,
+           round(sum(l.l_quantity), 2) AS sum_qty,
+           round(max(o.o_totalprice), 2) AS totalprice
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey % 19 = 0
+    GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -2311,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_weighted_topk_sample": q58_weighted_topk_sample,
         "q59_sliding_window_counts": q59_sliding_window_counts,
         "q60_triangle_count": q60_triangle_count,
+        "q61_bloom_join": q61_bloom_join,
     }
 
 
@@ -2633,4 +2673,5 @@ def oracle_sql() -> dict[str, str]:
         "q58_weighted_topk_sample": _Q58_ORACLE_SQL,
         "q59_sliding_window_counts": _Q59_ORACLE_SQL,
         "q60_triangle_count": _q60_oracle_sql(),
+        "q61_bloom_join": _Q61_ORACLE_SQL,
     }

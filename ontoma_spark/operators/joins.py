@@ -192,3 +192,72 @@ def salted_join(
         salted_left[left_key] == salted_right[right_key]
     ) & (salted_left["_salt"] == salted_right["_salt"])
     return salted_left.join(salted_right, cond, "inner").drop("_salt")
+
+
+def bloom_filtered_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    k: int | None = None,
+) -> DataFrame:
+    """Runtime-filtered equi-join: prefilter the LARGE side with a Bloom
+    bitmap of the small side's join keys before any shuffle.
+
+    The exact move Spark's own runtime row-level filtering makes
+    (spark.sql.optimizer.runtime.bloomFilter), exposed as an explicit
+    operator so it also works when the planner won't inject it (e.g.
+    the small side is itself a subquery the optimizer can't see
+    through, or the join spans engines). The bitmap is built with one
+    tiny aggregation over the small side (<= 4096 set-bit rows
+    collected), inlined into the large side's scan as a literal
+    word-array probe — Catalyst pushes it into the same codegen stage
+    as the scan, so non-matching rows die before the exchange. At
+    100 TB this is the difference between shuffling the whole fact
+    table and shuffling only candidate rows.
+
+    Bloom filters have false POSITIVES only, and the real join runs
+    after the prefilter — so for ``inner`` and ``left_semi`` the result
+    is exactly the plain join's (q61's oracle asserts it value-level).
+    Other join types would need the large side's non-matching rows and
+    are rejected.
+    """
+    from ontoma_spark.functions.sketches import BLOOM_K, bloom_bits
+
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(
+            "bloom prefilter only preserves inner/semi join semantics"
+        )
+    k = BLOOM_K if k is None else k
+    bits = {
+        r["bit"]
+        for r in bloom_bits(
+            small.select(on).distinct(), on, k=k
+        ).collect()
+    }
+    return large.filter(bloom_probe_sql(bits, on, k)).join(
+        small, on=on, how=how
+    )
+
+
+def bloom_probe_sql(bits: set[int], col: str, k: int) -> str:
+    """SQL predicate testing all ``k`` Bloom positions of ``col``
+    against an INLINED 4096-bit word-array literal (ConstantFolding
+    collapses it to one Literal — never a per-row 512-byte column).
+    Hash layout matches functions/sketches.py::_bloom_bit, so a filter
+    built by ``bloom_bits`` in another job/engine probes identically."""
+    words = [0] * 128  # 4096 bits as 32-bit words
+    for b in bits:
+        words[b // 32] |= 1 << (b % 32)
+    arr = "array(" + ",".join(str(w) for w in words) + ")"
+    probes = []
+    for i in range(k):
+        h = (
+            f"cast(conv(substring(md5(concat('bf{i}:', "
+            f"cast({col} AS string))), 1, 3), 16, 10) AS int)"
+        )
+        probes.append(
+            f"(shiftright(element_at({arr}, cast({h} / 32 AS int) + 1), "
+            f"cast({h} % 32 AS int)) & 1) = 1"
+        )
+    return f"{col} IS NOT NULL AND " + " AND ".join(probes)

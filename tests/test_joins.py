@@ -131,3 +131,43 @@ def test_range_join_no_duplicate_matches(spark):
     )
     out = range_join(points, intervals, "t", "s", "e", on=["uid"])
     assert out.count() == 1
+
+
+def test_bloom_filtered_join_exact_and_selective(spark):
+    from ontoma_spark.operators.joins import bloom_filtered_join
+
+    large = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("payload")
+    )
+    small = spark.range(0, 20000).filter(F.col("id") % 400 == 0).select(
+        F.col("id").alias("k"), F.lit("dim").alias("tag")
+    )
+    got = bloom_filtered_join(large, small, "k")
+    expected = large.join(small, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # the prefilter alone must be selective: most of the large side
+    # dies before the join (false-positive rate ~ (1-e^-kn/m)^k)
+    from ontoma_spark.functions.sketches import BLOOM_K, bloom_bits
+    from ontoma_spark.operators.joins import bloom_probe_sql
+
+    bits = {
+        r["bit"] for r in bloom_bits(small.select("k"), "k").collect()
+    }
+    cond = bloom_probe_sql(bits, "k", BLOOM_K)
+    survivors = large.filter(cond).count()
+    assert survivors < 2000, survivors  # 50 true keys of 20000 rows
+
+
+def test_bloom_filtered_join_semi_and_rejects_outer(spark):
+    import pytest as _pytest
+
+    from ontoma_spark.operators.joins import bloom_filtered_join
+
+    large = spark.range(0, 1000).select(F.col("id").alias("k"))
+    small = spark.createDataFrame([(3,), (999,), (500,)], "k long")
+    semi = bloom_filtered_join(large, small, "k", how="left_semi")
+    assert sorted(r["k"] for r in semi.collect()) == [3, 500, 999]
+    with _pytest.raises(ValueError):
+        bloom_filtered_join(large, small, "k", how="left")
