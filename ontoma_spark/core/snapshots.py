@@ -451,6 +451,7 @@ class SnapshotTable:
         self,
         version: int | None = None,
         where: list[tuple[str, object, object]] | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Scan the table as of ``version`` (default: current).
 
@@ -460,6 +461,11 @@ class SnapshotTable:
         skipping on manifest column stats); files lacking stats are
         scanned. The residual ``BETWEEN`` filters are still applied, so
         the result equals an unpruned scan + filter exactly.
+
+        ``merge_schema=True`` unions the schemas of all referenced data
+        files (parquet mergeSchema) — additive column evolution: an
+        append that introduced a new column reads back with older files
+        null-filled.
         """
         v = self.current_version() if version is None else version
         if v is None:
@@ -468,12 +474,15 @@ class SnapshotTable:
         manifest = snap["manifest"]
         if not manifest:
             raise ValueError(f"snapshot {v} has an empty manifest")
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
         if not where:
             paths = [os.path.join(self._data, rel) for rel in manifest]
-            return self.spark.read.parquet(*paths)
+            return reader.parquet(*paths)
         files = self.scan_files(v, where)
         if files:
-            df = self.spark.read.parquet(
+            df = reader.parquet(
                 *[os.path.join(self._data, f) for f in files]
             )
         else:
@@ -514,6 +523,56 @@ class SnapshotTable:
         return out
 
     # ------------------------------------------------------------ cleanup
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg's expire-snapshots maintenance: drop all but the
+        newest ``keep_last`` snapshot manifests, then delete every data
+        file no retained snapshot references. Time travel to expired
+        versions stops working (by design); the current snapshot and
+        its data are never touched. Returns what was removed.
+
+        Driver-side metadata + filesystem work only — never a Spark
+        job; cost is O(#snapshots + #files), the same economics as
+        Iceberg's own maintenance actions.
+        """
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self.history()
+        if len(snaps) <= keep_last:
+            return {"expired_versions": [], "deleted_entries": []}
+        retained = snaps[-keep_last:]
+        expired = snaps[:-keep_last]
+        keep_files: set[str] = set()
+        for s in retained:
+            for entry in s["manifest"]:
+                keep_files.update(self._entry_files(entry))
+        expired_versions = []
+        for s in expired:
+            os.remove(self._snap_path(s["version"]))
+            expired_versions.append(s["version"])
+        deleted: list[str] = []
+        for top in sorted(os.listdir(self._data)):
+            top_abs = os.path.join(self._data, top)
+            retained_here = {f for f in keep_files if f.split("/", 1)[0] == top}
+            if not retained_here:
+                # no retained snapshot references anything under this
+                # data dir (markers like _SUCCESS go with it)
+                shutil.rmtree(top_abs)
+                deleted.append(top)
+                continue
+            for dirpath, _dirs, files in os.walk(top_abs, topdown=False):
+                for name in files:
+                    ap = os.path.join(dirpath, name)
+                    rel = os.path.relpath(ap, self._data)
+                    if name.endswith(".parquet") and rel not in keep_files:
+                        os.remove(ap)
+                        deleted.append(rel)
+        return {
+            "expired_versions": expired_versions,
+            "deleted_entries": sorted(deleted),
+        }
 
     def orphaned_data_dirs(self) -> list[str]:
         """Data dirs referenced by NO snapshot (crash leftovers) —

@@ -102,11 +102,15 @@ def stream_event_rollup(
     window_duration: str = "1 hour",
     watermark_delay: str = "2 hours",
     query_name: str = "event_rollup",
+    slide_duration: str | None = None,
 ) -> StreamingQuery:
     """Watermarked tumbling-window event counts to an in-memory sink.
 
     Late rows beyond ``watermark_delay`` are dropped and window state is
     evicted once the watermark passes — bounded state at any scale.
+    ``slide_duration`` switches to overlapping sliding windows (the
+    streaming twin of q59); each event then contributes to
+    window/slide windows, state still watermark-bounded.
     """
     events = (
         spark.readStream.schema(
@@ -117,7 +121,10 @@ def stream_event_rollup(
     )
     rollup = (
         events.withWatermark("ts", watermark_delay)
-        .groupBy(F.window("ts", window_duration), "event_type")
+        .groupBy(
+            F.window("ts", window_duration, slide_duration or window_duration),
+            "event_type",
+        )
         .agg(
             F.count("*").alias("n_events"),
             F.sum("value").alias("sum_value"),

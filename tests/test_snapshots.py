@@ -237,3 +237,50 @@ def test_pipeline_publishes_versioned_snapshots(spark, tmp_path):
     n2 = table.read(version=2).count()
     assert n1 == n2 == table.snapshot(2)["row_count"] > 0
     assert "bucket" not in table.read().columns
+
+
+def test_expire_snapshots_gc(spark, table):
+    t = table
+    t.append(_kv(spark, [(1, "a")]).coalesce(1))
+    t.overwrite(_kv(spark, [(2, "b")]).coalesce(1))
+    t.merge(_kv(spark, [(2, "B"), (3, "c")]), keys=["k"])
+    assert len(t.history()) == 3
+    report = t.expire_snapshots(keep_last=1)
+    assert report["expired_versions"] == [1, 2]
+    assert report["deleted_entries"], "v1's data dir should be deleted"
+    # current snapshot still fully readable
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got == {2: "B", 3: "c"}
+    # expired versions are gone
+    import pytest as _p
+    with _p.raises(FileNotFoundError):
+        t.snapshot(1)
+    assert [s["version"] for s in t.history()] == [3]
+    # no orphans left behind
+    assert t.orphaned_data_dirs() == []
+
+
+def test_expire_keeps_shared_files_of_retained_snapshots(spark, table):
+    """A file carried by reference into a retained snapshot must
+    survive even though it was written by an expired one (CoW merge
+    shares files across versions)."""
+    t = table
+    t.append(_kv(spark, [(1, "a"), (2, "b")]).coalesce(1))      # v1
+    t.append(_kv(spark, [(10, "x")]).coalesce(1))               # v2
+    t.merge(_kv(spark, [(10, "X")]), keys=["k"])                # v3 carries v1's file
+    t.expire_snapshots(keep_last=1)
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "b", 10: "X"}
+
+
+def test_schema_evolution_merge_read(spark, table):
+    t = table
+    t.append(_kv(spark, [(1, "a")]))
+    newer = spark.createDataFrame(
+        [(2, "b", 0.5)], "k long, val string, score double"
+    )
+    t.append(newer)
+    df = t.read(merge_schema=True)
+    assert set(df.columns) == {"k", "val", "score"}
+    rows = {r["k"]: (r["val"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 0.5)}

@@ -225,3 +225,43 @@ def test_stream_snapshot_upsert_retry_is_noop(spark, tmp_path):
     assert upsert_batch_into_snapshot(spark, table_root, nxt, 1, ["k"]) == 2
     got = {r["k"]: r["val"] for r in t.read().collect()}
     assert got == {1: "x", 2: "Y"}
+
+
+def test_stream_sliding_rollup_matches_batch_twin(spark, tmp_path):
+    """Sliding-window streaming rollup == the q59 batch expression over
+    the same closed input."""
+    import uuid
+
+    from ontoma_spark.streaming.incremental import stream_event_rollup
+
+    src = str(tmp_path / "ev")
+    rows = [
+        (i, f"2024-01-01 00:{m:02d}:00", 1, "click", 1.0, "{}")
+        for i, m in enumerate([1, 16, 31, 59])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(src)
+    name = f"slide_{uuid.uuid4().hex[:6]}"
+    q = stream_event_rollup(
+        spark, src, str(tmp_path / "ck"), window_duration="1 hour",
+        slide_duration="15 minutes", query_name=name,
+    )
+    q.processAllAvailable(); q.stop()
+    got = {
+        (str(r["window_start"]), r["n_events"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = {
+        (str(r["window_start"]), r["n_events"])
+        for r in df.groupBy(
+            F.window("ts", "1 hour", "15 minutes"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+        .collect()
+    }
+    assert got == batch and len(got) >= 4
