@@ -524,6 +524,30 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ cleanup
 
+    def compact(
+        self,
+        num_files: int,
+        stats_cols: list[str] | None = None,
+        zorder: list[str] | None = None,
+    ) -> int:
+        """Iceberg's rewrite-data-files maintenance: rewrite the CURRENT
+        snapshot's data into ``num_files`` files (optionally z-order
+        clustered) and commit it as a new snapshot. Fixes the
+        small-files problem that append/merge churn accumulates —
+        scan task count drops from O(#commits) to O(table size /
+        target file size). Older snapshots stay readable (time travel
+        unaffected) until ``expire_snapshots`` collects them.
+        """
+        df = self.read()
+        if zorder:
+            df = cluster_by_zorder(df, zorder, num_files)
+            stats_cols = sorted(set(stats_cols or []) | set(zorder))
+        else:
+            df = df.repartition(num_files)
+        parent = self.current_version()
+        rel, n, stats = self._write_data(df, (parent or 0) + 1, stats_cols)
+        return self._commit([rel], "compact", n, stats)
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Iceberg's expire-snapshots maintenance: drop all but the
         newest ``keep_last`` snapshot manifests, then delete every data

@@ -1,0 +1,53 @@
+"""Plan-quality assertions: the physical plans the 100 TB story relies
+on. Each test pins a property (pushdown, pruning, codegen) that a
+refactor could silently lose without any result changing."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushes_into_parquet_scan(spark):
+    df = _docs(spark).filter(F.col("doc_id") > 100).select("doc_id")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = _docs(spark).select("lang")
+    plan = _plan(df)
+    # ReadSchema must carry ONLY the projected column
+    assert "ReadSchema: struct<lang:string>" in plan, plan
+
+
+def test_projection_filter_stay_in_one_codegen_stage(spark):
+    df = (
+        _docs(spark)
+        .filter(F.length("text") > 10)
+        .select("doc_id", F.lower("text").alias("t"))
+    )
+    plan = _plan(df)
+    # the '*(1)' star marks WholeStageCodegen stage 1: filter + project
+    # fused with the scan, no stage boundary between them
+    assert plan.startswith("*(1) Project"), plan
+    assert "*(1) Filter" in plan, plan
+
+
+def test_lineitem_agg_partial_before_exchange(spark):
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = _plan(agg)
+    # partial_sum before the exchange = map-side combine is in place
+    assert "partial_sum" in plan, plan

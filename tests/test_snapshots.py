@@ -284,3 +284,19 @@ def test_schema_evolution_merge_read(spark, table):
     assert set(df.columns) == {"k", "val", "score"}
     rows = {r["k"]: (r["val"], r["score"]) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 0.5)}
+
+
+def test_compact_rewrites_small_files(spark, table):
+    t = table
+    for i in range(6):  # small-files churn: 6 commits, 1 file each
+        t.append(_kv(spark, [(i, f"v{i}")]).coalesce(1))
+    before = t._manifest_files(t.current_version())
+    assert len(before) == 6
+    v = t.compact(num_files=2)
+    assert t.snapshot(v)["operation"] == "compact"
+    after = t._manifest_files(v)
+    assert len(after) == 2
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got == {i: f"v{i}" for i in range(6)}
+    # pre-compaction version still time-travels
+    assert t.read(version=6).count() == 6
