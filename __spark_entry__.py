@@ -2283,6 +2283,144 @@ _Q61_ORACLE_SQL = """
 """
 
 
+def q62_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data governance through the REAL redaction kernels
+    (functions/redact.py): typed masking + per-category counts over a
+    deterministically dirtied corpus. Catalyst-only regex chains; the
+    oracle runs the identical RE2 patterns."""
+    from ontoma_spark.functions import redact as R
+
+    d = _t(spark, sf_dir, "documents")
+    content = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                "text",
+                F.lit(" contact bob"),
+                F.col("doc_id"),
+                F.lit("@mail.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.regexp_replace("text", " data ", " 10.0.0.1 "),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("password = secret"),
+                F.col("doc_id"),
+                F.lit("value "),
+                "text",
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    counts = R.redaction_counts(content)
+    return d.select(
+        "doc_id",
+        F.md5(R.redact_content(content)).alias("redacted_md5"),
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+        counts["n_secrets"].cast("long").alias("n_secrets"),
+        R.is_clean(content).alias("clean"),
+    )
+
+
+def _q62_oracle_sql() -> str:
+    from ontoma_spark.functions.redact import (
+        AWS_KEY_RE as AWS_KEY_RE_RAW,
+        EMAIL_RE as EMAIL_RE_RAW,
+        IPV4_RE as IPV4_RE_RAW,
+        SECRET_ASSIGN_RE as SECRET_RE_RAW,
+    )
+
+    # escape single quotes for SQL string literals
+    EMAIL_RE = EMAIL_RE_RAW.replace("'", "''")
+    IPV4_RE = IPV4_RE_RAW.replace("'", "''")
+    AWS_KEY_RE = AWS_KEY_RE_RAW.replace("'", "''")
+    SECRET_ASSIGN_RE = SECRET_RE_RAW.replace("'", "''")
+
+    return f"""
+        WITH dirty AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id % 4 = 0
+                     THEN text || ' contact bob' || doc_id || '@mail.com'
+                   WHEN doc_id % 4 = 1
+                     THEN replace(text, ' data ', ' 10.0.0.1 ')
+                   WHEN doc_id % 4 = 2
+                     THEN 'password = secret' || doc_id || 'value ' || text
+                   ELSE text
+                 END AS content
+          FROM documents
+        ),
+        counted AS (
+          SELECT doc_id, content,
+                 len(regexp_extract_all(content, '{EMAIL_RE}')) AS n_emails,
+                 len(regexp_extract_all(content, '{IPV4_RE}')) AS n_ips,
+                 len(regexp_extract_all(content, '{AWS_KEY_RE}')) AS n_aws,
+                 len(regexp_extract_all(content,
+                     '{SECRET_ASSIGN_RE}', 3)) AS n_secrets
+          FROM dirty
+        )
+        SELECT doc_id,
+               md5(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(content, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                         '{IPV4_RE}', '<IP>', 'g'),
+                       '{AWS_KEY_RE}', '<AWS_KEY>', 'g'),
+                     '{SECRET_ASSIGN_RE}', '\\1\\2<SECRET>', 'g'))
+                 AS redacted_md5,
+               CAST(n_emails AS BIGINT) AS n_emails,
+               CAST(n_ips AS BIGINT) AS n_ips,
+               CAST(n_secrets AS BIGINT) AS n_secrets,
+               (n_emails = 0 AND n_ips = 0 AND n_aws = 0
+                AND n_secrets = 0) AS clean
+        FROM counted
+    """
+
+
+def q63_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with sliding overlap through the REAL
+    chunk_with_overlap operator: 20-token chunks, 5-token overlap —
+    explode-only, no shuffle (the RAG/training ingestion splitter)."""
+    from ontoma_spark.operators.packing import chunk_with_overlap
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    return chunk_with_overlap(
+        d, ["doc_id"], "toks", chunk_tokens=20, overlap_tokens=5
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+_Q63_ORACLE_SQL = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    s AS (
+      SELECT doc_id, ts,
+             unnest(range(0, greatest(len(ts), 1), 15)) AS start
+      FROM t WHERE len(ts) > 0
+    )
+    SELECT doc_id,
+           CAST(start // 15 AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start,
+           CAST(least(20, len(ts) - start) AS BIGINT) AS n_tokens,
+           md5(array_to_string(ts[start + 1 : start + 20], ' ')) AS chunk_md5
+    FROM s
+    WHERE start = 0 OR start < len(ts) - 5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -2351,6 +2489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_sliding_window_counts": q59_sliding_window_counts,
         "q60_triangle_count": q60_triangle_count,
         "q61_bloom_join": q61_bloom_join,
+        "q62_pii_redaction": q62_pii_redaction,
+        "q63_chunk_overlap": q63_chunk_overlap,
     }
 
 
@@ -2674,4 +2814,6 @@ def oracle_sql() -> dict[str, str]:
         "q59_sliding_window_counts": _Q59_ORACLE_SQL,
         "q60_triangle_count": _q60_oracle_sql(),
         "q61_bloom_join": _Q61_ORACLE_SQL,
+        "q62_pii_redaction": _q62_oracle_sql(),
+        "q63_chunk_overlap": _Q63_ORACLE_SQL,
     }

@@ -1,0 +1,77 @@
+"""PII / secret redaction for training-data governance.
+
+Before any content (especially source code) ships into a training set,
+emails, bare IPs, and credential-shaped strings must be found and
+masked. These are Catalyst-only kernels (regexp_replace /
+regexp_extract_all chains — RE2-compatible patterns so the DuckDB
+oracle runs them verbatim): no UDFs, whole-stage codegen, safe over
+100 TB of content.
+
+Pattern philosophy: high-precision shapes only (the AWS access-key
+prefix, long hex/base64 runs next to secret-ish keywords, RFC-shaped
+emails). Recall-first PII systems need ML; this layer is the cheap
+always-on pass that catches the bulk and the worst.
+
+Reference parity: OnToma has no redaction surface; this backs the
+training-data-pipeline extension (same status as dedup/similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+AWS_KEY_RE = r"\b(?:AKIA|ASIA)[0-9A-Z]{16}\b"
+# keyword = long-token assignments: password/secret/token/api_key etc.
+SECRET_ASSIGN_RE = (
+    r"(?i)(password|passwd|secret|api[_-]?key|token)"
+    r"([ \t]*[:=][ \t]*)['\"]?([A-Za-z0-9+/_-]{8,})['\"]?"
+)
+
+_MASKS = [
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),
+    (AWS_KEY_RE, "<AWS_KEY>"),
+]
+
+
+def redact_content(content: Column) -> Column:
+    """Content with every match of the redaction patterns replaced by a
+    typed mask token; secret assignments keep their key and separator
+    (``password = <SECRET>``) so code stays parseable."""
+    out = content
+    for pat, mask in _MASKS:
+        out = F.regexp_replace(out, pat, mask)
+    return F.regexp_replace(out, SECRET_ASSIGN_RE, r"$1$2<SECRET>")
+
+
+def redaction_counts(content: Column) -> Column:
+    """Struct of per-category match counts — the governance metric
+    (stream it into the lineage log to monitor leak rates per corpus
+    slice)."""
+    return F.struct(
+        F.size(F.regexp_extract_all(content, F.lit(EMAIL_RE), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(content, F.lit(IPV4_RE), F.lit(0)))
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(content, F.lit(AWS_KEY_RE), F.lit(0)))
+        .alias("n_aws_keys"),
+        F.size(
+            F.regexp_extract_all(content, F.lit(SECRET_ASSIGN_RE), F.lit(3))
+        ).alias("n_secrets"),
+    )
+
+
+def is_clean(content: Column) -> Column:
+    """True when no redaction pattern fires — the fast governance
+    filter (keep clean docs untouched, route dirty ones through
+    ``redact_content``)."""
+    c = redaction_counts(content)
+    return (
+        (c["n_emails"] == 0)
+        & (c["n_ips"] == 0)
+        & (c["n_aws_keys"] == 0)
+        & (c["n_secrets"] == 0)
+    )

@@ -114,3 +114,51 @@ def pack_sequences(
             - F.greatest(F.col("_start"), chunk_lo)
         ).cast("long").alias("chunk_tokens"),
     )
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    key_cols: list[str],
+    tokens_col: str,
+    chunk_tokens: int,
+    overlap_tokens: int,
+) -> DataFrame:
+    """Split each document's token array into fixed-size chunks with a
+    sliding overlap — the context-window chunking every LLM training /
+    RAG ingestion pipeline runs.
+
+    Chunk starts step by (chunk - overlap); a tail start is emitted only
+    if it adds tokens beyond the previous chunk's coverage (start <
+    n - overlap), so no chunk is a pure suffix of its predecessor.
+    Catalyst-only: sequence + filter + transform + explode; the explode
+    fans out ~n/step rows per doc with no shuffle at all — chunking is
+    embarrassingly parallel and stays in the scan's stage.
+
+    Output: key cols + (chunk_id, start, n_tokens, chunk) with start
+    0-based and chunk the space-joined token slice.
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk")
+    step = chunk_tokens - overlap_tokens
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)),
+        lambda s: (s == 0) | (s < n - overlap_tokens),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            s.alias("start"),
+            F.least(F.lit(chunk_tokens), n - s).alias("n_tokens"),
+            F.array_join(
+                F.slice(toks, s + 1, chunk_tokens), " "
+            ).alias("chunk"),
+        ),
+    )
+    return (
+        df.filter(n > 0)
+        .select(*key_cols, F.explode(chunks).alias("c"))
+        .select(*key_cols, "c.chunk_id", "c.start", "c.n_tokens", "c.chunk")
+    )

@@ -190,3 +190,43 @@ def test_weighted_topk_grouped_and_deterministic(spark):
     assert sorted(r["k"] for r in again.collect()) == sorted(
         r["k"] for r in out.collect()
     )
+
+
+def test_chunk_with_overlap_shapes(spark):
+    from ontoma_spark.operators.packing import chunk_with_overlap
+
+    df = spark.createDataFrame(
+        [(1, [f"t{i}" for i in range(10)]), (2, ["a"]), (3, [])],
+        "doc long, toks array<string>",
+    )
+    out = chunk_with_overlap(df, ["doc"], "toks", chunk_tokens=4,
+                             overlap_tokens=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc"], []).append(
+            (r["chunk_id"], r["start"], r["n_tokens"], r["chunk"])
+        )
+    # doc 1: starts 0,3,6 then 9 -> but 9 >= 10-1 so dropped
+    assert [c[1] for c in by_doc[1]] == [0, 3, 6]
+    assert by_doc[1][0] == (0, 0, 4, "t0 t1 t2 t3")
+    assert by_doc[1][2] == (2, 6, 4, "t6 t7 t8 t9")
+    # consecutive chunks overlap by exactly 1 token
+    assert by_doc[1][0][3].split()[-1] == by_doc[1][1][3].split()[0]
+    # single-token doc -> one 1-token chunk; empty doc -> no rows
+    assert by_doc[2] == [(0, 0, 1, "a")]
+    assert 3 not in by_doc
+    # every token covered exactly: union of slices == original
+    covered = []
+    for cid, start, nt, chunk in by_doc[1]:
+        covered.extend(range(start, start + nt))
+    assert sorted(set(covered)) == list(range(10))
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    import pytest as _p
+
+    from ontoma_spark.operators.packing import chunk_with_overlap
+
+    df = spark.createDataFrame([(1, ["a"])], "doc long, toks array<string>")
+    with _p.raises(ValueError):
+        chunk_with_overlap(df, ["doc"], "toks", 4, 4)
