@@ -2421,6 +2421,69 @@ _Q63_ORACLE_SQL = """
 """
 
 
+def q64_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage in one pass: lag/lead deltas, running
+    first/last, and ntile quartiles per user ordered by event time —
+    one shuffle on user_id serves every window (shared partitioning)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        (F.lead("value").over(w) - F.col("value")).alias("delta_next"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.round("delta_prev", 2).alias("delta_prev"),
+        F.round("delta_next", 2).alias("delta_next"),
+        "first_type",
+        "quartile",
+    )
+
+
+_Q64_ORACLE_SQL = """
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER w, 2) AS delta_prev,
+           round(lead(value) OVER w - value, 2) AS delta_next,
+           first_value(event_type) OVER w AS first_type,
+           ntile(4) OVER w AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q65_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON: from_json over the props column (the proper
+    idiom for semi-structured ingestion — typed extraction inside
+    codegen, not regex), aggregated per event_type."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k long").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.min(F.col("p.k")).alias("min_k"),
+        F.count(F.when(F.col("p.k") % 2 == 0, 1)).alias("n_even"),
+    )
+
+
+_Q65_ORACLE_SQL = """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           min(CAST(props->>'k' AS BIGINT)) AS min_k,
+           count(CASE WHEN CAST(props->>'k' AS BIGINT) % 2 = 0
+                      THEN 1 END) AS n_even
+    FROM events
+    GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -2491,6 +2554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_bloom_join": q61_bloom_join,
         "q62_pii_redaction": q62_pii_redaction,
         "q63_chunk_overlap": q63_chunk_overlap,
+        "q64_window_suite": q64_window_suite,
+        "q65_json_props": q65_json_props,
     }
 
 
@@ -2816,4 +2881,6 @@ def oracle_sql() -> dict[str, str]:
         "q61_bloom_join": _Q61_ORACLE_SQL,
         "q62_pii_redaction": _q62_oracle_sql(),
         "q63_chunk_overlap": _Q63_ORACLE_SQL,
+        "q64_window_suite": _Q64_ORACLE_SQL,
+        "q65_json_props": _Q65_ORACLE_SQL,
     }
