@@ -2484,6 +2484,79 @@ _Q65_ORACLE_SQL = """
 """
 
 
+def q66_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through the REAL contamination_flags
+    operator: an eval set carved from the corpus (10-word excerpts of
+    every 37th doc), train docs flagged when they share any 5-shingle
+    with it. Eval shingles broadcast; the corpus is never shuffled."""
+    from ontoma_spark.operators.dedup import contamination_flags
+    from ontoma_spark.functions.textstats import words
+
+    d = _t(spark, sf_dir, "documents")
+    evals = d.filter(F.col("doc_id") % 37 == 0).select(
+        F.array_join(F.slice(words(F.col("text")), 3, 10), " ").alias("text")
+    )
+    return contamination_flags(d, evals, key_col="doc_id", k=5)
+
+
+_Q66_ORACLE_SQL = f"""
+    WITH ev AS (
+      SELECT array_to_string(ws[3:12], ' ') AS text FROM (
+        SELECT {_WORDS_SQL.format(col="text")} AS ws
+        FROM documents WHERE doc_id % 37 = 0)
+    ),
+    ev_sh AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN len(ws) >= 5
+             THEN list_transform(range(1, len(ws) - 3),
+                    i -> array_to_string(ws[i:i+4], ' '))
+             ELSE [array_to_string(ws, ' ')] END) AS sh
+      FROM (SELECT {_WORDS_SQL.format(col="text")} AS ws FROM ev)
+    ),
+    tr_sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(ws) >= 5
+             THEN list_transform(range(1, len(ws) - 3),
+                    i -> array_to_string(ws[i:i+4], ' '))
+             ELSE [array_to_string(ws, ' ')] END)) AS sh
+      FROM (SELECT doc_id, {_WORDS_SQL.format(col="text")} AS ws
+            FROM documents)
+    )
+    SELECT t.doc_id, count(*) AS n_hits
+    FROM tr_sh t JOIN ev_sh e ON t.sh = e.sh
+    GROUP BY 1
+"""
+
+
+def q67_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition quality signal through the REAL
+    repetition_ratio kernel: duplicate 3-shingle fraction per doc."""
+    from ontoma_spark.operators.dedup import repetition_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        repetition_ratio(F.col("text"), k=3).alias("rep_ratio"),
+    )
+
+
+_Q67_ORACLE_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN len(sh) > 0
+                THEN round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 4)
+                ELSE 0.0 END AS rep_ratio
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN list_transform(range(1, len(ws) - 1),
+                         i -> array_to_string(ws[i:i+2], ' '))
+                  ELSE [array_to_string(ws, ' ')] END AS sh
+      FROM (SELECT doc_id, {_WORDS_SQL.format(col="text")} AS ws
+            FROM documents)
+    )
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -2556,6 +2629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_chunk_overlap": q63_chunk_overlap,
         "q64_window_suite": q64_window_suite,
         "q65_json_props": q65_json_props,
+        "q66_contamination": q66_contamination,
+        "q67_repetition_ratio": q67_repetition_ratio,
     }
 
 
@@ -2883,4 +2958,6 @@ def oracle_sql() -> dict[str, str]:
         "q63_chunk_overlap": _Q63_ORACLE_SQL,
         "q64_window_suite": _Q64_ORACLE_SQL,
         "q65_json_props": _Q65_ORACLE_SQL,
+        "q66_contamination": _Q66_ORACLE_SQL,
+        "q67_repetition_ratio": _Q67_ORACLE_SQL,
     }

@@ -402,3 +402,53 @@ def latest_snapshot(
         .agg(F.max_by(payload, ordk).alias("_row"))
         .select("_row.*")
     )
+
+
+def contamination_flags(
+    train: DataFrame,
+    evals: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark-decontamination sweep: flag every TRAIN document that
+    shares at least one word k-shingle with any EVAL document (the
+    n-gram collision rule used to scrub eval sets out of pretraining
+    corpora; production uses k=13, tests use smaller k on short docs).
+
+    Distributed shape: the eval side's distinct shingle set is tiny
+    relative to the corpus (eval suites are small by definition), so it
+    BROADCASTS; train shingles explode narrow and semi-join map-side —
+    the corpus is never shuffled. Output: (key, n_hits) per contaminated
+    train doc, n_hits = how many distinct eval shingles it contains.
+    """
+    eval_shingles = (
+        evals.select(F.explode(shingles(F.col(text_col), k)).alias("sh"))
+        .distinct()
+    )
+    train_shingles = train.select(
+        F.col(key_col),
+        F.explode_outer(
+            F.array_distinct(shingles(F.col(text_col), k))
+        ).alias("sh"),
+    )
+    return (
+        train_shingles.join(F.broadcast(eval_shingles), "sh", "inner")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def repetition_ratio(text: F.Column, k: int = 3) -> F.Column:
+    """Intra-document duplicate k-gram fraction — the MassiveText-style
+    repetition quality signal (templated/generated spam scores high).
+    1 - distinct/total over the doc's word k-shingles; 0.0 for docs too
+    short to form one shingle. Pure array algebra, no shuffle."""
+    sh = shingles(text, k)
+    total = F.size(sh)
+    return F.when(
+        total > 0,
+        F.round(
+            1.0 - F.size(F.array_distinct(sh)) / total.cast("double"), 4
+        ),
+    ).otherwise(F.lit(0.0))

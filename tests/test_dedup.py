@@ -165,3 +165,56 @@ def test_latest_snapshot_plan_has_partial_aggregation(spark):
     # map-side combine: a partial max_by aggregate runs before the exchange
     assert "partial_max_by" in plan
     assert "Window" not in plan
+
+
+def test_contamination_flags_broadcast_and_exact(spark):
+    from ontoma_spark.operators.dedup import contamination_flags
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally unrelated words here now ok"),
+            (3, "prefix alpha beta gamma delta epsilon suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon",)], "text string"
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_flags(train, evals, k=5).collect()
+    }
+    # docs 1 and 3 contain the eval 5-gram; doc 2 does not
+    assert set(got) == {1, 3}
+    assert got[1] >= 1 and got[3] >= 1
+    # the eval side must broadcast (corpus never shuffled for the join)
+    plan = (
+        contamination_flags(train, evals, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repetition_ratio_values(spark):
+    import pyspark.sql.functions as F
+
+    from ontoma_spark.operators.dedup import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),   # all shingles equal
+            (2, "one two three four five six"),      # all distinct
+            (3, "ab"),                               # too short: 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", repetition_ratio(F.col("text"), 3).alias("r")
+        ).collect()
+    }
+    assert got[1] == 0.75  # 4 shingles, 1 distinct
+    assert got[2] == 0.0
+    assert got[3] == 0.0
