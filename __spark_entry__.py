@@ -2557,6 +2557,37 @@ _Q67_ORACLE_SQL = f"""
 """
 
 
+def q68_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of returnflag x
+    linestatus incl. grand total) — completes the grouping-sets family
+    next to q43's ROLLUP. Map-side partial aggregation covers every
+    grouping set in one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+_Q68_ORACLE_SQL = """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -2631,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_json_props": q65_json_props,
         "q66_contamination": q66_contamination,
         "q67_repetition_ratio": q67_repetition_ratio,
+        "q68_cube_revenue": q68_cube_revenue,
     }
 
 
@@ -2960,4 +2992,5 @@ def oracle_sql() -> dict[str, str]:
         "q65_json_props": _Q65_ORACLE_SQL,
         "q66_contamination": _Q66_ORACLE_SQL,
         "q67_repetition_ratio": _Q67_ORACLE_SQL,
+        "q68_cube_revenue": _Q68_ORACLE_SQL,
     }

@@ -1,0 +1,78 @@
+"""The north rule's deployment shape, literally: spark-submit
+--py-files ontoma_spark.zip running the KG pipeline in a fresh JVM,
+with the repo NOT on the python path — the only way the executors (and
+driver) can import the package is from the shipped zip."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DRIVER = """
+import json
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.appName("submit_smoke")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+from ontoma_spark.datagen import generate_repos
+from ontoma_spark.pipeline.run import prepare_reference_tables
+from ontoma_spark.pipeline.kg import build_triples
+
+lex, canon, bloom = prepare_reference_tables(spark)
+repos = generate_repos(spark, 300)
+n = build_triples(repos, lex, canon, token_bloom=bloom,
+                  with_fuzzy=False).count()
+print("SUBMIT_RESULT " + json.dumps({"triples": n}))
+spark.stop()
+"""
+
+
+def test_spark_submit_py_files_runs_pipeline(tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    zip_path = str(tmp_path / "ontoma_spark.zip")
+    pkg_root = os.path.join(REPO, "ontoma_spark")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg_root):
+            if "__pycache__" in dirpath:
+                continue
+            for name in files:
+                ap = os.path.join(dirpath, name)
+                zf.write(ap, os.path.relpath(ap, REPO))
+    driver_path = str(tmp_path / "driver.py")
+    with open(driver_path, "w") as f:
+        f.write(DRIVER)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the ONLY source
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--py-files", zip_path,
+            driver_path,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(tmp_path),  # NOT the repo: no implicit package import
+        env=env,
+    )
+    lines = [
+        l for l in out.stdout.splitlines() if l.startswith("SUBMIT_RESULT ")
+    ]
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert lines, out.stdout[-2000:]
+    result = json.loads(lines[-1].split(" ", 1)[1])
+    assert result["triples"] > 0
