@@ -8,9 +8,10 @@
   shingle arrays); no Python in the hot path.
 * n-gram Jaccard verification: exact word-set Jaccard on candidate pairs
   only (array_intersect/array_union).
-* n-gram Jaccard, exact: shingle inverted-index self-join (posting
-  lists), per-pair intersection counts — no sketch, with a stop-shingle
-  document-frequency cap as the web-scale knob.
+* n-gram Jaccard, exact: prefix-filtered shingle inverted-index
+  self-join (AllPairs/PPJoin prefix + length filters, lossless), exact
+  array_intersect verification of surviving pairs — no sketch, with a
+  stop-shingle document-frequency cap as the web-scale knob.
 * SimHash: 64-bit sign-vote fingerprint via a vectorized pandas UDF
   (bit-level voting is Python-side; input is one row per doc, not per
   token, so Arrow volume stays modest). Hamming-distance buckets via
@@ -188,42 +189,90 @@ def ngram_jaccard_pairs(
     frequencies, not n² — the classic set-similarity-join layout
     (cf. VernicaCarey SIGMOD'10).
 
+    Prefix filter (AllPairs/PPJoin, cf. Bayardo WWW'07 / Xiao WWW'08):
+    with every doc's shingle set sorted by ONE global total order
+    (lexicographic here), Jaccard >= t implies an overlap
+    o >= ceil(t*n) on each side, so the smallest common shingle sits
+    within the first n - ceil(t*n) + 1 elements of BOTH sorted sets —
+    only that prefix is exploded into the inverted index. At t=0.5 the
+    candidate join touches ~half the postings (and ~quarter of the
+    pair blocks); at t=0.8 a fifth. A length filter
+    (min(na,nb) >= ceil(t*max(na,nb))) prunes candidates before the
+    pair distinct, and exact verification computes
+    |A ∩ B| via array_intersect on the two full shingle arrays of the
+    surviving pairs only. Results are IDENTICAL to the unfiltered
+    inverted-index join — the filter is lossless by the pigeonhole
+    argument above.
+
     ``max_shingle_df`` drops posting lists longer than the cap (stop
     shingles) BEFORE the self-join — at web scale a boilerplate shingle
     shared by 10^8 docs would otherwise create a 10^16-row join block.
-    Capped runs undercount intersections by at most the number of
-    dropped shingles, so results become a lower bound; leave None for
-    exact (the oracle-checked configuration).
+    Capped runs may miss pairs whose only prefix collisions are capped
+    shingles, so results become a lower bound; leave None for exact
+    (the oracle-checked configuration).
     """
+    tau = float(threshold)
     sh = df.select(
         F.col(key_col).alias("k"),
-        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
-    )
+        F.array_sort(
+            F.array_distinct(shingles(F.col(text_col), k))
+        ).alias("sh"),
+    ).withColumn("nsh", F.size("sh"))
+    # persist: the array is consumed twice (prefix postings + exact
+    # verification) — without it both consumers re-tokenise the corpus
+    sh = sh.persist(_PERSIST)
+    prefix_len = (
+        F.col("nsh") - F.ceil(F.lit(tau) * F.col("nsh")) + F.lit(1)
+    ).cast("int")
+    # Postings carry a 64-bit hash of the shingle, not the string: the
+    # self-join shuffle moves fixed-width keys instead of arbitrary-
+    # length text. A (vanishingly rare) xxhash64 collision only adds a
+    # spurious CANDIDATE pair, which exact verification then rejects —
+    # the filter chain stays lossless.
     posts = sh.select(
-        "k", F.size("sh").alias("nsh"), F.explode("sh").alias("s")
+        "k",
+        "nsh",
+        F.explode(
+            F.transform(
+                F.slice("sh", F.lit(1), prefix_len),
+                lambda x: F.xxhash64(x),
+            )
+        ).alias("s"),
     )
     if max_shingle_df is not None:
         posts = posts.withColumn(
             "_df", F.count("*").over(SparkWindow.partitionBy("s"))
         ).filter(F.col("_df") <= max_shingle_df).drop("_df")
-    # persist: otherwise BOTH self-join sides (and a broadcast build)
-    # re-tokenise + re-explode the whole corpus from the raw scan
-    posts = posts.persist(_PERSIST)
-    a = posts.select(
-        F.col("k").alias("a"), F.col("nsh").alias("na"), "s"
-    )
-    b = posts.select(
-        F.col("k").alias("b"), F.col("nsh").alias("nb"), "s"
-    )
-    inter = (
+    a = posts.select(F.col("k").alias("a"), F.col("nsh").alias("na"), "s")
+    b = posts.select(F.col("k").alias("b"), F.col("nsh").alias("nb"), "s")
+    pairs = (
         a.join(b, "s")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "na", "nb")
-        .agg(F.count("*").alias("i"))
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (
+                F.least("na", "nb")
+                >= F.ceil(F.lit(tau) * F.greatest("na", "nb"))
+            )
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    verified = (
+        pairs.join(
+            sh.select(F.col("k").alias("a"), F.col("sh").alias("sha"),
+                      F.col("nsh").alias("na")),
+            "a",
+        )
+        .join(
+            sh.select(F.col("k").alias("b"), F.col("sh").alias("shb"),
+                      F.col("nsh").alias("nb")),
+            "b",
+        )
+        .withColumn("i", F.size(F.array_intersect("sha", "shb")))
     )
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.filter(jac >= threshold)
+        verified.filter(jac >= tau)
         .select("a", "b", F.round(jac, 4).alias("jaccard"))
     )
 
