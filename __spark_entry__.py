@@ -2475,7 +2475,7 @@ def q65_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q65_ORACLE_SQL = """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(props->>'k' AS BIGINT)) AS min_k,
            count(CASE WHEN CAST(props->>'k' AS BIGINT) % 2 = 0
                       THEN 1 END) AS n_even
