@@ -251,3 +251,28 @@ def test_comment_channel_links_only_comment_mentions(spark, kg):
     rows = triples.select("path", "subj").collect()
     assert any(r["path"] == "a.py" for r in rows), "comment mention missing"
     assert not any(r["path"] == "b.py" for r in rows), "code-only mention linked"
+
+
+def test_output_invariant_to_input_partitioning(spark, kg):
+    """Cluster-size invariance: the triple set must be a pure function
+    of the input CONTENT, not of how rows land in partitions — on a
+    real cluster, changing the executor count (the north rule's N vs
+    4N) reassigns partitions, and any partition-dependent step (e.g. a
+    non-commutative aggregate or ordering assumption) would change the
+    output. Same input at 1, 3, and 16 partitions must produce the
+    byte-identical sorted triple set."""
+    cols = ["repo", "path", "commit", "subj", "pred", "obj"]
+
+    def run(n_parts: int):
+        t = build_triples(
+            kg["repos"].repartition(n_parts),
+            kg["lex"],
+            kg["canon"],
+            token_bloom=kg["bloom"],
+        )
+        return sorted(tuple(r[c] for c in cols) for r in t.collect())
+
+    base = run(1)
+    assert len(base) > 0
+    assert run(3) == base
+    assert run(16) == base
