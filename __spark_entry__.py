@@ -1764,7 +1764,12 @@ def q49_edit_distance_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entityLabelNormalised string, entityType string, "
         "entityKind string, entityIds array<string>",
     )
-    return levenshtein_sig_scores(words, lex, max_dist=2)
+    out = levenshtein_sig_scores(words, lex, max_dist=2)
+    # The driver's canonicalizer sorts columns with pandas, which cannot
+    # hash/sort array cells — flatten the (already array_sort'ed) id
+    # list to a comma-joined string; the oracle mirrors with
+    # array_to_string(list_sort(...)).
+    return out.withColumn("entityIds", F.array_join("entityIds", ","))
 
 
 def _q49_oracle_sql() -> str:
@@ -1802,7 +1807,8 @@ def _q49_oracle_sql() -> str:
           FROM scored
         )
         SELECT sig, entityType,
-               list_sort(list_distinct(list(lex_id))) AS entityIds,
+               array_to_string(
+                 list_sort(list_distinct(list(lex_id))), ',') AS entityIds,
                min(dist) AS dist
         FROM ranked WHERE rk = 1
         GROUP BY sig, entityType

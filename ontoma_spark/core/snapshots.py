@@ -58,6 +58,13 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],
     ).collect()[0]
+    bad = [c for c in cols if row[f"mn_{c}"] is None]
+    if bad:
+        raise ValueError(
+            f"zorder_key: column(s) {bad} are empty or all-NULL — "
+            "z-order clustering needs at least one non-NULL value per "
+            "column (skip zorder= for empty inputs)"
+        )
     nc = len(cols)
     scaled = []
     for c in cols:
@@ -65,7 +72,9 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
         mx = float(row[f"mx_{c}"])
         span = (mx - mn) or 1.0
         s = (
-            (F.col(c).cast("double") - F.lit(mn))
+            # per-row NULLs place at the column minimum (a defined slot)
+            # rather than propagating to a NULL Morton key
+            (F.coalesce(F.col(c), F.lit(mn)).cast("double") - F.lit(mn))
             / F.lit(span)
             * F.lit((1 << bits) - 1)
         ).cast("long")
@@ -390,7 +399,12 @@ class SnapshotTable:
             )
         touched_df = cur.filter(F.col("_file").isin(touched_uris))
         touched_rows = touched_df.count()
-        survivors = touched_df.filter(~condition).drop("_file")
+        # SQL/Iceberg DELETE semantics: only rows where the predicate is
+        # TRUE are deleted; NULL-predicate rows survive (``~condition``
+        # alone would drop them — they satisfy neither branch).
+        survivors = touched_df.filter(
+            condition.isNull() | ~condition
+        ).drop("_file")
         rel, n, new_stats = self._write_data(
             survivors, parent + 1, stats_cols
         )

@@ -84,7 +84,35 @@ def run_resumable(
     Returns:
         summary dict (buckets processed/skipped, triples written).
     """
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        return _run_resumable_inner(
+            spark,
+            repos,
+            build_fn,
+            out_dir,
+            n_buckets,
+            buckets_per_job,
+            _fail_after_jobs,
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+
+
+def _run_resumable_inner(
+    spark: SparkSession,
+    repos: DataFrame,
+    build_fn,
+    out_dir: str,
+    n_buckets: int,
+    buckets_per_job: int,
+    _fail_after_jobs: int | None,
+) -> dict:
     done = completed_buckets(spark, out_dir)
     todo = [b for b in range(n_buckets) if b not in done]
     triples_path = os.path.join(out_dir, TRIPLES_DIR)

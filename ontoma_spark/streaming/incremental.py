@@ -210,11 +210,21 @@ def upsert_batch_into_snapshot(
     table = SnapshotTable(spark, table_root)
     current = table.current_version()
     if current is not None:
-        seen = table.snapshot(current).get("properties", {}).get(
-            "stream_batch_id"
-        )
-        if seen is not None and int(seen) >= batch_id:
-            return None  # retried batch: state already committed
+        # Walk versions newest-first for the latest snapshot that
+        # carries a stream high-water mark: only merge commits set it,
+        # and an interleaved maintenance commit (compact, append,
+        # delete_where) must not reset the exactly-once guard — a
+        # retried micro-batch after a compact would otherwise re-merge.
+        # Early-exits at the newest stream commit, so the walk is O(#
+        # maintenance commits since the last merge), metadata-sized.
+        for v in range(current, 0, -1):
+            seen = table.snapshot(v).get("properties", {}).get(
+                "stream_batch_id"
+            )
+            if seen is not None:
+                if int(seen) >= batch_id:
+                    return None  # retried batch: already committed
+                break
     value_cols = [c for c in batch_df.columns if c not in keys]
     if order_col is not None:
         others = [c for c in value_cols if c != order_col]

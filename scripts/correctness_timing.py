@@ -1,0 +1,117 @@
+"""Dev tool: mimic the driver's correctness gate at sf0.01 with per-query
+timings, using a pandas-based canonicalizer (like the driver's _canon) so
+array/struct output columns that break pandas sorting are caught here, not
+in the round artifact. Prints one JSON line per query and a summary."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+from ontoma_spark.core.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(df: pd.DataFrame):
+    """Driver-style canonicalization: sort columns by name, sort rows,
+    hash values. Raises on unsortable cells (lists) like the driver."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    out = []
+    for _, row in df.iterrows():
+        vals = []
+        for v in row:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                vals.append("NULL")
+            elif isinstance(v, float):
+                vals.append(f"{v:.6g}")
+            else:
+                vals.append(str(v))
+        out.append("|".join(vals))
+    return cols, out
+
+
+def main() -> None:
+    only = sys.argv[1:] or None
+    spark = get_spark(app_name="correctness_timing", master="local[32]")
+    ddb = duckdb.connect()
+    for t in TABLES:
+        ddb.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results = {}
+    t_all = time.time()
+    for name in sorted(queries):
+        if only and not any(name.startswith(p) for p in only):
+            continue
+        rec = {"spark_s": None, "oracle_s": None, "match": None, "err": None}
+        try:
+            t0 = time.time()
+            sdf = queries[name](spark, SF_DIR).toPandas()
+            rec["spark_s"] = round(time.time() - t0, 2)
+            rec["rows"] = len(sdf)
+            if name in oracles:
+                t0 = time.time()
+                odf = ddb.sql(oracles[name]).df()
+                rec["oracle_s"] = round(time.time() - t0, 2)
+                sc, sv = _canon(sdf)
+                oc, ov = _canon(odf)
+                rec["match"] = (sc == oc) and (sv == ov)
+                if not rec["match"]:
+                    rec["err"] = (
+                        f"cols {sc} vs {oc}"
+                        if sc != oc
+                        else f"rows {len(sv)} vs {len(ov)}; first diff: "
+                        + next(
+                            (
+                                f"{a!r} != {b!r}"
+                                for a, b in zip(sv, ov)
+                                if a != b
+                            ),
+                            "row-count only",
+                        )[:300]
+                    )
+            else:
+                rec["match"] = "rows_only"
+        except Exception as e:  # noqa: BLE001
+            rec["err"] = f"{type(e).__name__}: {e}"[:300]
+        results[name] = rec
+        print(json.dumps({name: rec}), flush=True)
+    total = round(time.time() - t_all, 2)
+    bad = {k: v for k, v in results.items() if v["match"] not in (True, "rows_only")}
+    print(
+        json.dumps(
+            {
+                "total_s": total,
+                "n": len(results),
+                "bad": sorted(bad),
+                "slowest": sorted(
+                    results,
+                    key=lambda k: -(results[k]["spark_s"] or 0),
+                )[:10],
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

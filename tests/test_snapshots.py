@@ -300,3 +300,43 @@ def test_compact_rewrites_small_files(spark, table):
     assert got == {i: f"v{i}" for i in range(6)}
     # pre-compaction version still time-travels
     assert t.read(version=6).count() == 6
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, table):
+    """SQL/Iceberg DELETE semantics: rows where the predicate evaluates
+    to NULL are NOT deleted (regression: survivors = ~condition alone
+    silently dropped them from every touched file)."""
+    import pyspark.sql.functions as F
+
+    t = table
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 3)], "k long, x long"
+    ).coalesce(1)
+    t.append(df)
+    t.delete_where(F.col("x") > 5)
+    got = {r["k"] for r in t.read().collect()}
+    assert got == {2, 3}, "NULL-predicate row (k=2) must survive"
+    assert t.snapshot(t.current_version())["row_count"] == 2
+
+
+def test_zorder_null_handling(spark, tmp_path):
+    """Empty/all-NULL zorder columns raise a clear error; per-row NULLs
+    place at the column minimum instead of producing a NULL Morton key."""
+    import pyspark.sql.functions as F
+
+    from ontoma_spark.core.snapshots import SnapshotTable, zorder_key
+
+    t = SnapshotTable(spark, str(tmp_path / "zn"))
+    empty = spark.createDataFrame([], "x long, y long")
+    with pytest.raises(ValueError, match="empty or all-NULL"):
+        t.overwrite(empty, zorder=["x", "y"], zorder_files=2)
+    all_null = spark.createDataFrame([(None, 1), (None, 2)], "x long, y long")
+    with pytest.raises(ValueError, match="x"):
+        zorder_key(all_null, ["x", "y"])
+    # per-row NULLs: defined placement, row survives clustering
+    some_null = spark.createDataFrame(
+        [(None, 1), (5, 2), (9, 3)], "x long, y long"
+    )
+    t.overwrite(some_null, zorder=["x", "y"], zorder_files=2)
+    rows = {(r["x"], r["y"]) for r in t.read().collect()}
+    assert rows == {(None, 1), (5, 2), (9, 3)}

@@ -265,3 +265,32 @@ def test_stream_sliding_rollup_matches_batch_twin(spark, tmp_path):
         .collect()
     }
     assert got == batch and len(got) >= 4
+
+
+def test_stream_upsert_retry_noop_after_maintenance_commit(spark, tmp_path):
+    """The exactly-once high-water mark must survive interleaved
+    NON-stream commits: after a compact (which carries no
+    stream_batch_id), a retry of an already-committed batch id is still
+    a no-op (regression: the guard only read the HEAD snapshot's
+    properties, so any maintenance commit reset it)."""
+    from ontoma_spark.core.snapshots import SnapshotTable
+    from ontoma_spark.streaming.incremental import (
+        upsert_batch_into_snapshot,
+    )
+
+    table_root = str(tmp_path / "t3")
+    batch = spark.createDataFrame([(1, "x"), (2, "y")], "k long, val string")
+    assert upsert_batch_into_snapshot(spark, table_root, batch, 0, ["k"]) == 1
+    t = SnapshotTable(spark, table_root)
+    t.compact(1)  # maintenance commit, no stream_batch_id property
+    assert t.current_version() == 2
+    # retry of batch 0 after the compact: still a no-op
+    assert (
+        upsert_batch_into_snapshot(spark, table_root, batch, 0, ["k"]) is None
+    )
+    assert t.current_version() == 2
+    # the next batch id commits normally
+    nxt = spark.createDataFrame([(2, "Y")], "k long, val string")
+    assert upsert_batch_into_snapshot(spark, table_root, nxt, 1, ["k"]) == 3
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got == {1: "x", 2: "Y"}
