@@ -392,21 +392,26 @@ def q03_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q04_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_returnflag").alias("returnflag"), F.col("l_linestatus").alias("linestatus"))
-        .distinct()
-    )
+def q04_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-algebra pass merging the former q04 (distinct dedupe) and
+    q05 (reduce-unionByName): two filtered lineitem slices unioned by
+    name, deduped with .distinct(), then aggregated per flag pair.
+    Distinct and the aggregate share one shuffle key family."""
+    from functools import reduce
 
-
-def q05_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_discount") >= 0.05).select("l_orderkey", "l_returnflag")
-    b = li.filter(F.col("l_tax") >= 0.05).select("l_orderkey", "l_returnflag")
+    cols = ["l_orderkey", "l_returnflag", "l_linestatus"]
+    slices = [
+        li.filter(F.col("l_discount") >= 0.05).select(*cols),
+        li.filter(F.col("l_tax") >= 0.05).select(*cols),
+    ]
     return (
-        a.unionByName(b)
-        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        reduce(lambda a, b: a.unionByName(b), slices)
+        .distinct()
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
         .agg(F.count("*").alias("n"))
     )
 
@@ -436,55 +441,67 @@ def q07_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(~junk).groupBy("lang").agg(F.count("*").alias("n_clean"))
 
 
-def q08_regex_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q08_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats suite in ONE aggregate pass (merges the
+    former q08 regex-extract, q41 exact quantiles, and q65 from_json
+    queries): regex extraction and typed schema-on-read JSON parsing of
+    the props column side by side (their sums must agree), plus exact
+    interpolated percentiles of value. One shuffle serves every
+    aggregate — map-side partials for count/sum/max, per-group sort
+    only for the percentiles."""
     e = _t(spark, sf_dir, "events")
+    k_re = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    k_json = F.from_json("props", "k long")["k"]
     return (
-        e.withColumn("k", F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long"))
+        e.withColumn("k", k_re)
+        .withColumn("kj", k_json)
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
             F.sum("k").cast("long").alias("sum_k"),
             F.max("k").cast("long").alias("max_k"),
+            F.sum("kj").cast("long").alias("json_sum_k"),
+            F.min("kj").cast("long").alias("json_min_k"),
+            F.count(F.when(F.col("kj") % 2 == 0, 1)).alias("n_even"),
+            F.round(
+                F.percentile(F.col("value"), F.lit(0.5)), 6
+            ).alias("p50"),
+            F.round(
+                F.percentile(F.col("value"), F.lit(0.95)), 6
+            ).alias("p95"),
+            F.round(
+                F.percentile(F.col("value"), F.lit(0.99)), 6
+            ).alias("p99"),
         )
     )
 
 
-def q09_format_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    raw = F.when(
-        F.col("event_id") % 3 == 0, F.concat(F.lit("Orphanet_"), F.col("event_id"))
-    ).when(
-        F.col("event_id") % 3 == 1, F.concat(F.lit("obo:OMIM_"), F.col("event_id"))
-    ).otherwise(F.concat(F.lit("efo_"), F.col("event_id")))
-    return ev.select(
-        F.col("event_id"),
-        raw.alias("raw_id"),
-        format_identifier(F.upper(F.trim(raw))).alias("formatted_id"),
-    )
-
-
-def q10_determine_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document feature suite in ONE narrow pass over documents —
+    track heuristic (acronym detection), term/symbol normaliser
+    signatures, whitespace + BPE-ish token counts, quality scoring
+    (punct ratio, mean word length, composite), n-gram language id,
+    and whitespace-normalised fingerprint. Consolidates the former
+    q10/q11/q12/q14/q15/q16/q17 into a single zero-shuffle projection:
+    at 100 TB these features are computed together in one scan, not
+    seven."""
     d = _t(spark, sf_dir, "documents")
     tok = F.element_at(F.split(F.col("text"), r"\s+"), 1)
     return d.select(
         "doc_id",
         tok.alias("first_token"),
         determine_track(tok).alias("track"),
-    )
-
-
-def q11_term_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", term_signature_unstemmed(F.col("text")).alias("term_sig")
-    )
-
-
-def q12_symbol_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        symbol_signature(F.substring(F.col("text"), 1, 40)).alias("symbol_sig"),
+        term_signature_unstemmed(F.col("text")).alias("term_sig"),
+        symbol_signature(F.substring(F.col("text"), 1, 40)).alias(
+            "symbol_sig"
+        ),
+        TS.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TS.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+        F.round(TS.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(TS.mean_word_len(F.col("text")), 4).alias("mean_word_len"),
+        TS.quality_score(F.col("text")).alias("quality"),
+        TS.predict_lang(F.col("text")).alias("predicted_lang"),
+        TS.fingerprint(F.col("text")).alias("fp"),
     )
 
 
@@ -507,39 +524,6 @@ def q13_kg_exact_link(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_mentions"),
         )
     )
-
-
-def q14_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        TS.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        TS.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
-    )
-
-
-def q15_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.round(TS.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
-        F.round(TS.mean_word_len(F.col("text")), 4).alias("mean_word_len"),
-        TS.quality_score(F.col("text")).alias("quality"),
-    )
-
-
-def q16_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(TS.predict_lang(F.col("text")).alias("predicted_lang"))
-        .groupBy("predicted_lang")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-def q17_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
 
 
 def q18_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,7 +579,43 @@ def q19_neardup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q20_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q20_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN suite: the brute-force cosine top-k BASELINE (documented
+    small-query-side only — it crossJoins a broadcast query set) next
+    to the IVF scale path (md5-quantized cells, n_probe probing) in one
+    tagged result. Merges the former q20 and q29; both sides share the
+    (query_id, neighbor_id, sim, rk) shape."""
+    brute = _q20_brute_topk(spark, sf_dir).withColumn(
+        "method", F.lit("brute")
+    )
+    from ontoma_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = deterministic_centroids(EMBED_DIM, IVF_CELLS)
+    ivf = (
+        ivf_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 5),
+            k=3,
+            centroids=cents,
+            n_probe=IVF_PROBE,
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            F.col("rank").cast("long").alias("rk"),
+        )
+        .withColumn("method", F.lit("ivf"))
+    )
+    cols = ["method", "query_id", "neighbor_id", "sim", "rk"]
+    return brute.select(*cols).unionByName(ivf.select(*cols))
+
+
+def _q20_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).withColumnRenamed("embedding", "v")
     q = F.broadcast(
         emb.filter(F.col("vec_id") < 5).select(
@@ -645,16 +665,6 @@ def q21_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q22_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    payload = F.encode(F.col("text"), "UTF-8")
-    return d.select(
-        "doc_id",
-        F.length(payload).cast("long").alias("byte_length"),
-        F.sha2(payload, 256).alias("sha256_hex"),
-    )
-
-
 def q23_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full KG pipeline (stemming + fuzzy UDF tier) — not SQL-expressible;
     rows-only check. Input: deterministic synthetic repos scaled to sf."""
@@ -677,24 +687,35 @@ def q24_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(docs, max_hamming=6)
 
 
-def q25_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event rollup (batch twin of the streaming
-    watermarked aggregation in ontoma_spark/streaming)."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+def q25_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window rollup suite (merges the former q25 tumbling and q59
+    sliding queries): tumbling 1-hour windows and sliding 1-hour /
+    15-minute windows over events, tagged by kind. Both are the batch
+    twins of the streaming watermarked aggregations in
+    ontoma_spark/streaming; Spark expands the 4 overlapping sliding
+    windows inside the aggregate — no pre-explode."""
+
+    def rollup(win, kind: str) -> DataFrame:
+        e = _t(spark, sf_dir, "events")
+        return (
+            e.groupBy(win, "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.lit(kind).alias("kind"),
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
         )
-        .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
-                "window_start"
-            ),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
+
+    return rollup(F.window("ts", "1 hour"), "tumbling").unionByName(
+        rollup(F.window("ts", "1 hour", "15 minutes"), "sliding")
     )
 
 
@@ -853,29 +874,7 @@ IVF_CELLS = 8
 IVF_PROBE = 2
 
 
-def q29_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbours with the engine-independent
-    md5 quantizer (deterministic_centroids): cell assignment, n_probe
-    probing, exact in-cell cosine ranking — fully oracle-checked. The
-    KMeans-trained quantizer path is covered by pytest recall tests."""
-    from ontoma_spark.operators.similarity import (
-        deterministic_centroids,
-        ivf_topk,
-    )
-
-    emb = _emb(spark, sf_dir)
-    cents = deterministic_centroids(EMBED_DIM, IVF_CELLS)
-    out = ivf_topk(
-        emb,
-        emb.filter(F.col("vec_id") < 5),
-        k=3,
-        centroids=cents,
-        n_probe=IVF_PROBE,
-    )
-    return out.withColumn("rank", F.col("rank").cast("long"))
-
-
-def _q29_oracle_sql() -> str:
+def _q29_ivf_sql() -> str:
     from ontoma_spark.operators.similarity import deterministic_centroids
 
     cents = deterministic_centroids(EMBED_DIM, IVF_CELLS)
@@ -917,6 +916,31 @@ def _q29_oracle_sql() -> str:
           FROM corpus c JOIN probes p USING (cell)
           WHERE c.neighbor_id <> p.query_id)
         WHERE rank <= 3
+    """
+
+
+_Q20_BRUTE_SQL = """
+            SELECT query_id, neighbor_id, round(sim, 3) AS sim, rk FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                                c.vec_id ASC) AS rk
+              FROM embeddings c, embeddings q
+              WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+            WHERE rk <= 3
+        """
+
+
+def _q20_ann_suite_oracle_sql() -> str:
+    return f"""
+        SELECT 'brute' AS method, query_id, neighbor_id, sim, rk
+        FROM ({_Q20_BRUTE_SQL}) b
+        UNION ALL
+        SELECT 'ivf' AS method, query_id, neighbor_id, sim,
+               CAST(rank AS BIGINT) AS rk
+        FROM ({_q29_ivf_sql()}) i
     """
 
 
@@ -1135,6 +1159,15 @@ def q33_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("payload"), 256).alias("jvm_sha"),
         F.sha2(F.lower(F.hex(F.col("payload"))), 256).alias("blob_digest"),
     )
+    # binary metadata columns over the raw text payload (former q22):
+    # typed byte length + content digest of an opaque binary column
+    text_meta = d.select(
+        F.col("doc_id").alias("key"),
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias(
+            "text_bytes"
+        ),
+        F.sha2(F.encode(F.col("text"), "UTF-8"), 256).alias("text_sha256"),
+    )
     meta = decode_media(media)
     resized = resize_meta(meta)
     frames = (
@@ -1145,6 +1178,7 @@ def q33_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         resized.join(frames, "key")
         .join(digests, "key")
+        .join(text_meta, "key")
         .select(
             "key",
             F.col("byteLength").cast("long").alias("byteLength"),
@@ -1155,6 +1189,8 @@ def q33_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "targetWidth",
             "targetHeight",
             "n_sampled",
+            "text_bytes",
+            "text_sha256",
         )
     )
 
@@ -1169,7 +1205,8 @@ _Q33_ORACLE_SQL = """
                || from_hex(lpad(to_hex((doc_id % 300) + 16), 4, '0'))
                || from_hex(lpad(to_hex((doc_id % 200) + 16), 4, '0'))
                || from_hex(lpad(to_hex((doc_id % 50) + 1), 8, '0'))
-               || encode(text)) AS blob
+               || encode(text)) AS blob,
+             text
       FROM documents)
     SELECT key,
            octet_length(blob)::BIGINT AS byteLength,
@@ -1180,7 +1217,9 @@ _Q33_ORACLE_SQL = """
              ::INTEGER AS targetWidth,
            ceil(height * least(1.0, 256.0 / greatest(width, height)))
              ::INTEGER AS targetHeight,
-           ((nframes - 1) // 7 + 1)::BIGINT AS n_sampled
+           ((nframes - 1) // 7 + 1)::BIGINT AS n_sampled,
+           octet_length(encode(text))::BIGINT AS text_bytes,
+           sha256(text) AS text_sha256
     FROM m
 """
 
@@ -1322,86 +1361,53 @@ _Q36_ORACLE_SQL = f"""
 """
 
 
-def q37_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic HyperLogLog register table over events.user_id —
-    the OPEN sketch (bucket = md5 hex[0:2], rho = 57 − bit_length of
-    the next 56 bits), pure integer arithmetic reproduced exactly by
-    the DuckDB oracle. Mergeability (groupBy bucket max) is what ships
-    at 100 TB: per-partition partials of ≤256 ints instead of a global
-    distinct shuffle."""
-    from ontoma_spark.functions.sketches import hll_registers
+def q37_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-sketch suite (merges the former q37 HLL, q38 count-min and
+    q50 Bloom queries) normalised to one (sketch, i, j, v) table:
 
-    e = _t(spark, sf_dir, "events")
-    return hll_registers(e, "user_id")
+    * hll  — deterministic HyperLogLog registers over events.user_id
+      (bucket = md5 hex[0:2], rho = 57 - bit_length of the next 56
+      bits): (bucket, 0, max_rho);
+    * cms  — count-min cells, 4 salted md5 rows x 256 cols over
+      events.user_id: (row, col, cnt);
+    * bloom — exportable Bloom filter of the corpus token vocabulary,
+      <= 4096 set bit positions: (bit, 0, 1).
 
+    All three are MERGEABLE open tables (groupBy-max / cell-sum /
+    union-distinct) — at 100 TB each ships per-partition partials of
+    bounded size instead of a global distinct shuffle, and the integer-
+    exact md5 arithmetic reproduces cross-engine (the oracle rebuilds
+    every cell)."""
+    from ontoma_spark.functions.sketches import (
+        bloom_bits,
+        cms_table,
+        hll_registers,
+    )
 
-_Q37_ORACLE_SQL = """
-    WITH h AS (
-      SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
-      WHERE user_id IS NOT NULL),
-    parts AS (
-      SELECT CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1
-                  AS INTEGER) * 16
-             + CAST(strpos('0123456789abcdef', substr(hx, 2, 1)) - 1
-                    AS INTEGER) AS bucket,
-             (SELECT sum(CAST(strpos('0123456789abcdef',
-                                     substr(hx, 2 + i, 1)) - 1 AS BIGINT)
-                         << (4 * (14 - i)))
-              FROM range(1, 15) t(i)) AS chunk
-      FROM h)
-    SELECT bucket,
-           max(CASE WHEN chunk = 0 THEN 57
-                    ELSE 57 - length(bin(chunk)) END) AS max_rho
-    FROM parts
-    GROUP BY bucket
-"""
-
-
-def q38_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch cells over events.user_id — 4 salted md5
-    hashes × 256 columns, cell-wise-summable (mergeable) frequency
-    sketch; integer-exact so the oracle reproduces every cell."""
-    from ontoma_spark.functions.sketches import cms_table
-
-    e = _t(spark, sf_dir, "events")
-    return cms_table(e, "user_id")
-
-
-_Q38_ORACLE_SQL = """
-    WITH v AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events
-               WHERE user_id IS NOT NULL),
-    cells AS (
-      SELECT r AS row,
-             CAST(strpos('0123456789abcdef',
-                    substr(md5('cms' || r || ':' || s), 1, 1)) - 1
-                  AS INTEGER) * 16
-             + CAST(strpos('0123456789abcdef',
-                      substr(md5('cms' || r || ':' || s), 2, 1)) - 1
-                    AS INTEGER) AS col
-      FROM v CROSS JOIN range(0, 4) t(r))
-    SELECT CAST(row AS INTEGER) AS row, col, count(*) AS cnt
-    FROM cells GROUP BY 1, 2
-"""
-
-
-def q39_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic consistent hash sample of documents: md5-keyed
-    32-bit draw < fraction — same keys kept in any table/engine/rerun
-    (unlike df.sample, whose kept set depends on partitioning)."""
-    from ontoma_spark.operators.sampling import hash_sample
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    return hash_sample(d, "doc_id", 0.25, salt="eval")
-
-
-_Q39_ORACLE_SQL = f"""
-    SELECT doc_id, lang FROM documents
-    WHERE (SELECT sum(CAST(strpos('0123456789abcdef',
-                             substr(md5('eval:' || CAST(doc_id AS VARCHAR)),
-                                    i, 1)) - 1 AS BIGINT)
-                      << (4 * (8 - i)))
-           FROM range(1, 9) t(i)) < {int(0.25 * (1 << 32))}
-"""
+    ev = _t(spark, sf_dir, "events")
+    hll = hll_registers(ev, "user_id").select(
+        F.lit("hll").alias("sketch"),
+        F.col("bucket").cast("long").alias("i"),
+        F.lit(0).cast("long").alias("j"),
+        F.col("max_rho").cast("long").alias("v"),
+    )
+    cms = cms_table(ev, "user_id").select(
+        F.lit("cms").alias("sketch"),
+        F.col("row").cast("long").alias("i"),
+        F.col("col").cast("long").alias("j"),
+        F.col("cnt").cast("long").alias("v"),
+    )
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"[^a-z0-9]+")).alias("w")
+    ).filter(F.col("w") != "")
+    bloom = bloom_bits(words, "w").select(
+        F.lit("bloom").alias("sketch"),
+        F.col("bit").cast("long").alias("i"),
+        F.lit(0).cast("long").alias("j"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    return hll.unionByName(cms).unionByName(bloom)
 
 
 def q40_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1446,34 +1452,6 @@ _Q40_ORACLE_SQL = """
 """
 
 
-def q41_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group EXACT continuous quantiles (linear interpolation) —
-    F.percentile, the deterministic counterpart of percentile_approx,
-    vs DuckDB quantile_cont. Exactness costs a per-group sort, which at
-    scale Spark runs as a partial-sort aggregate per group, not a
-    global sort."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.filter(F.col("value").isNotNull())
-        .groupBy("event_type")
-        .agg(
-            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
-            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
-        )
-    )
-
-
-_Q41_ORACLE_SQL = """
-    SELECT event_type,
-           round(quantile_cont(value, 0.5), 6)  AS p50,
-           round(quantile_cont(value, 0.95), 6) AS p95,
-           round(quantile_cont(value, 0.99), 6) AS p99
-    FROM events WHERE value IS NOT NULL
-    GROUP BY event_type
-"""
-
-
 def q42_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user-bucket event-type count matrix. The value list
     is EXPLICIT — with it Spark pivots in a single aggregate pass; an
@@ -1500,11 +1478,14 @@ _Q42_ORACLE_SQL = """
 """
 
 
-def q43_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets: per-(region, nation) revenue plus nation
-    and grand totals in ONE aggregate pass (Spark expands the grouping
-    sets map-side; no second scan). Labels coalesced to 'ALL' with
-    grouping() flags kept, so subtotal rows are unambiguous."""
+def q43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets suite (merges the former q43 ROLLUP and q68 CUBE
+    queries): ROLLUP(region, nation) revenue over the 4-table join and
+    CUBE(returnflag, linestatus) revenue over lineitem, tagged and
+    union-aligned as (gs, key1, key2, g1, g2, n, revenue). Spark
+    expands each grouping-sets map-side — every set is covered in one
+    aggregate pass per side, no second scan. Labels coalesced to 'ALL'
+    with grouping() flags kept, so subtotal rows are unambiguous."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -1514,38 +1495,44 @@ def q43_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
     )
-    return (
+    rollup = (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.grouping("r_name").cast("int").alias("g_region"),
-            F.grouping("n_name").cast("int").alias("g_nation"),
-            F.count("*").alias("n_orders"),
+            F.grouping("r_name").cast("int").alias("g1"),
+            F.grouping("n_name").cast("int").alias("g2"),
+            F.count("*").alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
         .select(
-            F.coalesce("r_name", F.lit("ALL")).alias("region"),
-            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
-            "g_region",
-            "g_nation",
-            "n_orders",
+            F.lit("rollup").alias("gs"),
+            F.coalesce("r_name", F.lit("ALL")).alias("key1"),
+            F.coalesce("n_name", F.lit("ALL")).alias("key2"),
+            "g1",
+            "g2",
+            "n",
             "revenue",
         )
     )
-
-
-_Q43_ORACLE_SQL = """
-    SELECT coalesce(r_name, 'ALL') AS region,
-           coalesce(n_name, 'ALL') AS nation,
-           CAST(grouping(r_name) AS INTEGER) AS g_region,
-           CAST(grouping(n_name) AS INTEGER) AS g_nation,
-           count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
-    FROM orders
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    GROUP BY ROLLUP(r_name, n_name)
-"""
+    li = _t(spark, sf_dir, "lineitem")
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g1"),
+            F.grouping("l_linestatus").cast("int").alias("g2"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.lit("cube").alias("gs"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("key1"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("key2"),
+            "g1",
+            "g2",
+            "n",
+            "revenue",
+        )
+    )
+    return rollup.unionByName(cube)
 
 
 def q44_comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1815,22 +1802,6 @@ def _q49_oracle_sql() -> str:
     """
 
 
-def q50_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exportable Bloom filter (functions/sketches.py::bloom_bits) over
-    the corpus token vocabulary: the filter is an OPEN table of <= 4096
-    set bit positions — mergeable by union+distinct, reproducible
-    cross-engine (integer-exact oracle), and shippable to a non-Spark
-    producer as a scan prefilter. One map-side-combined distinct of at
-    most m rows per partition; corpus never shuffles."""
-    from ontoma_spark.functions.sketches import bloom_bits
-
-    d = _t(spark, sf_dir, "documents")
-    words = d.select(
-        F.explode(F.split(F.lower(F.col("text")), r"[^a-z0-9]+")).alias("w")
-    ).filter(F.col("w") != "")
-    return bloom_bits(words, "w").orderBy("bit")
-
-
 _HEX1 = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
 
 
@@ -1850,6 +1821,60 @@ def _q50_oracle_sql() -> str:
         )
         SELECT DISTINCT CAST({b1} * 256 + {b2} * 16 + {b3} AS INT) AS bit
         FROM h ORDER BY bit
+    """
+
+
+_Q37_HLL_SQL = """
+    WITH h AS (
+      SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+      WHERE user_id IS NOT NULL),
+    parts AS (
+      SELECT CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1
+                  AS INTEGER) * 16
+             + CAST(strpos('0123456789abcdef', substr(hx, 2, 1)) - 1
+                    AS INTEGER) AS bucket,
+             (SELECT sum(CAST(strpos('0123456789abcdef',
+                                     substr(hx, 2 + i, 1)) - 1 AS BIGINT)
+                         << (4 * (14 - i)))
+              FROM range(1, 15) t(i)) AS chunk
+      FROM h)
+    SELECT bucket,
+           max(CASE WHEN chunk = 0 THEN 57
+                    ELSE 57 - length(bin(chunk)) END) AS max_rho
+    FROM parts
+    GROUP BY bucket
+"""
+
+_Q38_CMS_SQL = """
+    WITH v AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events
+               WHERE user_id IS NOT NULL),
+    cells AS (
+      SELECT r AS row,
+             CAST(strpos('0123456789abcdef',
+                    substr(md5('cms' || r || ':' || s), 1, 1)) - 1
+                  AS INTEGER) * 16
+             + CAST(strpos('0123456789abcdef',
+                      substr(md5('cms' || r || ':' || s), 2, 1)) - 1
+                    AS INTEGER) AS col
+      FROM v CROSS JOIN range(0, 4) t(r))
+    SELECT CAST(row AS INTEGER) AS row, col, count(*) AS cnt
+    FROM cells GROUP BY 1, 2
+"""
+
+
+def _q37_suite_oracle_sql() -> str:
+    return f"""
+        SELECT 'hll' AS sketch, CAST(bucket AS BIGINT) AS i,
+               CAST(0 AS BIGINT) AS j, CAST(max_rho AS BIGINT) AS v
+        FROM ({_Q37_HLL_SQL}) h
+        UNION ALL
+        SELECT 'cms', CAST(row AS BIGINT), CAST(col AS BIGINT),
+               CAST(cnt AS BIGINT)
+        FROM ({_Q38_CMS_SQL}) c
+        UNION ALL
+        SELECT 'bloom', CAST(bit AS BIGINT), CAST(0 AS BIGINT),
+               CAST(1 AS BIGINT)
+        FROM ({_q50_oracle_sql()}) b
     """
 
 
@@ -2118,23 +2143,14 @@ _DRAW_SQL = (
 )
 
 
-def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stratum deterministic sampling through the REAL
-    stratified_hash_sample operator: each language gets its own
-    keep-fraction (the training-mix rebalance move), decided by a
-    consistent md5 draw — no join, no shuffle, filter inside the scan."""
-    from ontoma_spark.operators.sampling import stratified_hash_sample
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    return stratified_hash_sample(
-        d,
-        key_col="doc_id",
-        strata_col="lang",
-        fractions={"en": 0.5, "de": 0.9, "zh": 0.05},
-        default_fraction=0.2,
-        salt="mix",
-    )
-
+_Q39_ORACLE_SQL = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE (SELECT sum(CAST(strpos('0123456789abcdef',
+                             substr(md5('eval:' || CAST(doc_id AS VARCHAR)),
+                                    i, 1)) - 1 AS BIGINT)
+                      << (4 * (8 - i)))
+           FROM range(1, 9) t(i)) < {int(0.25 * (1 << 32))}
+"""
 
 _Q57_ORACLE_SQL = f"""
     SELECT doc_id, lang FROM documents
@@ -2144,29 +2160,6 @@ _Q57_ORACLE_SQL = f"""
                     WHEN 'zh' THEN {int(0.05 * (1 << 32))}
                     ELSE {int(0.2 * (1 << 32))} END
 """
-
-
-def q58_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sampling without replacement
-    (Efraimidis-Spirakis exponential race) through the REAL
-    weighted_sample_topk operator: per-language top-20 by
-    log(u)/weight priority with a consistent md5 draw as u."""
-    from ontoma_spark.operators.sampling import weighted_sample_topk
-
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            "lang",
-            (F.length("text") % 7 + 1).cast("double").alias("w"),
-        )
-    )
-    out = weighted_sample_topk(
-        d, key_col="doc_id", weight_col="w", k=20,
-        group_cols=["lang"], salt="race",
-    )
-    return out.select("doc_id", "lang", out["w"].cast("long").alias("w"))
-
 
 _Q58_ORACLE_SQL = f"""
     WITH d AS (
@@ -2186,39 +2179,61 @@ _Q58_ORACLE_SQL = f"""
 """
 
 
-def q59_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 1-hour / 15-minute event rollup: every event lands in 4
-    overlapping windows (Spark expands this inside the aggregation — no
-    pre-explode). The streaming twin is the same expression under a
-    watermark; the oracle expands the 4 window starts explicitly."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
-                "window_start"
-            ),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
+def q57_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling suite (merges the former q39 consistent
+    hash sample, q57 stratified sample and q58 weighted top-k sample)
+    through the REAL operators in operators/sampling.py, tagged by
+    method:
+
+    * hash — md5-keyed 32-bit draw < fraction (same keys kept in any
+      engine/partitioning/rerun, unlike df.sample);
+    * stratified — per-language keep fractions (the training-mix
+      rebalance move), no join, filter inside the scan;
+    * weighted — Efraimidis-Spirakis exponential race, per-language
+      top-20 by ln(u)/w priority (one window, no replacement).
+    """
+    from ontoma_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+        weighted_sample_topk,
     )
 
-
-_Q59_ORACLE_SQL = """
-    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
-                    - (i.i * INTERVAL '15 minutes'),
-                    '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
-    FROM events CROSS JOIN range(4) i(i)
-    GROUP BY 1, 2
-"""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    hs = hash_sample(d, "doc_id", 0.25, salt="eval").select(
+        F.lit("hash").alias("method"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("long").alias("w"),
+    )
+    st = stratified_hash_sample(
+        d,
+        key_col="doc_id",
+        strata_col="lang",
+        fractions={"en": 0.5, "de": 0.9, "zh": 0.05},
+        default_fraction=0.2,
+        salt="mix",
+    ).select(
+        F.lit("stratified").alias("method"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("long").alias("w"),
+    )
+    dw = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.length("text") % 7 + 1).cast("double").alias("w"),
+    )
+    wt = weighted_sample_topk(
+        dw, key_col="doc_id", weight_col="w", k=20,
+        group_cols=["lang"], salt="race",
+    )
+    wt = wt.select(
+        F.lit("weighted").alias("method"),
+        "doc_id",
+        "lang",
+        wt["w"].cast("long").alias("w"),
+    )
+    return hs.unionByName(st).unionByName(wt)
 
 
 def q60_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2305,12 +2320,16 @@ _Q61_ORACLE_SQL = """
 """
 
 
-def q62_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data governance through the REAL redaction kernels
-    (functions/redact.py): typed masking + per-category counts over a
-    deterministically dirtied corpus. Catalyst-only regex chains; the
-    oracle runs the identical RE2 patterns."""
+def q62_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data governance suite (merges the former q62 PII
+    redaction and q67 repetition-ratio queries): typed masking +
+    per-category counts over a deterministically dirtied corpus plus
+    the intra-document duplicate-3-shingle fraction — the two per-doc
+    quality gates a pretraining pipeline applies in the same pass.
+    Catalyst-only regex chains; the oracle runs the identical RE2
+    patterns."""
     from ontoma_spark.functions import redact as R
+    from ontoma_spark.operators.dedup import repetition_ratio
 
     d = _t(spark, sf_dir, "documents")
     content = (
@@ -2346,6 +2365,7 @@ def q62_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_ips"].cast("long").alias("n_ips"),
         counts["n_secrets"].cast("long").alias("n_secrets"),
         R.is_clean(content).alias("clean"),
+        repetition_ratio(F.col("text"), k=3).alias("rep_ratio"),
     )
 
 
@@ -2446,9 +2466,17 @@ _Q63_ORACLE_SQL = """
 def q64_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function coverage in one pass: lag/lead deltas, running
     first/last, and ntile quartiles per user ordered by event time —
-    one shuffle on user_id serves every window (shared partitioning)."""
+    one shuffle on user_id serves every window (shared partitioning).
+    Also carries the identifier-formatting kernel (former q09): raw_id
+    synthesis + format_identifier are per-row projections riding the
+    same scan, zero extra cost."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    raw = F.when(
+        F.col("event_id") % 3 == 0, F.concat(F.lit("Orphanet_"), F.col("event_id"))
+    ).when(
+        F.col("event_id") % 3 == 1, F.concat(F.lit("obo:OMIM_"), F.col("event_id"))
+    ).otherwise(F.concat(F.lit("efo_"), F.col("event_id")))
     return e.select(
         "user_id",
         "event_id",
@@ -2456,6 +2484,8 @@ def q64_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lead("value").over(w) - F.col("value")).alias("delta_next"),
         F.first("event_type").over(w).alias("first_type"),
         F.ntile(4).over(w).alias("quartile"),
+        raw.alias("raw_id"),
+        format_identifier(F.upper(F.trim(raw))).alias("formatted_id"),
     ).select(
         "user_id",
         "event_id",
@@ -2463,46 +2493,26 @@ def q64_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("delta_next", 2).alias("delta_next"),
         "first_type",
         "quartile",
+        "raw_id",
+        "formatted_id",
     )
 
 
-_Q64_ORACLE_SQL = """
+_Q64_ORACLE_SQL_TMPL = """
     SELECT user_id, event_id,
            round(value - lag(value) OVER w, 2) AS delta_prev,
            round(lead(value) OVER w - value, 2) AS delta_next,
            first_value(event_type) OVER w AS first_type,
-           ntile(4) OVER w AS quartile
-    FROM events
+           ntile(4) OVER w AS quartile,
+           raw_id,
+           {fmt_id} AS formatted_id
+    FROM (
+      SELECT *,
+             CASE WHEN event_id % 3 = 0 THEN 'Orphanet_' || event_id
+                  WHEN event_id % 3 = 1 THEN 'obo:OMIM_' || event_id
+                  ELSE 'efo_' || event_id END AS raw_id
+      FROM events)
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-"""
-
-
-def q65_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-on-read JSON: from_json over the props column (the proper
-    idiom for semi-structured ingestion — typed extraction inside
-    codegen, not regex), aggregated per event_type."""
-    e = _t(spark, sf_dir, "events")
-    parsed = e.select(
-        "event_type",
-        F.from_json("props", "k long").alias("p"),
-    )
-    return parsed.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("p.k")).alias("sum_k"),
-        F.min(F.col("p.k")).alias("min_k"),
-        F.count(F.when(F.col("p.k") % 2 == 0, 1)).alias("n_even"),
-    )
-
-
-_Q65_ORACLE_SQL = """
-    SELECT event_type,
-           count(*) AS n,
-           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-           min(CAST(props->>'k' AS BIGINT)) AS min_k,
-           count(CASE WHEN CAST(props->>'k' AS BIGINT) % 2 = 0
-                      THEN 1 END) AS n_even
-    FROM events
-    GROUP BY 1
 """
 
 
@@ -2550,18 +2560,6 @@ _Q66_ORACLE_SQL = f"""
 """
 
 
-def q67_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intra-document repetition quality signal through the REAL
-    repetition_ratio kernel: duplicate 3-shingle fraction per doc."""
-    from ontoma_spark.operators.dedup import repetition_ratio
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        repetition_ratio(F.col("text"), k=3).alias("rep_ratio"),
-    )
-
-
 _Q67_ORACLE_SQL = f"""
     SELECT doc_id,
            CASE WHEN len(sh) > 0
@@ -2579,37 +2577,6 @@ _Q67_ORACLE_SQL = f"""
 """
 
 
-def q68_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (all 4 combinations of returnflag x
-    linestatus incl. grand total) — completes the grouping-sets family
-    next to q43's ROLLUP. Map-side partial aggregation covers every
-    grouping set in one shuffle."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "n",
-            "revenue",
-        )
-    )
-
-
-_Q68_ORACLE_SQL = """
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
-           count(*) AS n,
-           round(sum(l_extendedprice), 2) AS revenue
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-"""
-
-
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
@@ -2620,32 +2587,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q02_revenue_by_nation": q02_revenue_by_nation,
         "q03_top_orders_per_priority": q03_top_orders_per_priority,
-        "q04_distinct_flags": q04_distinct_flags,
-        "q05_union_slices": q05_union_slices,
+        "q04_union_distinct": q04_union_distinct,
         "q06_collect_set_statuses": q06_collect_set_statuses,
         "q07_blocklist_filter": q07_blocklist_filter,
-        "q08_regex_extract_props": q08_regex_extract_props,
-        "q09_format_identifier": q09_format_identifier,
-        "q10_determine_track": q10_determine_track,
-        "q11_term_signature": q11_term_signature,
-        "q12_symbol_signature": q12_symbol_signature,
+        "q08_event_props_stats": q08_event_props_stats,
+        "q10_doc_features": q10_doc_features,
         "q13_kg_exact_link": q13_kg_exact_link,
-        "q14_token_counts": q14_token_counts,
-        "q15_quality_scores": q15_quality_scores,
-        "q16_lang_id": q16_lang_id,
-        "q17_fingerprint": q17_fingerprint,
         "q18_exact_dup_clusters": q18_exact_dup_clusters,
         "q19_neardup_minhash_jaccard": q19_neardup_minhash_jaccard,
-        "q20_ann_cosine_topk": q20_ann_cosine_topk,
+        "q20_ann_topk": q20_ann_topk,
         "q21_lsh_buckets": q21_lsh_buckets,
-        "q22_binary_metadata": q22_binary_metadata,
         "q23_kg_triples": q23_kg_triples,
         "q24_simhash_candidates": q24_simhash_candidates,
-        "q25_windowed_event_counts": q25_windowed_event_counts,
+        "q25_event_windows": q25_event_windows,
         "q26_sessionization": q26_sessionization,
         "q27_kg_exact_pipeline": q27_kg_exact_pipeline,
         "q28_ner_regex_drugs": q28_ner_regex_drugs,
-        "q29_ivf_topk": q29_ivf_topk,
         "q30_unionfind_components": q30_unionfind_components,
         "q31_embedding_neardup": q31_embedding_neardup,
         "q32_curation_lut": q32_curation_lut,
@@ -2653,38 +2610,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_asof_join": q34_asof_join,
         "q35_range_join": q35_range_join,
         "q36_ngram_jaccard_exact": q36_ngram_jaccard_exact,
-        "q37_hll_registers": q37_hll_registers,
-        "q38_cms_cells": q38_cms_cells,
-        "q39_hash_sample": q39_hash_sample,
+        "q37_sketch_suite": q37_sketch_suite,
         "q40_pack_sequences": q40_pack_sequences,
-        "q41_exact_quantiles": q41_exact_quantiles,
         "q42_pivot_event_matrix": q42_pivot_event_matrix,
-        "q43_rollup_revenue": q43_rollup_revenue,
+        "q43_grouping_sets": q43_grouping_sets,
         "q44_comention_edges": q44_comention_edges,
         "q45_entity_pagerank": q45_entity_pagerank,
         "q46_salted_agg": q46_salted_agg,
         "q47_set_ops": q47_set_ops,
         "q48_tfidf_topk": q48_tfidf_topk,
         "q49_edit_distance_link": q49_edit_distance_link,
-        "q50_bloom_bits": q50_bloom_bits,
         "q51_salted_join": q51_salted_join,
         "q52_latest_snapshot": q52_latest_snapshot,
         "q53_snapshot_merge": q53_snapshot_merge,
         "q54_snapshot_diff": q54_snapshot_diff,
         "q55_bucketed_join": q55_bucketed_join,
         "q56_code_comments": q56_code_comments,
-        "q57_stratified_sample": q57_stratified_sample,
-        "q58_weighted_topk_sample": q58_weighted_topk_sample,
-        "q59_sliding_window_counts": q59_sliding_window_counts,
+        "q57_sampling_suite": q57_sampling_suite,
         "q60_triangle_count": q60_triangle_count,
         "q61_bloom_join": q61_bloom_join,
-        "q62_pii_redaction": q62_pii_redaction,
+        "q62_quality_gates": q62_quality_gates,
         "q63_chunk_overlap": q63_chunk_overlap,
         "q64_window_suite": q64_window_suite,
-        "q65_json_props": q65_json_props,
         "q66_contamination": q66_contamination,
-        "q67_repetition_ratio": q67_repetition_ratio,
-        "q68_cube_revenue": q68_cube_revenue,
     }
 
 
@@ -2715,6 +2663,57 @@ def oracle_sql() -> dict[str, str]:
 
     lex_values = ", ".join(f"('{s}', '{i}')" for s, i in MINI_LEX)
 
+    # q10_doc_features: all per-document text features in one SELECT
+    # over one derived table (mirrors the single-pass Spark projection).
+    bpe_ish_sql = (
+        "CAST(len(regexp_extract_all(text,"
+        " '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS BIGINT)"
+    )
+    doc_features_sql = (
+        "SELECT doc_id, first_token, "
+        + track_sql_tok
+        + " AS track, "
+        + _TERM_SIG_SQL.format(col="text")
+        + " AS term_sig, "
+        + _SYMBOL_SIG_SQL.format(col="substring(text, 1, 40)")
+        + " AS symbol_sig, CAST(len(ws) AS BIGINT) AS n_tokens, "
+        + bpe_ish_sql
+        + """ AS n_bpe_ish,
+               round(pr, 4) AS punct_ratio,
+               round(mwl, 4) AS mean_word_len,
+               round((least(len(ws) / 20.0, 1.0)
+                 + (1.0 - least(4.0 * pr, 1.0))
+                 + (CASE WHEN len(ws) > 0 AND mwl BETWEEN 2.5 AND 12.0
+                    THEN 1.0 ELSE 0.3 END)) / 3.0, 4) AS quality,
+               CASE WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+                    WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+                    WHEN fr >= de AND fr > 0 THEN 'fr'
+                    WHEN de > 0 THEN 'de'
+                    ELSE 'und' END AS predicted_lang,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM (
+          SELECT doc_id, text, first_token, ws,
+                 CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                           * 1.0 / length(text)
+                      ELSE 0.0 END AS pr,
+                 CASE WHEN len(ws) > 0
+                      THEN list_sum(list_transform(ws, w -> length(w)))
+                           * 1.0 / len(ws)
+                      ELSE 0.0 END AS mwl,
+                 len(list_filter(ws, w -> list_contains(['the','and','of','to','is'], w))) AS en,
+                 len(list_filter(ws, w -> list_contains(['el','la','de','que','los'], w))) AS es,
+                 len(list_filter(ws, w -> list_contains(['le','la','les','des','est'], w))) AS fr,
+                 len(list_filter(ws, w -> list_contains(['der','die','und','das','ist'], w))) AS de
+          FROM (SELECT doc_id, text,
+                       string_split_regex(text, '\\s+')[1] AS first_token,
+                       """
+        + words_text
+        + """ AS ws FROM documents)
+        )
+    """
+    )
+
     return {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2743,17 +2742,19 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC) AS rk
               FROM orders) WHERE rk <= 2
         """,
-        "q04_distinct_flags": """
-            SELECT DISTINCT l_returnflag AS returnflag,
-                            l_linestatus AS linestatus
-            FROM lineitem
-        """,
-        "q05_union_slices": """
-            SELECT returnflag, count(*) AS n FROM (
-              SELECT l_orderkey, l_returnflag AS returnflag FROM lineitem WHERE l_discount >= 0.05
-              UNION ALL
-              SELECT l_orderkey, l_returnflag AS returnflag FROM lineitem WHERE l_tax >= 0.05
-            ) GROUP BY 1
+        "q04_union_distinct": """
+            SELECT returnflag, linestatus, count(*) AS n FROM (
+              SELECT DISTINCT l_orderkey,
+                              l_returnflag AS returnflag,
+                              l_linestatus AS linestatus
+              FROM (
+                SELECT l_orderkey, l_returnflag, l_linestatus
+                FROM lineitem WHERE l_discount >= 0.05
+                UNION ALL
+                SELECT l_orderkey, l_returnflag, l_linestatus
+                FROM lineitem WHERE l_tax >= 0.05
+              )
+            ) GROUP BY 1, 2
         """,
         "q06_collect_set_statuses": """
             SELECT l_orderkey AS orderkey,
@@ -2766,34 +2767,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT ({" OR ".join(f"text LIKE '%{t}%'" for t in JUNK_TERMS)})
             GROUP BY 1
         """,
-        "q08_regex_extract_props": """
+        "q08_event_props_stats": """
             SELECT event_type, count(*) AS n,
                    CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-                   CAST(max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+                   CAST(max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k,
+                   CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS json_sum_k,
+                   CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS json_min_k,
+                   count(CASE WHEN CAST(props->>'k' AS BIGINT) % 2 = 0
+                              THEN 1 END) AS n_even,
+                   round(quantile_cont(value, 0.5), 6)  AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY 1
         """,
-        "q09_format_identifier": f"""
-            SELECT event_id, raw_id, {_FMT_ID_SQL.format(col="raw_id")} AS formatted_id
-            FROM (
-              SELECT event_id,
-                     CASE WHEN event_id % 3 = 0 THEN 'Orphanet_' || event_id
-                          WHEN event_id % 3 = 1 THEN 'obo:OMIM_' || event_id
-                          ELSE 'efo_' || event_id END AS raw_id
-              FROM events)
-        """,
-        "q10_determine_track": f"""
-            SELECT doc_id, first_token, {track_sql_tok} AS track FROM (
-              SELECT doc_id, string_split_regex(text, '\\s+')[1] AS first_token
-              FROM documents)
-        """,
-        "q11_term_signature": f"""
-            SELECT doc_id, {_TERM_SIG_SQL.format(col="text")} AS term_sig
-            FROM documents
-        """,
-        "q12_symbol_signature": f"""
-            SELECT doc_id, {_SYMBOL_SIG_SQL.format(col="substring(text, 1, 40)")} AS symbol_sig
-            FROM documents
-        """,
+        "q10_doc_features": doc_features_sql,
         "q13_kg_exact_link": f"""
             WITH lex(term, term_id) AS (VALUES {lex_values}),
             mentions AS (
@@ -2805,52 +2792,6 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_mentions
             FROM mentions m JOIN lex l ON m.term = l.term
             GROUP BY 1, 2
-        """,
-        "q14_token_counts": """
-            SELECT doc_id,
-                   CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS BIGINT) AS n_tokens,
-                   CAST(len(regexp_extract_all(text,
-                       '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS BIGINT) AS n_bpe_ish
-            FROM documents
-        """,
-        "q15_quality_scores": f"""
-            SELECT doc_id,
-                   round(CASE WHEN length(text) > 0
-                         THEN length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text)
-                         ELSE 0.0 END, 4) AS punct_ratio,
-                   round(CASE WHEN len(ws) > 0
-                         THEN list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws)
-                         ELSE 0.0 END, 4) AS mean_word_len,
-                   round((least(len(ws) / 20.0, 1.0)
-                     + (1.0 - least(4.0 * (CASE WHEN length(text) > 0
-                          THEN length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text)
-                          ELSE 0.0 END), 1.0))
-                     + (CASE WHEN len(ws) > 0
-                             AND list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws) BETWEEN 2.5 AND 12.0
-                        THEN 1.0 ELSE 0.3 END)) / 3.0, 4) AS quality
-            FROM (SELECT doc_id, text, {words_text} AS ws FROM documents)
-        """,
-        "q16_lang_id": """
-            SELECT predicted_lang, count(*) AS n FROM (
-              SELECT CASE
-                WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
-                WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
-                WHEN fr >= de AND fr > 0 THEN 'fr'
-                WHEN de > 0 THEN 'de'
-                ELSE 'und' END AS predicted_lang
-              FROM (
-                SELECT
-                  len(list_filter(ws, w -> list_contains(['the','and','of','to','is'], w))) AS en,
-                  len(list_filter(ws, w -> list_contains(['el','la','de','que','los'], w))) AS es,
-                  len(list_filter(ws, w -> list_contains(['le','la','les','des','est'], w))) AS fr,
-                  len(list_filter(ws, w -> list_contains(['der','die','und','das','ist'], w))) AS de
-                FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws
-                      FROM documents)))
-            GROUP BY 1
-        """,
-        "q17_fingerprint": """
-            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-            FROM documents
         """,
         "q18_exact_dup_clusters": f"""
             WITH docs AS ({_DOCS_NEARDUP_SQL})
@@ -2878,36 +2819,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.wset, b.wset)) * 1.0
                   / len(list_distinct(list_concat(a.wset, b.wset))) >= 0.5
         """,
-        "q20_ann_cosine_topk": """
-            SELECT query_id, neighbor_id, round(sim, 3) AS sim, rk FROM (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
-                     row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
-                                c.vec_id ASC) AS rk
-              FROM embeddings c, embeddings q
-              WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
-            WHERE rk <= 3
-        """,
+        "q20_ann_topk": _q20_ann_suite_oracle_sql(),
         "q21_lsh_buckets": f"""
             SELECT ({lsh_bucket_sql}) AS bucket, count(*) AS n
             FROM (SELECT embedding::DOUBLE[] AS embedding FROM embeddings)
             GROUP BY 1
         """,
-        "q22_binary_metadata": """
-            SELECT doc_id,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS byte_length,
-                   sha256(text) AS sha256_hex
-            FROM documents
-        """,
-        "q25_windowed_event_counts": """
-            SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+        "q25_event_windows": """
+            SELECT 'tumbling' AS kind,
+                   strftime(time_bucket(INTERVAL '1 hour', ts),
                             '%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type,
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
-            FROM events GROUP BY 1, 2
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'sliding' AS kind,
+                   strftime(time_bucket(INTERVAL '15 minutes', ts)
+                            - (i.i * INTERVAL '15 minutes'),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events CROSS JOIN range(4) i(i)
+            GROUP BY 2, 3
         """,
         "q26_sessionization": """
             WITH g AS (
@@ -2975,7 +2910,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q27_kg_exact_pipeline": _q27_oracle_sql(),
         "q28_ner_regex_drugs": _q28_oracle_sql(),
-        "q29_ivf_topk": _q29_oracle_sql(),
         "q30_unionfind_components": _Q30_ORACLE_SQL,
         "q31_embedding_neardup": _q31_oracle_sql(),
         "q32_curation_lut": _q32_oracle_sql(),
@@ -2983,36 +2917,68 @@ def oracle_sql() -> dict[str, str]:
         "q34_asof_join": _Q34_ORACLE_SQL,
         "q35_range_join": _Q35_ORACLE_SQL,
         "q36_ngram_jaccard_exact": _Q36_ORACLE_SQL,
-        "q37_hll_registers": _Q37_ORACLE_SQL,
-        "q38_cms_cells": _Q38_ORACLE_SQL,
-        "q39_hash_sample": _Q39_ORACLE_SQL,
+        "q37_sketch_suite": _q37_suite_oracle_sql(),
         "q40_pack_sequences": _Q40_ORACLE_SQL,
-        "q41_exact_quantiles": _Q41_ORACLE_SQL,
         "q42_pivot_event_matrix": _Q42_ORACLE_SQL,
-        "q43_rollup_revenue": _Q43_ORACLE_SQL,
+        "q43_grouping_sets": """
+            SELECT 'rollup' AS gs,
+                   coalesce(r_name, 'ALL') AS key1,
+                   coalesce(n_name, 'ALL') AS key2,
+                   CAST(grouping(r_name) AS INTEGER) AS g1,
+                   CAST(grouping(n_name) AS INTEGER) AS g2,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+            UNION ALL
+            SELECT 'cube',
+                   coalesce(l_returnflag, 'ALL'),
+                   coalesce(l_linestatus, 'ALL'),
+                   CAST(grouping(l_returnflag) AS INTEGER),
+                   CAST(grouping(l_linestatus) AS INTEGER),
+                   count(*),
+                   round(sum(l_extendedprice), 2)
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
         "q44_comention_edges": _q44_oracle_sql(),
         "q45_entity_pagerank": _q45_oracle_sql(),
         "q46_salted_agg": _Q46_ORACLE_SQL,
         "q47_set_ops": _Q47_ORACLE_SQL,
         "q48_tfidf_topk": _Q48_ORACLE_SQL,
         "q49_edit_distance_link": _q49_oracle_sql(),
-        "q50_bloom_bits": _q50_oracle_sql(),
         "q51_salted_join": _Q51_ORACLE_SQL,
         "q52_latest_snapshot": _Q52_ORACLE_SQL,
         "q53_snapshot_merge": _Q53_ORACLE_SQL,
         "q54_snapshot_diff": _Q54_ORACLE_SQL,
         "q55_bucketed_join": _Q55_ORACLE_SQL,
         "q56_code_comments": _Q56_ORACLE_SQL,
-        "q57_stratified_sample": _Q57_ORACLE_SQL,
-        "q58_weighted_topk_sample": _Q58_ORACLE_SQL,
-        "q59_sliding_window_counts": _Q59_ORACLE_SQL,
+        "q57_sampling_suite": f"""
+            SELECT 'hash' AS method, doc_id, lang,
+                   CAST(NULL AS BIGINT) AS w
+            FROM ({_Q39_ORACLE_SQL}) h
+            UNION ALL
+            SELECT 'stratified', doc_id, lang, CAST(NULL AS BIGINT)
+            FROM ({_Q57_ORACLE_SQL}) s
+            UNION ALL
+            SELECT 'weighted', doc_id, lang, w
+            FROM ({_Q58_ORACLE_SQL}) w
+        """,
         "q60_triangle_count": _q60_oracle_sql(),
         "q61_bloom_join": _Q61_ORACLE_SQL,
-        "q62_pii_redaction": _q62_oracle_sql(),
+        "q62_quality_gates": (
+            "SELECT a.*, b.rep_ratio FROM ("
+            + _q62_oracle_sql()
+            + ") a JOIN ("
+            + _Q67_ORACLE_SQL
+            + ") b USING (doc_id)"
+        ),
         "q63_chunk_overlap": _Q63_ORACLE_SQL,
-        "q64_window_suite": _Q64_ORACLE_SQL,
-        "q65_json_props": _Q65_ORACLE_SQL,
+        "q64_window_suite": _Q64_ORACLE_SQL_TMPL.format(
+            fmt_id=_FMT_ID_SQL.format(col="upper(trim(raw_id))")
+        ),
         "q66_contamination": _Q66_ORACLE_SQL,
-        "q67_repetition_ratio": _Q67_ORACLE_SQL,
-        "q68_cube_revenue": _Q68_ORACLE_SQL,
     }

@@ -1,24 +1,41 @@
 """Benchmark suite: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS], plus the north-rule scaling evidence — the KG
-pipeline run at N and 4N parallelism on the SAME deterministic input,
-under THREE protocols (all reported, see BENCH/BASELINE.md):
+pipeline run at two parallelism levels (N = one pinned 1-core executor
+process, 4N = four pinned 1-core executor processes) on the SAME
+deterministic input.
 
-1. HEADLINE: literal same-JVM, same-application local[1] vs local[4]
-   (N and 4N cores, same input, no pinning, no emulation) — the
-   round-2 sanctioned reading of the N-vs-4N-executors rule;
-2. executor-count emulation: one 1-core pinned executor process vs
-   four 1-core pinned executor processes on disjoint input slices —
-   models adding whole executors (own JVM/heap/GC);
-3. literal same-JVM local[8] vs local[32] — reported honestly; on this
-   single box it measures the shared memory-bandwidth ceiling (see the
-   hardware probes: pure memcpy saturates by ~8 procs), not the
-   dataflow.
+Protocol notes (see BENCH/BASELINE.md for full numbers + rationale):
+
+* The executor-count emulation is the HEADLINE protocol: a real
+  cluster scales by adding whole executors (own JVM/heap/GC), and on
+  this single box 1-core pinned executor processes keep the 4N
+  configuration's aggregate memory-bandwidth demand under the box's
+  saturation knee (pure memcpy saturates by ~8 concurrent procs —
+  hardware probe below), so the measurement reflects the dataflow,
+  not the one-box bandwidth wall.
+* FIXED single trial, no adaptive retry: retry-until-pass selects
+  noise in the efficiency's favor (the 1-core baseline sits in the
+  denominator), so the trial count must never depend on the reading.
+  Per-core busy fractions and GC pause totals are reported so an
+  idle-stall or GC artifact would be visible in the artifact itself.
+* The literal same-JVM local[1]v[4] and local[8]v[32] pairs measured
+  in round 2 are documented as an appendix in BENCH/BASELINE.md (the
+  1v4 baseline is handicapped by sharing one core with GC/IO, which
+  *inflates* efficiency past 1.0; 8v32 measures the memory-bandwidth
+  wall). They are not re-run here — the emulation is the controlled,
+  conservative reading of the same rule.
+
+Robustness: results accumulate into a module-level STATE; after every
+phase (and every timed query) BENCH/partial.json is rewritten, and a
+SIGTERM/SIGINT handler prints the accumulated result as the final JSON
+line before exiting — so an external timeout can no longer void
+completed phases. A self-imposed budget (BENCH_BUDGET_S, default 1500s)
+skips remaining queries rather than overrunning.
 
 Prints ONE JSON line:
 {"metric": "bench_suite", "value": <total sec>, "unit": "sec",
  "queries": {name: sec, ...}, "sf": <sf>,
- "scaling": {"low": {...}, "high": {...}, "efficiency": <literal 1v4>,
-             "emulated_executors": {...}, "literal_8v32": {...}}}
+ "scaling": {"low": {...}, "high": {...}, "efficiency": <emulated>, ...}}
 """
 
 from __future__ import annotations
@@ -26,6 +43,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -35,30 +53,14 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-KG_ROWS = int(os.environ.get("BENCH_KG_ROWS", "600000"))
-SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "1"))
-# Headline literal pair: best of N trials. The computation is
-# deterministic; trial-to-trial differences are machine noise. Noise on
-# the 4-core side only UNDERESTIMATES efficiency; noise that slows the
-# 1-core baseline can overestimate it, which is why every trial's
-# efficiency, per-side GC pause, and cpu-busy fraction are all reported
-# (and why the pinned-executor emulation, whose busy fractions are ~1.0
-# on both sides, is the controlled protocol).
-LITERAL_TRIALS = int(os.environ.get("BENCH_LITERAL_TRIALS", "3"))
-# The emulation input is pinned at 1.2M docs independently of KG_ROWS:
-# its 4N side splits the input into quarters whose per-slice timed
-# regions must stay long (minutes, not tens of seconds) for the reading
-# to be stable — measured: 1.2M-row trials read 0.82-0.86 across runs,
-# while 600k-row trials wobble below the gate on the same idle box.
+# The emulation input is pinned at 1.2M docs: its 4N side splits the
+# input into quarters whose per-slice timed regions must stay long
+# (minutes, not tens of seconds) for the reading to be stable —
+# measured: 1.2M-row trials read 0.82-0.86 across runs, while 600k-row
+# trials wobble below the gate on the same idle box.
 EMU_ROWS = int(os.environ.get("BENCH_EMU_ROWS", "1200000"))
 N_EXECUTORS = 4  # the north rule's 4N:N executor-count ratio
-# Executor size for the scaling emulation: 1 core. A real cluster scales
-# by adding whole executors (own JVM/heap/GC/memory channel); on this
-# single VM, 1-core executor processes on disjoint pinned cores keep the
-# 4N configuration's aggregate memory-bandwidth demand under the box's
-# saturation knee (pure memcpy saturates by ~8 concurrent procs here —
-# see the hardware probe), so the measurement reflects the dataflow, not
-# the one-box bandwidth wall.
+BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -67,25 +69,63 @@ HEADLINE = [
     "q06_collect_set_statuses",
     "q13_kg_exact_link",
     "q19_neardup_minhash_jaccard",
-    "q20_ann_cosine_topk",
+    "q20_ann_topk",
     "q21_lsh_buckets",
     "q24_simhash_candidates",
+    "q25_event_windows",
     "q26_sessionization",
-    "q29_ivf_topk",
     "q31_embedding_neardup",
     "q34_asof_join",
     "q35_range_join",
     "q36_ngram_jaccard_exact",
-    "q37_hll_registers",
+    "q37_sketch_suite",
     "q40_pack_sequences",
     "q53_snapshot_merge",
     "q54_snapshot_diff",
     "q55_bucketed_join",
     "q56_code_comments",
-    "q57_stratified_sample",
-    "q58_weighted_topk_sample",
-    "q59_sliding_window_counts",
+    "q57_sampling_suite",
 ]
+
+T0 = time.time()
+STATE: dict = {
+    "metric": "bench_suite",
+    "value": None,
+    "unit": "sec",
+    "queries": {},
+    "sf": None,
+    "scaling": None,
+    "phases_done": [],
+}
+_FINAL_PRINTED = False
+
+
+def _emit_partial() -> None:
+    STATE["value"] = round(time.time() - T0, 2)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    tmp = os.path.join(REPO, "BENCH", "partial.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(STATE, f, indent=1)
+    os.replace(tmp, os.path.join(REPO, "BENCH", "partial.json"))
+
+
+def _print_final() -> None:
+    global _FINAL_PRINTED
+    if _FINAL_PRINTED:
+        return
+    _FINAL_PRINTED = True
+    STATE["value"] = round(time.time() - T0, 2)
+    out = {k: v for k, v in STATE.items() if k != "phases_done"}
+    print(json.dumps(out), flush=True)
+
+
+def _on_term(signum, frame):  # noqa: ANN001
+    """External timeout (SIGTERM) or interrupt: flush what we have as
+    the one JSON line and exit cleanly — completed phases survive."""
+    STATE["phases_done"].append(f"terminated_by_signal_{signum}")
+    _emit_partial()
+    _print_final()
+    os._exit(0)
 
 
 def _pinned_cpu_busy() -> dict[int, float]:
@@ -206,11 +246,96 @@ def _run_scaling_subprocess(
     return r
 
 
+def _scaling_phase() -> dict:
+    """Executor-count scaling (the north rule's N vs 4N EXECUTORS, not
+    thread counts): the N=1 "cluster" is one 1-core executor process
+    pinned to one physical core running the whole input; the 4N cluster
+    is FOUR identical executor processes, each pinned to its own core,
+    each linking a disjoint quarter of the SAME input concurrently
+    (rows are pure functions of their id, so the quarters union to
+    exactly the baseline's input — verified by summed triple counts).
+    This mirrors how a real cluster scales — adding whole executors
+    with their own JVM/heap/GC — instead of adding threads to one JVM,
+    which on this single box measures the shared-memory-bandwidth
+    ceiling rather than the dataflow.
+
+    ONE fixed trial: the dataflow is deterministic, and conditioning
+    the number of trials on the reading would bias the headline upward
+    (noise in the 1-core denominator). Busy fractions near 1.0 on both
+    sides certify the reading wasn't an idle-stall artifact.
+    """
+    import concurrent.futures as cf
+
+    quarter = EMU_ROWS // N_EXECUTORS
+    slices = [
+        (i * quarter,
+         quarter + (EMU_ROWS % N_EXECUTORS if i == N_EXECUTORS - 1 else 0))
+        for i in range(N_EXECUTORS)
+    ]
+    one = _run_scaling_subprocess(1, EMU_ROWS, cpu_list="0")
+    with cf.ThreadPoolExecutor(N_EXECUTORS) as ex:
+        futs = [
+            ex.submit(_run_scaling_subprocess, 1, n_rows, str(i), start)
+            for i, (start, n_rows) in enumerate(slices)
+        ]
+        quads = [f.result() for f in futs]
+    agg_wall = max(q["sec"] for q in quads)
+    total_triples = sum(q["triples"] for q in quads)
+    t1 = one["triples"] / one["sec"]
+    t4 = total_triples / agg_wall
+    low = dict(one)
+    low["cores"] = 1
+    low["triples_per_sec"] = round(t1, 1)
+    high = {
+        "cores": N_EXECUTORS,
+        "sec": agg_wall,
+        "quads_sec": [q["sec"] for q in quads],
+        "triples": total_triples,
+        "triples_per_sec": round(t4, 1),
+        "cpu_busy_frac": round(
+            sum(q["cpu_busy_frac"] for q in quads) / len(quads), 3
+        ),
+        "gc_pause_sec": round(sum(q["gc_pause_sec"] for q in quads), 2),
+        "triples_match_baseline": total_triples == one["triples"],
+    }
+    return {
+        "rows": EMU_ROWS,
+        "protocol": (
+            "executor-count emulation: one pinned 1-core executor "
+            "process (N) vs four pinned 1-core executor processes on "
+            "disjoint input slices (4N), same deterministic input, "
+            "single fixed trial"
+        ),
+        "low": low,
+        "high": high,
+        "speedup": round(t4 / t1, 2),
+        "executor_ratio": N_EXECUTORS,
+        "efficiency": round(t4 / (N_EXECUTORS * t1), 3),
+        "trials": 1,
+    }
+
+
 def main() -> None:
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    deadline = T0 + BUDGET_S
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    STATE["sf"] = sf
+    _emit_partial()
+
+    # ---- phase 1: north-rule scaling evidence (the graded metric) ----
+    scaling = _scaling_phase()
+    STATE["scaling"] = scaling
+    STATE["phases_done"].append("scaling")
+    _emit_partial()
+
+    # ---- phase 2: headline queries at SF_DIR --------------------------
     from ontoma_spark.core.session import get_spark
     import __spark_entry__ as entrymod
 
-    t_suite = time.time()
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     queries = entrymod.queries()
     # Steady-state warmup: run every headline query once at sf0.001
@@ -219,188 +344,37 @@ def main() -> None:
     # timed runs measure the dataflow rather than one-time JIT cost.
     WARM_DIR = "/root/testdata/sf0.001"
     for name in [*HEADLINE, "q23_kg_triples"]:
+        if time.time() > deadline - 120:
+            STATE["phases_done"].append("warmup_truncated")
+            break
         queries[name](spark, WARM_DIR).count()
-    timings: dict[str, float] = {}
+    STATE["phases_done"].append("warmup")
+    _emit_partial()
     for name in HEADLINE:
+        if time.time() > deadline - 60:
+            STATE["queries"][name] = None  # skipped: budget
+            continue
         t0 = time.time()
         queries[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 2)
+        STATE["queries"][name] = round(time.time() - t0, 2)
+        _emit_partial()
     # full KG pipeline at sf scale (includes lexicon build + linking)
-    t0 = time.time()
-    n_triples = queries["q23_kg_triples"](spark, SF_DIR).count()
-    timings["q23_kg_triples"] = round(time.time() - t0, 2)
+    if time.time() <= deadline - 60:
+        t0 = time.time()
+        STATE["kg_triples"] = queries["q23_kg_triples"](spark, SF_DIR).count()
+        STATE["queries"]["q23_kg_triples"] = round(time.time() - t0, 2)
+    STATE["phases_done"].append("queries")
+    _emit_partial()
     spark.stop()
 
-    # Literal same-JVM N-vs-4N pairs on the SAME input (no pinning, no
-    # emulation). Run FIRST, straight after the suite: repeated
-    # measurements show multi-core throughput on this shared VM swings
-    # by up to 2x in transient noisy windows while the 1-core side stays
-    # within ~10%, so the headline pair gets the freshest machine state
-    # and adaptive retries (below) cover a bad window.
-    def _literal_pair(low_cores: int, high_cores: int, rows: int) -> dict:
-        lo = _run_scaling_subprocess(low_cores, rows)
-        hi = _run_scaling_subprocess(high_cores, rows)
-        ratio = high_cores / low_cores
-        return {
-            "low": lo,
-            "high": hi,
-            "core_ratio": int(ratio),
-            "speedup": round(
-                hi["triples_per_sec"] / lo["triples_per_sec"], 2
-            ),
-            "efficiency": round(
-                hi["triples_per_sec"] / lo["triples_per_sec"] / ratio, 3
-            ),
-        }
+    # ---- phase 3: hardware probes (cheap; bounds interpretation) ------
+    if time.time() <= deadline - 40:
+        STATE["scaling"]["hardware_probe"] = _hardware_probe()
+        STATE["phases_done"].append("probe")
+        _emit_partial()
 
-    # Adaptive trials: the work is deterministic, so noise only lowers
-    # the measured efficiency — retry (up to LITERAL_TRIALS) only while
-    # the reading is below a comfortable margin over the 0.8 gate.
-    literal_trials = [_literal_pair(1, 4, KG_ROWS)]
-    while (
-        len(literal_trials) < LITERAL_TRIALS
-        and max(p["efficiency"] for p in literal_trials) < 0.85
-    ):
-        literal_trials.append(_literal_pair(1, 4, KG_ROWS))
-    literal_1v4 = max(literal_trials, key=lambda p: p["efficiency"])
-    literal_1v4["trial_efficiencies"] = [
-        p["efficiency"] for p in literal_trials
-    ]
-
-    probe = _hardware_probe()
-    # Executor-count scaling emulation (the north rule's N vs 4N
-    # EXECUTORS, not thread counts): the N=1 "cluster" is one 1-core
-    # executor process pinned to one physical core running the whole
-    # input; the 4N cluster is FOUR identical executor processes, each
-    # pinned to its own core, each linking a disjoint quarter of the
-    # SAME input concurrently (rows are pure functions of their id, so
-    # the quarters union to exactly the baseline's input — verified by
-    # summed triple counts). This mirrors how a real cluster scales —
-    # adding whole executors with their own JVM/heap/GC — instead of
-    # adding threads to one JVM, which on this single box measures the
-    # shared-memory-bandwidth ceiling rather than the dataflow (see the
-    # probes below). Per-core busy fractions and GC pause totals are
-    # reported so idle-stall or GC artifacts would be visible.
-    import concurrent.futures as cf
-
-    trials = []
-    # Split the input into N_EXECUTORS contiguous slices covering ALL
-    # rows — the last slice absorbs the remainder so the 4N workload is
-    # exactly the baseline input (triples_match asserts it).
-    quarter = EMU_ROWS // N_EXECUTORS
-    slices = [
-        (i * quarter,
-         quarter + (EMU_ROWS % N_EXECUTORS if i == N_EXECUTORS - 1 else 0))
-        for i in range(N_EXECUTORS)
-    ]
-    # Adaptive trials, same policy as the literal pair: retry (up to 3)
-    # only while the reading lacks margin over the 0.8 gate; every
-    # trial's efficiency is reported.
-    while len(trials) < max(SCALING_TRIALS, 3) and not (
-        trials and max(t["efficiency"] for t in trials) >= 0.82
-    ):
-        one = _run_scaling_subprocess(1, EMU_ROWS, cpu_list="0")
-        with cf.ThreadPoolExecutor(N_EXECUTORS) as ex:
-            futs = [
-                ex.submit(
-                    _run_scaling_subprocess,
-                    1,
-                    n_rows,
-                    str(i),
-                    start,
-                )
-                for i, (start, n_rows) in enumerate(slices)
-            ]
-            quads = [f.result() for f in futs]
-        agg_wall = max(q["sec"] for q in quads)
-        total_triples = sum(q["triples"] for q in quads)
-        t1 = one["triples"] / one["sec"]
-        t4 = total_triples / agg_wall
-        trials.append(
-            {
-                "one": one,
-                "quads": quads,
-                "agg_wall": agg_wall,
-                "triples_match": total_triples == one["triples"],
-                "throughput_n": round(t1, 1),
-                "throughput_4n": round(t4, 1),
-                "efficiency": round(t4 / (N_EXECUTORS * t1), 3),
-            }
-        )
-    # Best trial, as for the literal pair: the dataflow is
-    # deterministic, so a lower reading means the box was noisier
-    # during that window, not that the engine scaled worse. All trial
-    # readings are published alongside.
-    trials.sort(key=lambda t: t["efficiency"])
-    headline = trials[-1]
-    low = dict(headline["one"])
-    low["cores"] = 1
-    low["triples_per_sec"] = headline["throughput_n"]
-    high = {
-        "cores": N_EXECUTORS,
-        "sec": headline["agg_wall"],
-        "quads_sec": [q["sec"] for q in headline["quads"]],
-        "triples": sum(q["triples"] for q in headline["quads"]),
-        "triples_per_sec": headline["throughput_4n"],
-        "cpu_busy_frac": round(
-            sum(q["cpu_busy_frac"] for q in headline["quads"])
-            / len(headline["quads"]),
-            3,
-        ),
-        "gc_pause_sec": round(
-            sum(q["gc_pause_sec"] for q in headline["quads"]), 2
-        ),
-        "triples_match_baseline": headline["triples_match"],
-    }
-    speedup = round(
-        headline["throughput_4n"] / headline["throughput_n"], 2
-    )
-    efficiency = headline["efficiency"]
-    trial_efficiencies = [t["efficiency"] for t in trials]
-
-    literal_8v32 = _literal_pair(8, 32, KG_ROWS)
-
-    emulated = {
-        "rows": EMU_ROWS,
-        "low": low,
-        "high": high,
-        "speedup": speedup,
-        "executor_ratio": N_EXECUTORS,
-        "efficiency": efficiency,
-        "trial_efficiencies": trial_efficiencies,
-    }
-
-    try:
-        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = None
-
-    result = {
-        "metric": "bench_suite",
-        "value": round(time.time() - t_suite, 2),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "kg_triples": n_triples,
-        "scaling": {
-            "rows": KG_ROWS,
-            "protocol": (
-                "literal same-JVM same-application local[1] vs local[4] "
-                "(N vs 4N cores) on the same input"
-            ),
-            "low": literal_1v4["low"],
-            "high": literal_1v4["high"],
-            "speedup": literal_1v4["speedup"],
-            "core_ratio": literal_1v4["core_ratio"],
-            "efficiency": literal_1v4["efficiency"],
-            "trial_efficiencies": literal_1v4.get("trial_efficiencies"),
-            "emulated_executors": emulated,
-            "literal_8v32": literal_8v32,
-            "hardware_probe": probe,
-        },
-    }
-    _write_bench_md(result)
-    print(json.dumps(result))
+    _write_bench_md(STATE)
+    _print_final()
 
 
 def _hardware_probe() -> dict:
@@ -456,79 +430,93 @@ def _burn_mem(_: int) -> float:
     return time.time() - t0
 
 
+# Round-2 literal same-JVM measurements, kept as documentation (these
+# protocols are no longer re-run per round; see module docstring).
+_R2_LITERAL_APPENDIX = """\
+## Appendix: literal same-JVM protocols (measured once, round 2)
+
+These two protocols were measured on this box in round 2 and are kept
+for context; they are NOT the headline because each has a structural
+bias on a single machine:
+
+### Literal local[1] vs local[4] (same JVM, same application)
+
+| run | wall sec | triples/sec | GC pause s |
+| --- | --- | --- | --- |
+| N = local[1] | 695.97 | 3301.8 | 5.46 |
+| 4N = local[4] | 113.51 | 20244.4 | 1.25 |
+
+Ratio 6.13x over a 4x core ratio -> efficiency 1.533. A reading above
+1.0 is not evidence of super-linear dataflow scaling: the local[1]
+baseline shares its single core with the JVM's GC/IO/scheduler
+threads, so the denominator is handicapped and the ratio is inflated.
+That is why the pinned executor emulation — whose per-core busy
+fractions are ~1.0 on BOTH sides — is the headline reading.
+
+### Literal local[8] vs local[32] (same JVM)
+
+| run | wall sec | triples/sec |
+| --- | --- | --- |
+| local[8] | 129.19 | 17787.3 |
+| local[32] | 134.36 | 17102.9 |
+
+Efficiency 0.24. This pair saturates the single shared memory bus: the
+memcpy probe saturates by ~8 concurrent processes on this VM, so
+beyond ~8 string-heavy threads cores stay busy while per-core IPC
+collapses (local[32] can run SLOWER than local[8]). On a real
+multi-node cluster each executor brings its own memory bandwidth — the
+8->32 wall is a one-box artifact, which is why the rule's
+N-vs-4N-executor criterion is evidenced by the pinned-executor
+protocol above.
+"""
+
+
 def _write_bench_md(result: dict) -> None:
-    s = result["scaling"]
-    em = s["emulated_executors"]
-    l8 = s["literal_8v32"]
+    s = result.get("scaling") or {}
+    low = s.get("low", {})
+    high = s.get("high", {})
     lines = [
         "# BENCH — measured numbers",
         "",
-        f"Suite wall time: {result['value']} s at sf={result['sf']} "
-        f"(local[{CPUS}], {KG_ROWS}-doc scaling input).",
+        f"Suite wall time: {round(time.time() - T0, 2)} s at "
+        f"sf={result['sf']} (local[{CPUS}], {EMU_ROWS}-doc scaling "
+        "input).",
         "",
-        "## Scaling evidence (north rule: efficiency >= 0.8 from N to 4N)",
+        "## Scaling evidence (north rule: efficiency >= 0.8 from N to "
+        "4N executors)",
         "",
-        "HEADLINE protocol — literal, same application, same input: the "
-        "KG linker run in one Spark JVM at local[1] (N cores) and again "
-        "at local[4] (4N cores), identical deterministic input, no "
-        "pinning, no emulation. Session startup, lexicon build, and "
-        "input materialisation are excluded from the timed region; the "
-        "linker dataflow itself is what scales.",
+        "HEADLINE protocol — executor-count emulation with pinned "
+        "1-core executor processes: N = one 1-core executor JVM "
+        "`taskset`-pinned to one core linking the whole "
+        f"{s.get('rows', EMU_ROWS)}-doc input; 4N = four such processes "
+        "on disjoint cores linking disjoint slices of the SAME input "
+        "(slices union to the baseline exactly; summed triple count "
+        f"equals baseline: {high.get('triples_match_baseline')}). This "
+        "models how a real cluster scales — adding whole executors with "
+        "their own JVM/heap/GC — and keeps the 4N side's aggregate "
+        "bandwidth demand under this box's measured memcpy saturation "
+        "knee, so the number reflects the dataflow rather than the "
+        "one-box memory wall.",
         "",
-        "| run | wall sec | triples/sec | GC pause s |",
-        "| --- | --- | --- | --- |",
-        f"| N = local[1] | {s['low']['sec']} | {s['low']['triples_per_sec']} | {s['low'].get('gc_pause_sec')} |",
-        f"| 4N = local[4] | {s['high']['sec']} | {s['high']['triples_per_sec']} | {s['high'].get('gc_pause_sec')} |",
-        "",
-        f"Throughput ratio {s['speedup']}x over a {s['core_ratio']}x core "
-        f"ratio -> **scaling efficiency {s['efficiency']}** (best of "
-        f"{len(s.get('trial_efficiencies', [1]))} deterministic trials: "
-        f"{s.get('trial_efficiencies')}). Readings above 1.0 are real on "
-        "this protocol: the 1-core JVM baseline shares its core budget "
-        "with GC/IO/scheduler threads, so the low side underperforms a "
-        "true single executor — the pinned emulation below, whose "
-        "per-core busy fractions are ~1.0 on BOTH sides, is the "
-        "controlled (conservative) reading of the same rule.",
-        "",
-        "## Secondary protocols",
-        "",
-        "### Executor-count emulation (pinned 1-core processes)",
-        "",
-        f"N = one 1-core executor JVM `taskset`-pinned to one core "
-        f"linking the whole {em.get('rows', EMU_ROWS)}-doc input; 4N = "
-        "four such processes on disjoint cores linking disjoint slices "
-        "of the SAME input (slices union to the baseline exactly; "
-        "summed triple count equals baseline: "
-        f"{em['high'].get('triples_match_baseline')}). Models whole "
-        "executors with their own JVM/heap/GC.",
+        "ONE fixed trial, by design: the dataflow is deterministic and "
+        "retrying until a threshold is met would select noise in the "
+        "efficiency's favor (the 1-core baseline sits in the "
+        "denominator). The per-core busy fractions below (~1.0 on both "
+        "sides) certify the reading wasn't an idle-stall artifact.",
         "",
         "| cluster | wall sec | triples/sec | cpu busy frac | GC pause s |",
         "| --- | --- | --- | --- | --- |",
-        f"| N (1 executor) | {em['low']['sec']} | {em['low']['triples_per_sec']} | {em['low'].get('cpu_busy_frac')} | {em['low'].get('gc_pause_sec')} |",
-        f"| 4N (4 executors) | {em['high']['sec']} (per-executor: {em['high'].get('quads_sec')}) | {em['high']['triples_per_sec']} | {em['high'].get('cpu_busy_frac')} | {em['high'].get('gc_pause_sec')} |",
+        f"| N (1 executor) | {low.get('sec')} | "
+        f"{low.get('triples_per_sec')} | {low.get('cpu_busy_frac')} | "
+        f"{low.get('gc_pause_sec')} |",
+        f"| 4N (4 executors) | {high.get('sec')} (per-executor: "
+        f"{high.get('quads_sec')}) | {high.get('triples_per_sec')} | "
+        f"{high.get('cpu_busy_frac')} | {high.get('gc_pause_sec')} |",
         "",
-        f"Efficiency {em['efficiency']} "
-        f"(per-trial: {em.get('trial_efficiencies')}). Note: pinning the "
-        "whole process tree (JVM + GC threads) to ONE core taxes the "
-        "1-core baseline and the emulation alike; the unpinned literal "
-        "protocol above is both stricter (shared heap) and faster.",
-        "",
-        "### Literal local[8] vs local[32]",
-        "",
-        "| run | wall sec | triples/sec |",
-        "| --- | --- | --- |",
-        f"| local[8] | {l8['low']['sec']} | {l8['low']['triples_per_sec']} |",
-        f"| local[32] | {l8['high']['sec']} | {l8['high']['triples_per_sec']} |",
-        "",
-        f"Efficiency {l8['efficiency']}. This pair saturates the single "
-        "shared memory bus: the memcpy probe below saturates by ~8 "
-        "concurrent processes on this VM, so beyond ~8 string-heavy "
-        "threads cores stay busy while per-core IPC collapses "
-        "(local[32] can run SLOWER than local[8]). On a real multi-node "
-        "cluster each executor brings its own memory bandwidth — the "
-        "8->32 wall is a one-box artifact, which is why the rule's "
-        "N-vs-4N-executor criterion is evidenced by the two protocols "
-        "above.",
+        f"Throughput N = {low.get('triples_per_sec')} triples/sec, "
+        f"4N = {high.get('triples_per_sec')} triples/sec -> speedup "
+        f"{s.get('speedup')}x over a {s.get('executor_ratio')}x "
+        f"executor ratio -> **scaling efficiency {s.get('efficiency')}**.",
         "",
         "## Per-query wall seconds",
         "",
@@ -536,44 +524,43 @@ def _write_bench_md(result: dict) -> None:
         "| --- | --- |",
     ]
     for k, v in result["queries"].items():
-        lines.append(f"| {k} | {v} |")
-    hp = s["hardware_probe"]
-    lines += [
-        "",
-        "## Hardware probes (this VM's measured scaling ceilings)",
-        "",
-        "ALU probe — identical per-process arithmetic; flat wall time = "
-        "linear scaling:",
-        "",
-        "| procs | wall sec |",
-        "| --- | --- |",
-        *[
-            f"| {p} | {hp[f'alu_wall_p{p}']} |"
-            for p in (1, 2, 4, 8, 32)
-            if f"alu_wall_p{p}" in hp
-        ],
-        "",
-        "memcpy probe — identical per-process 64 MB buffer copies; "
-        "rising per-proc time = memory-bandwidth saturation:",
-        "",
-        "| procs | per-proc sec |",
-        "| --- | --- |",
-        *[
-            f"| {p} | {hp[f'memcpy_per_proc_p{p}']} |"
-            for p in (1, 4, 8)
-            if f"memcpy_per_proc_p{p}" in hp
-        ],
-        "",
-        f"Per-proc memcpy efficiency 1->4 procs: "
-        f"{hp.get('memcpy_eff_1_to_4')}; 1->8 procs: "
-        f"{hp.get('memcpy_eff_1_to_8_per2')}. The 4N emulation uses 4 "
-        "pinned cores total, staying under the knee; thread-scaling a "
-        "single JVM to 8+ cores measures this ceiling instead of the "
-        "dataflow (measured and documented during development: "
-        "local[2]->local[8] single-JVM strong scaling plateaus at "
-        "~0.5-0.6 on this box for string-heavy work while per-core busy "
-        "fractions stay >0.9 — cores busy, IPC degraded).",
-    ]
+        lines.append(f"| {k} | {v if v is not None else 'skipped (budget)'} |")
+    hp = s.get("hardware_probe")
+    if hp:
+        lines += [
+            "",
+            "## Hardware probes (this VM's measured scaling ceilings)",
+            "",
+            "ALU probe — identical per-process arithmetic; flat wall "
+            "time = linear scaling:",
+            "",
+            "| procs | wall sec |",
+            "| --- | --- |",
+            *[
+                f"| {p} | {hp[f'alu_wall_p{p}']} |"
+                for p in (1, 2, 4, 8, 32)
+                if f"alu_wall_p{p}" in hp
+            ],
+            "",
+            "memcpy probe — identical per-process 64 MB buffer copies; "
+            "rising per-proc time = memory-bandwidth saturation:",
+            "",
+            "| procs | per-proc sec |",
+            "| --- | --- |",
+            *[
+                f"| {p} | {hp[f'memcpy_per_proc_p{p}']} |"
+                for p in (1, 4, 8)
+                if f"memcpy_per_proc_p{p}" in hp
+            ],
+            "",
+            f"Per-proc memcpy efficiency 1->4 procs: "
+            f"{hp.get('memcpy_eff_1_to_4')}; 1->8 procs: "
+            f"{hp.get('memcpy_eff_1_to_8_per2')}. The 4N emulation uses "
+            "4 pinned cores total, staying under the knee; "
+            "thread-scaling a single JVM to 8+ cores measures this "
+            "ceiling instead of the dataflow.",
+        ]
+    lines += ["", _R2_LITERAL_APPENDIX]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -583,7 +570,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--kg-scaling-run", action="store_true")
     ap.add_argument("--master", default="local[8]")
-    ap.add_argument("--rows", type=int, default=KG_ROWS)
+    ap.add_argument("--rows", type=int, default=600000)
     ap.add_argument("--row-start", type=int, default=0)
     args = ap.parse_args()
     if args.kg_scaling_run:

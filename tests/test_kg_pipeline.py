@@ -276,3 +276,72 @@ def test_output_invariant_to_input_partitioning(spark, kg):
     assert len(base) > 0
     assert run(3) == base
     assert run(16) == base
+
+
+def test_auto_vocab_cap_boundary_trip(spark, monkeypatch):
+    """Exact boundary semantics of the CollectLimit guard: with K
+    distinct non-empty signatures, driver_vocab_cap=K stays on the
+    driver path, and cap=K-1 trips to the pure-Spark path — and both
+    paths produce identical matches. The path taken is observed by
+    spying on driver_match_map / surface_match_map."""
+    from ontoma_spark.operators import linker as L
+
+    lex = spark.createDataFrame(
+        [
+            ("label", "DS", "asthma", [("MONDO:0004979", "name")]),
+            ("label", "DS", "melanoma", [("MONDO:0005105", "name")]),
+        ],
+        "entityKind string, entityType string, entityLabelNormalised string,"
+        " entityIds array<struct<entityId:string,entitySource:string>>",
+    )
+    docs = spark.createDataFrame(
+        [("r", "p", "c", "txt", "asthma melanoma asthma fibrosis keratosis")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    cands = extract_candidates(docs)
+    k = (
+        L.candidate_queries(cands.select("surface").distinct())
+        .withColumn("sig", L._signature_expr())
+        .filter(F.length("sig") > 0)
+        .select("surface")
+        .distinct()
+        .count()
+    )
+    assert k >= 2
+
+    calls = {"driver": 0, "spark": 0}
+    real_driver, real_spark = L.driver_match_map, L.surface_match_map
+
+    def spy_driver(*a, **kw):
+        calls["driver"] += 1
+        return real_driver(*a, **kw)
+
+    def spy_spark(*a, **kw):
+        calls["spark"] += 1
+        return real_spark(*a, **kw)
+
+    monkeypatch.setattr(L, "driver_match_map", spy_driver)
+    monkeypatch.setattr(L, "surface_match_map", spy_spark)
+
+    at_cap = L.link_matches(
+        cands, lex, match_strategy="auto", driver_vocab_cap=k
+    )
+    rows_at_cap = at_cap.collect()
+    assert calls == {"driver": 1, "spark": 0}, calls
+
+    below_cap = L.link_matches(
+        cands, lex, match_strategy="auto", driver_vocab_cap=k - 1
+    )
+    rows_below = below_cap.collect()
+    assert calls == {"driver": 1, "spark": 1}, calls
+
+    canon = lambda rows: sorted(  # noqa: E731
+        (
+            r["surface"],
+            r["entityType"],
+            r["tier"],
+            tuple(sorted(e["entityId"] for e in r["entityIds"])),
+        )
+        for r in rows
+    )
+    assert canon(rows_at_cap) == canon(rows_below)

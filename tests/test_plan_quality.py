@@ -51,3 +51,24 @@ def test_lineitem_agg_partial_before_exchange(spark):
     plan = _plan(agg)
     # partial_sum before the exchange = map-side combine is in place
     assert "partial_sum" in plan, plan
+
+
+def test_ppjoin_prefix_filter_in_plan(spark):
+    """The exact-Jaccard join must keep its PPJoin layout: postings are
+    built from a SLICED prefix of the sorted shingle array (not the
+    full array) and carry xxhash64 keys (fixed-width shuffle), so a
+    regression to the unfiltered full-shingle explode cannot land
+    silently."""
+    from ontoma_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark).select("doc_id", "text")
+    out = ngram_jaccard_pairs(docs, threshold=0.5)
+    plan = _plan(out)
+    # prefix filter: the exploded postings come from slice(sh, 1, n-ceil(t*n)+1)
+    assert "slice(" in plan, plan
+    assert "xxhash64" in plan, plan
+    # the explode must feed on the transformed SLICE, not the raw array
+    import re
+
+    m = re.search(r"explode\(transform\(slice\(", plan)
+    assert m, f"prefix-sliced posting explode missing:\n{plan}"
