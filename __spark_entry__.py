@@ -1608,26 +1608,45 @@ def _q45_oracle_sql() -> str:
 
 
 def q46_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-safe two-phase salted aggregation through the REAL operator
-    (operators/salted_agg.py): phase 1 groups on (key, salt) so a hot
-    key's rows spread across reducers, phase 2 merges the partials. The
-    final aggregate is salt-independent by construction, so the oracle
-    is the plain GROUP BY — value equality proves the two-phase split
-    changes the shuffle shape, not the semantics."""
+    """Skew-safe salted MENTION-stat aggregation — BASELINE.json's named
+    skew story ("cancer"-grade hot keys) on the REAL dataflow: the
+    exact-tier KG matches (shared q27 match cache) grouped per linked
+    entity through operators/salted_agg.py. Phase 1 groups on
+    (entity, type, salt) so a hot entity's occurrence rows spread over
+    16 reducers with map-side combine; phase 2 merges the partials and
+    set-unions the distinct docs. The final aggregate is
+    salt-independent by construction, so the oracle is the plain GROUP
+    BY over the same matches relation — value equality proves the
+    two-phase split changes the shuffle shape, not the semantics."""
     from ontoma_spark.operators.salted_agg import salted_count
 
-    e = _t(spark, sf_dir, "events")
-    return salted_count(
-        e, ["event_type"], n_salts=16, count_col="n",
-        distinct_col="user_id",
+    m = _q27_matches(spark, sf_dir)
+    per_entity = m.select(
+        F.col("path").alias("doc"),
+        "entityType",
+        F.explode(F.col("entityIds.entityId")).alias("entity_id"),
     )
+    out = salted_count(
+        per_entity,
+        ["entity_id", "entityType"],
+        n_salts=16,
+        count_col="n_mentions",
+        distinct_col="doc",
+    )
+    return out.withColumnRenamed("n_distinct_doc", "n_docs")
 
 
-_Q46_ORACLE_SQL = """
-    SELECT event_type, count(*) AS n,
-           count(DISTINCT user_id) AS n_distinct_user_id
-    FROM events GROUP BY 1
-"""
+def _q46_oracle_sql() -> str:
+    return (
+        _q27_cte_prefix()
+        + """
+        SELECT entity_id, etype AS entityType,
+               count(*) AS n_mentions,
+               count(DISTINCT doc_id) AS n_docs
+        FROM matches
+        GROUP BY 1, 2
+    """
+    )
 
 
 def q47_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2946,7 +2965,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q44_comention_edges": _q44_oracle_sql(),
         "q45_entity_pagerank": _q45_oracle_sql(),
-        "q46_salted_agg": _Q46_ORACLE_SQL,
+        "q46_salted_agg": _q46_oracle_sql(),
         "q47_set_ops": _Q47_ORACLE_SQL,
         "q48_tfidf_topk": _Q48_ORACLE_SQL,
         "q49_edit_distance_link": _q49_oracle_sql(),

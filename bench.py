@@ -100,10 +100,13 @@ STATE: dict = {
 _FINAL_PRINTED = False
 
 
+_MAIN_PID = os.getpid()
+
+
 def _emit_partial() -> None:
     STATE["value"] = round(time.time() - T0, 2)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    tmp = os.path.join(REPO, "BENCH", "partial.json.tmp")
+    tmp = os.path.join(REPO, "BENCH", f"partial.json.{os.getpid()}.tmp")
     with open(tmp, "w") as f:
         json.dump(STATE, f, indent=1)
     os.replace(tmp, os.path.join(REPO, "BENCH", "partial.json"))
@@ -121,7 +124,11 @@ def _print_final() -> None:
 
 def _on_term(signum, frame):  # noqa: ANN001
     """External timeout (SIGTERM) or interrupt: flush what we have as
-    the one JSON line and exit cleanly — completed phases survive."""
+    the one JSON line and exit cleanly — completed phases survive.
+    Forked children (multiprocessing pool workers inherit this handler)
+    must NOT flush or print — only the main bench process reports."""
+    if os.getpid() != _MAIN_PID:
+        os._exit(0)
     STATE["phases_done"].append(f"terminated_by_signal_{signum}")
     _emit_partial()
     _print_final()
