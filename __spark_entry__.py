@@ -247,13 +247,15 @@ def _q27_cte_prefix() -> str:
     (normalise, dense_rank top tier) -> per-occurrence ``matches``
     relation (doc_id, surface, etype, entity_id). q27 aggregates it;
     q44 projects it into a co-mention entity graph."""
+    # the per-token stop flag is precomputed ONCE into a boolean list
+    # (stp) instead of 10 list_contains probes per position — the surf
+    # stage is the single most expensive CTE of the shared prefix
     ngram_lists = []
     for n in range(1, 6):
         ngram_lists.append(
             f"list_filter(list_transform("
             f"range(1, greatest(len(ts) - {n} + 2, 1)), i -> "
-            f"CASE WHEN NOT list_contains({_STOPS_SQL}, ts[i]) "
-            f"AND NOT list_contains({_STOPS_SQL}, ts[i + {n - 1}]) "
+            f"CASE WHEN NOT stp[i] AND NOT stp[i + {n - 1}] "
             f"THEN array_to_string(ts[i:i + {n - 1}], ' ') END), "
             f"s -> s IS NOT NULL)"
         )
@@ -269,20 +271,24 @@ def _q27_cte_prefix() -> str:
     track = _TRACK_SQL.format(col="surface")
     return f"""
         WITH toks AS (
-          SELECT doc_id,
-                 regexp_extract_all(text,
-                   '[a-zA-Z0-9](?:[a-zA-Z0-9_:''\\-]*[a-zA-Z0-9])?') AS ts
-          FROM documents
+          SELECT doc_id, ts,
+                 list_transform(ts,
+                   t -> list_contains({_STOPS_SQL}, t)) AS stp
+          FROM (
+            SELECT doc_id,
+                   regexp_extract_all(text,
+                     '[a-zA-Z0-9](?:[a-zA-Z0-9_:''\\-]*[a-zA-Z0-9])?') AS ts
+            FROM documents)
         ),
-        surf AS (
+        surf AS MATERIALIZED (
           SELECT doc_id, unnest({surfaces}) AS surface FROM toks
         ),
-        surf_ok AS (
+        surf_ok AS MATERIALIZED (
           SELECT doc_id, surface FROM surf
           WHERE length(surface) BETWEEN 2 AND 64
             AND regexp_matches(surface, '[a-zA-Z]')
         ),
-        vsig AS (
+        vsig AS MATERIALIZED (
           SELECT surface,
                  CASE WHEN ({track}) = 'symbol'
                       THEN {sym_sig} ELSE {term_sig} END AS sig
@@ -303,7 +309,7 @@ def _q27_cte_prefix() -> str:
                      PARTITION BY etype, sig ORDER BY score DESC) AS rk
             FROM lex_sig) WHERE rk = 1
         ),
-        matches AS (
+        matches AS MATERIALIZED (
           SELECT s.doc_id, s.surface, l.etype, l.entity_id
           FROM surf_ok s
           JOIN vsig v ON s.surface = v.surface
@@ -666,8 +672,15 @@ def q21_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q23_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full KG pipeline (stemming + fuzzy UDF tier) — not SQL-expressible;
-    rows-only check. Input: deterministic synthetic repos scaled to sf."""
+    """Full KG pipeline (extract -> two-tier link -> overlap resolve ->
+    canonicalise -> triples) — rows-only in the driver harness because
+    its INPUT is the deterministic Python-RNG repo generator
+    (datagen/repos.py), which DuckDB cannot regenerate; no SQL view of
+    the input exists to run an oracle against. The pipeline's value
+    correctness is gated elsewhere: the P/R >= 0.95 pytest oracle vs
+    expected_mentions_df (tests/test_kg_pipeline.py), the q27 full
+    oracle for the exact+stemming tier, and the q50 full oracle for the
+    fuzzy JW+TF-IDF tier."""
     from ontoma_spark.datagen import generate_repos
     from ontoma_spark.pipeline.kg import build_triples
     from ontoma_spark.pipeline.run import prepare_reference_tables
@@ -1778,6 +1791,94 @@ def q49_edit_distance_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("entityIds", F.array_join("entityIds", ","))
 
 
+def q50_kg_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-UDF fuzzy tier (blocked Jaro-Winkler + trigram-TF-IDF
+    cosine, operators/linker.py::fuzzy_sig_scores) with a FULL value
+    oracle: the corpus vocabulary is CLOSED (_DOC_VOCAB — the q27
+    stemming oracle already relies on this), so the expected
+    (sig, entityType, entityIds, score) rows are enumerable at
+    oracle-build time by running the same published-algorithm kernels
+    (functions/fuzzy.py) plus the operator's blocking rules over the 31
+    vocabulary words in plain Python — no Spark involved. This closes
+    the round-2 gap where the fuzzy tier was pytest-only (q23 stays
+    rows-only because its INPUT is the Python-RNG repo generator, which
+    DuckDB cannot see)."""
+    from ontoma_spark.operators.linker import fuzzy_sig_scores
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+")
+            ).alias("sig")
+        )
+        .filter(F.col("sig") != "")
+        .distinct()
+    )
+    lex = spark.createDataFrame(
+        [(s, t, "label", [i]) for i, s, t in KG49_TYPO_LEX],
+        "entityLabelNormalised string, entityType string, "
+        "entityKind string, entityIds array<string>",
+    )
+    out = fuzzy_sig_scores(sigs, lex)
+    return out.withColumn(
+        "entityIds", F.array_join(F.array_sort("entityIds"), ",")
+    )
+
+
+def _q50_fuzzy_oracle_sql() -> str:
+    """Mirror of fuzzy_sig_scores over the closed vocabulary: same
+    blocking (2-char prefix/suffix keys, length-delta filter, 5..40
+    char sig band), same scoring kernel (combined_score over the
+    lexicon-signature IDF), same dense-rank tie keeping and per-type id
+    grouping — computed in Python, embedded as a VALUES map, joined to
+    the corpus's distinct words."""
+    from ontoma_spark.functions.fuzzy import build_idf, combined_score
+
+    lex = [(i, s, t) for i, s, t in KG49_TYPO_LEX]
+    idf = build_idf(sorted({s for _, s, _ in lex}))
+    rows = []
+    for w in _DOC_VOCAB:
+        if not (5 <= len(w) <= 40):
+            continue
+        cands = set()
+        for lid, lab, et in lex:
+            if not (
+                {("P", w[:2]), ("S", w[-2:])}
+                & {("P", lab[:2]), ("S", lab[-2:])}
+            ):
+                continue
+            if abs(len(w) - len(lab)) > max(
+                2, int(min(len(w), len(lab)) * 0.2)
+            ):
+                continue
+            score = combined_score(w, lab, idf)
+            if score >= 0.80:
+                cands.add((lid, et, score))
+        if not cands:
+            continue
+        best = max(s for *_, s in cands)
+        by_type: dict[str, set[str]] = {}
+        for lid, et, s in cands:
+            if s == best:
+                by_type.setdefault(et, set()).add(lid)
+        for et, ids in sorted(by_type.items()):
+            rows.append((w, et, ",".join(sorted(ids)), best))
+    values = ", ".join(
+        f"('{w}', '{et}', '{ids}', {best!r})" for w, et, ids, best in rows
+    )
+    words = _WORDS_SQL.format(col="text")
+    return f"""
+        WITH w AS (
+          SELECT DISTINCT t.w AS sig
+          FROM documents, unnest({words}) AS t(w)
+        ),
+        map(sig, entityType, entityIds, score) AS (VALUES {values})
+        SELECT m.sig, m.entityType, m.entityIds, m.score
+        FROM w JOIN map m ON w.sig = m.sig
+    """
+
+
 def _q49_oracle_sql() -> str:
     lex_values = ", ".join(
         f"('{i}', '{s}', '{t}')" for i, s, t in KG49_TYPO_LEX
@@ -2276,8 +2377,8 @@ def _q60_oracle_sql() -> str:
     return (
         _q27_cte_prefix()
         + """
-        , de AS (SELECT DISTINCT doc_id, entity_id FROM matches),
-        e AS (
+        , de AS MATERIALIZED (SELECT DISTINCT doc_id, entity_id FROM matches),
+        e AS MATERIALIZED (
           SELECT a.entity_id AS src, b.entity_id AS dst
           FROM de a JOIN de b
             ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
@@ -2639,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_set_ops": q47_set_ops,
         "q48_tfidf_topk": q48_tfidf_topk,
         "q49_edit_distance_link": q49_edit_distance_link,
+        "q50_kg_fuzzy_link": q50_kg_fuzzy_link,
         "q51_salted_join": q51_salted_join,
         "q52_latest_snapshot": q52_latest_snapshot,
         "q53_snapshot_merge": q53_snapshot_merge,
@@ -2969,6 +3071,7 @@ def oracle_sql() -> dict[str, str]:
         "q47_set_ops": _Q47_ORACLE_SQL,
         "q48_tfidf_topk": _Q48_ORACLE_SQL,
         "q49_edit_distance_link": _q49_oracle_sql(),
+        "q50_kg_fuzzy_link": _q50_fuzzy_oracle_sql(),
         "q51_salted_join": _Q51_ORACLE_SQL,
         "q52_latest_snapshot": _Q52_ORACLE_SQL,
         "q53_snapshot_merge": _Q53_ORACLE_SQL,
