@@ -1865,7 +1865,11 @@ def _q50_fuzzy_oracle_sql() -> str:
         for et, ids in sorted(by_type.items()):
             rows.append((w, et, ",".join(sorted(ids)), best))
     values = ", ".join(
-        f"('{w}', '{et}', '{ids}', {best!r})" for w, et, ids, best in rows
+        # CAST: a bare high-precision literal would be typed DECIMAL by
+        # DuckDB; the Spark side is a float64 from the same kernel, so
+        # the oracle must surface the bitwise-identical DOUBLE.
+        f"('{w}', '{et}', '{ids}', CAST({best!r} AS DOUBLE))"
+        for w, et, ids, best in rows
     )
     words = _WORDS_SQL.format(col="text")
     return f"""
