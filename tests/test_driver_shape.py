@@ -1,0 +1,61 @@
+"""Guards the driver-harness output contract for every registered query.
+
+The driver's correctness canonicalizer (round-2 evidence: q49's
+``TypeError: unhashable type: 'list'``) sorts result cells with pandas,
+which cannot order array/map/struct-typed cells. Every query the entry
+module registers must therefore return only atomic columns — arrays are
+serialised with ``array_join`` after an ``array_sort`` at the query
+boundary. This test pins that contract at plan-analysis cost (schema
+only, nothing executed), so a new query with a nested output type fails
+CI here instead of erring in the driver run.
+"""
+
+import importlib.util
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "entrymod_shape", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+ENTRY = _entry()
+QUERIES = ENTRY.queries()
+
+_NESTED = (T.ArrayType, T.MapType, T.StructType)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_returns_only_atomic_columns(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    nested = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, _NESTED)
+    ]
+    assert not nested, (
+        f"{name}: column(s) {nested} are nested-typed; the driver "
+        "canonicalizer cannot sort array cells — array_join(array_sort(c)) "
+        "at the query boundary"
+    )
+
+
+def test_registry_size_within_driver_cap():
+    """The driver records at most 50 correctness entries per round
+    (measured round 2: exactly 50 of 68 registered queries landed).
+    Keep the registry at or under the cap so every query gets a row."""
+    assert len(QUERIES) <= 50, len(QUERIES)
+
+
+def test_every_query_key_matches_function_name():
+    """oracle_sql keys must be a subset of queries keys, and the driver
+    matches by key — a typo silently drops a query's oracle."""
+    assert set(ENTRY.oracle_sql()) <= set(QUERIES)
