@@ -501,3 +501,233 @@ def repetition_ratio(text: F.Column, k: int = 3) -> F.Column:
             1.0 - F.size(F.array_distinct(sh)) / total.cast("double"), 4
         ),
     ).otherwise(F.lit(0.0))
+
+
+def neardup_clusters(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n_hashes: int = 16,
+    bands: int = 4,
+    pairs: DataFrame | None = None,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Document-level fuzzy-dedup clustering — the full training-corpus
+    recipe (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better"; GPT-3/C4 appendix): near-duplicate PAIRS are closed
+    into CLUSTERS, and exactly one canonical document per cluster is
+    kept. Pair detection alone under-deletes: near-dup similarity is not
+    transitive, so A~B and B~C must collapse into one {A,B,C} cluster
+    with a single survivor.
+
+    Composition of the operators this module and unionfind.py already
+    prove out: MinHash-LSH banding proposes candidates, exact word-set
+    Jaccard verifies them (>= ``threshold``), and the verified pairs
+    become the edge list of ``connected_components`` (min-label
+    propagation; guarded driver fast path under the edge cap, iterative
+    distributed fallback above it — ``strategy`` passes through).
+
+    Canonical choice is deterministic and quality-biased: the member
+    with the LONGEST text wins (near-dup clusters usually contain
+    truncations of one original), ties to the smallest key.
+
+    Distributed shape: pair generation is the banded bucket join (never
+    all-pairs); the component closure moves only EDGES (pairs), which
+    are a tiny fraction of the corpus; canonical selection is one
+    max_by aggregation over cluster members. The corpus itself is
+    scanned once for signatures and once for the final flag join.
+
+    Args:
+        pairs: optional pre-computed (a, b) pair DataFrame — plug in
+            ``ngram_jaccard_pairs`` for exact-join semantics or a
+            cross-engine oracle; default composes
+            ``minhash_candidate_pairs`` + ``jaccard_pairs``.
+
+    Returns:
+        (key_col, cluster_id, cluster_size, is_canonical) for every doc
+        in a cluster of size >= 2. cluster_id is the smallest member
+        key; docs absent from the output are singletons (implicitly
+        canonical). Sorted nowhere — order-insensitive by contract.
+    """
+    from ontoma_spark.operators.unionfind import connected_components
+
+    spark = df.sparkSession
+    if pairs is None:
+        cand = minhash_candidate_pairs(
+            df, key_col=key_col, text_col=text_col,
+            n_hashes=n_hashes, bands=bands,
+        )
+        pairs = jaccard_pairs(
+            df, cand, key_col=key_col, text_col=text_col,
+            threshold=threshold,
+        )
+    # Node keys: zero-padded so string min == numeric min for bigint keys.
+    def _node(c: F.Column) -> F.Column:
+        return F.lpad(c.cast("string"), 20, "0")
+
+    edges = pairs.select(
+        _node(F.col("a")).alias("src"), _node(F.col("b")).alias("dst")
+    )
+    empty_terms = spark.createDataFrame([], "node string")
+    comp = connected_components(edges, empty_terms, strategy=strategy)
+    member = comp.select(
+        F.col("node").cast("decimal(20,0)").cast("long").alias(key_col),
+        F.col("canonicalId").cast("decimal(20,0)").cast("long")
+        .alias("cluster_id"),
+    )
+    sized = df.select(key_col, text_col).join(member, key_col)
+    canon = (
+        sized.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.max_by(
+                F.col(key_col),
+                F.struct(
+                    F.length(text_col).alias("len"),
+                    (-F.col(key_col)).alias("neg"),
+                ),
+            ).alias("canonical_key"),
+        )
+    )
+    return (
+        member.join(canon, "cluster_id")
+        .select(
+            key_col,
+            "cluster_id",
+            "cluster_size",
+            (F.col(key_col) == F.col("canonical_key")).alias("is_canonical"),
+        )
+    )
+
+
+# Exact CollectLimit guard for dedup_lines' broadcast-set fast path:
+# boilerplate lines (nav bars, license headers, cookie banners) number
+# in the thousands-to-millions even on web-scale corpora; above the cap
+# the operator switches to the join-based reassembly path. The guard
+# collects cap+1 rows AT MOST — never unbounded.
+DUP_LINE_SET_CAP = 200_000
+
+
+def dedup_lines(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    strategy: str = "auto",
+    dup_set_cap: int = DUP_LINE_SET_CAP,
+) -> DataFrame:
+    """Corpus-level LINE deduplication — the RefinedWeb/CCNet boilerplate
+    scrub: any (trimmed, non-empty) line occurring in >= ``min_docs``
+    DISTINCT documents is removed from every document that contains it.
+    Doc-level dedup cannot catch this (each page is unique; its nav bar
+    is not); line-level removal is what cleans web text for training.
+
+    Distributed shape, two stages:
+
+    1. Duplicated-line discovery: one narrow pass explodes each doc's
+       per-doc-DISTINCT trimmed line hashes (array_distinct BEFORE the
+       explode = map-side dedup), then a map-side-combined groupBy
+       counts docs per line hash. Only (hash, count) crosses the
+       shuffle — bounded by distinct lines, not corpus size.
+    2. Removal. Fast path (``strategy="auto"`` under ``dup_set_cap``,
+       guarded by an exact CollectLimit of cap+1): the dup-hash set
+       compiles into an InSet predicate probed INSIDE a higher-order
+       array filter — each doc rewrites its own lines in place, the
+       corpus is NEVER shuffled. Fallback (``"spark"``, forced or
+       above the cap): posexplode preserving line order, broadcast-anti
+       join against the dup hashes, groupBy-doc reassembly — one
+       corpus shuffle, still line-order-exact. Both paths are
+       byte-equality tested (tests/test_dedup_lines.py).
+
+    Line identity is the xxhash64 of the trimmed line (64-bit space;
+    collision odds at even 10^9 distinct lines are ~3e-2 for ONE
+    collision corpus-wide — acceptable for boilerplate scrubbing, same
+    trade the production pipelines make). Empty/whitespace-only lines
+    are never counted or removed.
+
+    Returns ``df`` with ``text_col`` rewritten plus ``n_lines_removed``.
+    """
+    if strategy not in ("auto", "driver", "spark"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    lines = F.split(F.col(text_col), "\n")
+    norm_hash = (
+        lambda x: F.xxhash64(F.trim(x))  # noqa: E731
+    )
+    per_doc = df.select(
+        F.col(key_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(lines, lambda x: F.trim(x)),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("t"),
+    ).select(key_col, F.xxhash64(F.col("t")).alias("h"))
+    dup = (
+        per_doc.groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+
+    use_driver = strategy == "driver"
+    dup_hashes: list[int] | None = None
+    if strategy in ("auto", "driver"):
+        head = [r.h for r in dup.limit(dup_set_cap + 1).collect()]
+        if len(head) <= dup_set_cap:
+            dup_hashes = head
+            use_driver = True
+        elif strategy == "driver":
+            raise ValueError(
+                f"dedup_lines: duplicated-line set exceeds cap "
+                f"{dup_set_cap} — use strategy='spark'"
+            )
+
+    n_orig = F.size(lines)
+    if use_driver and dup_hashes is not None:
+        if dup_hashes:
+            is_dup = lambda x: (F.trim(x) != "") & norm_hash(x).isin(  # noqa: E731
+                dup_hashes
+            )
+        else:
+            is_dup = lambda x: F.lit(False)  # noqa: E731
+        kept = F.filter(lines, lambda x: ~is_dup(x))
+        return df.withColumn(
+            "n_lines_removed", n_orig - F.size(kept)
+        ).withColumn(text_col, F.array_join(kept, "\n"))
+
+    # spark path: order-preserving explode -> anti-join -> reassemble
+    exploded = df.select(
+        F.col(key_col),
+        F.posexplode(lines).alias("pos", "line"),
+    )
+    survivors = exploded.join(
+        F.broadcast(dup),
+        (F.trim(F.col("line")) != "")
+        & (F.xxhash64(F.trim(F.col("line"))) == F.col("h")),
+        "left_anti",
+    )
+    rebuilt = survivors.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("__new_text"),
+        F.count("*").alias("__n_kept"),
+    )
+    out = (
+        df.join(rebuilt, key_col, "left")
+        .withColumn(
+            "n_lines_removed",
+            n_orig - F.coalesce(F.col("__n_kept"), F.lit(0)).cast("int"),
+        )
+        .withColumn(text_col, F.coalesce(F.col("__new_text"), F.lit("")))
+        .drop("__new_text", "__n_kept")
+    )
+    return out

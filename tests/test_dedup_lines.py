@@ -1,0 +1,155 @@
+"""Corpus-level line deduplication (operators/dedup.py::dedup_lines).
+
+Oracle: DuckDB computes the same rule — trimmed non-empty lines present
+in >= min_docs distinct documents are removed everywhere — over the
+same parquet, so the rewritten texts are value-checked cross-engine.
+Both removal paths (guarded InSet fast path / join-reassembly spark
+path) are byte-equality tested against each other and the oracle.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.dedup import dedup_lines
+
+SF_DIR = "/root/testdata/sf0.01"
+
+ORACLE_SQL = """
+    WITH docs AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS ls
+      FROM read_parquet('{path}')
+    ),
+    line_rows AS (
+      SELECT d.doc_id, trim(u.l) AS t
+      FROM docs d, unnest(d.ls) AS u(l)
+      WHERE trim(u.l) <> ''
+    ),
+    dup AS (
+      SELECT t FROM line_rows GROUP BY t
+      HAVING count(DISTINCT doc_id) >= {min_docs}
+    ),
+    dl AS (SELECT coalesce(list(t), []) AS dup_list FROM dup),
+    rebuilt AS (
+      SELECT doc_id,
+             list_filter(ls, x -> trim(x) = ''
+                                  OR NOT list_contains(dup_list, trim(x)))
+               AS kept,
+             len(ls) AS n_orig
+      FROM docs CROSS JOIN dl
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(kept, chr(10)), '') AS text,
+           (n_orig - len(kept))::INT AS n_lines_removed
+    FROM rebuilt
+"""
+
+
+def _lineified(spark):
+    """documents.parquet texts are single-line; re-line them
+    deterministically (every 5 words) so line dedup has real lines, and
+    plant a boilerplate banner in every third doc."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ws = F.split(F.col("text"), " ")
+    relined = F.array_join(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.floor((F.size(ws) - 1) / 5).cast("int")
+            ),
+            lambda i: F.array_join(F.slice(ws, i * 5 + 1, 5), " "),
+        ),
+        "\n",
+    )
+    banner = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("COMMON NAV BANNER\n"), relined),
+    ).otherwise(relined)
+    return d.select("doc_id", banner.alias("text"))
+
+
+@pytest.fixture(scope="module")
+def lineified(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("lines") / "docs.parquet")
+    _lineified(spark).coalesce(1).write.parquet(path)
+    return path
+
+
+def _oracle(path, min_docs=2):
+    con = duckdb.connect()
+    rows = con.sql(
+        ORACLE_SQL.format(path=f"{path}/*.parquet", min_docs=min_docs)
+    ).fetchall()
+    con.close()
+    return sorted(rows)
+
+
+def _spark_rows(df):
+    return sorted(
+        (r.doc_id, r.text, r.n_lines_removed)
+        for r in df.select("doc_id", "text", "n_lines_removed").collect()
+    )
+
+
+def test_fast_path_matches_duckdb_oracle(spark, lineified):
+    docs = spark.read.parquet(lineified)
+    out = dedup_lines(docs, min_docs=2, strategy="auto")
+    got = _spark_rows(out)
+    exp = _oracle(lineified)
+    assert got == exp
+
+
+def test_spark_path_byte_equal_to_fast_path(spark, lineified):
+    docs = spark.read.parquet(lineified)
+    fast = _spark_rows(dedup_lines(docs, min_docs=2, strategy="driver"))
+    dist = _spark_rows(dedup_lines(docs, min_docs=2, strategy="spark"))
+    assert fast == dist
+
+
+def test_cap_boundary_trips_to_spark_path(spark, lineified):
+    """cap < |dup set| forces auto onto the spark path; output identical."""
+    docs = spark.read.parquet(lineified)
+    base = _spark_rows(dedup_lines(docs, min_docs=2))
+    tripped = _spark_rows(dedup_lines(docs, min_docs=2, dup_set_cap=1))
+    assert base == tripped
+
+
+def test_banner_removed_everywhere_singletons_kept(spark, lineified):
+    docs = spark.read.parquet(lineified)
+    out = dedup_lines(docs, min_docs=2)
+    assert (
+        out.filter(F.col("text").contains("COMMON NAV BANNER")).count() == 0
+    )
+    # every doc that carried the banner lost at least that line
+    assert (
+        out.filter(
+            (F.col("doc_id") % 3 == 0) & (F.col("n_lines_removed") < 1)
+        ).count()
+        == 0
+    )
+
+
+def test_empty_and_whitespace_lines_never_removed(spark):
+    docs = spark.createDataFrame(
+        [(1, "dup line\n\n  \nkeep a"), (2, "dup line\n\nkeep b")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in dedup_lines(docs, min_docs=2).collect()
+    }
+    assert out[1] == "\n  \nkeep a"
+    assert out[2] == "\nkeep b"
+
+
+def test_min_docs_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "x\na"), (2, "x\nb"), (3, "x\nc"), (4, "y\nd"), (5, "y\ne")],
+        "doc_id long, text string",
+    )
+    out3 = {
+        r.doc_id: r.text for r in dedup_lines(docs, min_docs=3).collect()
+    }
+    # 'x' occurs in 3 docs (removed at min_docs=3); 'y' only in 2 (kept)
+    assert out3[1] == "a" and out3[4] == "y\nd"

@@ -1,0 +1,171 @@
+"""Fuzzy-dedup clustering (operators/dedup.py::neardup_clusters).
+
+Oracle: DuckDB brute-forces the same exact word-set Jaccard pairs over
+the same parquet, closes them into components with a recursive CTE
+(transitive closure + min label), applies the same longest-text /
+smallest-key canonical rule, and the full (key, cluster_id,
+cluster_size, is_canonical) table is value-checked cross-engine. The
+default MinHash-LSH pair path is separately pinned on planted exact
+copies (identical signatures -> banding is deterministic), and the
+driver/spark component strategies are byte-equality tested.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.dedup import jaccard_pairs, neardup_clusters
+
+SF_DIR = "/root/testdata/sf0.01"
+THRESHOLD = 0.72
+
+# Mirrors textstats.words(): lowercase, split on non-alnum, drop empties.
+# The closure CTE computes reach(a -> b) over symmetric verified edges;
+# a cluster's id is the min key reachable from each member (incl. self).
+ORACLE_SQL = f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS ws,
+             length(text) AS n_len
+      FROM read_parquet('{{path}}')
+    ),
+    pairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM d x JOIN d y ON x.doc_id < y.doc_id
+      WHERE len(list_intersect(x.ws, y.ws))::DOUBLE
+            / len(list_distinct(list_concat(x.ws, y.ws)))
+            >= {THRESHOLD}
+    ),
+    sym AS (
+      SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    member AS (
+      SELECT a AS doc_id, least(min(b), a) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    sized AS (
+      SELECT m.doc_id, m.cluster_id, d.n_len
+      FROM member m JOIN d USING (doc_id)
+    ),
+    canon AS (
+      SELECT cluster_id, count(*) AS cluster_size,
+             max_by(doc_id, n_len * 10000000000 - doc_id) AS canonical_key
+      FROM sized GROUP BY cluster_id
+    )
+    SELECT s.doc_id, s.cluster_id, c.cluster_size,
+           s.doc_id = c.canonical_key AS is_canonical
+    FROM sized s JOIN canon c USING (cluster_id)
+"""
+
+
+def _docs(spark, path):
+    """sf0.01 documents plus planted near-dups: every doc_id % 7 == 3
+    gets a copy (id + 10000) with one word appended — high but not 1.0
+    Jaccard — and every doc_id % 11 == 5 an EXACT copy (id + 20000)."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    near = d.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzuniq")).alias("text"),
+    )
+    exact = d.filter(F.col("doc_id") % 11 == 5).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    out = d.unionByName(near).unionByName(exact)
+    out.coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@pytest.fixture(scope="module")
+def planted(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("neardup") / "docs.parquet")
+    return _docs(spark, path), path
+
+
+def _exact_pairs(spark, docs):
+    a = docs.select(F.col("doc_id").alias("a"))
+    b = docs.select(F.col("doc_id").alias("b"))
+    cand = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    return jaccard_pairs(docs, cand, threshold=THRESHOLD)
+
+
+def _rows(df):
+    return sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in df.collect()
+    )
+
+
+def test_clusters_match_duckdb_recursive_closure(spark, planted):
+    docs, path = planted
+    out = neardup_clusters(
+        docs, pairs=_exact_pairs(spark, docs), threshold=THRESHOLD
+    )
+    got = _rows(out)
+    con = duckdb.connect()
+    exp = sorted(
+        tuple(r)
+        for r in con.sql(
+            ORACLE_SQL.format(path=f"{path}/*.parquet")
+        ).fetchall()
+    )
+    con.close()
+    assert got, "planted dups must produce clusters"
+    assert got == exp
+
+
+def test_exact_copies_always_cluster_via_minhash(spark, planted):
+    """Exact copies have identical MinHash signatures, so LSH banding
+    finds them deterministically; the copy loses the canonical tie to
+    the smaller original key."""
+    docs, _ = planted
+    out = neardup_clusters(docs, threshold=0.99).cache()
+    copies = {r.doc_id for r in out.collect() if r.doc_id >= 20000}
+    expected = {
+        r.doc_id + 20000
+        for r in docs.filter(
+            (F.col("doc_id") % 11 == 5) & (F.col("doc_id") < 10000)
+        ).collect()
+    }
+    assert expected <= copies
+    # canonical member of an exact-copy pair is the smaller key
+    for r in out.filter(F.col("doc_id") >= 20000).collect():
+        assert r.cluster_id == r.doc_id - 20000 or r.cluster_size > 2
+        if r.cluster_size == 2:
+            assert not r.is_canonical
+
+
+def test_driver_and_spark_strategies_byte_equal(spark, planted):
+    docs, _ = planted
+    pairs = _exact_pairs(spark, docs).cache()
+    a = _rows(neardup_clusters(docs, pairs=pairs, strategy="driver"))
+    b = _rows(neardup_clusters(docs, pairs=pairs, strategy="spark"))
+    assert a == b
+
+
+def test_canonical_is_longest_then_smallest_key(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon"),  # longest -> canonical
+            (3, "alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "a long, b long"
+    )
+    out = {r.doc_id: r for r in neardup_clusters(docs, pairs=pairs).collect()}
+    assert len(out) == 3
+    assert all(r.cluster_id == 1 and r.cluster_size == 3 for r in out.values())
+    assert [k for k, r in out.items() if r.is_canonical] == [2]
