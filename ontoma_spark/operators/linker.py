@@ -78,6 +78,13 @@ QUERY_KEY = ["entityLabel", "nlpPipelineTrack", "entityKind"]
 # (tests/test_kg_pipeline.py::test_driver_and_spark_match_strategies_agree).
 DRIVER_VOCAB_CAP = 500_000
 
+# Cap on the matched-surface token allow-list inlined as an InSet literal
+# for the pass-2 runtime filter (see ``link_matches``). Matched surfaces
+# are bounded by what the lexicon can (fuzzily) accept, not by the corpus,
+# so this trips only on extreme lexicons; past it the pass-2 stream simply
+# keeps the pass-1 Bloom pruning (correct, just less tight).
+PASS2_TOKEN_CAP = 100_000
+
 
 def candidate_queries(
     candidates: DataFrame, token_bloom: list[int] | None = None
@@ -506,6 +513,8 @@ def link_matches(
     match_strategy: str = "auto",
     driver_vocab_cap: int = DRIVER_VOCAB_CAP,
     lex_rows: list | None = None,
+    candidates_factory=None,
+    pass2_token_cap: int = PASS2_TOKEN_CAP,
 ) -> DataFrame:
     """Candidate n-gram stream -> per-span matches.
 
@@ -534,6 +543,26 @@ def link_matches(
     ``lex_rows``: pre-collected lexicon rows for the driver path; pass
     when calling repeatedly (e.g. streaming micro-batches) to skip the
     per-call lexicon collect.
+
+    ``candidates_factory``: optional ``keep_tokens -> DataFrame`` —
+    enables the PASS-2 RUNTIME FILTER. The final inner join keeps only
+    candidates whose surface is in the match map, but the pass-2
+    extraction lineage normally re-assembles EVERY Bloom-surviving
+    n-gram just for the join to drop ~all of them. Once the match map
+    exists its token vocabulary is known exactly, so the factory is
+    called with the distinct raw tokens of all matched surfaces and must
+    return a re-built candidate stream pruned to n-grams whose tokens
+    all belong to that set (``extract_candidates(keep_tokens=...)``).
+    Lossless by construction: surfaces are space-joined tokens that
+    contain no spaces, so every n-gram equal to a matched surface
+    survives; extra survivors (token-subset recombinations) are exactly
+    what the inner join drops. Analogous to Spark's runtime
+    bloom-filter join pushdown, but exact. Applied on the driver path
+    for free (the matched surfaces are already driver-side); on the
+    spark path the match map is vocabulary-sized and about to be
+    broadcast anyway, so it is persisted and its token set collected
+    behind a ``pass2_token_cap`` CollectLimit guard — if the cap trips,
+    the original candidate stream is used unchanged.
     """
     if match_strategy not in ("auto", "driver", "spark"):
         raise ValueError(f"unknown match_strategy: {match_strategy!r}")
@@ -564,6 +593,10 @@ def link_matches(
                 vocab_rows, lex_rows, threshold=threshold, with_fuzzy=with_fuzzy
             )
             smap = spark.createDataFrame(rows, MATCH_MAP_SCHEMA)
+            if candidates_factory is not None:
+                toks = sorted({t for r in rows for t in r[0].split(" ")})
+                if len(toks) <= pass2_token_cap:
+                    candidates = candidates_factory(toks)
     if smap is None:
         smap = surface_match_map(
             candidates.select("surface").distinct(),
@@ -571,6 +604,23 @@ def link_matches(
             threshold=threshold,
             with_fuzzy=with_fuzzy,
         )
+        if candidates_factory is not None:
+            # vocab-level (broadcastable by contract) — persist so the
+            # token collect and the join share one materialisation; the
+            # CollectLimit is the size guard, not an estimate.
+            smap = smap.persist()
+            tok_rows = (
+                smap.select(
+                    F.explode(F.split("surface", " ")).alias("t")
+                )
+                .distinct()
+                .limit(pass2_token_cap + 1)
+                .collect()
+            )
+            if len(tok_rows) <= pass2_token_cap:
+                candidates = candidates_factory(
+                    sorted(r["t"] for r in tok_rows)
+                )
     return candidates.join(F.broadcast(smap), on="surface", how="inner").select(
         *doc_cols, "start", "n", "surface", "entityType", "entityIds",
         "tier", "score"

@@ -210,6 +210,7 @@ def extract_candidates(
     doc_cols: tuple[str, ...] = ("repo", "path", "commit"),
     content_col: str = "content",
     token_bloom: list[int] | None = None,
+    keep_tokens: list[str] | None = None,
 ) -> DataFrame:
     """One row per candidate n-gram: (doc key cols, start, n, surface).
 
@@ -218,6 +219,21 @@ def extract_candidates(
     Single-token candidates matching ``ID_SHAPE_RE`` bypass the Bloom
     (id-kind queries canonicalise through ``format_identifier``, whose
     vocabulary the label-token bitmap does not cover).
+
+    ``keep_tokens`` — the PASS-2 runtime filter (see
+    ``linker.link_matches``): an exact allow-list of raw token strings,
+    analogous to Spark's runtime bloom-filter join pushdown but lossless.
+    When set it REPLACES the Bloom flags: a candidate survives only if
+    every member token is in the set (InSet hash probe per token — the
+    list is vocabulary-sized, Catalyst converts ``isin`` to InSet). Used
+    when the downstream consumer is an INNER join on ``surface`` against
+    a known match map: surfaces are ``concat_ws(' ', tokens)`` and tokens
+    never contain spaces, so a surface splits unambiguously back into its
+    tokens — any n-gram equal to a matched surface has all tokens in the
+    set and survives; everything else the join would drop anyway. No
+    stop-word or id-shape exemption is needed (a matched surface's stop /
+    id tokens are in the set by construction), so the pass-2 stream
+    assembles surfaces almost exclusively for true matches.
     """
     tokens = tokenize_content(F.col(content_col))
     # per-token stop-word flags, computed once per document (case-sensitive
@@ -231,7 +247,21 @@ def extract_candidates(
     )
     out = repos.withColumn("_toks", tokens).withColumn("_stops", stop_flags)
     ok_flags = ok1_flags = None
-    if token_bloom is not None:
+    if keep_tokens is not None:
+        if not keep_tokens:
+            return (
+                repos.limit(0)
+                .select(*doc_cols)
+                .withColumn("start", F.lit(1))
+                .withColumn("n", F.lit(1))
+                .withColumn("surface", F.lit(""))
+                .limit(0)
+            )
+        out = out.withColumn(
+            "_ok", F.transform(F.col("_toks"), lambda t: t.isin(*keep_tokens))
+        )
+        ok_flags = ok1_flags = F.col("_ok")
+    elif token_bloom is not None:
         # stop-word tokens are Bloom-EXEMPT: the term-track signature
         # deletes them, so "customer a join" legitimately matches the
         # lexicon entry "customer join" — a stop word interior to an

@@ -9,7 +9,12 @@ Plan shape at scale (the 100 TB story):
           normalise (Porter UDF) -> exact join vs broadcast lexicon
           (tier 2) -> blocked fuzzy scoring of misses (tier 1) ->
           (surface, tier) -> ids match map
-  pass 2: scan(repos) ── same narrow stage ── INNER BROADCAST JOIN on
+  pass 2: scan(repos) ── same narrow stage, but pruned by the
+          MATCHED-TOKEN RUNTIME FILTER (the match map's token set is
+          known by now; n-grams containing any other token cannot join,
+          so their surfaces are never assembled — Spark's runtime
+          bloom-filter pushdown idea, made exact)
+          ── INNER BROADCAST JOIN on
           surface vs the match map (filters non-matches + attaches ids
           in one map-side op; <= 2 map rows per surface, one per tier)
     ── per-doc overlap resolution (groupBy doc key; matches only)
@@ -195,6 +200,14 @@ def build_triples(
         with_fuzzy=with_fuzzy,
         match_strategy=match_strategy,
         lex_rows=lex_rows,
+        # pass-2 runtime filter: once the match map exists, re-derive the
+        # corpus-side join input pruned to matched-surface tokens — the
+        # second corpus pass then assembles surfaces almost only for true
+        # matches instead of every Bloom-surviving n-gram (lossless; see
+        # link_matches docstring).
+        candidates_factory=lambda toks: extract_candidates(
+            repos, keep_tokens=toks, content_col=content_col
+        ),
     )
     resolved = resolve_overlaps(matches)
     return matches_to_triples(resolved, canonical)

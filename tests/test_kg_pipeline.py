@@ -345,3 +345,80 @@ def test_auto_vocab_cap_boundary_trip(spark, monkeypatch):
         for r in rows
     )
     assert canon(rows_at_cap) == canon(rows_below)
+
+
+@pytest.mark.parametrize("strategy", ["driver", "spark"])
+def test_pass2_runtime_filter_is_lossless(spark, kg, strategy):
+    """link_matches with the pass-2 matched-token runtime filter
+    (candidates_factory) must be byte-equal to the unfiltered join on
+    both match strategies — the filter may only prune rows the inner
+    surface join would drop anyway."""
+    from ontoma_spark.operators.linker import link_matches
+
+    cands = extract_candidates(kg["repos"], token_bloom=kg["bloom"])
+    base = link_matches(cands, kg["lex"], match_strategy=strategy)
+    filt = link_matches(
+        cands,
+        kg["lex"],
+        match_strategy=strategy,
+        candidates_factory=lambda toks: extract_candidates(
+            kg["repos"], keep_tokens=toks
+        ),
+    )
+    cols = [
+        "repo", "path", "commit", "start", "n", "surface", "entityType",
+        "tier", "score",
+    ]
+    b = base.select(*cols, F.explode("entityIds").alias("e")).select(
+        *cols, "e.entityId", "e.entitySource"
+    )
+    f = filt.select(*cols, F.explode("entityIds").alias("e")).select(
+        *cols, "e.entityId", "e.entitySource"
+    )
+    assert b.exceptAll(f).count() == 0
+    assert f.exceptAll(b).count() == 0
+
+
+def test_pass2_filter_keeps_stop_interior_and_id_surfaces(spark):
+    """Matched surfaces containing interior stop words or id-shaped
+    tokens survive the pass-2 keep_tokens pruning (their tokens are in
+    the allow-list by construction), while unrelated n-grams are pruned
+    pre-assembly."""
+    from ontoma_spark.operators.mentions import extract_candidates as ec
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "r", "p", "c", "txt",
+                "loss of function in OMIM:114480 but unrelated words here",
+            )
+        ],
+        "repo string, path string, commit string, lang string,"
+        " content string",
+    )
+    keep = ["loss", "of", "function", "OMIM:114480"]
+    got = {
+        (r["surface"], r["start"], r["n"])
+        for r in ec(docs, keep_tokens=keep).collect()
+    }
+    assert ("loss of function", 1, 3) in got
+    assert ("OMIM:114480", 5, 1) in got
+    assert all("unrelated" not in s for s, _, _ in got)
+    assert all("but" not in s.split() for s, _, _ in got)
+
+
+def test_pass2_filter_empty_match_map_short_circuits(spark):
+    """An empty matched-token set yields an empty candidate stream (and
+    an empty join result) without error."""
+    from ontoma_spark.operators.mentions import extract_candidates as ec
+
+    docs = spark.createDataFrame(
+        [("r", "p", "c", "txt", "some words")],
+        "repo string, path string, commit string, lang string,"
+        " content string",
+    )
+    out = ec(docs, keep_tokens=[])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "repo", "path", "commit", "start", "n", "surface",
+    ]
