@@ -13,11 +13,19 @@ Protocol notes (see BENCH/BASELINE.md for full numbers + rationale):
   saturation knee (pure memcpy saturates by ~8 concurrent procs —
   hardware probe below), so the measurement reflects the dataflow,
   not the one-box bandwidth wall.
-* FIXED single trial, no adaptive retry: retry-until-pass selects
-  noise in the efficiency's favor (the 1-core baseline sits in the
-  denominator), so the trial count must never depend on the reading.
-  Per-core busy fractions and GC pause totals are reported so an
-  idle-stall or GC artifact would be visible in the artifact itself.
+* FIXED, pre-declared repetition counts (REPS_N / REPS_4N below), no
+  adaptive retry: retry-until-pass selects noise in the efficiency's
+  favor (the 1-core baseline sits in the denominator), so repetition
+  counts must never depend on the reading. Each side's timed region
+  repeats inside ONE warm subprocess (overhead paid once) and the
+  headline pairs the FASTEST baseline repetition with the FASTEST
+  barrier-synced 4N round — the round-2 advisor's prescription: on a
+  shared-host VM, noise only ever SLOWS a deterministic run, so
+  best-of-a-fixed-count estimates each side's uncontended cost and
+  fastest/fastest pairing cannot inflate the ratio (a noisy-slow
+  baseline can no longer buy a flattering efficiency). Every
+  repetition's wall, GC pause, and per-core busy fraction is reported
+  raw, so an idle-stall or GC artifact is visible in the artifact.
 * The literal same-JVM local[1]v[4] and local[8]v[32] pairs measured
   in round 2 are documented as an appendix in BENCH/BASELINE.md (the
   1v4 baseline is handicapped by sharing one core with GC/IO, which
@@ -64,7 +72,16 @@ N_EXECUTORS = 4  # the north rule's 4N:N executor-count ratio
 # kg_scaling_run docstring): 1.2M baseline -> 4 tasks, each 300k; each
 # 4N executor -> 1 task of 300k.
 ROWS_PER_TASK = int(os.environ.get("BENCH_ROWS_PER_TASK", "300000"))
-BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "1500"))
+BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "1700"))
+# Repetitions per side, FIXED before any measurement (see module
+# docstring). 2x each: measured host-neighbor bandwidth noise makes
+# identical 4N rounds read 70-94 s and identical baselines 249-298 s
+# on an otherwise idle box; min-of-2 per side recovers most of the
+# uncontended value at an affordable wall cost. The counts are env
+# overrides for DEV ONLY — the committed reference and driver runs use
+# the defaults.
+REPS_N = int(os.environ.get("BENCH_REPS_N", "2"))
+REPS_4N = int(os.environ.get("BENCH_REPS_4N", "2"))
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -160,7 +177,15 @@ def _pinned_cpu_busy() -> dict[int, float]:
     return out
 
 
-def kg_scaling_run(master: str, rows: int, row_start: int = 0) -> None:
+def kg_scaling_run(
+    master: str,
+    rows: int,
+    row_start: int = 0,
+    reps: int = 1,
+    barrier_dir: str | None = None,
+    barrier_procs: int = 1,
+    barrier_idx: int = 0,
+) -> None:
     """Subprocess mode: run the KG linker and print one JSON line.
 
     Timed region excludes session startup, lexicon build, and input
@@ -177,6 +202,19 @@ def kg_scaling_run(master: str, rows: int, row_start: int = 0) -> None:
     during the timed region — so wall-clock scaling can be separated
     from machine noise: busy_frac near 1.0 at both levels means the
     dataflow kept every core fed and any wall-clock gap is hardware.
+
+    ``reps`` repetitions of the timed region run back-to-back in this
+    one warm process; every repetition's wall/GC/busy is reported, and
+    the headline ``sec`` is the fastest repetition (see module
+    docstring for why min-of-a-fixed-count is the right estimator on a
+    noisy shared host). When ``barrier_dir`` is set, the ``reps``
+    repetitions of the ``barrier_procs`` concurrent executor processes
+    are aligned into ROUNDS via a file barrier before each repetition,
+    so "round r" is genuinely concurrent across executors — a per-round
+    job wall (max across executors) is meaningful, exactly like a real
+    cluster job whose wall is its slowest executor. Within a round,
+    executors that finish early idle until the barrier, just as a real
+    cluster's executors idle at a stage tail.
     """
     from ontoma_spark.core.session import get_spark
     from ontoma_spark.datagen import generate_repos
@@ -206,26 +244,53 @@ def kg_scaling_run(master: str, rows: int, row_start: int = 0) -> None:
         start=row_start,
     ).persist()
     repos.count()
-    busy0 = _pinned_cpu_busy()
-    gc0 = _gc_ms()
-    t0 = time.time()
-    n = build_triples(repos, lex, canon, token_bloom=bloom).count()
-    dt = time.time() - t0
-    gc1 = _gc_ms()
-    busy1 = _pinned_cpu_busy()
-    fracs = [
-        (busy1[c] - busy0[c]) / dt for c in sorted(busy0) if c in busy1
-    ]
+    secs: list[float] = []
+    gcs: list[float] = []
+    busies: list[float | None] = []
+    n = None
+    n_pinned = 0
+    for r in range(reps):
+        if barrier_dir is not None:
+            open(
+                os.path.join(barrier_dir, f"p{barrier_idx}_r{r}"), "w"
+            ).close()
+            want = [
+                os.path.join(barrier_dir, f"p{i}_r{r}")
+                for i in range(barrier_procs)
+            ]
+            while not all(os.path.exists(w) for w in want):
+                time.sleep(0.2)
+        busy0 = _pinned_cpu_busy()
+        gc0 = _gc_ms()
+        t0 = time.time()
+        cnt = build_triples(repos, lex, canon, token_bloom=bloom).count()
+        dt = time.time() - t0
+        gc1 = _gc_ms()
+        busy1 = _pinned_cpu_busy()
+        fracs = [
+            (busy1[c] - busy0[c]) / dt for c in sorted(busy0) if c in busy1
+        ]
+        if n is None:
+            n = cnt
+        assert cnt == n, f"non-deterministic triple count: {cnt} != {n}"
+        secs.append(round(dt, 2))
+        gcs.append(round((gc1 - gc0) / 1000.0, 2))
+        busies.append(
+            round(sum(fracs) / len(fracs), 3) if fracs else None
+        )
+        n_pinned = len(fracs)
+    best = secs.index(min(secs))
     print(
         json.dumps(
             {
                 "triples": n,
-                "sec": round(dt, 2),
-                "cpu_busy_frac": round(sum(fracs) / len(fracs), 3)
-                if fracs
-                else None,
-                "n_pinned_cpus": len(fracs),
-                "gc_pause_sec": round((gc1 - gc0) / 1000.0, 2),
+                "sec": secs[best],
+                "secs": secs,
+                "cpu_busy_frac": busies[best],
+                "cpu_busy_fracs": busies,
+                "n_pinned_cpus": n_pinned,
+                "gc_pause_sec": gcs[best],
+                "gc_pause_secs": gcs,
             }
         )
     )
@@ -236,6 +301,10 @@ def _run_scaling_subprocess(
     rows: int,
     cpu_list: str | None = None,
     row_start: int = 0,
+    reps: int = 1,
+    barrier_dir: str | None = None,
+    barrier_procs: int = 1,
+    barrier_idx: int = 0,
 ) -> dict:
     env = dict(os.environ)
     # one executor's worth of heap; identical at both cluster sizes so
@@ -244,8 +313,14 @@ def _run_scaling_subprocess(
     cmd = [
         sys.executable, os.path.abspath(__file__), "--kg-scaling-run",
         "--master", f"local[{cores}]", "--rows", str(rows),
-        "--row-start", str(row_start),
+        "--row-start", str(row_start), "--reps", str(reps),
     ]
+    if barrier_dir is not None:
+        cmd += [
+            "--barrier-dir", barrier_dir,
+            "--barrier-procs", str(barrier_procs),
+            "--barrier-idx", str(barrier_idx),
+        ]
     if cpu_list is not None:
         # Pin the WHOLE process tree (JVM incl. GC threads, python
         # workers, IO threads) to a real core set: ``local[N]`` alone only
@@ -277,12 +352,18 @@ def _scaling_phase() -> dict:
     which on this single box measures the shared-memory-bandwidth
     ceiling rather than the dataflow.
 
-    ONE fixed trial: the dataflow is deterministic, and conditioning
-    the number of trials on the reading would bias the headline upward
-    (noise in the 1-core denominator). Busy fractions near 1.0 on both
-    sides certify the reading wasn't an idle-stall artifact.
+    FIXED pre-declared repetition counts (REPS_N baseline repetitions,
+    REPS_4N barrier-synced 4N rounds), fastest per side: the dataflow
+    is deterministic, so noise only ever slows a run; min-of-a-fixed-
+    count estimates each side's uncontended cost, and pairing fastest
+    baseline with fastest 4N round cannot inflate the ratio (the
+    round-2 advisor's prescription). Conditioning the COUNT on the
+    reading would bias the headline; the counts here never depend on
+    any reading. Busy fractions near 1.0 on both sides certify
+    readings aren't idle-stall artifacts.
     """
     import concurrent.futures as cf
+    import tempfile
 
     quarter = EMU_ROWS // N_EXECUTORS
     slices = [
@@ -290,14 +371,25 @@ def _scaling_phase() -> dict:
          quarter + (EMU_ROWS % N_EXECUTORS if i == N_EXECUTORS - 1 else 0))
         for i in range(N_EXECUTORS)
     ]
-    one = _run_scaling_subprocess(1, EMU_ROWS, cpu_list="0")
+    one = _run_scaling_subprocess(1, EMU_ROWS, cpu_list="0", reps=REPS_N)
+    barrier_dir = tempfile.mkdtemp(prefix="bench_barrier_")
     with cf.ThreadPoolExecutor(N_EXECUTORS) as ex:
         futs = [
-            ex.submit(_run_scaling_subprocess, 1, n_rows, str(i), start)
+            ex.submit(
+                _run_scaling_subprocess, 1, n_rows, str(i), start,
+                REPS_4N, barrier_dir, N_EXECUTORS, i,
+            )
             for i, (start, n_rows) in enumerate(slices)
         ]
         quads = [f.result() for f in futs]
-    agg_wall = max(q["sec"] for q in quads)
+    # Per-round job wall = slowest executor in that barrier-synced
+    # round; headline = fastest round (same estimator as the baseline's
+    # fastest repetition).
+    round_walls = [
+        max(q["secs"][r] for q in quads) for r in range(REPS_4N)
+    ]
+    agg_wall = min(round_walls)
+    best_round = round_walls.index(agg_wall)
     total_triples = sum(q["triples"] for q in quads)
     t1 = one["triples"] / one["sec"]
     t4 = total_triples / agg_wall
@@ -307,13 +399,21 @@ def _scaling_phase() -> dict:
     high = {
         "cores": N_EXECUTORS,
         "sec": agg_wall,
-        "quads_sec": [q["sec"] for q in quads],
+        "round_walls": round_walls,
+        "best_round": best_round,
+        "quads_sec": [q["secs"][best_round] for q in quads],
+        "quads_secs_all_rounds": [q["secs"] for q in quads],
         "triples": total_triples,
         "triples_per_sec": round(t4, 1),
         "cpu_busy_frac": round(
-            sum(q["cpu_busy_frac"] for q in quads) / len(quads), 3
+            sum(q["cpu_busy_fracs"][best_round] for q in quads)
+            / len(quads),
+            3,
         ),
-        "gc_pause_sec": round(sum(q["gc_pause_sec"] for q in quads), 2),
+        "gc_pause_sec": round(
+            sum(q["gc_pause_secs"][best_round] for q in quads), 2
+        ),
+        "gc_pause_secs_all_rounds": [q["gc_pause_secs"] for q in quads],
         "triples_match_baseline": total_triples == one["triples"],
     }
     return {
@@ -321,15 +421,17 @@ def _scaling_phase() -> dict:
         "protocol": (
             "executor-count emulation: one pinned 1-core executor "
             "process (N) vs four pinned 1-core executor processes on "
-            "disjoint input slices (4N), same deterministic input, "
-            "single fixed trial"
+            "disjoint input slices (4N), same deterministic input; "
+            f"fixed pre-declared repetitions (N x{REPS_N}, 4N "
+            f"x{REPS_4N} barrier-synced rounds), fastest per side "
+            "(min-wall pairing; noise only slows a deterministic run)"
         ),
         "low": low,
         "high": high,
         "speedup": round(t4 / t1, 2),
         "executor_ratio": N_EXECUTORS,
         "efficiency": round(t4 / (N_EXECUTORS * t1), 3),
-        "trials": 1,
+        "reps": {"n": REPS_N, "4n": REPS_4N},
         # Committed fixed-count 3-trial reference measured idle on
         # 2026-08-18 with the current gram kernel (raw JSONs in
         # BENCH/trials_r3b/): context for this run's single trial, NOT
@@ -571,28 +673,35 @@ def _write_bench_md(result: dict) -> None:
         "cluster pays once per job — the reading is conservative by "
         "that margin.",
         "",
-        "ONE fixed trial per driver run, by design: the dataflow is "
-        "deterministic and retrying until a threshold is met would "
-        "select noise in the efficiency's favor (the 1-core baseline "
-        "sits in the denominator). The committed reference reading is "
-        "the median of the fixed 3-trial set below; the per-core busy "
-        "fractions (~1.0 on both sides) certify readings aren't "
-        "idle-stall artifacts.",
+        f"FIXED pre-declared repetition counts per driver run (N x"
+        f"{REPS_N} repetitions, 4N x{REPS_4N} barrier-synced rounds), "
+        "fastest per side: the dataflow is deterministic, so host "
+        "noise only ever SLOWS a run — the fastest repetition "
+        "estimates each side's uncontended cost, and pairing fastest "
+        "baseline with fastest 4N round cannot inflate the ratio "
+        "(the round-2 advisor's prescription; a noisy-slow baseline "
+        "can no longer buy a flattering efficiency). The counts never "
+        "depend on any reading — that would be retry-until-pass bias. "
+        "Every repetition's raw wall/GC/busy is in the bench JSON; "
+        "per-core busy fractions (~1.0 on both sides) certify "
+        "readings aren't idle-stall artifacts.",
         "",
         "| cluster | wall sec | triples/sec | cpu busy frac | GC pause s |",
         "| --- | --- | --- | --- | --- |",
-        f"| N (1 executor) | {low.get('sec')} | "
+        f"| N (1 executor) | {low.get('sec')} (all repetitions: "
+        f"{low.get('secs')}) | "
         f"{low.get('triples_per_sec')} | {low.get('cpu_busy_frac')} | "
         f"{low.get('gc_pause_sec')} |",
-        f"| 4N (4 executors) | {high.get('sec')} (per-executor: "
-        f"{high.get('quads_sec')}) | {high.get('triples_per_sec')} | "
+        f"| 4N (4 executors) | {high.get('sec')} (per-executor, best "
+        f"round: {high.get('quads_sec')}; round job walls: "
+        f"{high.get('round_walls')}) | {high.get('triples_per_sec')} | "
         f"{high.get('cpu_busy_frac')} | {high.get('gc_pause_sec')} |",
         "",
         f"Throughput N = {low.get('triples_per_sec')} triples/sec, "
         f"4N = {high.get('triples_per_sec')} triples/sec -> speedup "
         f"{s.get('speedup')}x over a {s.get('executor_ratio')}x "
         f"executor ratio -> **scaling efficiency {s.get('efficiency')}**"
-        " (this run's single trial; committed 3-trial reference below).",
+        " (this run; committed fixed-count trial reference below).",
         "",
         "Context: the same run's memcpy probe (below) measures this "
         "box's own 1->4-concurrent-process memory-bandwidth efficiency "
@@ -660,8 +769,20 @@ if __name__ == "__main__":
     ap.add_argument("--master", default="local[8]")
     ap.add_argument("--rows", type=int, default=600000)
     ap.add_argument("--row-start", type=int, default=0)
+    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--barrier-dir", default=None)
+    ap.add_argument("--barrier-procs", type=int, default=1)
+    ap.add_argument("--barrier-idx", type=int, default=0)
     args = ap.parse_args()
     if args.kg_scaling_run:
-        kg_scaling_run(args.master, args.rows, args.row_start)
+        kg_scaling_run(
+            args.master,
+            args.rows,
+            args.row_start,
+            reps=args.reps,
+            barrier_dir=args.barrier_dir,
+            barrier_procs=args.barrier_procs,
+            barrier_idx=args.barrier_idx,
+        )
     else:
         main()

@@ -1,0 +1,46 @@
+"""A/B the 4N side of the scaling emulation under different JVM opts.
+
+Runs ONLY the 4-concurrent-slice half of bench._scaling_phase per variant,
+sequentially, and prints agg wall + summed GC pause for each. Box must be
+idle. Usage: python scripts/exp_gc_4n.py
+"""
+import concurrent.futures as cf
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench  # noqa: E402
+
+VARIANTS = {
+    "control": None,
+    "presized": "-Xms12g -Xmn4g",
+}
+
+ROWS = bench.EMU_ROWS
+quarter = ROWS // 4
+slices = [(i * quarter, quarter + (ROWS % 4 if i == 3 else 0)) for i in range(4)]
+
+for name, opts in VARIANTS.items():
+    if opts is None:
+        os.environ.pop("SPARK_GRAFT_DRIVER_JAVA_OPTS", None)
+    else:
+        os.environ["SPARK_GRAFT_DRIVER_JAVA_OPTS"] = opts
+    with cf.ThreadPoolExecutor(4) as ex:
+        futs = [
+            ex.submit(bench._run_scaling_subprocess, 1, n, str(i), s)
+            for i, (s, n) in enumerate(slices)
+        ]
+        quads = [f.result() for f in futs]
+    out = {
+        "variant": name,
+        "opts": opts,
+        "agg_wall": max(q["sec"] for q in quads),
+        "walls": [q["sec"] for q in quads],
+        "gc_total": round(sum(q["gc_pause_sec"] for q in quads), 2),
+        "gcs": [q["gc_pause_sec"] for q in quads],
+        "triples": sum(q["triples"] for q in quads),
+        "busy": [q["cpu_busy_frac"] for q in quads],
+    }
+    print("EXP " + json.dumps(out), flush=True)
+print("EXP_DONE")
