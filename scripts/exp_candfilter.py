@@ -1,0 +1,95 @@
+"""Quantify post-assembly candidate attrition in extract_candidates.
+
+For N docs: how many n-grams pass the pre-assembly conditions (stop
+boundary + Bloom) and get their surface ASSEMBLED, vs how many of those
+survive the post-assembly length/letter filter. A large assembled->dropped
+share means pre-assembly length/letter pruning (token length prefix sums
++ letter flags) would cut string-allocation bandwidth in the hot kernel.
+
+Usage: python scripts/exp_candfilter.py [rows]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ontoma_spark.core.session import get_spark  # noqa: E402
+from ontoma_spark.datagen import generate_repos  # noqa: E402
+from ontoma_spark.pipeline.run import prepare_reference_tables  # noqa: E402
+from ontoma_spark.operators import mentions as M  # noqa: E402
+import pyspark.sql.functions as F  # noqa: E402
+
+rows = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
+spark = get_spark(app_name="exp_candfilter", master="local[8]")
+lex, canon, bloom = prepare_reference_tables(spark)
+repos = generate_repos(spark, rows).persist()
+n_docs = repos.count()
+
+cands = M.extract_candidates(repos, token_bloom=bloom)
+n_after = cands.count()
+
+# Rebuild the pre-postfilter stream from the kernel's internals (the
+# public path fuses the filter into the same stage, so it can't be
+# relaxed from outside) and bucket assembled grams by postfilter fate.
+from ontoma_spark.operators.mentions import _ngrams_of, _token_ok_flags_sql  # noqa: E402
+
+tok_df = repos.withColumn("_toks", M.tokenize_content(F.col("content")))
+from ontoma_spark.functions.normalize import ALL_STOP_WORDS  # noqa: E402
+
+tok_df = tok_df.withColumn(
+    "_stops", F.transform(F.col("_toks"), lambda t: t.isin(*ALL_STOP_WORDS))
+)
+tok_df = tok_df.withColumn(
+    "_ok",
+    F.zip_with(
+        F.expr(_token_ok_flags_sql(bloom, "_toks")),
+        F.col("_stops"),
+        lambda ok, st: ok | st,
+    ),
+).withColumn(
+    "_ok1",
+    F.zip_with(
+        F.col("_ok"),
+        F.transform(F.col("_toks"), lambda t: t.rlike(M.ID_SHAPE_RE)),
+        lambda ok, isid: ok | isid,
+    ),
+)
+grams = F.flatten(
+    F.array(
+        *[
+            _ngrams_of(
+                F.col("_toks"),
+                F.col("_stops"),
+                F.col("_ok1") if n == 1 else F.col("_ok"),
+                n,
+            )
+            for n in range(1, M.MAX_N + 1)
+        ]
+    )
+)
+assembled = tok_df.select(F.explode(grams).alias("g")).select(
+    F.col("g.surface").alias("surface")
+)
+agg = assembled.agg(
+    F.count("*").alias("assembled"),
+    F.sum(
+        (
+            (F.length("surface") < M.MIN_SURFACE_CHARS)
+            | (F.length("surface") > M.MAX_SURFACE_CHARS)
+            | ~F.col("surface").rlike(r"\p{L}")
+        ).cast("long")
+    ).alias("dropped_by_postfilter"),
+    F.sum(F.length("surface").cast("long")).alias("assembled_chars"),
+).collect()[0]
+
+print(
+    dict(
+        docs=n_docs,
+        final_candidates=n_after,
+        assembled=agg["assembled"],
+        dropped_by_postfilter=agg["dropped_by_postfilter"],
+        drop_frac=round(agg["dropped_by_postfilter"] / agg["assembled"], 4),
+        assembled_chars=agg["assembled_chars"],
+    )
+)

@@ -1,0 +1,32 @@
+"""Run the committed scaling-reference trial set.
+
+DECLARED BEFORE RUNNING (bench-scaling-discipline): exactly N_TRIALS
+sequential trials of bench._scaling_phase() on an idle box; every
+reading is listed; the committed reference number is the MEDIAN. The
+trial count never depends on any reading.
+
+Usage: python scripts/run_scaling_trials.py <outdir> [n_trials]
+"""
+import json
+import os
+import statistics
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench  # noqa: E402
+
+outdir = sys.argv[1]
+n_trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+os.makedirs(outdir, exist_ok=True)
+
+effs = []
+for t in range(n_trials):
+    s = bench._scaling_phase()
+    with open(os.path.join(outdir, f"trial_{chr(97 + t)}.json"), "w") as f:
+        json.dump(s, f, indent=1)
+    effs.append(s["efficiency"])
+    print(f"TRIAL {chr(97 + t)} efficiency={s['efficiency']} "
+          f"N={s['low']['triples_per_sec']} 4N={s['high']['triples_per_sec']} "
+          f"low_secs={s['low']['secs']} round_walls={s['high']['round_walls']}",
+          flush=True)
+print(f"TRIALS_DONE readings={effs} median={statistics.median(effs)}", flush=True)
