@@ -248,3 +248,108 @@ def hll_estimate(registers: DataFrame, m: int = M_DEFAULT) -> float:
     if est <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros)  # linear counting
     return est
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sketch (Cohen & Kaplan 2007): a deterministic, mergeable
+# uniform sample of a key set. Priority = md5(key) compared as a hex
+# string (lexicographic hex == numeric order of the 128-bit hash, and
+# DuckDB's md5() reproduces it bit-for-bit, so the whole sketch TABLE is
+# oracle-checkable, same stance as the HLL/CMS/Bloom tables above). One
+# sketch serves two jobs the other sketches here cannot:
+#   * distinct-count estimation WITH a witness sample ((k-1)/p_k
+#     estimator; exact below k), and
+#   * rank statistics: the k keys are a uniform sample of the distinct
+#     key set, so payload quantiles are estimable without any global
+#     sort — the 100 TB alternative to an exact per-group sort-based
+#     quantile, with the sketch shipping O(k) rows per dataset.
+# Merge = union the sketch tables, re-take the k smallest priorities —
+# associative/commutative/idempotent, so sketches built per partition,
+# per day, or per engine combine exactly like the register tables.
+# ---------------------------------------------------------------------------
+
+BOTTOMK_DEFAULT = 256
+
+
+def bottomk_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = BOTTOMK_DEFAULT,
+    payload_cols: tuple[str, ...] = (),
+    distinct_keys: bool = False,
+) -> DataFrame:
+    """Sketch table: the k distinct keys with the smallest md5
+    priorities, as (prio string, key, *payload_cols).
+
+    ``distinct_keys=True`` deduplicates keys first — required when the
+    same key can appear in many rows (value sketches); the dedup is a
+    hash aggregate whose shuffle carries per-partition-DISTINCT keys
+    (map-side partial aggregation), not the raw rows. Leave it False
+    when ``key_col`` is already unique per row (e.g. a row id for
+    uniform row sampling): the plan is then a pure
+    TakeOrderedAndProject — per-partition local top-k, single O(k *
+    n_partitions) merge, no shuffle at all.
+
+    Nulls in ``key_col`` are skipped (distinct-count semantics).
+    """
+    cols = [key_col, *payload_cols]
+    base = df.select(*cols).filter(F.col(key_col).isNotNull())
+    if distinct_keys:
+        base = base.distinct()
+    return (
+        base.withColumn("prio", F.md5(F.col(key_col).cast("string")))
+        .select("prio", *cols)
+        .orderBy("prio")
+        .limit(k)
+    )
+
+
+def bottomk_merge(*sketches: DataFrame, k: int = BOTTOMK_DEFAULT) -> DataFrame:
+    """Exact merge: union the sketch tables, dedupe keys (the same key
+    carries the same priority everywhere — deterministic hashing), and
+    re-take the k smallest priorities. bottomk(A ∪ B) ==
+    merge(bottomk(A), bottomk(B)) by the min-union property."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.distinct().orderBy("prio").limit(k)
+
+
+def _prio_fraction(prio_hex: str) -> float:
+    """Hex priority -> fraction of the hash space in [0, 1): first 15
+    hex digits (60 bits, exactly representable in a double)."""
+    return int(prio_hex[:15], 16) / float(1 << 60)
+
+
+def bottomk_distinct_estimate(
+    sketch: DataFrame, k: int = BOTTOMK_DEFAULT
+) -> float:
+    """Distinct-key estimate: exact row count when the sketch holds
+    fewer than k keys (every distinct key is present), else the
+    classic unbiased bottom-k estimator (k-1)/p_k with p_k the k-th
+    smallest priority as a fraction of the hash space. The sketch is
+    at most k rows, so the collect is constant-size by construction."""
+    rows = sketch.select("prio").collect()
+    if len(rows) < k:
+        return float(len(rows))
+    p_k = max(_prio_fraction(r["prio"]) for r in rows)
+    return (k - 1) / p_k
+
+
+def bottomk_quantiles(
+    sketch: DataFrame, value_col: str, probs: list[float]
+) -> list[float]:
+    """Empirical quantiles of a payload column over the sketch's
+    uniform key sample (type-1 / lower-value quantile on the sorted
+    sample — deterministic). Standard error of a prob-q estimate from
+    a full sketch is ~sqrt(q(1-q)/k) in rank space. Constant-size
+    driver transfer (<= k rows)."""
+    vals = sorted(
+        r[value_col] for r in sketch.select(value_col).collect()
+    )
+    if not vals:
+        raise ValueError("bottomk_quantiles: empty sketch")
+    n = len(vals)
+    return [
+        vals[min(n - 1, max(0, int(math.ceil(q * n)) - 1))] for q in probs
+    ]

@@ -87,6 +87,95 @@ def comention_edges(
     return edges
 
 
+def edge_pmi(
+    doc_entities: DataFrame,
+    doc_col: str = "doc_id",
+    entity_col: str = "entity_id",
+    min_docs: int = 1,
+    max_entities_per_doc: int | None = None,
+) -> DataFrame:
+    """PMI / NPMI association weights for co-mention edges — the
+    standard calibration that turns raw co-occurrence counts into KG
+    edge weights (raw counts just mirror entity frequency: "cancer"
+    co-occurs with everything; PMI asks whether the pair co-occurs MORE
+    than its endpoints' frequencies predict).
+
+    Input: one row per (document, linked entity), same contract as
+    ``comention_edges``. Output: (src, dst, n_docs, pmi, npmi) with
+    src < dst, where over N = distinct documents::
+
+        p(a,b) = n_docs(a,b) / N      p(a) = docfreq(a) / N
+        pmi    = ln( p(a,b) / (p(a) * p(b)) )
+        npmi   = pmi / -ln p(a,b)       -- in [-1, 1]
+
+    npmi is defined as 1.0 at the p(a,b) = 1 boundary (its limit:
+    perfect association; the raw formula is 0/0 there).
+
+    Scale: one shuffle for the edge aggregation (via
+    ``comention_edges``), one entity-keyed groupBy for doc-frequencies
+    (ontology-sized output), then two joins of the edge list against
+    the broadcast node-frequency table — edges never shuffle again. N
+    is the only driver-side scalar (one count), same stance as
+    ``pagerank``.
+    """
+    de = (
+        doc_entities.select(
+            F.col(doc_col).alias("__doc"),
+            F.col(entity_col).alias("__ent"),
+        )
+        .distinct()
+        .persist()
+    )
+    n_total = de.select("__doc").distinct().count()
+    edges = comention_edges(
+        de,
+        doc_col="__doc",
+        entity_col="__ent",
+        min_docs=min_docs,
+        max_entities_per_doc=max_entities_per_doc,
+    )
+    freq = de.groupBy(F.col("__ent").alias("node")).agg(
+        F.count("*").alias("__df")
+    )
+    p_ab = F.col("n_docs") / F.lit(float(n_total))
+    p_a = F.col("__df_src") / F.lit(float(n_total))
+    p_b = F.col("__df_dst") / F.lit(float(n_total))
+    pmi = F.log(p_ab / (p_a * p_b))
+    out = (
+        edges.join(
+            F.broadcast(
+                freq.select(
+                    F.col("node").alias("src"),
+                    F.col("__df").alias("__df_src"),
+                )
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                freq.select(
+                    F.col("node").alias("dst"),
+                    F.col("__df").alias("__df_dst"),
+                )
+            ),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            "n_docs",
+            pmi.alias("pmi"),
+            F.when(F.col("n_docs") == F.lit(n_total), F.lit(1.0))
+            .otherwise(pmi / -F.log(p_ab))
+            .alias("npmi"),
+        )
+    )
+    # de stays persisted: it feeds the N count (an action above) and the
+    # two lazy consumers (edges + freq) the caller will execute — same
+    # multi-consumer persist idiom as triangle_counts' fwd.
+    return out
+
+
 def entity_degrees(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

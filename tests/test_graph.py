@@ -149,3 +149,78 @@ def test_triangle_counts_triangle_free_graph(spark):
         [(0, i) for i in range(1, 8)], "src int, dst int"
     )
     assert triangle_counts(df).count() == 0
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_edge_pmi_vs_bruteforce(spark, seed):
+    """PMI/NPMI per edge equals the textbook formulas computed in
+    Python over the same (doc, entity) table."""
+    import math
+
+    from ontoma_spark.operators.graph import edge_pmi
+
+    rng = random.Random(seed)
+    rows = [
+        (f"d{rng.randrange(12)}", f"E{rng.randrange(9)}") for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, entity_id string")
+    got = {
+        (r["src"], r["dst"]): (r["n_docs"], r["pmi"], r["npmi"])
+        for r in edge_pmi(df).collect()
+    }
+    docs: dict[str, set[str]] = {}
+    for d, e in rows:
+        docs.setdefault(d, set()).add(e)
+    n_total = len(docs)
+    df_ent: dict[str, int] = {}
+    for ents in docs.values():
+        for e in ents:
+            df_ent[e] = df_ent.get(e, 0) + 1
+    pair: dict[tuple[str, str], int] = {}
+    for ents in docs.values():
+        es = sorted(ents)
+        for i in range(len(es)):
+            for j in range(i + 1, len(es)):
+                pair[(es[i], es[j])] = pair.get((es[i], es[j]), 0) + 1
+    assert set(got) == set(pair), seed
+    for (a, b), n_ab in pair.items():
+        p_ab = n_ab / n_total
+        pmi = math.log(
+            p_ab / ((df_ent[a] / n_total) * (df_ent[b] / n_total))
+        )
+        npmi = 1.0 if n_ab == n_total else pmi / -math.log(p_ab)
+        g_n, g_pmi, g_npmi = got[(a, b)]
+        assert g_n == n_ab
+        assert abs(g_pmi - pmi) < 1e-9, (a, b)
+        assert abs(g_npmi - npmi) < 1e-9, (a, b)
+        assert -1.0 - 1e-9 <= g_npmi <= 1.0 + 1e-9
+
+
+def test_edge_pmi_boundaries(spark):
+    """p(a,b)=1 edge gets npmi=1.0 (limit value); a pair co-occurring
+    exactly as often as independence predicts gets pmi ~ 0; rarer than
+    independence goes negative."""
+    from ontoma_spark.operators.graph import edge_pmi
+
+    # A,B in every doc -> p(AB)=1 -> npmi defined as 1.0
+    rows = [("d1", "A"), ("d1", "B"), ("d2", "A"), ("d2", "B")]
+    df = spark.createDataFrame(rows, "doc_id string, entity_id string")
+    out = {
+        (r["src"], r["dst"]): r for r in edge_pmi(df).collect()
+    }
+    assert out[("A", "B")]["npmi"] == 1.0
+    assert abs(out[("A", "B")]["pmi"]) < 1e-12
+
+    # 4 docs: A in d1 d2, B in d2 d3 -> p(AB)=1/4 = p(A)p(B) -> pmi=0;
+    # C,D co-occur never... (absent edges are simply not emitted), and
+    # A,E (E in d3 d4, overlap only via independence shortfall) is
+    # negative when p(AE) < p(A)p(E).
+    rows2 = [
+        ("d1", "A"), ("d2", "A"), ("d2", "B"), ("d3", "B"),
+        ("d3", "E"), ("d4", "E"), ("d4", "A"),
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id string, entity_id string")
+    out2 = {(r["src"], r["dst"]): r for r in edge_pmi(df2).collect()}
+    # p(AB) = 1/4, p(A) = 3/4, p(B) = 1/2 -> ratio 2/3 -> pmi < 0
+    assert out2[("A", "B")]["pmi"] < 0
+    assert out2[("A", "B")]["npmi"] < 0

@@ -107,3 +107,112 @@ def test_bloom_bits_bounded_and_deterministic(spark):
     assert b1 == b2
     assert len(b1) <= 4 * 50
     assert all(0 <= x < 4096 for x in b1)
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sketch
+# ---------------------------------------------------------------------------
+
+
+def test_bottomk_table_matches_duckdb_oracle(spark):
+    """The sketch TABLE is bit-exact vs DuckDB computing the same
+    bottom-k by md5 priority — same open-sketch stance as the HLL
+    register oracle (q37)."""
+    import duckdb
+
+    from ontoma_spark.functions.sketches import bottomk_sketch
+
+    df = spark.range(5_000).selectExpr("concat('key_', id) AS k")
+    got = sorted(
+        (r["prio"], r["k"])
+        for r in bottomk_sketch(df, "k", k=64).collect()
+    )
+    exp = sorted(
+        duckdb.sql(
+            "SELECT md5(k) AS prio, k FROM ("
+            "  SELECT concat('key_', range::VARCHAR) AS k FROM range(5000)"
+            ") ORDER BY prio LIMIT 64"
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_bottomk_merge_equals_sketch_of_union(spark):
+    from ontoma_spark.functions.sketches import (
+        bottomk_merge,
+        bottomk_sketch,
+    )
+
+    a = spark.range(0, 3_000).selectExpr("concat('v', id) AS k")
+    b = spark.range(2_000, 6_000).selectExpr("concat('v', id) AS k")
+    # ranges overlap -> the union repeats keys, so the direct sketch
+    # needs key dedup; merge() dedupes on its side by construction
+    sk_union = bottomk_sketch(a.union(b), "k", k=128, distinct_keys=True)
+    merged = bottomk_merge(
+        bottomk_sketch(a, "k", k=128),
+        bottomk_sketch(b, "k", k=128),
+        k=128,
+    )
+    assert sorted(r["prio"] for r in sk_union.collect()) == sorted(
+        r["prio"] for r in merged.collect()
+    )
+
+
+def test_bottomk_distinct_estimate(spark):
+    from ontoma_spark.functions.sketches import (
+        bottomk_distinct_estimate,
+        bottomk_sketch,
+    )
+
+    # below k: exact
+    small = spark.range(100).selectExpr("concat('s', id) AS k")
+    assert bottomk_distinct_estimate(
+        bottomk_sketch(small, "k", k=256), k=256
+    ) == 100.0
+    # above k: (k-1)/p_k within the ~1/sqrt(k) relative error band
+    big = spark.range(50_000).selectExpr("concat('b', id) AS k")
+    est = bottomk_distinct_estimate(
+        bottomk_sketch(big, "k", k=512), k=512
+    )
+    assert abs(est - 50_000) / 50_000 < 0.2, est
+
+
+def test_bottomk_duplicate_keys_need_distinct_flag(spark):
+    """Value sketches (repeating keys) use distinct_keys=True: the
+    sketch then holds k DISTINCT keys and the estimator sees the
+    distinct cardinality, not the row count."""
+    from ontoma_spark.functions.sketches import (
+        bottomk_distinct_estimate,
+        bottomk_sketch,
+    )
+
+    df = spark.range(40_000).selectExpr("concat('d', id % 50) AS k")
+    sk = bottomk_sketch(df, "k", k=256, distinct_keys=True)
+    rows = sk.collect()
+    assert len(rows) == 50
+    assert len({r["k"] for r in rows}) == 50
+    assert bottomk_distinct_estimate(sk, k=256) == 50.0
+
+
+def test_bottomk_quantiles(spark):
+    from ontoma_spark.functions.sketches import (
+        bottomk_quantiles,
+        bottomk_sketch,
+    )
+
+    # payload = value 0..9999, key = unique row id: uniform row sample
+    df = spark.range(10_000).selectExpr(
+        "concat('r', id) AS rid", "CAST(id AS DOUBLE) AS v"
+    )
+    sk = bottomk_sketch(df, "rid", k=512, payload_cols=("v",))
+    p10, p50, p90 = bottomk_quantiles(sk, "v", [0.1, 0.5, 0.9])
+    # rank-space se ~ sqrt(.25/512) ~ 2.2% -> generous 7% tolerance
+    assert abs(p10 - 1_000) < 700, p10
+    assert abs(p50 - 5_000) < 700, p50
+    assert abs(p90 - 9_000) < 700, p90
+    # below-k sketch: quantiles are exact order statistics
+    small = spark.range(101).selectExpr(
+        "concat('r', id) AS rid", "CAST(id AS DOUBLE) AS v"
+    )
+    sk_small = bottomk_sketch(small, "rid", k=256, payload_cols=("v",))
+    assert bottomk_quantiles(sk_small, "v", [0.5]) == [50.0]
