@@ -353,3 +353,45 @@ def bottomk_quantiles(
     return [
         vals[min(n - 1, max(0, int(math.ceil(q * n)) - 1))] for q in probs
     ]
+
+
+def grouped_bottomk(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    key_col: str,
+    k: int = BOTTOMK_DEFAULT,
+    payload_cols: tuple[str, ...] = (),
+    distinct_keys: bool = False,
+) -> DataFrame:
+    """Per-group bottom-k sketch: for every group, the k keys with the
+    smallest md5 priorities, as (*group_cols, prio, key, *payloads) —
+    a uniform key sample PER GROUP, giving grouped distinct estimates
+    and grouped payload quantiles (doc-length percentiles per language,
+    score percentiles per entityType) without any global or per-group
+    full sort materialisation.
+
+    One shuffle on the group key (the window's partitionBy); rows
+    beyond rank k are dropped before anything else consumes them.
+    Same-key ties cannot occur within a group after ``distinct_keys``
+    dedup; the orderBy adds the key itself as a deterministic
+    tie-break for the (cosmologically unlikely) md5 collision.
+    Merge = unionByName sketches of disjoint row sets, re-apply —
+    same min-union property as ``bottomk_sketch``, per group.
+    """
+    from pyspark.sql import Window
+
+    cols = [*group_cols, key_col, *payload_cols]
+    base = df.select(*cols).filter(F.col(key_col).isNotNull())
+    if distinct_keys:
+        base = base.distinct()
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("prio"), F.col(key_col))
+    )
+    return (
+        base.withColumn("prio", F.md5(F.col(key_col).cast("string")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .select(*group_cols, "prio", key_col, *payload_cols)
+    )

@@ -310,3 +310,54 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation with fully
+    deterministic semantics; returns (node, label).
+
+    Spec (the brute-force test implements exactly this): treat the edge
+    list as undirected; every node starts labelled with itself; each
+    iteration EVERY node simultaneously adopts the label most frequent
+    among its neighbours' current labels, ties broken by the smallest
+    label. Fixed ``n_iter`` sweeps (classic LPA's random order /
+    random tie-break is nondeterministic; the synchronous+min-label
+    variant trades a possible 2-cycle oscillation on symmetric
+    structures for bit-reproducibility — acceptable for a bounded
+    sweep count, and every run agrees).
+
+    Each iteration: one join of the bidirectional edge list against the
+    |V|-row label table (AQE broadcasts it when it fits) and two
+    node-keyed aggregations, all map-side-combined; ``localCheckpoint``
+    per iteration keeps the plan O(1) deep (same treatment as
+    ``pagerank``).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    bi = bi.distinct().localCheckpoint(eager=False)
+    labels = (
+        bi.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(n_iter):
+        nbr_labels = bi.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        counts = nbr_labels.groupBy("node", "label").agg(
+            F.count("*").alias("__c")
+        )
+        # max count, then min label: min_by over (-count, label)
+        labels = counts.groupBy("node").agg(
+            F.min_by(
+                "label",
+                F.struct((-F.col("__c")).alias("a"), F.col("label").alias("b")),
+            ).alias("label")
+        ).localCheckpoint(eager=False)
+    return labels

@@ -224,3 +224,60 @@ def test_edge_pmi_boundaries(spark):
     # p(AB) = 1/4, p(A) = 3/4, p(B) = 1/2 -> ratio 2/3 -> pmi < 0
     assert out2[("A", "B")]["pmi"] < 0
     assert out2[("A", "B")]["npmi"] < 0
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge resolve into two
+    communities labelled by each clique's smallest node id."""
+    from ontoma_spark.operators.graph import label_propagation
+
+    import itertools
+
+    c1 = list(itertools.combinations(["a1", "a2", "a3", "a4"], 2))
+    c2 = list(itertools.combinations(["b1", "b2", "b3", "b4"], 2))
+    edges = c1 + c2 + [("a1", "b1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["label"] for r in label_propagation(df, n_iter=5).collect()}
+    assert {got[n] for n in ("a1", "a2", "a3", "a4")} == {"a1"}
+    assert {got[n] for n in ("b1", "b2", "b3", "b4")} == {"a1"} or {
+        got[n] for n in ("b2", "b3", "b4")
+    } == {"b1"} or {got[n] for n in ("b1", "b2", "b3", "b4")} == {"b1"}
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_label_propagation_vs_bruteforce(spark, seed):
+    """Spark result equals the documented synchronous min-tie-break
+    semantics computed in Python on a seeded random graph."""
+    from ontoma_spark.operators.graph import label_propagation
+
+    rng = random.Random(seed)
+    nodes = [f"n{i:02d}" for i in range(25)]
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for _ in range(60)
+            for a, b in [(rng.choice(nodes), rng.choice(nodes))]
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    n_iter = 4
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iter=n_iter).collect()
+    }
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(n_iter):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt: dict[str, int] = {}
+            for m in nbrs:
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        lbl = new
+    assert got == lbl, seed

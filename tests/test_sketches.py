@@ -216,3 +216,50 @@ def test_bottomk_quantiles(spark):
     )
     sk_small = bottomk_sketch(small, "rid", k=256, payload_cols=("v",))
     assert bottomk_quantiles(sk_small, "v", [0.5]) == [50.0]
+
+
+def test_grouped_bottomk_per_group_vs_bruteforce(spark):
+    import hashlib
+
+    from ontoma_spark.functions.sketches import grouped_bottomk
+
+    df = spark.range(3_000).selectExpr(
+        "concat('g', id % 7) AS grp",
+        "concat('key_', id) AS k",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    got: dict[str, list[tuple[str, str]]] = {}
+    for r in grouped_bottomk(df, ("grp",), "k", k=20, payload_cols=("v",)).collect():
+        got.setdefault(r["grp"], []).append((r["prio"], r["k"]))
+    exp: dict[str, list[tuple[str, str]]] = {}
+    for i in range(3_000):
+        g, k = f"g{i % 7}", f"key_{i}"
+        exp.setdefault(g, []).append(
+            (hashlib.md5(k.encode()).hexdigest(), k)
+        )
+    for g in exp:
+        exp[g] = sorted(exp[g])[:20]
+        assert sorted(got[g]) == exp[g], g
+    assert set(got) == set(exp)
+
+
+def test_grouped_bottomk_merge_property(spark):
+    from ontoma_spark.functions.sketches import grouped_bottomk
+
+    full = spark.range(4_000).selectExpr(
+        "concat('g', id % 3) AS grp", "concat('k', id) AS k"
+    )
+    half1 = full.filter("k < 'k2'")  # lexicographic split, disjoint
+    half2 = full.subtract(half1)
+    direct = grouped_bottomk(full, ("grp",), "k", k=32)
+    merged = grouped_bottomk(
+        grouped_bottomk(half1, ("grp",), "k", k=32).unionByName(
+            grouped_bottomk(half2, ("grp",), "k", k=32)
+        ),
+        ("grp",),
+        "k",
+        k=32,
+    )
+    d = sorted((r["grp"], r["prio"]) for r in direct.collect())
+    m = sorted((r["grp"], r["prio"]) for r in merged.collect())
+    assert d == m
