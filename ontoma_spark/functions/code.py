@@ -96,3 +96,45 @@ def comment_stats(content: Column) -> Column:
         comment_chars.alias("comment_chars"),
         F.length(strip_comments(content)).alias("code_chars"),
     )
+
+
+# Import-statement extraction, one anchored RE2-compatible regex per
+# language channel so DuckDB oracles can run the identical patterns.
+# Documented spec (kept deliberately regular so the extraction is
+# byte-reproducible across engines): one module per import STATEMENT —
+# `import a, b` yields `a` (first module); Go block imports and
+# computed/dynamic imports are out of scope.
+PY_FROM_IMPORT_RE = r"(?m)^[ \t]*from[ \t]+([\w.]+)[ \t]+import"
+PY_IMPORT_RE = r"(?m)^[ \t]*import[ \t]+([\w.]+)"
+JAVA_IMPORT_RE = r"(?m)^[ \t]*import[ \t]+(?:static[ \t]+)?([\w.]+(?:\.\*)?)[ \t]*;"
+JS_REQUIRE_RE = r"require\(['\"]([^'\"]+)['\"]\)"
+JS_IMPORT_RE = r"(?m)^[ \t]*import[^;\n]*?from[ \t]*['\"]([^'\"]+)['\"]"
+
+
+def imported_modules(content: Column, lang: Column) -> Column:
+    """Array of module names imported by a source file, dispatched on
+    the ``lang`` column (python / java / javascript / typescript;
+    other languages yield an empty array). ``array_union`` semantics:
+    each module once per file. Pure codegen — the 100 TB corpus pass
+    is one projection, no UDF, no shuffle; the downstream import graph
+    (file -> module edges + PageRank/communities over it) reuses the
+    operators in operators/graph.py unchanged.
+    """
+    py = F.array_union(
+        F.regexp_extract_all(content, F.lit(PY_FROM_IMPORT_RE), F.lit(1)),
+        F.regexp_extract_all(content, F.lit(PY_IMPORT_RE), F.lit(1)),
+    )
+    java = F.array_distinct(
+        F.regexp_extract_all(content, F.lit(JAVA_IMPORT_RE), F.lit(1))
+    )
+    js = F.array_union(
+        F.regexp_extract_all(content, F.lit(JS_REQUIRE_RE), F.lit(1)),
+        F.regexp_extract_all(content, F.lit(JS_IMPORT_RE), F.lit(1)),
+    )
+    empty = F.array().cast("array<string>")
+    return (
+        F.when(lang == "python", py)
+        .when(lang == "java", java)
+        .when(lang.isin("javascript", "typescript"), js)
+        .otherwise(empty)
+    )

@@ -93,3 +93,114 @@ def test_empty_and_commentless_content(spark):
         assert r["s"]["n_block_comments"] == 0
         assert r["s"]["comment_chars"] == 0
         assert r["lic"] is None
+
+
+PY_SRC = (
+    "import os\n"
+    "import numpy.linalg, scipy\n"
+    "from collections.abc import Mapping\n"
+    "  from x import y\n"
+    "# import commented\n"
+    "text = 'import not_a_real_import'\n"
+)
+JAVA_SRC = (
+    "import java.util.List;\n"
+    "import static org.junit.Assert.assertTrue;\n"
+    "import com.example.*;\n"
+    "// import com.commented.Out;\n"
+)
+JS_SRC = (
+    "import {a} from 'modA';\n"
+    "const b = require(\"modB\");\n"
+    "import 'side-effect-skipped';\n"
+)
+
+
+def test_imported_modules_per_language(spark):
+    df = spark.createDataFrame(
+        [
+            ("python", PY_SRC),
+            ("java", JAVA_SRC),
+            ("javascript", JS_SRC),
+            ("markdown", PY_SRC),
+        ],
+        "lang string, content string",
+    )
+    got = {
+        r["lang"]: sorted(r["mods"])
+        for r in df.select(
+            "lang",
+            C.imported_modules(F.col("content"), F.col("lang")).alias("mods"),
+        ).collect()
+    }
+    # documented spec: first module per statement; commented-out and
+    # string-literal "imports" on their own line still match the (?m)
+    # anchor only if the line STARTS with import/from -> the hash
+    # comment and quoted text above do not
+    assert got["python"] == ["collections.abc", "numpy.linalg", "os", "x"]
+    assert got["java"] == [
+        "com.example.*", "java.util.List", "org.junit.Assert.assertTrue",
+    ]
+    assert got["javascript"] == ["modA", "modB"]
+    assert got["markdown"] == []
+
+
+def test_imported_modules_matches_duckdb_oracle(spark):
+    """Identical RE2 patterns in DuckDB over the same content produce
+    the same module sets — same cross-engine stance as the redaction
+    and comment kernels."""
+    import duckdb
+
+    from ontoma_spark.functions.code import (
+        PY_FROM_IMPORT_RE,
+        PY_IMPORT_RE,
+    )
+
+    df = spark.createDataFrame(
+        [("python", PY_SRC)], "lang string, content string"
+    )
+    got = sorted(
+        df.select(
+            F.explode(
+                C.imported_modules(F.col("content"), F.col("lang"))
+            ).alias("m")
+        )
+        .toPandas()["m"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT ? AS content", [PY_SRC])
+    exp = sorted(
+        set(
+            con.sql(
+                "SELECT unnest(regexp_extract_all(content, ?, 1)) AS m FROM t",
+                params=[PY_FROM_IMPORT_RE],
+            ).df()["m"].tolist()
+            + con.sql(
+                "SELECT unnest(regexp_extract_all(content, ?, 1)) AS m FROM t",
+                params=[PY_IMPORT_RE],
+            ).df()["m"].tolist()
+        )
+    )
+    assert got == exp
+
+
+def test_import_graph_roundtrip(spark):
+    """File->module edges feed the graph layer unchanged: PageRank over
+    the bipartite import graph ranks the hub module highest."""
+    from ontoma_spark.operators.graph import pagerank
+
+    rows = [
+        ("r1", "a.py", "python", "import shared\nimport only_a\n"),
+        ("r1", "b.py", "python", "import shared\n"),
+        ("r1", "c.py", "python", "from shared import thing\n"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, lang string, content string")
+    edges = df.select(
+        F.col("path").alias("src"),
+        F.explode(
+            C.imported_modules(F.col("content"), F.col("lang"))
+        ).alias("dst"),
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=2).collect()}
+    assert ranks["shared"] == max(ranks.values())
