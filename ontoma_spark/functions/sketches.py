@@ -395,3 +395,61 @@ def grouped_bottomk(
         .drop("__rn")
         .select(*group_cols, "prio", key_col, *payload_cols)
     )
+
+
+def hll_registers_grouped(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    col: str,
+    m: int = M_DEFAULT,
+) -> DataFrame:
+    """Per-group register tables: (*group_cols, bucket, max_rho) — at
+    most m rows per group regardless of group size, built by one
+    map-side-combined shuffle on (group, bucket). Mergeable across
+    datasets with ``groupBy(*group, bucket).max(max_rho)`` exactly like
+    the ungrouped table."""
+    if m != 256:
+        raise ValueError("hll_registers_grouped: only m=256 supported")
+    bucket, rho = _hll_parts(F.col(col))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame,
+    group_cols: tuple[str, ...],
+    m: int = M_DEFAULT,
+) -> DataFrame:
+    """Distinct-count estimates per group, computed DISTRIBUTED —
+    (*group_cols, estimate double), one aggregation over the register
+    tables, no per-group driver loop (the grouped twin of
+    ``hll_estimate``, same Flajolet estimator + linear-counting
+    correction, same exact integer arithmetic: per-bucket powers of two
+    summed as DECIMAL(38,0) so the harmonic numerator never rounds)."""
+    if m != 256:
+        raise ValueError("hll_estimate_grouped: only m=256 supported")
+    # SQL form: the python shiftleft() only takes a literal shift count
+    term = F.expr("shiftleft(CAST(1 AS BIGINT), 57 - max_rho)")
+    per_group = registers.groupBy(*group_cols).agg(
+        F.sum(term.cast("decimal(38,0)")).alias("__present_sum"),
+        F.count("*").alias("__nbuckets"),
+    )
+    zeros = F.lit(m) - F.col("__nbuckets")
+    num = (
+        zeros.cast("decimal(38,0)")
+        * F.lit(1 << 57).cast("decimal(38,0)")
+        + F.col("__present_sum")
+    )
+    raw = (
+        F.lit(_ALPHA_256 * m * m * float(1 << 57))
+        / num.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return per_group.select(*group_cols, est.alias("estimate"))

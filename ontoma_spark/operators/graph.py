@@ -194,6 +194,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank on a directed edge list; returns
     (node, rank).
@@ -205,13 +206,24 @@ def pagerank(
     Dangling-node mass is dropped, not redistributed — the common
     simplification; totals therefore need not sum to 1.
 
+    ``weight`` names an edge-weight column (e.g. ``n_docs`` or a PMI
+    score from ``edge_pmi``): each source then splits its rank
+    proportionally to edge weight — ``rank(u) * w(u,v) / sum_w(u)`` —
+    instead of uniformly over out-degree. None keeps the unweighted
+    semantics above bit-for-bit (weight 1 per edge).
+
     N (one scalar) is the only driver-side value; everything else stays
     distributed. Each iteration is lineage-cut with a lazy
     ``localCheckpoint`` so the plan stays O(1) deep regardless of
     ``n_iter``.
     """
+    w_col = (
+        F.col(weight).cast("double") if weight is not None else F.lit(1.0)
+    )
     e = edges.select(
-        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+        F.col(src).alias("__src"),
+        F.col(dst).alias("__dst"),
+        w_col.alias("__w"),
     )
     nodes = (
         e.select(F.col("__src").alias("node"))
@@ -222,7 +234,7 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("__src").agg(F.count("*").alias("__odeg"))
+    out_deg = e.groupBy("__src").agg(F.sum("__w").alias("__odeg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(n_iter):
@@ -231,7 +243,9 @@ def pagerank(
             .join(ranks.withColumnRenamed("node", "__src"), on="__src")
             .select(
                 F.col("__dst").alias("node"),
-                (F.col("rank") / F.col("__odeg")).alias("__c"),
+                (F.col("rank") * F.col("__w") / F.col("__odeg")).alias(
+                    "__c"
+                ),
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))

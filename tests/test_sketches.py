@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from ontoma_spark.functions.sketches import (
@@ -263,3 +264,91 @@ def test_grouped_bottomk_merge_property(spark):
     d = sorted((r["grp"], r["prio"]) for r in direct.collect())
     m = sorted((r["grp"], r["prio"]) for r in merged.collect())
     assert d == m
+
+
+def test_grouped_hll_matches_ungrouped_per_group(spark):
+    """The distributed grouped estimator returns EXACTLY what the
+    driver-side hll_estimate computes on each group's own registers —
+    same estimator, same integer arithmetic."""
+    from ontoma_spark.functions.sketches import (
+        hll_estimate,
+        hll_estimate_grouped,
+        hll_registers,
+        hll_registers_grouped,
+    )
+
+    df = spark.range(30_000).selectExpr(
+        "concat('g', id % 3) AS grp", "concat('v', id) AS v"
+    )
+    regs = hll_registers_grouped(df, ("grp",), "v")
+    got = {
+        r["grp"]: r["estimate"]
+        for r in hll_estimate_grouped(regs, ("grp",)).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        solo = hll_estimate(
+            hll_registers(df.filter(F.col("grp") == g), "v")
+        )
+        assert got[g] == solo, (g, got[g], solo)
+        assert abs(got[g] - 10_000) / 10_000 < 0.2
+
+
+def test_grouped_hll_small_groups_linear_counting(spark):
+    from ontoma_spark.functions.sketches import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    df = spark.range(400).selectExpr(
+        "concat('g', id % 2) AS grp", "concat('s', id) AS v"
+    )
+    regs = hll_registers_grouped(df, ("grp",), "v")
+    got = {
+        r["grp"]: r["estimate"]
+        for r in hll_estimate_grouped(regs, ("grp",)).collect()
+    }
+    for g, est in got.items():
+        assert abs(est - 200) / 200 < 0.2, (g, est)
+
+
+def test_pagerank_weighted_vs_bruteforce(spark):
+    """Weighted PageRank splits rank proportionally to edge weight;
+    weight=None stays bit-identical to the unweighted operator."""
+    import random as _random
+
+    from ontoma_spark.operators.graph import pagerank
+
+    rng = _random.Random(11)
+    edges = [
+        (f"n{rng.randrange(10)}", f"n{rng.randrange(10)}", float(rng.randrange(1, 6)))
+        for _ in range(40)
+    ]
+    edges = [(a, b, w) for a, b, w in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    n_iter = 3
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=n_iter, weight="w").collect()
+    }
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    n = len(nodes)
+    outw: dict[str, float] = {}
+    for a, _, w in edges:
+        outw[a] = outw.get(a, 0.0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    d = 0.85
+    for _ in range(n_iter):
+        s: dict[str, float] = {v: 0.0 for v in nodes}
+        for a, b, w in edges:
+            s[b] += rank[a] * w / outw[a]
+        rank = {v: (1 - d) / n + d * s[v] for v in nodes}
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-9, v
+    unw = {
+        r["node"]: r["rank"] for r in pagerank(df, n_iter=2).collect()
+    }
+    unw2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(df.withColumn("one", F.lit(1.0)), n_iter=2, weight="one").collect()
+    }
+    assert unw == unw2
