@@ -72,3 +72,43 @@ def test_ppjoin_prefix_filter_in_plan(spark):
 
     m = re.search(r"explode\(transform\(slice\(", plan)
     assert m, f"prefix-sliced posting explode missing:\n{plan}"
+
+
+def test_bottomk_plan_is_take_ordered_no_exchange(spark):
+    """Unique-key bottom-k must stay a TakeOrderedAndProject over fused
+    codegen — per-partition local top-k, zero Exchange. A refactor to
+    orderBy+limit materialising a global sort would silently regress
+    the 100 TB path."""
+    from ontoma_spark.functions.sketches import bottomk_sketch
+
+    df = spark.range(10_000).selectExpr(
+        "concat('r', id) AS rid", "CAST(id AS DOUBLE) AS v"
+    )
+    plan = _plan(bottomk_sketch(df, "rid", k=64, payload_cols=("v",)))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_grouped_bottomk_single_shuffle(spark):
+    """Per-group bottom-k pays exactly ONE exchange (the window's
+    partitionBy on the group key)."""
+    from ontoma_spark.functions.sketches import grouped_bottomk
+
+    df = spark.range(10_000).selectExpr(
+        "concat('g', id % 5) AS grp", "concat('r', id) AS rid"
+    )
+    plan = _plan(grouped_bottomk(df, ("grp",), "rid", k=16))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_edge_pmi_frequency_joins_are_broadcast(spark):
+    """The node doc-frequency table joins the edge list via broadcast —
+    edges must not shuffle again after their aggregation."""
+    from ontoma_spark.operators.graph import edge_pmi
+
+    df = spark.range(2_000).selectExpr(
+        "concat('d', id % 50) AS doc_id", "concat('E', id % 20) AS entity_id"
+    )
+    plan = _plan(edge_pmi(df))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
