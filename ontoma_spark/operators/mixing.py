@@ -1,0 +1,100 @@
+"""Deterministic corpus mixing to a token budget.
+
+The standard final step of a training-data pipeline: given a cleaned
+corpus with per-document token counts and a target mixture ("70% code,
+30% prose, 10B tokens total"), pick a reproducible subset hitting each
+source's share of the budget. The selection rule is the hash-ordered
+prefix: within each source, documents are ranked by ``md5(doc key)``
+(uniform but bit-reproducible, same priority device as
+``functions/sketches.bottomk_sketch``) and kept while the source's
+inclusive cumulative token count stays within its share.
+
+Scale shape: ONE global prefix sum via ``packing.running_total`` (the
+two-pass range-partitioned cumsum — no single-task window over the
+corpus, no per-source window that would put a whole source in one
+task), one tiny per-source offset table (rows = #sources) broadcast
+back, then a codegen filter. The reference (opentargets/OnToma) has no
+corpus surface; this backs the training-data-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.packing import running_total
+
+_SEP = "\x00"  # cannot occur in md5 hex; source/key values must not contain it
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    source_col: str | None = None,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic subset of ``df`` whose per-source token totals fit
+    the budget mixture; adds ``mix_rank`` (the doc's md5 priority) and
+    ``source_cum_tokens`` (inclusive per-source cumulative count).
+
+    Selection spec (the oracle implements exactly this): within each
+    source, order docs by (md5(key), key); keep a doc iff the source's
+    inclusive cumulative token count through that doc is <= the
+    source's share ``budget * w_s / sum(w)``. A document larger than
+    the remaining share is NOT kept (strict budget — no overshoot);
+    sources missing from ``weights`` are excluded. With
+    ``source_col=None`` the whole corpus is one source with the full
+    budget. Zero/negative-token docs are dropped up front.
+    """
+    key_expr = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in key_cols])
+    d = df.filter(F.col(token_col) > 0).withColumn(
+        "mix_rank", F.md5(key_expr)
+    )
+    if source_col is None:
+        d = d.withColumn("__src", F.lit(""))
+        shares = None  # single share = full budget
+    else:
+        if weights is None:
+            raise ValueError("weights required when source_col is set")
+        d = d.withColumn("__src", F.col(source_col).cast("string"))
+        total_w = float(sum(weights.values()))
+        shares = {
+            s: budget * (w / total_w) for s, w in weights.items()
+        }
+        d = d.filter(F.col("__src").isin(*weights.keys()))
+    # global order = (source, priority, key): the global prefix sum of
+    # tokens in this order restricts to a per-source prefix sum after
+    # subtracting each source's starting offset.
+    d = d.withColumn(
+        "__ord", F.concat_ws(_SEP, F.col("__src"), F.col("mix_rank"), key_expr)
+    )
+    d = running_total(d, "__ord", token_col, out_col="__cum")
+    # per-source starting offsets: total tokens of all EARLIER sources
+    # (source-string order, matching __ord's leading component). One
+    # row per source — driver-free, broadcast back.
+    w_src = Window.orderBy("__src").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        d.groupBy("__src")
+        .agg(F.sum(token_col).alias("__stot"))
+        .withColumn(
+            "__soff", F.coalesce(F.sum("__stot").over(w_src), F.lit(0))
+        )
+        .select("__src", "__soff")
+    )
+    d = d.join(F.broadcast(offsets), "__src").withColumn(
+        "source_cum_tokens", (F.col("__cum") - F.col("__soff")).cast("long")
+    )
+    if shares is None:
+        keep = F.col("source_cum_tokens") <= F.lit(int(budget))
+    else:
+        share_expr = F.lit(None).cast("double")
+        for s, v in shares.items():
+            share_expr = F.when(
+                F.col("__src") == s, F.lit(float(v))
+            ).otherwise(share_expr)
+        keep = F.col("source_cum_tokens") <= share_expr
+    return d.filter(keep).drop("__src", "__ord", "__cum", "__soff")

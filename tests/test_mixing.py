@@ -1,0 +1,92 @@
+"""Corpus mixing to a token budget vs a brute-force same-spec oracle."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ontoma_spark.operators.mixing import sample_to_token_budget
+
+
+def _brute(rows, budget, weights=None):
+    """rows: (doc_id, source, tokens). Returns {doc_id: cum} kept."""
+    srcs = sorted({s for _, s, _ in rows}) if weights is None else sorted(weights)
+    total_w = sum(weights.values()) if weights else None
+    kept = {}
+    for s in srcs:
+        share = budget if weights is None else budget * weights[s] / total_w
+        docs = sorted(
+            ((hashlib.md5(d.encode()).hexdigest(), d, t) for d, s2, t in rows if s2 == s and t > 0),
+        )
+        cum = 0
+        for _, d, t in docs:
+            cum += t
+            if cum <= share:
+                kept[d] = cum
+    return kept
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_single_source_budget_prefix(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(f"doc{i:03d}", "any", rng.randrange(1, 400)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, tokens int")
+    budget = 8_000
+    got = {
+        r["doc_id"]: r["source_cum_tokens"]
+        for r in sample_to_token_budget(df, "tokens", budget).collect()
+    }
+    exp = _brute([(d, "", t) for d, _, t in rows], budget)
+    assert got == exp, seed
+    assert sum(t for d, _, t in rows if d in got) <= budget
+
+
+def test_weighted_mixture_shares(spark):
+    rows = (
+        [(f"code{i:03d}", "code", 100) for i in range(100)]
+        + [(f"prose{i:03d}", "prose", 100) for i in range(100)]
+        + [(f"junk{i:03d}", "junk", 100) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, source string, tokens int")
+    weights = {"code": 0.7, "prose": 0.3}
+    budget = 10_000
+    out = sample_to_token_budget(
+        df, "tokens", budget, source_col="source", weights=weights
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], 0)
+        by_src[r["source"]] += r["tokens"]
+    # exact shares: docs are uniform 100 tokens -> 70 and 30 docs
+    assert by_src == {"code": 7_000, "prose": 3_000}
+    # sources absent from weights never appear
+    assert not any(r["source"] == "junk" for r in out)
+    got = {r["doc_id"]: r["source_cum_tokens"] for r in out}
+    assert got == _brute(rows, budget, weights)
+
+
+def test_partitioning_invariance_and_strictness(spark):
+    rows = [(f"d{i}", "s", 50 + i) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, tokens int")
+    a = sorted(
+        r["doc_id"]
+        for r in sample_to_token_budget(df, "tokens", 1_500).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in sample_to_token_budget(
+            df.repartition(7), "tokens", 1_500
+        ).collect()
+    )
+    assert a == b and a
+    # budget below the smallest doc -> nothing kept (strict, no overshoot)
+    assert (
+        sample_to_token_budget(df, "tokens", 10).count() == 0
+    )
+    # budget above the corpus -> everything kept
+    assert (
+        sample_to_token_budget(df, "tokens", 10**9).count() == 60
+    )
