@@ -375,3 +375,49 @@ def label_propagation(
             ).alias("label")
         ).localCheckpoint(eager=False)
     return labels
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 12,
+) -> DataFrame:
+    """All reachability pairs (src, dst) of a directed graph by
+    iterative path DOUBLING: after k rounds every path of length
+    <= 2^k is covered, so an ontology is_a hierarchy of depth d closes
+    in ceil(log2(d)) joins instead of d — the subsumption-closure
+    operator a KG consumer needs to ask "which terms fall under
+    EFO:cancer" without recursing per query. Cycles are safe
+    (reachability is computed, closure just stops growing).
+
+    Each round: one equi-self-join on the frontier's meeting column +
+    distinct, both shuffling on node id with map-side dedup;
+    ``localCheckpoint`` per round cuts the doubling lineage. The only
+    driver-side values are the per-round pair counts used for the
+    early-stop (same stance as unionfind's convergence loop).
+    """
+    reach = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .filter(F.col("__s") != F.col("__d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = reach.count()
+    for _ in range(max_iter):
+        doubled = (
+            reach.alias("a")
+            .join(
+                reach.alias("b"), F.col("a.__d") == F.col("b.__s")
+            )
+            .select(F.col("a.__s").alias("__s"), F.col("b.__d").alias("__d"))
+            .filter(F.col("__s") != F.col("__d"))
+        )
+        new = (
+            reach.union(doubled).distinct().localCheckpoint(eager=False)
+        )
+        m = new.count()
+        if m == n:
+            break
+        reach, n = new, m
+    return reach.select(F.col("__s").alias(src), F.col("__d").alias(dst))

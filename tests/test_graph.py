@@ -281,3 +281,59 @@ def test_label_propagation_vs_bruteforce(spark, seed):
             new[n] = best
         lbl = new
     assert got == lbl, seed
+
+
+def test_transitive_closure_vs_bruteforce_dag(spark):
+    from ontoma_spark.operators.graph import transitive_closure
+
+    rng = random.Random(19)
+    # random DAG: edges only from lower to higher ids
+    edges = sorted(
+        {
+            (a, b)
+            for _ in range(60)
+            for a, b in [sorted(rng.sample(range(20), 2))]
+        }
+    )
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {(r["src"], r["dst"]) for r in transitive_closure(df).collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    exp = set()
+    for s in range(20):
+        stack, seen = [s], set()
+        while stack:
+            u = stack.pop()
+            for v in adj.get(u, ()):  # DFS reachability
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        exp |= {(s, v) for v in seen}
+    assert got == exp
+
+
+def test_transitive_closure_deep_chain_logarithmic(spark):
+    """A depth-40 is_a chain closes within the 12-round cap (path
+    doubling: ceil(log2(40)) = 6 growth rounds)."""
+    from ontoma_spark.operators.graph import transitive_closure
+
+    df = spark.createDataFrame(
+        [(f"t{i:02d}", f"t{i + 1:02d}") for i in range(40)],
+        "src string, dst string",
+    )
+    got = transitive_closure(df)
+    assert got.count() == 40 * 41 // 2
+
+
+def test_transitive_closure_cycle_safe(spark):
+    from ontoma_spark.operators.graph import transitive_closure
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {(r["src"], r["dst"]) for r in transitive_closure(df).collect()}
+    # every ordered pair of distinct nodes is reachable
+    assert got == {
+        (x, y) for x in "abc" for y in "abc" if x != y
+    }
