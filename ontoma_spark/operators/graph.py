@@ -421,3 +421,57 @@ def transitive_closure(
             break
         reach, n = new, m
     return reach.select(F.col("__s").alias(src), F.col("__d").alias(dst))
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores: for every UNCONNECTED node
+    pair sharing at least one neighbour, (src, dst, score) with
+    src < dst and ``score = sum over common neighbours z of
+    1/ln(degree(z))`` — the standard "which KG edges are missing"
+    baseline (a common neighbour z always has degree >= 2, so the log
+    is never zero).
+
+    Dataflow: wedges via one self-join of the bidirectional adjacency
+    list on the midpoint (same sum-of-degree^2 profile as
+    ``triangle_counts``), midpoint degree attached by a broadcast of
+    the |V|-row degree table, existing edges removed with a left-anti
+    join. ``max_degree`` drops hub midpoints before the wedge join —
+    a degree-10^6 hub contributes ~nothing per pair (1/ln(10^6)) but
+    a quadratic number of pairs, so capping is the scale lever, and
+    it is a DOCUMENTED approximation the caller opts into.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    bi = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().persist()
+    deg = bi.groupBy(F.col("u").alias("z")).agg(
+        F.count("*").alias("__deg")
+    )
+    if max_degree is not None:
+        deg = deg.filter(F.col("__deg") <= max_degree)
+    # adjacency keyed by midpoint z: (z, other)
+    adj = bi.select(F.col("u").alias("z"), F.col("v").alias("o"))
+    wedges = (
+        adj.alias("a")
+        .join(adj.alias("b"), "z")
+        .filter(F.col("a.o") < F.col("b.o"))
+        .join(F.broadcast(deg), "z")
+        .select(
+            F.col("a.o").alias(src),
+            F.col("b.o").alias(dst),
+            (F.lit(1.0) / F.log(F.col("__deg").cast("double"))).alias(
+                "__w"
+            ),
+        )
+    )
+    scores = wedges.groupBy(src, dst).agg(F.sum("__w").alias("score"))
+    # drop pairs that are already edges (normalise stored orientation)
+    existing = e.select(
+        F.least("u", "v").alias(src), F.greatest("u", "v").alias(dst)
+    ).distinct()
+    return scores.join(existing, on=[src, dst], how="left_anti")

@@ -337,3 +337,61 @@ def test_transitive_closure_cycle_safe(spark):
     assert got == {
         (x, y) for x in "abc" for y in "abc" if x != y
     }
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_adamic_adar_vs_bruteforce(spark, seed):
+    import math
+
+    from ontoma_spark.operators.graph import adamic_adar
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(15)]
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for _ in range(40)
+            for a, b in [(rng.choice(nodes), rng.choice(nodes))]
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["src"], r["dst"]): r["score"]
+        for r in adamic_adar(df).collect()
+    }
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    eset = set(edges)
+    exp = {}
+    ns = sorted(adj)
+    for i in range(len(ns)):
+        for j in range(i + 1, len(ns)):
+            u, v = ns[i], ns[j]
+            if (u, v) in eset:
+                continue
+            common = adj[u] & adj[v]
+            if common:
+                exp[(u, v)] = sum(1.0 / math.log(len(adj[z])) for z in common)
+    assert set(got) == set(exp), seed
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-9, k
+
+
+def test_adamic_adar_excludes_existing_and_caps_hubs(spark):
+    from ontoma_spark.operators.graph import adamic_adar
+
+    # star hub h with leaves l0..l4 plus one l0-l1 edge
+    edges = [("h", f"l{i}") for i in range(5)] + [("l0", "l1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["src"], r["dst"]) for r in adamic_adar(df).collect()}
+    # l0-l1 is an existing edge -> excluded; other leaf pairs predicted
+    assert ("l0", "l1") not in got
+    assert ("l2", "l3") in got
+    # capping below the hub degree removes every leaf-pair wedge
+    capped = adamic_adar(df, max_degree=4)
+    assert ("l2", "l3") not in {
+        (r["src"], r["dst"]) for r in capped.collect()
+    }
