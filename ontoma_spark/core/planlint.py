@@ -1,0 +1,137 @@
+"""Physical-plan lint: flag scale hazards before a job ships.
+
+The plan-quality pytest suite (tests/test_plan_quality.py) pins good
+plans for THIS repo's operators; this module makes the same checks
+available at runtime for ANY DataFrame — the pre-flight a 100 TB job
+runs to catch the classic cluster-killers while the plan is still a
+string on the driver:
+
+* ``cartesian``  — CartesianProduct / BroadcastNestedLoopJoin nodes: an
+  all-pairs join that is almost always a missing equi-key.
+* ``single_partition`` — ``Exchange SinglePartition``: the whole
+  dataset collapses into ONE task (global window with no partitionBy,
+  repartition(1), ...). The one sanctioned case is an O(#partitions)
+  side table (see operators/packing.running_total); anything row-scaled
+  is a serial bottleneck.
+* ``pushdown_miss`` — a Filter sits above a parquet scan whose
+  ``PushedFilters`` is empty: the predicate is evaluated after reading
+  every row group (non-pushable expressions like length(col) > k are
+  sometimes unavoidable — the finding names the scan so the caller can
+  judge).
+* ``python_row_udf`` — ``BatchEvalPython``: a row-at-a-time Python UDF
+  in the plan (Arrow-vectorized pandas UDFs show as ArrowEvalPython /
+  MapInPandas and are NOT flagged).
+* ``exchanges`` — informational count of shuffle boundaries.
+
+Heuristics over ``executedPlan`` text, deliberately conservative: a
+finding is a prompt to look, not a verdict. No reference counterpart
+(OnToma has no plan tooling); part of the scale-ops surface.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_text(df: DataFrame) -> str:
+    """The physical plan as a string (post-AQE initial plan)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_findings(df: DataFrame) -> list[dict]:
+    """Lint the DataFrame's physical plan; one dict per finding:
+    {"code", "severity", "detail"}. Empty list = nothing flagged."""
+    plan = plan_text(df)
+    findings: list[dict] = []
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        n = plan.count(node)
+        if n:
+            findings.append(
+                {
+                    "code": "cartesian",
+                    "severity": "error",
+                    "detail": f"{n}x {node}: all-pairs join — at N rows "
+                    "per side this is N^2; add an equi-key or a "
+                    "blocking key",
+                }
+            )
+    n_single = plan.count("Exchange SinglePartition")
+    if n_single:
+        findings.append(
+            {
+                "code": "single_partition",
+                "severity": "warn",
+                "detail": f"{n_single}x Exchange SinglePartition: a "
+                "whole input collapses into one task (global window "
+                "without partitionBy?). Sanctioned only for "
+                "O(#partitions)-sized side tables.",
+            }
+        )
+    # a scan whose DataFilters carry a REAL predicate while the pushed
+    # set is empty or null-checks only: the predicate is evaluated
+    # after reading every row group. (IsNotNull pushes even when the
+    # main predicate cannot, so "PushedFilters: []" alone is too weak.)
+    missed_scans = []
+    for ln in plan.splitlines():
+        if "DataFilters: [" not in ln:
+            continue
+        data = re.search(r"DataFilters: \[(.*?)\], Format:", ln)
+        pushed = re.search(r"PushedFilters: \[(.*?)\]", ln)
+        if not data:
+            continue
+        residue = re.sub(r"isnotnull\([^)]*\)", "", data.group(1))
+        has_real_pred = bool(re.search(r"\w", residue.replace(",", "")))
+        pushed_real = pushed and bool(
+            re.search(
+                r"\w",
+                re.sub(
+                    r"IsNotNull\([^)]*\)", "", pushed.group(1)
+                ).replace(",", ""),
+            )
+        )
+        if has_real_pred and not pushed_real:
+            missed_scans.append(ln.strip()[:160])
+    if missed_scans:
+        findings.append(
+            {
+                "code": "pushdown_miss",
+                "severity": "warn",
+                "detail": "scan evaluates a predicate that did not "
+                "push down — every row group is read then filtered. "
+                "Scans: " + "; ".join(missed_scans[:3]),
+            }
+        )
+    n_pyudf = plan.count("BatchEvalPython")
+    if n_pyudf:
+        findings.append(
+            {
+                "code": "python_row_udf",
+                "severity": "error",
+                "detail": f"{n_pyudf}x BatchEvalPython: row-at-a-time "
+                "Python UDF in the hot path — rewrite as built-in "
+                "Columns or an Arrow pandas UDF (10-100x).",
+            }
+        )
+    n_ex = plan.count("Exchange ")
+    if n_ex:
+        findings.append(
+            {
+                "code": "exchanges",
+                "severity": "info",
+                "detail": f"{n_ex} shuffle boundaries (Exchange nodes)",
+            }
+        )
+    return findings
+
+
+def assert_plan_clean(
+    df: DataFrame, allow: tuple[str, ...] = ("exchanges",)
+) -> None:
+    """Raise AssertionError listing every non-allowed finding — the
+    one-liner for tests and pre-flight gates."""
+    bad = [f for f in plan_findings(df) if f["code"] not in allow]
+    assert not bad, "plan hazards: " + "; ".join(
+        f"[{f['severity']}] {f['code']}: {f['detail']}" for f in bad
+    )

@@ -1,0 +1,81 @@
+"""Plan linter: each hazard class detected on a crafted plan, clean
+plans pass, and the repo's own KG pipeline lints clean."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.core.planlint import (
+    assert_plan_clean,
+    plan_findings,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _codes(df):
+    return {f["code"] for f in plan_findings(df)}
+
+
+def test_detects_cartesian(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    assert "cartesian" in _codes(a.crossJoin(b))
+
+
+def test_detects_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    df = spark.range(100).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert "single_partition" in _codes(df)
+
+
+def test_detects_pushdown_miss_and_clean_pushdown(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # non-pushable predicate -> empty PushedFilters + Filter above scan
+    missed = docs.filter(F.length("text") % 7 == 3)
+    assert "pushdown_miss" in _codes(missed)
+    # pushable predicate reaches the scan -> not flagged
+    pushed = docs.filter(F.col("doc_id") > 100)
+    assert "pushdown_miss" not in _codes(pushed)
+
+
+def test_detects_row_udf_but_not_arrow_udf(spark):
+    from pyspark.sql.functions import pandas_udf, udf
+
+    slow = udf(lambda s: s.upper())
+    df = spark.createDataFrame([("x",)], "v string")
+    assert "python_row_udf" in _codes(df.select(slow("v")))
+
+    # lambda form: `from __future__ import annotations` stringifies
+    # local type hints, which pandas_udf cannot resolve
+    fast = pandas_udf(lambda s: s.str.upper(), "string")
+    assert "python_row_udf" not in _codes(df.select(fast("v")))
+
+
+def test_assert_plan_clean_raises_and_passes(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    with pytest.raises(AssertionError, match="cartesian"):
+        assert_plan_clean(a.crossJoin(b))
+    assert_plan_clean(
+        a.join(b, a.id == b.id2).groupBy("id").count()
+    )  # equi-join + agg: only exchanges, which are allowed
+
+
+def test_kg_pipeline_lints_clean(spark):
+    """The repo's own flagship dataflow carries none of the hazard
+    classes (exchanges are expected and allowed)."""
+    from ontoma_spark.datagen import generate_repos
+    from ontoma_spark.pipeline.kg import build_triples
+    from ontoma_spark.pipeline.run import prepare_reference_tables
+
+    lex, canon, bloom = prepare_reference_tables(spark)
+    repos = generate_repos(spark, 200)
+    triples = build_triples(repos, lex, canon, token_bloom=bloom)
+    assert_plan_clean(triples)
