@@ -239,3 +239,42 @@ def upsert_batch_into_snapshot(
     return table.merge(
         src, keys, properties={"stream_batch_id": int(batch_id)}
     )
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark_delay: str = "2 hours",
+    query_name: str = "stream_dedup",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming exact deduplication across micro-batches with BOUNDED
+    state: ``withWatermark(ts)`` + ``dropDuplicatesWithinWatermark`` —
+    the at-least-once-upstream -> effectively-once-downstream gate a
+    streaming ingest needs. Unlike a plain ``dropDuplicates`` on a
+    stream (whose key state grows forever), a key's dedup state is
+    evicted once the watermark passes its event time, so duplicates
+    arriving within ``watermark_delay`` are dropped while state stays
+    O(keys-per-watermark-window) at any corpus scale. Batch twin for
+    the equality test: ``dropDuplicates(keys)`` over the same files.
+    Append-mode memory sink (rows flow through, no aggregation barrier).
+    """
+    reader = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(input_dir)
+    deduped = events.withWatermark(
+        "ts", watermark_delay
+    ).dropDuplicatesWithinWatermark(list(keys))
+    return (
+        deduped.writeStream.queryName(query_name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

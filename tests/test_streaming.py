@@ -294,3 +294,69 @@ def test_stream_upsert_retry_noop_after_maintenance_commit(spark, tmp_path):
     assert upsert_batch_into_snapshot(spark, table_root, nxt, 1, ["k"]) == 3
     got = {r["k"]: r["val"] for r in t.read().collect()}
     assert got == {1: "x", 2: "Y"}
+
+
+def test_stream_dedup_matches_batch_twin(spark, tmp_path):
+    """Duplicates arriving in the same AND in later micro-batches
+    (within the watermark) are dropped; result equals the batch
+    dropDuplicates over the same files."""
+    from ontoma_spark.streaming.incremental import stream_dedup
+
+    input_dir = str(tmp_path / "ev_dup")
+    ckpt = str(tmp_path / "ckpt_dup")
+    os.makedirs(input_dir)
+
+    def _ev(eid, ts_s, val):
+        return (eid, ts_s, 1, "click", val, "{}")
+
+    schema = (
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def _write(rows, name):
+        spark.createDataFrame(rows, schema).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    # batch 1: events 1,2,3 with an in-batch duplicate of 2
+    _write(
+        [
+            _ev(1, "2024-01-01 00:01:00", 1.0),
+            _ev(2, "2024-01-01 00:02:00", 2.0),
+            _ev(2, "2024-01-01 00:02:00", 2.0),
+            _ev(3, "2024-01-01 00:03:00", 3.0),
+        ],
+        "b1",
+    )
+    # batch 2 (separate file -> separate micro-batch): cross-batch
+    # duplicates of 2 and 3 plus new event 4
+    _write(
+        [
+            _ev(2, "2024-01-01 00:02:00", 2.0),
+            _ev(3, "2024-01-01 00:03:00", 3.0),
+            _ev(4, "2024-01-01 00:30:00", 4.0),
+        ],
+        "b2",
+    )
+
+    q = stream_dedup(
+        spark, input_dir, ckpt, query_name="dedup_t1",
+        max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r["event_id"]
+            for r in spark.sql("SELECT * FROM dedup_t1").collect()
+        )
+    finally:
+        q.stop()
+    batch_twin = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(input_dir)
+        .dropDuplicates(["event_id"])
+        .collect()
+    )
+    assert got == batch_twin == [1, 2, 3, 4]
