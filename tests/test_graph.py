@@ -395,3 +395,24 @@ def test_adamic_adar_excludes_existing_and_caps_hubs(spark):
     assert ("l2", "l3") not in {
         (r["src"], r["dst"]) for r in capped.collect()
     }
+
+
+def test_transitive_closure_idempotent(spark):
+    """closure(closure(E)) == closure(E): the result is already
+    transitively closed."""
+    from ontoma_spark.operators.graph import transitive_closure
+
+    rng = random.Random(29)
+    edges = sorted(
+        {
+            (a, b)
+            for _ in range(40)
+            for a, b in [sorted(rng.sample(range(15), 2))]
+        }
+    )
+    df = spark.createDataFrame(edges, "src int, dst int")
+    once = transitive_closure(df)
+    twice = transitive_closure(once)
+    a = {(r["src"], r["dst"]) for r in once.collect()}
+    b = {(r["src"], r["dst"]) for r in twice.collect()}
+    assert a == b

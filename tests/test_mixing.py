@@ -90,3 +90,22 @@ def test_partitioning_invariance_and_strictness(spark):
     assert (
         sample_to_token_budget(df, "tokens", 10**9).count() == 60
     )
+
+
+def test_budget_monotonicity_prefix_law(spark):
+    """A larger budget keeps a SUPERSET of a smaller budget's docs —
+    the hash-ordered selection is a prefix, so growing the budget can
+    only extend it, never swap picks (reproducible curriculum)."""
+    import random
+
+    rng = random.Random(31)
+    rows = [(f"doc{i}", "s", rng.randrange(1, 300)) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, tokens int")
+    picked = {}
+    for budget in (2_000, 6_000, 12_000):
+        picked[budget] = {
+            r["doc_id"]
+            for r in sample_to_token_budget(df, "tokens", budget).collect()
+        }
+    assert picked[2_000] <= picked[6_000] <= picked[12_000]
+    assert len(picked[12_000]) > len(picked[2_000])

@@ -352,3 +352,14 @@ def test_pagerank_weighted_vs_bruteforce(spark):
         for r in pagerank(df.withColumn("one", F.lit(1.0)), n_iter=2, weight="one").collect()
     }
     assert unw == unw2
+
+
+def test_bottomk_prefix_law(spark):
+    """bottomk(k1) is exactly the first k1 rows of bottomk(k2>k1) —
+    growing k extends the sketch, never changes existing picks."""
+    from ontoma_spark.functions.sketches import bottomk_sketch
+
+    df = spark.range(4_000).selectExpr("concat('x', id) AS k")
+    small = sorted(r["prio"] for r in bottomk_sketch(df, "k", k=32).collect())
+    big = sorted(r["prio"] for r in bottomk_sketch(df, "k", k=128).collect())
+    assert big[:32] == small
