@@ -281,21 +281,26 @@ def bottomk_sketch(
     """Sketch table: the k distinct keys with the smallest md5
     priorities, as (prio string, key, *payload_cols).
 
-    ``distinct_keys=True`` deduplicates keys first — required when the
-    same key can appear in many rows (value sketches); the dedup is a
-    hash aggregate whose shuffle carries per-partition-DISTINCT keys
-    (map-side partial aggregation), not the raw rows. Leave it False
-    when ``key_col`` is already unique per row (e.g. a row id for
-    uniform row sampling): the plan is then a pure
-    TakeOrderedAndProject — per-partition local top-k, single O(k *
-    n_partitions) merge, no shuffle at all.
+    ``distinct_keys=True`` deduplicates ON THE KEY ALONE — required
+    when the same key can appear in many rows (value sketches); the
+    dedup is a hash aggregate whose shuffle carries
+    per-partition-DISTINCT keys (map-side partial aggregation), not
+    the raw rows. When ``payload_cols`` are present, each surviving
+    key carries a deterministic canonical payload — the per-column
+    MIN over that key's rows. (A plain row-distinct would let one key
+    with two payload values occupy two sketch slots, biasing the
+    (k-1)/p_k distinct estimate downward and making the kept payload
+    order-dependent.) Leave it False when ``key_col`` is already
+    unique per row (e.g. a row id for uniform row sampling): the plan
+    is then a pure TakeOrderedAndProject — per-partition local top-k,
+    single O(k * n_partitions) merge, no shuffle at all.
 
     Nulls in ``key_col`` are skipped (distinct-count semantics).
     """
     cols = [key_col, *payload_cols]
     base = df.select(*cols).filter(F.col(key_col).isNotNull())
     if distinct_keys:
-        base = base.distinct()
+        base = _dedupe_keys(base, [key_col], payload_cols)
     return (
         base.withColumn("prio", F.md5(F.col(key_col).cast("string")))
         .select("prio", *cols)
@@ -304,15 +309,37 @@ def bottomk_sketch(
     )
 
 
+def _dedupe_keys(df: DataFrame, key_cols: list[str], payload_cols) -> DataFrame:
+    """One row per key with a deterministic canonical payload: the
+    per-column MIN over the key's rows. min is associative and
+    commutative, so per-dataset dedup followed by merge-side dedup
+    equals dedup over the union — the property ``bottomk_merge``
+    relies on."""
+    payload_cols = [c for c in payload_cols if c not in key_cols]
+    if not payload_cols:
+        return df.distinct()
+    return df.groupBy(*key_cols).agg(
+        *[F.min(c).alias(c) for c in payload_cols]
+    )
+
+
 def bottomk_merge(*sketches: DataFrame, k: int = BOTTOMK_DEFAULT) -> DataFrame:
-    """Exact merge: union the sketch tables, dedupe keys (the same key
-    carries the same priority everywhere — deterministic hashing), and
-    re-take the k smallest priorities. bottomk(A ∪ B) ==
-    merge(bottomk(A), bottomk(B)) by the min-union property."""
+    """Exact merge: union the sketch tables, dedupe ON THE KEY (the
+    same key carries the same priority everywhere — deterministic
+    hashing — but may carry different payloads when the sketches come
+    from different datasets; the key-level dedup keeps the per-column
+    MIN payload, matching ``bottomk_sketch``'s canonicalisation so
+    merge(bottomk(A), bottomk(B)) == bottomk(A ∪ B) row-for-row), and
+    re-take the k smallest priorities (min-union property).
+
+    Column convention (as produced by ``bottomk_sketch``): column 0 is
+    ``prio``, column 1 the key, the rest payloads."""
     from functools import reduce
 
     u = reduce(lambda a, b: a.unionByName(b), sketches)
-    return u.distinct().orderBy("prio").limit(k)
+    key = u.columns[1]
+    u = _dedupe_keys(u, ["prio", key], u.columns[2:])
+    return u.select(*sketches[0].columns).orderBy("prio").limit(k)
 
 
 def _prio_fraction(prio_hex: str) -> float:
@@ -372,18 +399,21 @@ def grouped_bottomk(
 
     One shuffle on the group key (the window's partitionBy); rows
     beyond rank k are dropped before anything else consumes them.
-    Same-key ties cannot occur within a group after ``distinct_keys``
-    dedup; the orderBy adds the key itself as a deterministic
-    tie-break for the (cosmologically unlikely) md5 collision.
-    Merge = unionByName sketches of disjoint row sets, re-apply —
-    same min-union property as ``bottomk_sketch``, per group.
+    ``distinct_keys`` dedups on (group, key) ALONE, canonicalising any
+    payloads to their per-column MIN (see ``bottomk_sketch`` — a row
+    dedup would let one key occupy several slots when payloads
+    differ), so same-key ties cannot occur within a group; the orderBy
+    adds the key itself as a deterministic tie-break for the
+    (cosmologically unlikely) md5 collision. Merge = unionByName
+    sketches of disjoint row sets, re-apply — same min-union property
+    as ``bottomk_sketch``, per group.
     """
     from pyspark.sql import Window
 
     cols = [*group_cols, key_col, *payload_cols]
     base = df.select(*cols).filter(F.col(key_col).isNotNull())
     if distinct_keys:
-        base = base.distinct()
+        base = _dedupe_keys(base, [*group_cols, key_col], payload_cols)
     w = (
         Window.partitionBy(*group_cols)
         .orderBy(F.col("prio"), F.col(key_col))

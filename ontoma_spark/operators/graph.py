@@ -111,28 +111,44 @@ def edge_pmi(
     npmi is defined as 1.0 at the p(a,b) = 1 boundary (its limit:
     perfect association; the raw formula is 0/0 there).
 
+    ``max_entities_per_doc`` is applied ONCE, to the (doc, entity)
+    table feeding BOTH the pair counts and the doc-frequencies/N — a
+    single consistent probability space. (Round 3 capped only the pair
+    counts while frequencies came from the uncapped table, which
+    systematically understated pmi and could push npmi below -1.)
+
     Scale: one shuffle for the edge aggregation (via
     ``comention_edges``), one entity-keyed groupBy for doc-frequencies
     (ontology-sized output), then two joins of the edge list against
     the broadcast node-frequency table — edges never shuffle again. N
     is the only driver-side scalar (one count), same stance as
-    ``pagerank``.
+    ``pagerank``. The deduped (and capped) (doc, entity) table is
+    lineage-cut with a lazy ``localCheckpoint`` rather than persisted:
+    three consumers (N count, edges, frequencies) reuse the
+    materialisation, and the blocks are released by the ContextCleaner
+    once the returned plan is garbage-collected — no unpaired
+    ``persist`` outliving the call.
     """
-    de = (
-        doc_entities.select(
-            F.col(doc_col).alias("__doc"),
-            F.col(entity_col).alias("__ent"),
+    de = doc_entities.select(
+        F.col(doc_col).alias("__doc"),
+        F.col(entity_col).alias("__ent"),
+    ).distinct()
+    if max_entities_per_doc is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__doc").orderBy("__ent")
+        de = (
+            de.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_entities_per_doc)
+            .drop("__rn")
         )
-        .distinct()
-        .persist()
-    )
+    de = de.localCheckpoint(eager=False)
     n_total = de.select("__doc").distinct().count()
     edges = comention_edges(
         de,
         doc_col="__doc",
         entity_col="__ent",
         min_docs=min_docs,
-        max_entities_per_doc=max_entities_per_doc,
     )
     freq = de.groupBy(F.col("__ent").alias("node")).agg(
         F.count("*").alias("__df")
@@ -170,9 +186,6 @@ def edge_pmi(
             .alias("npmi"),
         )
     )
-    # de stays persisted: it feeds the N count (an action above) and the
-    # two lazy consumers (edges + freq) the caller will execute — same
-    # multi-consumer persist idiom as triangle_counts' fwd.
     return out
 
 
@@ -396,6 +409,14 @@ def transitive_closure(
     ``localCheckpoint`` per round cuts the doubling lineage. The only
     driver-side values are the per-round pair counts used for the
     early-stop (same stance as unionfind's convergence loop).
+
+    Convergence is VERIFIED, never assumed: if the loop exhausts
+    ``max_iter`` doublings without a fixed point, one extra doubling
+    probe distinguishes "converged exactly on the last round" from
+    "path depth exceeds 2^max_iter", and the latter raises rather
+    than silently returning a wrong-but-plausible partial closure
+    (a caller asking "which terms fall under X" must not get a
+    truncated answer with no signal).
     """
     reach = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
@@ -404,22 +425,36 @@ def transitive_closure(
         .localCheckpoint(eager=False)
     )
     n = reach.count()
-    for _ in range(max_iter):
-        doubled = (
-            reach.alias("a")
-            .join(
-                reach.alias("b"), F.col("a.__d") == F.col("b.__s")
-            )
+    converged = False
+
+    def _doubled(r: DataFrame) -> DataFrame:
+        return (
+            r.alias("a")
+            .join(r.alias("b"), F.col("a.__d") == F.col("b.__s"))
             .select(F.col("a.__s").alias("__s"), F.col("b.__d").alias("__d"))
             .filter(F.col("__s") != F.col("__d"))
         )
+
+    for _ in range(max_iter):
         new = (
-            reach.union(doubled).distinct().localCheckpoint(eager=False)
+            reach.union(_doubled(reach))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
         m = new.count()
         if m == n:
+            converged = True
             break
         reach, n = new, m
+    if not converged:
+        # Loop exhausted while still growing: one more probe says
+        # whether the last round happened to complete the closure.
+        if reach.union(_doubled(reach)).distinct().count() != n:
+            raise RuntimeError(
+                f"transitive_closure: not converged within 2^{max_iter} "
+                "path length — reachability would be incomplete; raise "
+                "max_iter"
+            )
     return reach.select(F.col("__s").alias(src), F.col("__d").alias(dst))
 
 
@@ -440,10 +475,14 @@ def adamic_adar(
     list on the midpoint (same sum-of-degree^2 profile as
     ``triangle_counts``), midpoint degree attached by a broadcast of
     the |V|-row degree table, existing edges removed with a left-anti
-    join. ``max_degree`` drops hub midpoints before the wedge join —
-    a degree-10^6 hub contributes ~nothing per pair (1/ln(10^6)) but
-    a quadratic number of pairs, so capping is the scale lever, and
-    it is a DOCUMENTED approximation the caller opts into.
+    join. ``max_degree`` drops hub midpoints BEFORE the wedge
+    self-join — a broadcast left-semi join of the adjacency list
+    against the capped degree table sits below both self-join inputs
+    (plan-asserted in tests/test_plan_quality.py), so a degree-10^6
+    hub never reaches the quadratic wedge stage: it contributes
+    ~nothing per pair (1/ln(10^6)) but a quadratic number of pairs,
+    so capping is the scale lever, and it is a DOCUMENTED
+    approximation the caller opts into.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     bi = e.union(
@@ -456,6 +495,12 @@ def adamic_adar(
         deg = deg.filter(F.col("__deg") <= max_degree)
     # adjacency keyed by midpoint z: (z, other)
     adj = bi.select(F.col("u").alias("z"), F.col("v").alias("o"))
+    if max_degree is not None:
+        # Prune hub midpoints on EACH self-join input, not after the
+        # join: the round-3 plan applied the cap above the adj ⨝ adj
+        # self-join, so pathological hubs still paid the quadratic
+        # wedge explosion the parameter exists to prevent.
+        adj = adj.join(F.broadcast(deg.select("z")), "z", "left_semi")
     wedges = (
         adj.alias("a")
         .join(adj.alias("b"), "z")

@@ -85,6 +85,15 @@ def main(argv: list[str] | None = None) -> dict:
         "the previous version until the commit pointer swaps; prior "
         "versions stay time-travel readable",
     )
+    ap.add_argument(
+        "--no-lint",
+        action="store_true",
+        help="skip the pre-flight plan lint (core/planlint.py); by "
+        "default the triple dataflow's physical plan is checked for "
+        "scale hazards (cartesian joins, single-partition collapses, "
+        "row-at-a-time Python UDFs) BEFORE any data moves, and a "
+        "finding aborts the run",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="ontoma_spark_kg", master=args.master)
@@ -96,6 +105,25 @@ def main(argv: list[str] | None = None) -> dict:
         raise SystemExit("one of --input / --synthetic-rows is required")
 
     lexicon, canonical, bloom = prepare_reference_tables(spark, args.terms)
+
+    if not args.no_lint:
+        # Pre-flight: lint the whole-input triple plan before any
+        # corpus-sized work (strategy probes inside link_matches may
+        # run vocabulary-sized jobs; nothing corpus-scaled executes).
+        # pushdown_miss stays allowed: extract_candidates evaluates
+        # non-pushable content predicates by design.
+        from ontoma_spark.core.planlint import assert_plan_clean
+
+        preview = build_triples(
+            repos, lexicon, canonical,
+            with_fuzzy=not args.no_fuzzy, token_bloom=bloom,
+        )
+        try:
+            assert_plan_clean(
+                preview, allow=("exchanges", "pushdown_miss")
+            )
+        except AssertionError as e:
+            raise SystemExit(f"pre-flight plan lint failed: {e}") from e
 
     t0 = time.time()
     summary = run_resumable(

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
 
 from ontoma_spark.datagen.repos import REPOS_SCHEMA
 from ontoma_spark.pipeline.kg import build_triples
@@ -249,27 +250,36 @@ def stream_dedup(
     watermark_delay: str = "2 hours",
     query_name: str = "stream_dedup",
     max_files_per_trigger: int | None = None,
+    schema: str | StructType | None = None,
+    event_time_col: str = "ts",
 ) -> StreamingQuery:
     """Streaming exact deduplication across micro-batches with BOUNDED
-    state: ``withWatermark(ts)`` + ``dropDuplicatesWithinWatermark`` —
-    the at-least-once-upstream -> effectively-once-downstream gate a
-    streaming ingest needs. Unlike a plain ``dropDuplicates`` on a
-    stream (whose key state grows forever), a key's dedup state is
-    evicted once the watermark passes its event time, so duplicates
-    arriving within ``watermark_delay`` are dropped while state stays
-    O(keys-per-watermark-window) at any corpus scale. Batch twin for
-    the equality test: ``dropDuplicates(keys)`` over the same files.
-    Append-mode memory sink (rows flow through, no aggregation barrier).
+    state: ``withWatermark(event_time_col)`` +
+    ``dropDuplicatesWithinWatermark`` — the at-least-once-upstream ->
+    effectively-once-downstream gate a streaming ingest needs. Unlike a
+    plain ``dropDuplicates`` on a stream (whose key state grows
+    forever), a key's dedup state is evicted once the watermark passes
+    its event time, so duplicates arriving within ``watermark_delay``
+    are dropped while state stays O(keys-per-watermark-window) at any
+    corpus scale. Batch twin for the equality test:
+    ``dropDuplicates(keys)`` over the same files. Append-mode memory
+    sink (rows flow through, no aggregation barrier).
+
+    ``schema`` (DDL string or StructType — streaming file sources
+    require one) and ``event_time_col`` parameterise the gate for any
+    ingest; the defaults are the benchmark events table's.
     """
-    reader = spark.readStream.schema(
-        "event_id long, ts timestamp, user_id long, "
-        "event_type string, value double, props string"
-    )
+    if schema is None:
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     events = reader.parquet(input_dir)
     deduped = events.withWatermark(
-        "ts", watermark_delay
+        event_time_col, watermark_delay
     ).dropDuplicatesWithinWatermark(list(keys))
     return (
         deduped.writeStream.queryName(query_name)

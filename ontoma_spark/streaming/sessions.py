@@ -147,3 +147,63 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+BATCH_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_seq", LongType()),
+        StructField("session_start_micros", LongType()),
+        StructField("session_end_micros", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def sessionize_batch(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Batch twin of ``sessionize_stream`` through the SAME
+    Arrow-grouped pandas kernel family (``applyInPandas`` over user_id
+    groups; the streaming version adds only the keyed state store and
+    watermark timeout around the identical gap fold) — registered in
+    the driver contract as q26's ``stateful_twin`` variant so the
+    grouped-pandas sessionization kernel is value-checked against the
+    same DuckDB oracle as the pure-window formulation.
+
+    Output: (user_id, session_seq 1-based in time order,
+    session_start_micros, session_end_micros, n_events) — exact
+    integer microseconds, session boundary on strict ``gap > gap_sec``
+    (identical to the streaming fold and the batch window twin).
+
+    Scale: one shuffle on user_id (the same key any per-user rollup
+    pays); the per-group fold is vectorized numpy (diff + cumsum), no
+    per-row Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    gap_us = gap_sec * 1_000_000
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = int(pdf["user_id"].iloc[0])
+        is_new = np.ones(len(us), dtype=bool)
+        is_new[1:] = (us[1:] - us[:-1]) > gap_us
+        seq = np.cumsum(is_new)
+        g = pd.DataFrame({"seq": seq, "us": us}).groupby("seq")["us"]
+        agg = g.agg(["min", "max", "count"]).reset_index()
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "session_seq": agg["seq"].astype("int64"),
+                "session_start_micros": agg["min"].astype("int64"),
+                "session_end_micros": agg["max"].astype("int64"),
+                "n_events": agg["count"].astype("int64"),
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandas(fold, BATCH_SESSION_SCHEMA)
+    )

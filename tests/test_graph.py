@@ -416,3 +416,72 @@ def test_transitive_closure_idempotent(spark):
     a = {(r["src"], r["dst"]) for r in once.collect()}
     b = {(r["src"], r["dst"]) for r in twice.collect()}
     assert a == b
+
+
+def test_edge_pmi_capped_consistent_probability_space(spark):
+    """With max_entities_per_doc set, pair counts AND doc-frequencies/N
+    must come from the SAME capped (doc, entity) table — round 3 capped
+    only the pairs, understating pmi and letting npmi fall below -1.
+    Brute force here applies the cap once, then the textbook formulas."""
+    import math
+
+    from ontoma_spark.operators.graph import edge_pmi
+
+    rng = random.Random(11)
+    rows = [
+        (f"d{rng.randrange(10)}", f"E{rng.randrange(8)}") for _ in range(250)
+    ]
+    cap = 3
+    df = spark.createDataFrame(rows, "doc_id string, entity_id string")
+    got = {
+        (r["src"], r["dst"]): (r["n_docs"], r["pmi"], r["npmi"])
+        for r in edge_pmi(df, max_entities_per_doc=cap).collect()
+    }
+    docs: dict[str, list[str]] = {}
+    for d, e in rows:
+        s = docs.setdefault(d, [])
+        if e not in s:
+            s.append(e)
+    capped = {d: sorted(es)[:cap] for d, es in docs.items()}
+    n_total = len(capped)
+    df_ent: dict[str, int] = {}
+    pair: dict[tuple[str, str], int] = {}
+    for es in capped.values():
+        for e in es:
+            df_ent[e] = df_ent.get(e, 0) + 1
+        for i in range(len(es)):
+            for j in range(i + 1, len(es)):
+                pair[(es[i], es[j])] = pair.get((es[i], es[j]), 0) + 1
+    assert set(got) == set(pair)
+    for (a, b), n_ab in pair.items():
+        p_ab = n_ab / n_total
+        pmi = math.log(
+            p_ab / ((df_ent[a] / n_total) * (df_ent[b] / n_total))
+        )
+        npmi = 1.0 if n_ab == n_total else pmi / -math.log(p_ab)
+        g_n, g_pmi, g_npmi = got[(a, b)]
+        assert g_n == n_ab, (a, b)
+        assert abs(g_pmi - pmi) < 1e-9, (a, b)
+        assert abs(g_npmi - npmi) < 1e-9, (a, b)
+        assert -1.0 - 1e-9 <= g_npmi <= 1.0 + 1e-9, (a, b)
+
+
+def test_transitive_closure_nonconvergence_raises(spark):
+    """A chain deeper than 2^max_iter must RAISE, not silently return a
+    partial reachability set; a chain that converges exactly on the
+    last allowed round must still return cleanly."""
+    from ontoma_spark.operators.graph import transitive_closure
+
+    chain = [(i, i + 1) for i in range(8)]  # path depth 8 needs 3 rounds
+    df = spark.createDataFrame(chain, "src long, dst long")
+    with pytest.raises(RuntimeError, match="not converged"):
+        transitive_closure(df, max_iter=1).count()
+
+    # depth-2 chain: round 1 covers length <= 2 == full closure; the
+    # loop exhausts while still growing but the probe certifies done
+    tiny = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {
+        (r["src"], r["dst"])
+        for r in transitive_closure(tiny, max_iter=1).collect()
+    }
+    assert got == {(0, 1), (1, 2), (0, 2)}

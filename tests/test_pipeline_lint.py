@@ -1,0 +1,56 @@
+"""The CLI pre-flight plan lint (pipeline/run.py --lint default): a
+hazardous triple plan must ABORT the run with the linter's message
+before any corpus-sized work; --no-lint and a clean plan proceed."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import ontoma_spark.pipeline.run as runmod
+
+
+def test_hazardous_plan_aborts_run(spark, tmp_path, monkeypatch):
+    """If the triple dataflow ever regresses into a cartesian join, the
+    CLI refuses to launch it (SystemExit carrying the lint finding)."""
+
+    def cross_triples(repos, lexicon, canonical, **kw):
+        left = repos.select("repo", "path")
+        right = repos.select("content")
+        return left.crossJoin(right)
+
+    monkeypatch.setattr(runmod, "build_triples", cross_triples)
+    with pytest.raises(SystemExit, match="plan lint failed.*cartesian"):
+        runmod.main(
+            [
+                "--synthetic-rows", "50",
+                "--out", str(tmp_path / "kg_out"),
+            ]
+        )
+
+
+def test_clean_plan_runs_and_no_lint_skips(spark, tmp_path, monkeypatch):
+    """The real pipeline lints clean end-to-end through main(); with
+    --no-lint the linter is never consulted (a poisoned assert proves
+    it is not called)."""
+    summary = runmod.main(
+        ["--synthetic-rows", "60", "--out", str(tmp_path / "out1")]
+    )
+    assert summary["triples_written"] > 0
+
+    import ontoma_spark.core.planlint as lintmod
+
+    def boom(*a, **kw):  # noqa: ANN002, ANN003
+        raise AssertionError("lint must not run under --no-lint")
+
+    monkeypatch.setattr(lintmod, "assert_plan_clean", boom)
+    summary2 = runmod.main(
+        [
+            "--synthetic-rows", "60",
+            "--out", str(tmp_path / "out2"),
+            "--no-lint",
+        ]
+    )
+    assert summary2["triples_written"] == summary["triples_written"]
+    assert json.dumps(summary2)  # summary stays JSON-serialisable

@@ -112,3 +112,23 @@ def test_edge_pmi_frequency_joins_are_broadcast(spark):
     plan = _plan(edge_pmi(df))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_adamic_adar_hub_cap_below_wedge_join(spark):
+    """The max_degree hub cap must prune the adjacency list BEFORE the
+    quadratic wedge self-join (round 3 applied it after — the
+    degree-10^6 hub blowup the parameter exists to prevent). Structural
+    pin on the optimized plan: exactly two LeftSemi joins (one per
+    self-join input), sitting BELOW every inner join (tree text prints
+    parents before children)."""
+    from ontoma_spark.operators.graph import adamic_adar
+
+    df = spark.range(2_000).selectExpr(
+        "CAST(id % 80 AS LONG) AS src", "CAST(id % 37 + 80 AS LONG) AS dst"
+    )
+    out = adamic_adar(df, max_degree=10)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Join LeftSemi") == 2, opt
+    assert opt.rfind("Join Inner") < opt.find("Join LeftSemi"), (
+        "hub cap not below the wedge self-join:\n" + opt
+    )

@@ -79,3 +79,51 @@ def test_kg_pipeline_lints_clean(spark):
     repos = generate_repos(spark, 200)
     triples = build_triples(repos, lex, canon, token_bloom=bloom)
     assert_plan_clean(triples)
+
+
+def test_graph_suite_lints_clean(spark):
+    """Every graph operator's dataflow is cartesian-free,
+    single-partition-free, and Python-UDF-free. Closure and LPA return
+    localCheckpoint-backed scans (their per-iteration plan is pinned by
+    the doubling-round lint below), so the lint targets the operators
+    whose returned plan carries the real dataflow."""
+    from ontoma_spark.operators.graph import (
+        adamic_adar,
+        comention_edges,
+        edge_pmi,
+        entity_degrees,
+        triangle_counts,
+    )
+
+    de = spark.range(2_000).selectExpr(
+        "concat('d', id % 50) AS doc_id", "concat('E', id % 20) AS entity_id"
+    )
+    edges = spark.range(2_000).selectExpr(
+        "CAST(id % 80 AS LONG) AS src", "CAST(id % 37 + 80 AS LONG) AS dst"
+    )
+    for df in (
+        comention_edges(de),
+        comention_edges(de, max_entities_per_doc=5),
+        edge_pmi(de),
+        edge_pmi(de, max_entities_per_doc=5),
+        entity_degrees(edges),
+        triangle_counts(edges),
+        adamic_adar(edges),
+        adamic_adar(edges, max_degree=10),
+    ):
+        assert_plan_clean(df)
+
+
+def test_closure_doubling_round_lints_clean(spark):
+    """One transitive-closure doubling round (the composition the
+    operator checkpoints away from its returned plan): equi-self-join +
+    distinct — no cartesian, no single-partition collapse."""
+    reach = spark.range(1_000).selectExpr(
+        "CAST(id % 200 AS LONG) AS __s", "CAST(id % 77 + 200 AS LONG) AS __d"
+    )
+    doubled = (
+        reach.alias("a")
+        .join(reach.alias("b"), F.col("a.__d") == F.col("b.__s"))
+        .select(F.col("a.__s").alias("__s"), F.col("b.__d").alias("__d"))
+    )
+    assert_plan_clean(reach.union(doubled).distinct())

@@ -363,3 +363,78 @@ def test_bottomk_prefix_law(spark):
     small = sorted(r["prio"] for r in bottomk_sketch(df, "k", k=32).collect())
     big = sorted(r["prio"] for r in bottomk_sketch(df, "k", k=128).collect())
     assert big[:32] == small
+
+
+def test_bottomk_distinct_keys_canonicalises_varying_payloads(spark):
+    """Round-3 advisor finding: with distinct_keys=True a key carrying
+    DIFFERENT payload values must still occupy exactly one sketch slot
+    (row-distinct let it occupy several, biasing the (k-1)/p_k estimate
+    down and making the kept payload order-dependent). The canonical
+    payload is the per-column MIN — deterministic under any
+    partitioning."""
+    from ontoma_spark.functions.sketches import (
+        bottomk_distinct_estimate,
+        bottomk_sketch,
+        grouped_bottomk,
+    )
+
+    # 30 keys, each with 3 distinct payload values
+    df = spark.range(9_000).selectExpr(
+        "concat('k', id % 30) AS k",
+        "CAST((id DIV 30) % 3 AS DOUBLE) * 10 + (id % 30) AS v",
+    )
+    sk = bottomk_sketch(df, "k", k=256, payload_cols=("v",), distinct_keys=True)
+    rows = sk.collect()
+    assert len(rows) == 30  # one slot per key, not per (key, payload)
+    assert len({r["k"] for r in rows}) == 30
+    # canonical payload = min over the key's rows: v in {i, 10+i, 20+i}
+    for r in rows:
+        assert r["v"] == float(int(r["k"][1:])), r
+    assert bottomk_distinct_estimate(sk, k=256) == 30.0
+    # partitioning invariance of the canonical payload
+    sk2 = bottomk_sketch(
+        df.repartition(13), "k", k=256, payload_cols=("v",),
+        distinct_keys=True,
+    )
+    assert sorted(map(tuple, sk.collect())) == sorted(
+        map(tuple, sk2.collect())
+    )
+
+    # grouped twin: same guarantee per group
+    gdf = spark.range(9_000).selectExpr(
+        "concat('g', (id DIV 30) % 2) AS grp",
+        "concat('k', id % 30) AS k",
+        "CAST((id DIV 30) % 3 AS DOUBLE) * 10 + (id % 30) AS v",
+    )
+    gsk = grouped_bottomk(
+        gdf, ("grp",), "k", k=256, payload_cols=("v",), distinct_keys=True
+    ).collect()
+    per_group: dict[str, list] = {}
+    for r in gsk:
+        per_group.setdefault(r["grp"], []).append(r)
+    for grp, rs in per_group.items():
+        assert len(rs) == 30, grp
+        for r in rs:
+            assert r["v"] == float(int(r["k"][1:])), r
+
+
+def test_bottomk_merge_canonicalises_cross_sketch_payloads(spark):
+    """Two sketches of datasets where the same key carries different
+    payloads: the merge keeps one row per key with the min payload —
+    merge(bottomk(A), bottomk(B)) == bottomk(A ∪ B) row-for-row."""
+    from ontoma_spark.functions.sketches import bottomk_merge, bottomk_sketch
+
+    a = spark.range(500).selectExpr(
+        "concat('k', id % 40) AS k", "CAST(7 AS DOUBLE) AS v"
+    )
+    b = spark.range(500).selectExpr(
+        "concat('k', id % 60) AS k", "CAST(3 AS DOUBLE) AS v"
+    )
+    ska = bottomk_sketch(a, "k", k=32, payload_cols=("v",), distinct_keys=True)
+    skb = bottomk_sketch(b, "k", k=32, payload_cols=("v",), distinct_keys=True)
+    merged = bottomk_merge(ska, skb, k=32).collect()
+    assert len({r["k"] for r in merged}) == len(merged)  # one row per key
+    direct = bottomk_sketch(
+        a.unionByName(b), "k", k=32, payload_cols=("v",), distinct_keys=True
+    ).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, direct))
