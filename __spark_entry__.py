@@ -337,18 +337,50 @@ def _q27_oracle_sql() -> str:
 
 
 def _q44_oracle_sql() -> str:
-    """Co-mention graph over the exact KG tier: distinct (doc, entity)
-    pairs -> equi-self-join on doc with src < dst -> distinct-doc
-    counts per undirected edge."""
+    """Co-mention suite: the edge tier is distinct (doc, entity) pairs
+    -> equi-self-join on doc with src < dst -> distinct-doc counts; the
+    neg_sample tier mirrors negative_samples' deterministic draw —
+    md5('seed|subj|pred|obj|j') hex prefix as BIGINT mod pool size into
+    the row_number-indexed sorted distinct-dst pool, self-collisions
+    and true edges filtered."""
     return (
         _q27_cte_prefix()
         + """
-        , de AS (SELECT DISTINCT doc_id, entity_id FROM matches)
-        SELECT a.entity_id AS src, b.entity_id AS dst,
-               count(*) AS n_docs
-        FROM de a JOIN de b
-          ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
-        GROUP BY 1, 2
+        , de AS (SELECT DISTINCT doc_id, entity_id FROM matches),
+        edges AS (
+          SELECT a.entity_id AS src, b.entity_id AS dst,
+                 count(*) AS n_docs
+          FROM de a JOIN de b
+            ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+          GROUP BY 1, 2
+        ),
+        pool_idx AS (
+          SELECT e, row_number() OVER (ORDER BY e) AS i
+          FROM (SELECT DISTINCT dst AS e FROM edges)
+        ),
+        drawn AS (
+          SELECT e.src, e.dst, e.j,
+                 CAST(('0x' || substr(md5(
+                     '44|' || e.src || '|comention|' || e.dst || '|'
+                     || CAST(e.j AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % (SELECT count(*) FROM pool_idx) + 1 AS i
+          FROM (SELECT src, dst, UNNEST(range(1, 3)) AS j
+                FROM edges) e
+        ),
+        negs AS (
+          SELECT d.src AS subj, p.e AS neg_obj, d.j
+          FROM drawn d JOIN pool_idx p ON d.i = p.i
+          WHERE p.e <> d.dst
+            AND NOT EXISTS (SELECT 1 FROM edges t
+                            WHERE t.src = d.src AND t.dst = p.e)
+        )
+        SELECT 'edge' AS kind, src AS a, dst AS b,
+               CAST(n_docs AS BIGINT) AS n
+        FROM edges
+        UNION ALL
+        SELECT 'neg_sample' AS kind, subj AS a, neg_obj AS b,
+               CAST(j AS BIGINT) AS n
+        FROM negs
     """
     )
 
@@ -536,18 +568,76 @@ def q13_kg_exact_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# window length for q18's substring tier (the planted passage is 30
+# tokens, so every bucket's shared tail carries 30-_Q18_K+1 duplicated
+# windows; natural body-text repeats count too, on both engines)
+_Q18_K = 12
+
+
 def q18_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplication SUITE, two kind-tagged tiers (round 4):
+
+    * ``exact_cluster`` — byte-identical doc clusters over the near-dup
+      corpus (sha256 groupBy; the perturbed copies differ, so clusters
+      only arise from genuinely equal texts).
+    * ``substr_doc`` — per-doc exact-SUBSTRING excision
+      (``dedup_substrings``, the rolling-window ExactSubstr form): the
+      corpus is ``documents`` with a deterministic 30-token bucket
+      passage (bucket = doc_id % 5) appended to every doc, so each
+      bucket shares a >k verbatim passage that must be excised from
+      every member — the removal path is guaranteed exercised, and the
+      DuckDB oracle re-derives windows/span-merge/excision from the
+      same spec. Emits (doc_id, md5 of the cleaned text, token counts).
+
+    Shared schema: (kind, key, val, n1, n2) — for exact_cluster
+    key=content sha256, val=min doc_id, n1=cluster size; for
+    substr_doc key=doc_id, val=cleaned-text md5, n1=n_tokens,
+    n2=n_tokens_removed."""
+    from ontoma_spark.operators.dedup import dedup_substrings
+
     docs = _docs_with_neardups(spark, sf_dir)
-    # exact dups only arise from docs whose text equals another's (the
-    # perturbed copies differ) — plus genuine collisions; cluster stats:
-    return (
-        docs.groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+    exact = (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("key"))
         .agg(
-            F.count("*").cast("long").alias("cluster_size"),
-            F.min("doc_id").alias("min_doc_id"),
+            F.count("*").cast("long").alias("n1"),
+            F.min("doc_id").alias("__mn"),
         )
-        .filter(F.col("cluster_size") > 1)
+        .filter(F.col("n1") > 1)
+        .select(
+            F.lit("exact_cluster").alias("kind"),
+            "key",
+            F.col("__mn").cast("string").alias("val"),
+            "n1",
+            F.lit(None).cast("long").alias("n2"),
+        )
     )
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(30)),
+                    lambda i: F.concat(
+                        F.lit("seg"),
+                        (F.col("doc_id") % 5).cast("string"),
+                        F.lit("_"),
+                        i.cast("string"),
+                    ),
+                ),
+                " ",
+            ),
+        ).alias("text"),
+    )
+    sub = dedup_substrings(planted, k=_Q18_K, min_count=2).select(
+        F.lit("substr_doc").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.md5("text").alias("val"),
+        F.col("n_tokens").cast("long").alias("n1"),
+        F.col("n_tokens_removed").cast("long").alias("n2"),
+    )
+    return exact.unionByName(sub)
 
 
 def q19_neardup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1652,19 +1742,50 @@ def q43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q44_comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity co-mention graph over the exact KG tier (the read-side
-    graph projection of an entity-linking run): distinct (doc, entity)
-    pairs from the real extract->build->link pipeline, equi-self-joined
-    on the doc key (never all-pairs across docs), one undirected edge
-    per entity pair with its distinct-doc support count."""
+    """Entity co-mention graph SUITE over the exact KG tier, two
+    kind-tagged tiers (round 4):
+
+    * ``edge`` — distinct (doc, entity) pairs from the real
+      extract->build->link pipeline, equi-self-joined on the doc key
+      (never all-pairs across docs), one undirected edge per entity
+      pair with its distinct-doc support count.
+    * ``neg_sample`` — FILTERED-protocol negative sampling
+      (``operators/kgtrain.py::negative_samples``) over those edges
+      read as (src, 'comention', dst) triples: deterministic md5 tail
+      corruption from the distinct-dst pool, self-collisions and true
+      edges removed. The oracle mirrors the exact md5 draw
+      (hex-prefix-to-BIGINT) in SQL.
+
+    Shared schema: (kind, a, b, n) — edge: a=src, b=dst, n=n_docs;
+    neg_sample: a=subj, b=corrupted obj, n=sample_idx."""
     from ontoma_spark.operators.graph import comention_edges
+    from ontoma_spark.operators.kgtrain import negative_samples
 
     m = _q27_matches(spark, sf_dir)
     de = m.select(
         F.col("path").alias("doc"),
         F.explode(F.col("entityIds.entityId")).alias("entity"),
     )
-    return comention_edges(de, doc_col="doc", entity_col="entity")
+    edges = comention_edges(de, doc_col="doc", entity_col="entity")
+    tri = edges.select(
+        F.col("src").alias("subj"),
+        F.lit("comention").alias("pred"),
+        F.col("dst").alias("obj"),
+    )
+    negs = negative_samples(tri, n_neg=2, seed=44)
+    e_rows = edges.select(
+        F.lit("edge").alias("kind"),
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.col("n_docs").cast("long").alias("n"),
+    )
+    n_rows = negs.select(
+        F.lit("neg_sample").alias("kind"),
+        F.col("subj").alias("a"),
+        F.col("neg_obj").alias("b"),
+        F.col("sample_idx").cast("long").alias("n"),
+    )
+    return e_rows.unionByName(n_rows)
 
 
 def q45_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2474,12 +2595,24 @@ def q57_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q60_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle participation over the co-mention entity graph
-    (same exact-tier KG dataflow as q44) through the REAL
-    triangle_counts operator: degree-ordered edge orientation bounds
-    the wedge join by the graph's arboricity (the m^1.5 algorithm) —
-    the hot side is wedges-per-forward-degree, not all 2-paths."""
+    """Graph-analytics SUITE over the co-mention entity graph (same
+    exact-tier KG dataflow as q44), two kind-tagged tiers (round 4):
+
+    * ``triangles`` — per-node triangle participation through the REAL
+      triangle_counts operator: degree-ordered edge orientation bounds
+      the wedge join by the graph's arboricity (the m^1.5 algorithm) —
+      the hot side is wedges-per-forward-degree, not all 2-paths.
+    * ``walk`` — deterministic random-walk corpus
+      (``operators/kgtrain.py::random_walks``, DeepWalk/node2vec
+      sentences) over the UNDIRECTED expansion of the same edges:
+      seeded md5 choice over sorted adjacency, mirrored exactly by a
+      recursive-CTE oracle. Walks emitted as '->'-joined strings (the
+      driver canonicalizer needs scalar cells).
+
+    Shared schema: (kind, node, val, n) — triangles: n=n_triangles;
+    walk: node=start, val=walk string, n=rep."""
     from ontoma_spark.operators.graph import comention_edges, triangle_counts
+    from ontoma_spark.operators.kgtrain import random_walks
 
     m = _q27_matches(spark, sf_dir)
     de = m.select(
@@ -2487,12 +2620,31 @@ def q60_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.col("entityIds.entityId")).alias("entity"),
     )
     edges = comention_edges(de, doc_col="doc", entity_col="entity")
-    return triangle_counts(edges.select("src", "dst"))
+    tri = triangle_counts(edges.select("src", "dst"))
+    bi = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    walks = random_walks(bi, walk_len=4, num_walks=2, seed=9)
+    t_rows = tri.select(
+        F.lit("triangles").alias("kind"),
+        F.col("node"),
+        F.lit(None).cast("string").alias("val"),
+        F.col("n_triangles").cast("long").alias("n"),
+    )
+    w_rows = walks.select(
+        F.lit("walk").alias("kind"),
+        F.col("start").alias("node"),
+        F.array_join("walk", "->").alias("val"),
+        F.col("rep").cast("long").alias("n"),
+    )
+    return t_rows.unionByName(w_rows)
 
 
 def _q60_oracle_sql() -> str:
+    # WITH -> WITH RECURSIVE: the walk tier's CTE is recursive, and the
+    # RECURSIVE keyword must sit on the (shared) top-level WITH
     return (
-        _q27_cte_prefix()
+        _q27_cte_prefix().replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
         + """
         , de AS MATERIALIZED (SELECT DISTINCT doc_id, entity_id FROM matches),
         e AS MATERIALIZED (
@@ -2512,8 +2664,48 @@ def _q60_oracle_sql() -> str:
             UNION ALL SELECT b FROM tri
             UNION ALL SELECT c FROM tri
           ) GROUP BY 1
+        ),
+        -- walk tier: exact mirror of random_walks' md5 draw over the
+        -- undirected expansion, via a recursive CTE (final state = the
+        -- max-t row per walk; this graph has no dead ends but the
+        -- max-t select is robust to them)
+        bi AS (
+          SELECT src, dst FROM e
+          UNION ALL SELECT dst AS src, src AS dst FROM e
+        ),
+        nbrs AS (
+          SELECT src, list_sort(list(DISTINCT dst)) AS ds
+          FROM bi GROUP BY src
+        ),
+        walk(start, rep, t, cur, path) AS (
+          SELECT s.src, r.j, 1, s.src, [s.src]
+          FROM (SELECT DISTINCT src FROM bi) s,
+               (SELECT UNNEST(range(1, 3)) AS j) r
+          UNION ALL
+          SELECT w.start, w.rep, w.t + 1, x.nxt,
+                 list_append(w.path, x.nxt)
+          FROM walk w
+          JOIN nbrs n ON n.src = w.cur,
+          LATERAL (SELECT n.ds[CAST(('0x' || substr(md5(
+              '9|' || w.start || '|' || CAST(w.rep AS VARCHAR) || '|'
+              || CAST(w.t AS VARCHAR) || '|' || w.cur), 1, 15))
+              AS BIGINT) % len(n.ds) + 1] AS nxt) x
+          WHERE w.t < 4
+        ),
+        final_walks AS (
+          SELECT start, rep, path FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY start, rep ORDER BY t DESC) AS rn
+            FROM walk)
+          WHERE rn = 1
         )
-        SELECT node, n_triangles FROM pernode
+        SELECT 'triangles' AS kind, node, CAST(NULL AS VARCHAR) AS val,
+               CAST(n_triangles AS BIGINT) AS n
+        FROM pernode
+        UNION ALL
+        SELECT 'walk' AS kind, start AS node,
+               array_to_string(path, '->') AS val, CAST(rep AS BIGINT) AS n
+        FROM final_walks
     """
     )
 
@@ -3089,11 +3281,90 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "q18_exact_dup_clusters": f"""
-            WITH docs AS ({_DOCS_NEARDUP_SQL})
-            SELECT sha256(text) AS content_hash,
-                   CAST(count(*) AS BIGINT) AS cluster_size,
-                   min(doc_id) AS min_doc_id
-            FROM docs GROUP BY 1 HAVING count(*) > 1
+            WITH docs AS ({_DOCS_NEARDUP_SQL}),
+            exact AS (
+              SELECT 'exact_cluster' AS kind, sha256(text) AS key,
+                     CAST(min(doc_id) AS VARCHAR) AS val,
+                     CAST(count(*) AS BIGINT) AS n1,
+                     CAST(NULL AS BIGINT) AS n2
+              FROM docs GROUP BY sha256(text) HAVING count(*) > 1
+            ),
+            -- substring tier: same spec as dedup_substrings (whitespace
+            -- tokens, {_Q18_K}-token windows, count >= 2 corpus-wide,
+            -- merged-span excision, single-space reassembly)
+            planted AS (
+              SELECT doc_id, text || ' ' || array_to_string(
+                       list_transform(range(1, 31),
+                         i -> 'seg' || CAST(doc_id % 5 AS VARCHAR) || '_'
+                              || CAST(i AS VARCHAR)), ' ') AS text
+              FROM documents
+            ),
+            toksd AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS toks
+              FROM planted
+            ),
+            wins AS (
+              SELECT doc_id,
+                     UNNEST(range(1, len(toks) - {_Q18_K} + 2)) AS pos,
+                     toks
+              FROM toksd WHERE len(toks) >= {_Q18_K}
+            ),
+            winw AS (
+              SELECT doc_id, pos,
+                     array_to_string(toks[pos:pos+{_Q18_K - 1}], ' ') AS w
+              FROM wins
+            ),
+            dupw AS (SELECT w FROM winw GROUP BY w HAVING count(*) >= 2),
+            dup AS (SELECT doc_id, pos FROM winw
+                    WHERE w IN (SELECT w FROM dupw)),
+            isl AS (
+              SELECT doc_id, pos,
+                     SUM(CASE WHEN prev IS NULL OR pos - prev > {_Q18_K}
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM (SELECT doc_id, pos,
+                           lag(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS prev
+                    FROM dup)
+            ),
+            spans AS (
+              SELECT doc_id, g, min(pos) AS s,
+                     max(pos) + {_Q18_K} - 1 AS e
+              FROM isl GROUP BY doc_id, g
+            ),
+            tp AS (
+              SELECT doc_id, pos, toks[pos] AS tok FROM (
+                SELECT doc_id, UNNEST(range(1, len(toks) + 1)) AS pos,
+                       toks
+                FROM toksd)
+            ),
+            kept AS (
+              SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans sp
+                WHERE sp.doc_id = tp.doc_id
+                  AND tp.pos BETWEEN sp.s AND sp.e)
+            ),
+            cleaned AS (
+              SELECT t.doc_id, coalesce(k.txt, '') AS txt,
+                     len(t.toks) AS n_tokens,
+                     len(t.toks) - coalesce(k.n_kept, 0) AS n_removed
+              FROM toksd t LEFT JOIN (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY pos) AS txt,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id) k USING (doc_id)
+            ),
+            sub AS (
+              SELECT 'substr_doc' AS kind,
+                     CAST(doc_id AS VARCHAR) AS key, md5(txt) AS val,
+                     CAST(n_tokens AS BIGINT) AS n1,
+                     CAST(n_removed AS BIGINT) AS n2
+              FROM cleaned
+            )
+            SELECT * FROM exact UNION ALL SELECT * FROM sub
         """,
         "q19_neardup_minhash_jaccard": f"""
             WITH docs AS ({_DOCS_NEARDUP_SQL}),

@@ -731,3 +731,139 @@ def dedup_lines(
         .drop("__new_text", "__n_kept")
     )
     return out
+
+
+def dedup_substrings(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-SUBSTRING deduplication — the rolling-window approximation
+    of the Lee et al. 2022 ExactSubstr recipe (their suffix-array scan
+    is a single-machine algorithm; production Spark pipelines use this
+    fixed-window-hash form): any ``k``-token window whose text occurs
+    ``min_count`` or more times ACROSS THE CORPUS (occurrences, not
+    distinct docs — a passage pasted twice into one document counts) is
+    removed from every document, with overlapping duplicated windows
+    merged into maximal spans before excision. Catches the long quoted
+    passages, license blocks, and template boilerplate that survive
+    doc-level MinHash (each doc is globally unique; its 300-token
+    boilerplate is not) and line-level dedup (the passage spans many
+    short lines, each individually rare).
+
+    Distributed shape, all pure Catalyst (no Python):
+
+    1. Window posting: one narrow pass builds each doc's rolling md5
+       window hashes with array HOFs (sequence -> slice -> md5) and
+       posexplodes to (doc, pos, hash) — corpus x windows rows, the
+       inherent posting size.
+    2. Duplicate discovery: map-side-combined groupBy on the hash —
+       repeated boilerplate partially aggregates BEFORE the shuffle, so
+       a window occurring 10^9 times crosses the wire once per map
+       task, not 10^9 times (a window function here would have no
+       partial aggregation and put the hot hash in one partition).
+    3. Mark + excise: the posting joins the (small) duplicated-hash set
+       on the hash (AQE splits any residual hot-hash skew), duplicated
+       positions group per doc, and span merge / token excision /
+       reassembly are per-row ``aggregate``/``transform`` HOFs — linear
+       in doc length, no further shuffle beyond the per-doc groupBy
+       and the final key join (AQE broadcasts the marked-docs side when
+       few docs carry duplicated spans, the common case).
+
+    Tokenisation is whitespace splitting and the rewritten text is the
+    kept tokens re-joined with single spaces — whitespace is normalised
+    for EVERY doc, including untouched ones (same canonicalisation on
+    both engines; the brute-force oracle mirrors it). Docs shorter than
+    ``k`` tokens carry no windows and are never marked.
+
+    Returns ``df`` with ``text_col`` rewritten plus ``n_tokens`` and
+    ``n_tokens_removed``.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != ""
+    )
+    base = df.withColumn("__toks", toks)
+    win_hashes = F.when(
+        F.size("__toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - k + 1),
+            lambda i: F.md5(F.array_join(F.slice("__toks", i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    posting = base.select(
+        F.col(key_col), F.posexplode(win_hashes).alias("__p0", "__wh")
+    )
+    dup = (
+        posting.groupBy("__wh")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__wh")
+    )
+    marked = (
+        posting.join(dup, "__wh")
+        .groupBy(key_col)
+        .agg(
+            F.sort_array(F.collect_list(F.col("__p0") + 1)).alias(
+                "__dup_pos"
+            )
+        )
+    )
+    joined = base.join(marked, key_col, "left").withColumn(
+        "__dup_pos",
+        F.coalesce(F.col("__dup_pos"), F.array().cast("array<int>")),
+    )
+    empty_spans = F.expr("CAST(array() AS array<struct<s: int, e: int>>)")
+    spans = F.aggregate(
+        F.col("__dup_pos"),
+        empty_spans,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0)
+            & (p <= F.element_at(acc, -1)["e"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (p + F.lit(k - 1)).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        p.alias("s"), (p + F.lit(k - 1)).alias("e")
+                    )
+                ),
+            )
+        ),
+    )
+    covered = F.flatten(
+        F.transform(spans, lambda sp: F.sequence(sp["s"], sp["e"]))
+    )
+    out = (
+        joined.withColumn("__cov", covered)
+        .withColumn(
+            "__kept",
+            F.transform(
+                F.array_except(
+                    # guard: sequence(1, 0) would DESCEND for an
+                    # empty-token doc
+                    F.when(
+                        F.size("__toks") > 0,
+                        F.sequence(F.lit(1), F.size("__toks")),
+                    ).otherwise(F.array().cast("array<int>")),
+                    F.col("__cov"),
+                ),
+                lambda i: F.element_at(F.col("__toks"), i),
+            ),
+        )
+        .withColumn("n_tokens", F.size("__toks"))
+        .withColumn("n_tokens_removed", F.size("__cov"))
+        .withColumn(text_col, F.array_join(F.col("__kept"), " "))
+        .drop("__toks", "__dup_pos", "__cov", "__kept")
+    )
+    return out

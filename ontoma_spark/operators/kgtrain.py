@@ -1,0 +1,195 @@
+"""Training-data generation over the knowledge graph.
+
+Two operators a KG-embedding / graph-representation trainer needs
+downstream of triple construction, both fully deterministic (seeded md5
+arithmetic — bit-identical under any partitioning, resumable, and
+mirrorable by a brute-force Python oracle):
+
+* ``random_walks`` — walk-corpus generation (DeepWalk / node2vec with
+  p=q=1): fixed-length truncated random walks over the directed edge
+  list, the sentence corpus that skip-gram-style node embedding
+  training consumes.
+* ``negative_samples`` — corrupted-triple generation for link-prediction
+  training (TransE / DistMult style), under the FILTERED protocol of
+  Bordes et al. 2013: a corrupted triple that happens to be a true
+  triple is removed, so the label-0 set is guaranteed clean.
+
+Randomness: every choice is ``md5(seed | walk identity | step)`` mapped
+into the candidate range — 60 bits of the digest as a non-negative
+long. No RNG state, so the output is a pure function of (input, seed):
+re-running a failed stage or resharding the input cannot change a
+single walk or sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+# 15 hex chars = 60 bits: fits a signed 64-bit long exactly, and
+# int(md5(s).hexdigest()[:15], 16) reproduces it in plain Python.
+_HASH_HEX_CHARS = 15
+
+
+def det_hash(*cols: Column) -> Column:
+    """Deterministic non-negative 60-bit long from the md5 of the
+    '|'-joined string forms of ``cols``."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", *cols)), 1, _HASH_HEX_CHARS),
+        16,
+        10,
+    ).cast("long")
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    walk_len: int = 8,
+    num_walks: int = 1,
+    seed: int = 17,
+) -> DataFrame:
+    """Truncated deterministic random walks over the directed edge list:
+    ``num_walks`` walks per start node, each up to ``walk_len`` nodes
+    (shorter if a walk reaches a node with no out-edges). Start nodes
+    are every distinct ``src``. Step ``t`` from node ``cur`` picks
+    ``sorted_neighbors[md5(seed|start|rep|t|cur) mod degree]`` — the
+    sorted-neighbor indexing makes the choice independent of edge-list
+    order and partitioning.
+
+    Returns (start, rep, walk array, walk_len_actual).
+
+    Scale: the adjacency table is one groupBy of the edge list
+    (node-vocabulary-sized output); the walk state is
+    |start nodes| x num_walks rows joined against it once per step —
+    for an ontology-sized graph the adjacency auto-broadcasts and the
+    state never shuffles; for a web-scale graph each step is one
+    shuffle join on the current node, which is the inherent cost of
+    distributed walk generation (walk_len is small and fixed).
+    ``localCheckpoint`` per step cuts the iterative lineage, same
+    stance as ``transitive_closure``.
+    """
+    nbrs = (
+        edges.select(F.col(src).alias("__node"), F.col(dst).alias("__d"))
+        .distinct()
+        .groupBy("__node")
+        .agg(F.sort_array(F.collect_list("__d")).alias("__nbrs"))
+    )
+    state = (
+        nbrs.select(F.col("__node").alias("start"))
+        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(num_walks))))
+        .withColumn("__cur", F.col("start"))
+        .withColumn("walk", F.array(F.col("start")))
+    )
+    for t in range(1, walk_len):
+        joined = state.join(
+            nbrs, state["__cur"] == nbrs["__node"], "left"
+        )
+        idx = (
+            det_hash(
+                F.lit(seed),
+                F.col("start"),
+                F.col("rep"),
+                F.lit(t),
+                F.col("__cur"),
+            )
+            % F.size("__nbrs")
+            + 1
+        ).cast("int")
+        nxt = F.when(
+            F.col("__nbrs").isNotNull(), F.element_at("__nbrs", idx)
+        )
+        state = (
+            joined.withColumn(
+                "walk",
+                F.when(
+                    nxt.isNotNull(), F.concat("walk", F.array(nxt))
+                ).otherwise(F.col("walk")),
+            )
+            .withColumn("__cur", nxt)
+            .drop("__node", "__nbrs")
+            .localCheckpoint(eager=False)
+        )
+    return state.select(
+        "start", "rep", "walk", F.size("walk").alias("walk_len_actual")
+    )
+
+
+def negative_samples(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    n_neg: int = 2,
+    seed: int = 7,
+    entities: DataFrame | None = None,
+) -> DataFrame:
+    """Tail-corrupted negative triples for link-prediction training:
+    for each input triple and j in 1..n_neg, replace ``obj`` with
+    ``pool[md5(seed|subj|pred|obj|j) mod |pool|]``, then drop
+    self-collisions (corrupted == original) and any corruption that is
+    itself a true triple — the FILTERED protocol, so every emitted row
+    is a guaranteed non-edge. The pool is the distinct ``obj`` set
+    (tail corruption draws from observed tails, the standard choice)
+    unless ``entities`` (one column) overrides it.
+
+    Returns (subj, pred, neg_obj, sample_idx). Deterministic: the j-th
+    corruption of a triple is a pure function of (triple, j, seed).
+
+    Scale: the pool is entity-vocabulary-sized — its one-time
+    row_number indexing is a single-partition window over that small
+    table only (never the triples), and the indexed pool broadcasts
+    into the corruption join; the filtered-protocol anti-join is the
+    one triple-keyed shuffle. Fewer than n_neg rows per input can
+    survive (collisions are dropped, not re-drawn — re-probing would
+    make row counts data-dependent and resume-hostile); callers
+    oversample n_neg to compensate.
+    """
+    pool = (
+        entities.select(F.col(entities.columns[0]).alias("__e"))
+        if entities is not None
+        else triples.select(F.col(obj).alias("__e"))
+    ).distinct()
+    pool_idx = pool.withColumn(
+        "__i", F.row_number().over(Window.orderBy("__e"))
+    )
+    n_pool = pool_idx.count()
+    if n_pool == 0:
+        raise ValueError("negative_samples: empty entity pool")
+    expanded = triples.select(subj, pred, obj).withColumn(
+        "sample_idx", F.explode(F.sequence(F.lit(1), F.lit(n_neg)))
+    )
+    pick = (
+        det_hash(
+            F.lit(seed),
+            F.col(subj),
+            F.col(pred),
+            F.col(obj),
+            F.col("sample_idx"),
+        )
+        % F.lit(n_pool)
+        + 1
+    ).cast("int")
+    negs = (
+        expanded.withColumn("__i", pick)
+        .join(F.broadcast(pool_idx), "__i")
+        .filter(F.col("__e") != F.col(obj))
+        .select(
+            subj,
+            pred,
+            F.col("__e").alias("neg_obj"),
+            "sample_idx",
+        )
+    )
+    true_set = triples.select(
+        F.col(subj).alias("__ts"),
+        F.col(pred).alias("__tp"),
+        F.col(obj).alias("__to"),
+    ).distinct()
+    return negs.join(
+        true_set,
+        (F.col(subj) == F.col("__ts"))
+        & (F.col(pred) == F.col("__tp"))
+        & (F.col("neg_obj") == F.col("__to")),
+        "left_anti",
+    )

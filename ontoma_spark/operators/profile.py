@@ -1,0 +1,81 @@
+"""Single-pass table profiling for pipeline observability.
+
+``profile_table`` computes per-column statistics — row count, non-null
+count, approximate distinct count, min/max, numeric mean — for every
+(atomic-typed) column of a DataFrame in ONE aggregation job: all the
+per-column aggregate expressions live in a single ``agg``, so a 100 TB
+table is scanned once with full map-side partial aggregation, instead
+of once per column (the naive loop) or once per metric. The single
+wide result row is then unpivoted driver-side-free into one row per
+column.
+
+Distinct counts use ``approx_count_distinct`` (HyperLogLog++): an
+exact distinct per column would either multiply the scan (one job per
+column) or explode rows through an Expand operator (several
+count-distincts in one agg); the HLL sketch keeps the pass single and
+mergeable, the same trade ``functions/sketches.py`` documents. The
+relative error is the ``rsd`` parameter (default 5%).
+
+Complex-typed columns (array/map/struct/binary) are skipped — min/max
+ordering is undefined or useless for them; profile their exploded or
+hashed projections instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    NumericType,
+    StringType,
+    TimestampType,
+)
+
+_ATOMIC = (NumericType, StringType, BooleanType, DateType, TimestampType)
+
+
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, rsd: float = 0.05
+) -> DataFrame:
+    """One row per (atomic) column: (column, n_rows, n_nonnull,
+    approx_distinct, min, max, mean). ``min``/``max`` are stringified
+    for a uniform schema; ``mean`` is null for non-numeric columns.
+    One aggregation job regardless of column count."""
+    by_name = {f.name: f for f in df.schema.fields}
+    if cols is None:
+        cols = [f.name for f in df.schema.fields]
+    profiled = [
+        c for c in cols if isinstance(by_name[c].dataType, _ATOMIC)
+    ]
+    if not profiled:
+        raise ValueError("profile_table: no atomic-typed columns to profile")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in profiled:
+        numeric = isinstance(by_name[c].dataType, NumericType)
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.approx_count_distinct(c, rsd).alias(f"__ndv_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+            (
+                F.avg(F.col(c)) if numeric else F.lit(None).cast("double")
+            ).alias(f"__mean_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nn_{c}").alias("n_nonnull"),
+                F.col(f"__ndv_{c}").alias("approx_distinct"),
+                F.col(f"__min_{c}").alias("min"),
+                F.col(f"__max_{c}").alias("max"),
+                F.col(f"__mean_{c}").alias("mean"),
+            )
+            for c in profiled
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")

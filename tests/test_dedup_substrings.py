@@ -1,0 +1,122 @@
+"""Exact-substring dedup (rolling-window ExactSubstr approximation):
+brute-force Python oracle over the same spec — whitespace tokens,
+k-token window occurrence counts corpus-wide, merged-span excision,
+single-space reassembly."""
+
+from __future__ import annotations
+
+import random
+import re
+from collections import Counter
+
+import pytest
+
+from ontoma_spark.operators.dedup import dedup_substrings
+
+K = 8
+VOCAB = [f"w{i}" for i in range(400)]
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text) if t]
+
+
+def _brute(docs: dict[str, str], k: int, min_count: int):
+    toks = {d: _toks(t) for d, t in docs.items()}
+    counts: Counter[str] = Counter()
+    for ts in toks.values():
+        for i in range(len(ts) - k + 1):
+            counts[" ".join(ts[i : i + k])] += 1
+    out = {}
+    for d, ts in toks.items():
+        dup_pos = [
+            i + 1
+            for i in range(len(ts) - k + 1)
+            if counts[" ".join(ts[i : i + k])] >= min_count
+        ]
+        covered: set[int] = set()
+        for p in dup_pos:
+            covered.update(range(p, p + k))
+        kept = [t for i, t in enumerate(ts, start=1) if i not in covered]
+        out[d] = (" ".join(kept), len(ts), len(covered))
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = random.Random(3)
+    passage = " ".join(rng.choice(VOCAB) for _ in range(30))  # >> K
+    twice = " ".join(rng.choice(VOCAB) for _ in range(20))
+    docs: dict[str, str] = {}
+    for i in range(40):
+        body = " ".join(rng.choice(VOCAB) for _ in range(rng.randrange(5, 80)))
+        docs[f"d{i:02d}"] = body
+    # planted cross-doc passage, mid-document
+    docs["d03"] = docs["d03"] + " " + passage + " " + docs["d05"][:40]
+    docs["d07"] = passage + " tail tail2 tail3"
+    # same passage twice WITHIN one doc (occurrence counting, not docs)
+    docs["d09"] = twice + " filler middle words here " + twice
+    # doc fully covered by a duplicated passage
+    docs["d11"] = passage
+    # short (< K tokens), empty, and whitespace-weird docs
+    docs["d12"] = "just five short tokens here"
+    docs["d13"] = ""
+    docs["d14"] = "  a   b\tc \n d  "
+    return docs
+
+
+def test_dedup_substrings_vs_bruteforce(spark, corpus):
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_tokens_removed"])
+        for r in dedup_substrings(df, k=K, min_count=2).collect()
+    }
+    want = _brute(corpus, K, 2)
+    assert got == want
+    # the planted passages actually exercised removal
+    assert want["d07"][2] > 0
+    assert want["d09"][2] > 0
+    assert want["d11"][0] == ""  # fully excised
+    # untouched docs are whitespace-normalised, nothing else
+    assert got["d14"] == ("a b c d", 4, 0)
+    assert got["d13"] == ("", 0, 0)
+
+
+def test_dedup_substrings_partitioning_invariance(spark, corpus):
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id string, text string"
+    )
+    a = sorted(
+        map(tuple, dedup_substrings(df, k=K, min_count=2).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup_substrings(df.repartition(7), k=K, min_count=2).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_dedup_substrings_min_count_three(spark, corpus):
+    """min_count=3: the twice-planted cross-doc passage (2 occurrences)
+    survives; only windows occurring 3+ times are cut."""
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_tokens_removed"])
+        for r in dedup_substrings(df, k=K, min_count=3).collect()
+    }
+    assert got == _brute(corpus, K, 3)
+
+
+def test_dedup_substrings_lints_clean(spark, corpus):
+    from ontoma_spark.core.planlint import assert_plan_clean
+
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id string, text string"
+    )
+    assert_plan_clean(dedup_substrings(df, k=K))

@@ -1,0 +1,153 @@
+"""KG training-data generation: brute-force md5-mirror oracles for the
+deterministic random walks and filtered negative sampling."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from ontoma_spark.operators.kgtrain import negative_samples, random_walks
+
+
+def _h(*parts) -> int:
+    s = "|".join(str(p) for p in parts)
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _brute_walks(edges, walk_len, num_walks, seed):
+    nbrs: dict = {}
+    for s, d in set(edges):
+        nbrs.setdefault(s, set()).add(d)
+    nbrs = {s: sorted(ds) for s, ds in nbrs.items()}
+    out = {}
+    for start in nbrs:
+        for rep in range(1, num_walks + 1):
+            path, cur = [start], start
+            for t in range(1, walk_len):
+                ds = nbrs.get(cur)
+                if not ds:
+                    break
+                cur = ds[_h(seed, start, rep, t, cur) % len(ds)]
+                path.append(cur)
+            out[(start, rep)] = path
+    return out
+
+
+def test_random_walks_vs_bruteforce_strings(spark):
+    rng = random.Random(5)
+    edges = list(
+        {
+            (f"n{rng.randrange(25)}", f"n{rng.randrange(30)}")
+            for _ in range(120)
+        }
+    )
+    # force a dead end: sink appears only as dst
+    edges = [(s, d) for s, d in edges if s != "n29"] + [("n0", "n29")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["start"], r["rep"]): list(r["walk"])
+        for r in random_walks(
+            df, walk_len=6, num_walks=2, seed=17
+        ).collect()
+    }
+    assert got == _brute_walks(edges, 6, 2, 17)
+
+
+def test_random_walks_long_ids_and_partitioning(spark):
+    rng = random.Random(9)
+    edges = list(
+        {(rng.randrange(20), rng.randrange(20)) for _ in range(80)}
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = random_walks(df, walk_len=5, num_walks=1, seed=3)
+    got = {(r["start"], r["rep"]): list(r["walk"]) for r in res.collect()}
+    assert got == _brute_walks(edges, 5, 1, 3)
+    re_got = {
+        (r["start"], r["rep"]): list(r["walk"])
+        for r in random_walks(
+            df.repartition(7), walk_len=5, num_walks=1, seed=3
+        ).collect()
+    }
+    assert re_got == got
+    # walk_len_actual matches the emitted path
+    for r in res.collect():
+        assert r["walk_len_actual"] == len(r["walk"]) <= 5
+
+
+def _brute_negs(triples, n_neg, seed):
+    pool = sorted({o for _, _, o in triples})
+    true = set(triples)
+    out = set()
+    for s, p, o in set(triples):
+        for j in range(1, n_neg + 1):
+            cand = pool[_h(seed, s, p, o, j) % len(pool)]
+            if cand != o and (s, p, cand) not in true:
+                out.add((s, p, cand, j))
+    return out
+
+
+def test_negative_samples_vs_bruteforce(spark):
+    rng = random.Random(11)
+    triples = list(
+        {
+            (
+                f"s{rng.randrange(12)}",
+                f"p{rng.randrange(3)}",
+                f"o{rng.randrange(15)}",
+            )
+            for _ in range(90)
+        }
+    )
+    df = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    got = {
+        (r["subj"], r["pred"], r["neg_obj"], r["sample_idx"])
+        for r in negative_samples(df, n_neg=3, seed=7).collect()
+    }
+    want = _brute_negs(triples, 3, 7)
+    assert got == want
+    # filtered protocol: no emitted row is a true triple or self-collision
+    true = set(triples)
+    for s, p, o, _ in got:
+        assert (s, p, o) not in true
+
+
+def test_negative_samples_entity_pool_override(spark):
+    triples = [("a", "r", "x"), ("b", "r", "y")]
+    df = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    ents = spark.createDataFrame(
+        [("e1",), ("e2",), ("e3",)], "entity string"
+    )
+    got = negative_samples(df, n_neg=2, seed=1, entities=ents).collect()
+    assert got  # pool disjoint from objs -> nothing filtered as true
+    for r in got:
+        assert r["neg_obj"] in {"e1", "e2", "e3"}
+    # brute with the overridden pool
+    pool = ["e1", "e2", "e3"]
+    want = set()
+    for s, p, o in triples:
+        for j in (1, 2):
+            want.add((s, p, pool[_h(1, s, p, o, j) % 3], j))
+    assert {
+        (r["subj"], r["pred"], r["neg_obj"], r["sample_idx"]) for r in got
+    } == want
+
+
+def test_kgtrain_lints_clean(spark):
+    from ontoma_spark.core.planlint import assert_plan_clean
+
+    edges = spark.range(200).selectExpr(
+        "CAST(id % 20 AS LONG) AS src", "CAST(id % 13 + 3 AS LONG) AS dst"
+    )
+    assert_plan_clean(random_walks(edges, walk_len=3))
+    triples = spark.range(100).selectExpr(
+        "concat('s', id % 10) AS subj",
+        "concat('p', id % 2) AS pred",
+        "concat('o', id % 12) AS obj",
+    )
+    # the pool indexing is a DOCUMENTED single-partition window over the
+    # entity-vocabulary-sized pool only (never the triples) — allowed
+    assert_plan_clean(
+        negative_samples(triples, n_neg=2),
+        allow=("exchanges", "single_partition"),
+    )

@@ -1,0 +1,76 @@
+"""Single-pass table profiler: exact metrics vs a pandas oracle, HLL
+distinct within rsd bounds, and the one-aggregation plan shape."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from ontoma_spark.operators.profile import profile_table
+
+
+@pytest.fixture(scope="module")
+def prof_df(spark):
+    rows = []
+    for i in range(500):
+        rows.append(
+            (
+                i,
+                None if i % 7 == 0 else float(i) / 4,
+                None if i % 11 == 0 else f"s{i % 37:02d}",
+                i % 2 == 0,
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i),
+                [i, i + 1],  # array column: must be skipped
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "id long, x double, s string, flag boolean, ts timestamp, "
+        "arr array<long>",
+    )
+
+
+def test_profile_table_exact_metrics(spark, prof_df):
+    got = {r["column"]: r.asDict() for r in profile_table(prof_df).collect()}
+    # array column skipped, atomics profiled
+    assert set(got) == {"id", "x", "s", "flag", "ts"}
+    for c in got.values():
+        assert c["n_rows"] == 500
+    assert got["id"]["n_nonnull"] == 500
+    assert got["x"]["n_nonnull"] == 500 - len(range(0, 500, 7))
+    assert got["s"]["n_nonnull"] == 500 - len(range(0, 500, 11))
+    assert got["id"]["min"] == "0" and got["id"]["max"] == "499"
+    assert got["s"]["min"] == "s00" and got["s"]["max"] == "s36"
+    assert got["flag"]["min"] == "false" and got["flag"]["max"] == "true"
+    # numeric means exact; non-numeric mean null
+    xs = [i / 4 for i in range(500) if i % 7 != 0]
+    assert got["x"]["mean"] == pytest.approx(sum(xs) / len(xs))
+    assert got["id"]["mean"] == pytest.approx(499 / 2)
+    assert got["s"]["mean"] is None and got["ts"]["mean"] is None
+    # HLL distinct within generous rsd bounds (exact at this cardinality
+    # in practice)
+    assert abs(got["s"]["approx_distinct"] - 37) <= 4
+    assert abs(got["id"]["approx_distinct"] - 500) <= 50
+    assert got["flag"]["approx_distinct"] == 2
+
+
+def test_profile_table_single_pass_plan(spark, prof_df):
+    """All columns' metrics come from ONE aggregation: exactly one
+    Exchange in the physical plan (the partial->final agg of the single
+    global aggregate), no per-column scans."""
+    plan = (
+        profile_table(prof_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Scan") == 1, plan
+
+
+def test_profile_table_col_subset_and_errors(spark, prof_df):
+    got = profile_table(prof_df, cols=["id", "s"]).collect()
+    assert {r["column"] for r in got} == {"id", "s"}
+    with pytest.raises(ValueError, match="no atomic"):
+        profile_table(prof_df.select("arr"))
