@@ -1577,18 +1577,24 @@ def q37_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     * cms  — count-min cells, 4 salted md5 rows x 256 cols over
       events.user_id: (row, col, cnt);
     * bloom — exportable Bloom filter of the corpus token vocabulary,
-      <= 4096 set bit positions: (bit, 0, 1).
+      <= 4096 set bit positions: (bit, 0, 1);
+    * hh — EXACT phi-frequent users (round 4,
+      ``operators/vocab.py::heavy_hitters``, phi=0.0075 over
+      events.user_id): (user_id, 0, cnt) — one map-side-combined
+      aggregation; the partial-agg state is the bounded Misra-Gries-
+      style summary, the output carries exact counts.
 
-    All three are MERGEABLE open tables (groupBy-max / cell-sum /
-    union-distinct) — at 100 TB each ships per-partition partials of
-    bounded size instead of a global distinct shuffle, and the integer-
-    exact md5 arithmetic reproduces cross-engine (the oracle rebuilds
-    every cell)."""
+    All four are MERGEABLE open tables (groupBy-max / cell-sum /
+    union-distinct / count-sum) — at 100 TB each ships per-partition
+    partials of bounded size instead of a global distinct shuffle, and
+    the integer-exact md5 arithmetic reproduces cross-engine (the
+    oracle rebuilds every cell)."""
     from ontoma_spark.functions.sketches import (
         bloom_bits,
         cms_table,
         hll_registers,
     )
+    from ontoma_spark.operators.vocab import heavy_hitters
 
     ev = _t(spark, sf_dir, "events")
     hll = hll_registers(ev, "user_id").select(
@@ -1613,7 +1619,13 @@ def q37_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("j"),
         F.lit(1).cast("long").alias("v"),
     )
-    return hll.unionByName(cms).unionByName(bloom)
+    hh = heavy_hitters(ev, "user_id", phi=0.0075).select(
+        F.lit("hh").alias("sketch"),
+        F.col("value").cast("long").alias("i"),
+        F.lit(0).cast("long").alias("j"),
+        F.col("cnt").cast("long").alias("v"),
+    )
+    return hll.unionByName(cms).unionByName(bloom).unionByName(hh)
 
 
 def q40_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2223,6 +2235,11 @@ def _q37_suite_oracle_sql() -> str:
         SELECT 'bloom', CAST(bit AS BIGINT), CAST(0 AS BIGINT),
                CAST(1 AS BIGINT)
         FROM ({_q50_oracle_sql()}) b
+        UNION ALL
+        SELECT 'hh', CAST(user_id AS BIGINT), CAST(0 AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM events GROUP BY user_id
+        HAVING count(*) > 0.0075 * (SELECT count(*) FROM events)
     """
 
 
@@ -2608,11 +2625,17 @@ def q60_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       seeded md5 choice over sorted adjacency, mirrored exactly by a
       recursive-CTE oracle. Walks emitted as '->'-joined strings (the
       driver canonicalizer needs scalar cells).
+    * ``pairs`` — skip-gram (center, context, offset) training pairs
+      from those walks (round 4,
+      ``operators/kgtrain.py::skipgram_pairs``, window=2): pure array
+      HOFs, zero shuffle — the pair set node-embedding training
+      consumes; mirrored by position-unnest self-join in the oracle.
 
     Shared schema: (kind, node, val, n) — triangles: n=n_triangles;
-    walk: node=start, val=walk string, n=rep."""
+    walk: node=start, val=walk string, n=rep; pairs: node=center,
+    val=context, n=offset."""
     from ontoma_spark.operators.graph import comention_edges, triangle_counts
-    from ontoma_spark.operators.kgtrain import random_walks
+    from ontoma_spark.operators.kgtrain import random_walks, skipgram_pairs
 
     m = _q27_matches(spark, sf_dir)
     de = m.select(
@@ -2637,7 +2660,13 @@ def q60_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("walk", "->").alias("val"),
         F.col("rep").cast("long").alias("n"),
     )
-    return t_rows.unionByName(w_rows)
+    p_rows = skipgram_pairs(walks, window=2).select(
+        F.lit("pairs").alias("kind"),
+        F.col("center").alias("node"),
+        F.col("context").alias("val"),
+        F.col("offset").cast("long").alias("n"),
+    )
+    return t_rows.unionByName(w_rows).unionByName(p_rows)
 
 
 def _q60_oracle_sql() -> str:
@@ -2698,6 +2727,13 @@ def _q60_oracle_sql() -> str:
               PARTITION BY start, rep ORDER BY t DESC) AS rn
             FROM walk)
           WHERE rn = 1
+        ),
+        -- pairs tier: skip-gram window=2 over the same walks via
+        -- position unnest + self-join (mirrors skipgram_pairs)
+        positions AS (
+          SELECT start, rep, x.i, path[x.i] AS tok
+          FROM final_walks,
+               LATERAL (SELECT UNNEST(range(1, len(path) + 1)) AS i) x
         )
         SELECT 'triangles' AS kind, node, CAST(NULL AS VARCHAR) AS val,
                CAST(n_triangles AS BIGINT) AS n
@@ -2706,6 +2742,12 @@ def _q60_oracle_sql() -> str:
         SELECT 'walk' AS kind, start AS node,
                array_to_string(path, '->') AS val, CAST(rep AS BIGINT) AS n
         FROM final_walks
+        UNION ALL
+        SELECT 'pairs' AS kind, a.tok AS node, b.tok AS val,
+               CAST(b.i - a.i AS BIGINT) AS n
+        FROM positions a JOIN positions b
+          ON a.start = b.start AND a.rep = b.rep
+         AND abs(b.i - a.i) <= 2 AND b.i <> a.i
     """
     )
 

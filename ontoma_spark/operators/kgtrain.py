@@ -193,3 +193,49 @@ def negative_samples(
         & (F.col("neg_obj") == F.col("__to")),
         "left_anti",
     )
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    walk_col: str = "walk",
+    window: int = 2,
+    keep_cols: tuple = ("start", "rep"),
+) -> DataFrame:
+    """(center, context, offset) skip-gram training pairs from a walk
+    corpus (the output of ``random_walks``): for every position i in
+    the walk and every j with 0 < |j - i| <= window, emit
+    (walk[i], walk[j], j - i) — the pair set word2vec-style node
+    embedding training consumes downstream of the walk corpus.
+    Walks must be non-empty arrays (random_walks always emits the
+    start node).
+
+    Scale: pure array HOFs (transform x transform -> flatten ->
+    explode) — pairs are generated inside the row, so the operator is
+    zero-shuffle and stays in whole-stage codegen; output size is
+    exactly the in-window pair count per walk, never an all-positions
+    self-join.
+    """
+    w = F.col(walk_col)
+    n = F.size(w)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(
+                        F.greatest(F.lit(0), i - window),
+                        F.least(n - 1, i + window),
+                    ),
+                    lambda j: F.struct(
+                        F.element_at(w, i + 1).alias("center"),
+                        F.element_at(w, j + 1).alias("context"),
+                        (j - i).cast("int").alias("offset"),
+                    ),
+                ),
+                lambda s: s["offset"] != 0,
+            ),
+        )
+    )
+    return walks.select(*keep_cols, F.explode(pairs).alias("__p")).select(
+        *keep_cols, "__p.center", "__p.context", "__p.offset"
+    )

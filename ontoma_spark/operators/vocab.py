@@ -1,0 +1,179 @@
+"""Corpus-vocabulary operators for tokenizer / embedding training.
+
+Two operators a tokenizer-training pipeline needs over a 100 TB corpus,
+both downstream of the documents table and upstream of model training:
+
+* ``heavy_hitters`` — exact phi-frequent values of a column (plus a
+  grouped variant): one hash aggregation. At scale the map-side
+  combiner compresses each partition to its distinct values before the
+  single shuffle — partial-aggregation state IS the Misra-Gries-style
+  bounded summary in Spark's execution model — and the result carries
+  exact counts rather than a lossy sketch's bounds.
+* ``bpe_train`` — byte-pair-encoding merge-rule learning over a
+  tokenized corpus (Sennrich et al. 2016 semantics): iteratively count
+  adjacent symbol pairs (ONE map-side-combined aggregation per merge),
+  pick the argmax with a deterministic tie-break (count desc, then
+  (left, right) asc), and rewrite the corpus with a pure-Catalyst
+  left-to-right ``aggregate()`` fold that greedily fuses
+  non-overlapping occurrences. The corpus never leaves the cluster;
+  exactly ONE row (the winning pair) is collected per merge.
+
+Reference parity note: the reference engine has no tokenizer-training
+surface; this module is part of the training-data-pipeline extension
+family (SURVEY.md §2, LLM-data ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    phi: float = 0.001,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Exactly the values of ``col`` occurring in more than ``phi``
+    fraction of rows (within each group when ``group_cols`` is given),
+    with exact counts and fractions. Returns
+    (*group_cols, value, cnt, frac) sorted by cnt desc, value asc.
+
+    Scale: the corpus is shuffled ONCE on (group, value) with map-side
+    combine; totals come from a second aggregation over the GROUPED
+    table (vocabulary-sized, not corpus-sized), broadcast back. No
+    driver collect of data rows.
+    """
+    gcols = list(group_cols)
+    counts = df.groupBy(*gcols, F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    if gcols:
+        totals = counts.groupBy(*gcols).agg(F.sum("cnt").alias("__total"))
+        return (
+            counts.join(F.broadcast(totals), gcols)
+            .withColumn("frac", F.col("cnt") / F.col("__total"))
+            .filter(F.col("cnt") > F.lit(phi) * F.col("__total"))
+            .drop("__total")
+            .orderBy(*gcols, F.desc("cnt"), F.asc("value"))
+        )
+    total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    if total == 0:
+        return counts.withColumn("frac", F.lit(0.0)).limit(0)
+    return (
+        counts.withColumn("frac", F.col("cnt") / F.lit(float(total)))
+        .filter(F.col("cnt") > phi * total)
+        .orderBy(F.desc("cnt"), F.asc("value"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    num_merges: int = 10,
+    min_count: int = 2,
+) -> list:
+    """Learn ``num_merges`` BPE merge rules from a corpus whose rows
+    carry an array<string> of symbols (characters or word-initial
+    subword units; symbols must be non-empty strings). Each iteration:
+    (1) count adjacent pairs across the corpus in one aggregation,
+    (2) collect ONLY the argmax pair (count desc, then (left, right)
+    asc — ties are deterministic), (3) rewrite the corpus with a
+    left-to-right aggregate() fold that greedily fuses non-overlapping
+    occurrences, exactly mirroring the sequential BPE scan. Stops early
+    when no pair reaches ``min_count``. Returns the ordered merge-rule
+    list [(left, right), ...].
+
+    Caveat (inherent to string-typed BPE): a fused symbol is its
+    concatenated string, so a corpus that ALREADY contains a token
+    equal to some fused string conflates the two from that merge on.
+
+    Scale: per merge, one map-side-combined pair count (the shuffle is
+    bounded by the live symbol-pair vocabulary, not the corpus), a
+    driver fetch of one row, and a narrow zero-shuffle map over the
+    corpus; lineage is cut per iteration with localCheckpoint, same
+    stance as transitive_closure.
+    """
+    cur = docs.select(F.col(tokens_col).alias("__toks"))
+    merges: list = []
+    for _ in range(num_merges):
+        pairs = cur.select(
+            F.explode(
+                F.when(
+                    F.size("__toks") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__toks") - 2),
+                        lambda i: F.struct(
+                            F.element_at("__toks", i + 1).alias("l"),
+                            F.element_at("__toks", i + 2).alias("r"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("p.l"), F.asc("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_count:
+            break
+        left, right = top[0]["p"]["l"], top[0]["p"]["r"]
+        merges.append((left, right))
+        fused = left + right
+        # greedy left-to-right fuse: fold the token array, either fusing
+        # the current token into the previous one or appending it. The
+        # fused string differs from `left` (right is non-empty), so a
+        # just-fused element can never be re-consumed — non-overlapping
+        # by construction.
+        cur = cur.select(
+            F.aggregate(
+                "__toks",
+                F.array().cast("array<string>"),
+                lambda acc, t: F.when(
+                    (F.size(acc) >= 1)
+                    & (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+                    & (t == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(fused)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(t))),
+            ).alias("__toks")
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Apply an ordered merge-rule list (from ``bpe_train``) to a
+    corpus: each rule is one zero-shuffle greedy fold, the same kernel
+    the trainer uses, so encode(train corpus) reproduces the trainer's
+    final state. Returns ``docs`` with ``tokens_col`` rewritten.
+    """
+    out = docs
+    for left, right in merges:
+        fused = left + right
+        out = out.withColumn(
+            tokens_col,
+            F.aggregate(
+                tokens_col,
+                F.array().cast("array<string>"),
+                lambda acc, t: F.when(
+                    (F.size(acc) >= 1)
+                    & (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+                    & (t == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(fused)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(t))),
+            ),
+        )
+    return out

@@ -1,0 +1,185 @@
+"""heavy_hitters / bpe_train / apply_bpe / skipgram_pairs vs brute-force
+oracles (plain-Python reimplementations of the specs)."""
+
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.kgtrain import random_walks, skipgram_pairs
+from ontoma_spark.operators.vocab import apply_bpe, bpe_train, heavy_hitters
+
+
+# ---------- skip-gram pairs ----------
+
+
+def brute_skipgram(walks, window):
+    out = []
+    for start, rep, walk in walks:
+        n = len(walk)
+        for i in range(n):
+            lo, hi = max(0, i - window), min(n - 1, i + window)
+            for j in range(lo, hi + 1):
+                if j != i:
+                    out.append((start, rep, walk[i], walk[j], j - i))
+    return sorted(out)
+
+
+def test_skipgram_matches_brute(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")],
+        ["src", "dst"],
+    )
+    walks_df = random_walks(edges, walk_len=5, num_walks=2, seed=3)
+    walks = [
+        (r["start"], r["rep"], list(r["walk"])) for r in walks_df.collect()
+    ]
+    got = sorted(
+        (r["start"], r["rep"], r["center"], r["context"], r["offset"])
+        for r in skipgram_pairs(walks_df, window=2).collect()
+    )
+    assert got == brute_skipgram(walks, 2)
+    assert len(got) > 0
+
+
+def test_skipgram_single_node_walk_empty(spark):
+    df = spark.createDataFrame([("x", 1, ["x"])], ["start", "rep", "walk"])
+    assert skipgram_pairs(df, window=2).count() == 0
+
+
+def test_skipgram_partitioning_invariant(spark):
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 20}") for i in range(40)],
+        ["src", "dst"],
+    )
+    w = random_walks(edges, walk_len=6, seed=5)
+    a = sorted(map(tuple, skipgram_pairs(w, window=3).collect()))
+    b = sorted(
+        map(tuple, skipgram_pairs(w.repartition(13), window=3).collect())
+    )
+    assert a == b
+
+
+# ---------- heavy hitters ----------
+
+
+def test_heavy_hitters_exact(spark):
+    rows = [("x",)] * 50 + [("y",)] * 30 + [("z",)] * 15 + [("w",)] * 5
+    df = spark.createDataFrame(rows, ["v"])
+    res = heavy_hitters(df, "v", phi=0.1).collect()
+    assert [(r["value"], r["cnt"]) for r in res] == [
+        ("x", 50),
+        ("y", 30),
+        ("z", 15),
+    ]
+    fr = {r["value"]: r["frac"] for r in res}
+    assert fr["x"] == pytest.approx(0.5)
+
+
+def test_heavy_hitters_empty(spark):
+    df = spark.createDataFrame([], "v string")
+    assert heavy_hitters(df, "v").count() == 0
+
+
+def test_heavy_hitters_tie_order(spark):
+    rows = [("b",)] * 10 + [("a",)] * 10 + [("c",)] * 1
+    df = spark.createDataFrame(rows, ["v"])
+    got = [r["value"] for r in heavy_hitters(df, "v", phi=0.05).collect()]
+    assert got == ["a", "b"]  # equal counts break value-asc
+
+
+def test_heavy_hitters_grouped(spark):
+    rows = (
+        [("g1", "x")] * 8
+        + [("g1", "y")] * 2
+        + [("g2", "y")] * 9
+        + [("g2", "z")] * 1
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    res = heavy_hitters(df, "v", phi=0.15, group_cols=("g",)).collect()
+    assert [(r["g"], r["value"], r["cnt"]) for r in res] == [
+        ("g1", "x", 8),
+        ("g1", "y", 2),
+        ("g2", "y", 9),
+    ]
+    fr = {(r["g"], r["value"]): r["frac"] for r in res}
+    assert fr[("g1", "x")] == pytest.approx(0.8)
+    assert fr[("g2", "y")] == pytest.approx(0.9)
+
+
+# ---------- BPE ----------
+
+
+def brute_bpe(corpus, num_merges, min_count):
+    corpus = [list(t) for t in corpus]
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for toks in corpus:
+            for pair in zip(toks, toks[1:]):
+                counts[pair] = counts.get(pair, 0) + 1
+        if not counts:
+            break
+        best_cnt = max(counts.values())
+        if best_cnt < min_count:
+            break
+        pair = min(p for p, c in counts.items() if c == best_cnt)
+        merges.append(pair)
+        l, r = pair
+        fused = l + r
+        new_corpus = []
+        for toks in corpus:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_corpus.append(out)
+        corpus = new_corpus
+    return merges, corpus
+
+
+def test_bpe_matches_brute(spark):
+    corpus = ["hug", "pug", "pun", "bun", "hugs", "bug", "mug", "mugs"]
+    df = spark.createDataFrame([(list(w),) for w in corpus], ["tokens"])
+    got = bpe_train(df, num_merges=5, min_count=2)
+    want, _ = brute_bpe(corpus, 5, 2)
+    assert got == want
+    assert len(got) == 4  # 5th merge has no pair with count >= 2
+
+
+def test_bpe_overlapping_run_greedy(spark):
+    # aaaa: merge (a,a) fuses non-overlapping -> [aa, aa]; then (aa, aa)
+    df = spark.createDataFrame(
+        [(list("aaaa"),), (list("aaaa"),)], ["tokens"]
+    )
+    assert bpe_train(df, num_merges=2, min_count=2) == [
+        ("a", "a"),
+        ("aa", "aa"),
+    ]
+
+
+def test_bpe_min_count_stop(spark):
+    df = spark.createDataFrame([(list("ab"),)], ["tokens"])
+    assert bpe_train(df, num_merges=3, min_count=2) == []
+
+
+def test_apply_bpe_reproduces_training_state(spark):
+    corpus = ["banana", "bandana", "cabana", "nab", "ban"]
+    df = spark.createDataFrame([(list(w),) for w in corpus], ["tokens"])
+    merges = bpe_train(df, num_merges=4, min_count=2)
+    _, want_corpus = brute_bpe(corpus, 4, 2)
+    got = [
+        list(r["tokens"])
+        for r in apply_bpe(df, merges).orderBy(
+            F.array_join("tokens", "\x00")
+        ).collect()
+    ]
+    assert got == sorted(want_corpus, key=lambda t: "\x00".join(t))
+
+
+def test_apply_bpe_handles_empty_and_short(spark):
+    df = spark.createDataFrame([([],), (["q"],)], "tokens array<string>")
+    out = apply_bpe(df, [("a", "b")]).collect()
+    assert sorted(len(r["tokens"]) for r in out) == [0, 1]
