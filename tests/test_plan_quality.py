@@ -132,3 +132,35 @@ def test_adamic_adar_hub_cap_below_wedge_join(spark):
     assert opt.rfind("Join Inner") < opt.find("Join LeftSemi"), (
         "hub cap not below the wedge self-join:\n" + opt
     )
+
+
+def test_skipgram_pairs_zero_exchange(spark):
+    """Skip-gram pair generation happens inside the row (array HOFs +
+    explode) — the plan must carry ZERO Exchange. A refactor to a
+    positions self-join would shuffle the walk corpus twice."""
+    from ontoma_spark.operators.kgtrain import skipgram_pairs
+
+    walks = spark.range(1_000).selectExpr(
+        "concat('n', id) AS start",
+        "1 AS rep",
+        "array(concat('n', id), concat('n', id + 1), "
+        "concat('n', id + 2)) AS walk",
+    )
+    plan = _plan(skipgram_pairs(walks, window=2))
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_heavy_hitters_single_corpus_shuffle(spark):
+    """heavy_hitters shuffles the corpus exactly once (the value
+    groupBy, map-side combined); the total comes from the grouped
+    table. Grouped variant: the totals join must broadcast."""
+    from ontoma_spark.operators.vocab import heavy_hitters
+
+    df = spark.range(10_000).selectExpr(
+        "concat('v', id % 100) AS v", "concat('g', id % 3) AS g"
+    )
+    plan = _plan(heavy_hitters(df, "v", phi=0.001))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    gplan = _plan(heavy_hitters(df, "v", phi=0.001, group_cols=("g",)))
+    assert "BroadcastHashJoin" in gplan, gplan
