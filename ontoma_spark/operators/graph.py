@@ -520,3 +520,140 @@ def adamic_adar(
         F.least("u", "v").alias(src), F.greatest("u", "v").alias(dst)
     ).distinct()
     return scores.join(existing, on=[src, dst], how="left_anti")
+
+
+def connected_components_twostar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond"): converges in O(log^2 n) rounds regardless
+    of graph DIAMETER, where min-label propagation
+    (``operators/unionfind.py::connected_components``) needs
+    diameter-many rounds — this is the scale path for chain- and
+    lattice-shaped graphs (version histories, citation chains).
+
+    Returns (node, component) for every node incident to an edge;
+    component = the lexicographically smallest node of the component.
+
+    Scale: each half-round is ONE min-aggregation plus ONE join on the
+    node key — neighborhoods are never materialised as arrays
+    (hub-safe, unlike a collect_list formulation); the edge set only
+    shrinks toward the star form. Convergence is set-stability of the
+    small-star output, checked with two anti-join counts; raises on
+    non-convergence within ``max_iter`` rather than returning a
+    partial labelling (same stance as transitive_closure).
+    """
+    u, v = F.col("u"), F.col("v")
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(u != v)
+        .select(F.least(u, v).alias("v"), F.greatest(u, v).alias("u"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if cur.isEmpty():
+        return cur.select(u.alias("node"), v.alias("component"))
+    for _ in range(max_iter):
+        # large-star: connect every neighbor w > x to
+        # m(x) = min(neighborhood(x) + x); symmetric view of cur
+        sym = cur.union(cur.select(v.alias("u"), u.alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.filter(v > u)
+            .join(mins, "u")
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .filter(u != v)
+            .distinct()
+        )
+        # small-star on (hi=u, lo=v) orientation: point every low
+        # neighbor and the center itself at m(x) = min of the lows
+        lo_min = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(lo_min, "u")
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .filter(u != v)
+            .union(
+                lo_min.select(F.col("u"), F.col("m").alias("v"))
+            )
+            .select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(small).limit(1).count()
+        )
+        prev, cur = cur, small
+        if changed == 0:
+            return cur.select(u.alias("node"), v.alias("component")).union(
+                cur.select(v.alias("node"), v.alias("component")).distinct()
+            )
+    raise RuntimeError(
+        f"connected_components_twostar: no convergence in {max_iter} "
+        "rounds — raise max_iter"
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """The k-core subgraph: iteratively peel nodes of degree < k until
+    fixpoint (Matula-Beck); what survives is the maximal subgraph where
+    every node has >= k neighbors — the standard dense-region filter
+    before community detection or embedding training on a noisy
+    co-mention graph.
+
+    Returns the surviving undirected edge list (src < dst, distinct).
+
+    Scale: each peel round is one degree aggregation plus two
+    semi-joins on the node key; rounds <= the graph's degeneracy
+    peeling depth. The edge set is monotonically shrinking, and
+    localCheckpoint per round cuts the iterative lineage. Raises on
+    non-convergence within ``max_iter``.
+    """
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("src"),
+            F.greatest(F.col(src), F.col(dst)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        n_before = cur.count()
+        if n_before == 0:
+            return cur
+        sym = cur.union(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        keep = (
+            sym.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select("src")
+        )
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        if cur.count() == n_before:
+            return cur
+    raise RuntimeError(
+        f"kcore: no fixpoint in {max_iter} rounds — raise max_iter"
+    )

@@ -1,0 +1,174 @@
+"""connected_components_twostar and kcore vs brute-force oracles."""
+
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.graph import connected_components_twostar, kcore
+
+
+def brute_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        root = min(members)
+        for n in members:
+            out[n] = root
+    return out
+
+
+def brute_kcore(edges, k):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in es if a in keep and b in keep}
+        if nxt == es:
+            return es
+        es = nxt
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_twostar(df).collect()
+    }
+    return got
+
+
+def test_twostar_matches_brute_random(spark):
+    edges = [
+        (f"n{(i * 13) % 30}", f"n{(i * 7 + 3) % 30}") for i in range(25)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    assert _cc(spark, edges) == brute_components(edges)
+
+
+def test_twostar_deep_chain_converges(spark):
+    # a 60-node path: diameter 59 — label propagation would need ~59
+    # rounds; two-star must finish well inside max_iter=30
+    edges = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(59)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {"c000"}
+    assert len(got) == 60
+
+
+def test_twostar_multiple_components_and_selfloops(spark):
+    edges = [
+        ("a", "b"),
+        ("b", "c"),
+        ("x", "y"),
+        ("z", "z"),  # self-loop: dropped; z is isolated -> absent
+    ]
+    got = _cc(spark, edges)
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_twostar_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert connected_components_twostar(df).count() == 0
+
+
+def test_twostar_partitioning_invariant(spark):
+    edges = [(f"p{i % 17}", f"p{(i * 5 + 1) % 17}") for i in range(20)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(map(tuple, connected_components_twostar(df).collect()))
+    b = sorted(
+        map(
+            tuple,
+            connected_components_twostar(df.repartition(7)).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_twostar_agrees_with_unionfind_partition(spark):
+    # same component partition as the existing min-label operator
+    from ontoma_spark.operators.unionfind import connected_components
+
+    edges = [(f"q{(i * 11) % 40}", f"q{(i * 3 + 2) % 40}") for i in range(30)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    two = {
+        r["node"]: r["component"]
+        for r in connected_components_twostar(df).collect()
+    }
+    empty_terms = spark.createDataFrame([], "node string")
+    uf = {
+        r["node"]: r["canonicalId"]
+        for r in connected_components(df, empty_terms, strategy="spark").collect()
+    }
+    # identical partitions: same node sets grouped together
+    def groups(m):
+        g = {}
+        for n, c in m.items():
+            g.setdefault(c, set()).add(n)
+        return sorted(map(frozenset, g.values()), key=sorted)
+
+    assert groups(two) == groups(uf)
+
+
+# ---------- k-core ----------
+
+
+def test_kcore_matches_brute(spark):
+    edges = (
+        [("a", "b"), ("b", "c"), ("c", "a")]  # triangle: 2-core
+        + [("c", "d")]  # pendant: peeled at k=2
+        + [("e", "f")]  # isolated edge: peeled at k=2
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r["src"], r["dst"]) for r in kcore(df, k=2).collect()
+    }
+    assert got == brute_kcore(edges, 2)
+    assert got == {("a", "b"), ("b", "c"), ("a", "c")}
+
+
+def test_kcore_cascade_peeling(spark):
+    # chain into a clique: peeling cascades down the chain
+    clique = [("k1", "k2"), ("k1", "k3"), ("k1", "k4"), ("k2", "k3"),
+              ("k2", "k4"), ("k3", "k4")]
+    chain = [("k4", "t1"), ("t1", "t2"), ("t2", "t3")]
+    df = spark.createDataFrame(clique + chain, ["src", "dst"])
+    got = {(r["src"], r["dst"]) for r in kcore(df, k=3).collect()}
+    assert got == brute_kcore(clique + chain, 3)
+    assert len(got) == 6  # just the clique
+
+
+def test_kcore_k1_keeps_all_nonself_edges(spark):
+    edges = [("a", "b"), ("b", "b")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r["src"], r["dst"]) for r in kcore(df, k=1).collect()}
+    assert got == {("a", "b")}
+
+
+def test_kcore_empty_result(spark):
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    assert kcore(df, k=5).count() == 0
+
+
+def test_kcore_invalid_k(spark):
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError):
+        kcore(df, k=0)
