@@ -1931,16 +1931,52 @@ _Q47_ORACLE_SQL = """
 """
 
 
+_Q48_BM25_QUERIES = [
+    ("qspark", "spark stream join"),
+    ("qscan", "scan filter table"),
+    ("qvec", "vector hash merge"),
+]
+
+
 def q48_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus TF-IDF with per-document top-k salient terms through the
-    REAL operator (operators/tfidf.py): tf shuffles on (doc, term) —
-    evenly spread; df on term alone is algebraic (map-side combine eats
-    Zipf skew); the |vocab|-sized (term, df) table broadcasts into the
-    scoring join so the corpus never reshuffles on the hot term key."""
+    """Relevance-scoring SUITE over the documents table, two
+    kind-tagged tiers sharing schema (kind, key, doc_id, rnk, score):
+
+    * ``tfidf`` — per-document top-5 salient terms through the REAL
+      operator (operators/tfidf.py): tf shuffles on (doc, term) —
+      evenly spread; df on term alone is algebraic (map-side combine
+      eats Zipf skew); the |vocab|-sized (term, df) table broadcasts
+      into the scoring join so the corpus never reshuffles on the hot
+      term key. key=term, score rounded to 6 dp.
+    * ``bm25`` — top-5 BM25-scored docs for a fixed 3-query set
+      (round 4, ``operators/retrieval.py::bm25_topk``, Lucene-style
+      non-negative idf, k1=1.2 b=0.75): document frequencies computed
+      ONLY for the query vocabulary (semi-join before the df agg), all
+      query-side tables broadcast, one corpus-keyed score shuffle.
+      key=query_id, score rounded to 4 dp (absorbs FP summation-order
+      differences between engines)."""
+    from ontoma_spark.operators.retrieval import bm25_topk
     from ontoma_spark.operators.tfidf import tfidf_top_terms
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return tfidf_top_terms(d, key_col="doc_id", text_col="text", top_k=5)
+    tfidf = tfidf_top_terms(
+        d, key_col="doc_id", text_col="text", top_k=5
+    ).select(
+        F.lit("tfidf").alias("kind"),
+        F.col("term").alias("key"),
+        "doc_id",
+        "rnk",
+        "score",
+    )
+    q = spark.createDataFrame(_Q48_BM25_QUERIES, ["query_id", "query_text"])
+    bm25 = bm25_topk(d, q, k=5).select(
+        F.lit("bm25").alias("kind"),
+        F.col("query_id").alias("key"),
+        "doc_id",
+        F.col("rank").cast("int").alias("rnk"),
+        F.round("score", 4).alias("score"),
+    )
+    return tfidf.unionByName(bm25)
 
 
 _Q48_ORACLE_SQL = """
@@ -1970,9 +2006,66 @@ _Q48_ORACLE_SQL = """
                ORDER BY score DESC, term ASC
              ) AS rnk
       FROM scored
+    ),
+    -- bm25 tier: mirrors operators/retrieval.py::bm25_topk exactly
+    -- (no length filter, Lucene non-negative idf, k1=1.2, b=0.75)
+    btoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS tl
+      FROM documents
+    ),
+    bstats AS (
+      SELECT count(*) AS n_docs, avg(len(tl)) AS avgdl FROM btoks
+    ),
+    btf AS (
+      SELECT doc_id, len(tl) AS dl, t.term, count(*) AS tf
+      FROM btoks, unnest(tl) AS t(term)
+      GROUP BY 1, 2, 3
+    ),
+    bq(query_id, query_text) AS (VALUES
+      ('qspark', 'spark stream join'),
+      ('qscan', 'scan filter table'),
+      ('qvec', 'vector hash merge')
+    ),
+    bqterms AS (
+      SELECT DISTINCT query_id, t.term
+      FROM bq,
+           unnest(list_filter(string_split_regex(lower(query_text),
+                  '[^a-z0-9]+'), w -> w <> '')) AS t(term)
+    ),
+    bdf AS (
+      SELECT term, count(*) AS dfn FROM btf
+      WHERE term IN (SELECT term FROM bqterms)
+      GROUP BY 1
+    ),
+    bscore AS (
+      SELECT q.query_id, f.doc_id,
+             sum(ln(1.0 + ((SELECT n_docs FROM bstats) - d.dfn + 0.5)
+                          / (d.dfn + 0.5))
+                 * f.tf * 2.2
+                 / (f.tf + 1.2 * (0.25 + 0.75 * f.dl
+                                  / (SELECT avgdl FROM bstats)))
+             ) AS score
+      FROM bqterms q
+      JOIN btf f ON f.term = q.term
+      JOIN bdf d ON d.term = q.term
+      GROUP BY 1, 2
+    ),
+    branked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM bscore
     )
-    SELECT doc_id, term, rnk, round(score, 6) AS score
+    SELECT 'tfidf' AS kind, term AS key, doc_id,
+           rnk, round(score, 6) AS score
     FROM ranked WHERE rnk <= 5
+    UNION ALL
+    SELECT 'bm25' AS kind, query_id AS key, doc_id,
+           CAST(rnk AS INTEGER) AS rnk, round(score, 4) AS score
+    FROM branked WHERE rnk <= 5
 """
 
 

@@ -1,0 +1,131 @@
+"""BM25 retrieval scoring over a document corpus.
+
+A training-data pipeline uses BM25 two ways: retrieval-based quality
+filtering (keep documents similar to a trusted seed set) and
+decontamination sweeps (find near-matches of eval queries the n-gram
+pass missed). The reference engine has no retrieval surface; this is
+part of the graft's training-data extension family.
+
+Shape: queries are SMALL (a seed set, an eval suite) and the corpus is
+100 TB — so every query-side table broadcasts, the corpus is touched
+by exactly ONE tokenize->explode pass, and the only corpus-keyed
+shuffle is the per-(query, doc) score aggregation. Nothing here joins
+corpus against corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+TOKEN_RE = r"[^a-z0-9]+"
+
+
+def _tokens(col, token_re: str = TOKEN_RE):
+    return F.filter(
+        F.split(F.lower(col), token_re), lambda w: w != ""
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25-scored documents per query (Robertson-Sparck Jones
+    idf, the Lucene-style non-negative variant:
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``).
+
+    Term frequencies count every occurrence; a query term appearing
+    multiple times in a query contributes once (standard bag-of-words
+    query semantics via distinct query terms). Returns
+    (query_id, doc_id, score, rank) with rank 1..k per query, ties
+    broken by doc_id ascending for determinism.
+
+    Scale: one corpus pass builds (doc, term, tf) + doc lengths;
+    document frequencies are computed ONLY for the query vocabulary
+    (query-term semi-join BEFORE the df aggregation, so the df shuffle
+    is query-vocabulary-sized, not corpus-vocabulary-sized); all
+    query-side tables broadcast; the score aggregation shuffles on
+    (query, doc) once; per-query top-k is one window over the scored
+    table (bounded by |queries| x |matching docs|).
+    """
+    d = docs.select(
+        F.col(doc_id).alias("__doc"), _tokens(F.col(text)).alias("__toks")
+    )
+    n_and_avgdl = d.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = n_and_avgdl["n"], n_and_avgdl["avgdl"]
+    if not n_docs:
+        raise ValueError("bm25_topk: empty corpus")
+
+    doc_terms = d.select(
+        "__doc",
+        F.size("__toks").alias("__dl"),
+        F.explode("__toks").alias("__term"),
+    )
+    tf = doc_terms.groupBy("__doc", "__dl", "__term").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+
+    q_terms = (
+        queries.select(
+            F.col(query_id).alias("__q"),
+            F.explode(_tokens(F.col(query_text))).alias("__term"),
+        ).distinct()
+    )
+
+    # df only for query vocabulary: semi-join FIRST so the aggregation
+    # shuffles query-vocab-sized data
+    q_vocab = q_terms.select("__term").distinct()
+    dfreq = (
+        tf.join(F.broadcast(q_vocab), "__term", "left_semi")
+        .groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    idf = dfreq.select(
+        "__term",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+            / (F.col("__df") + F.lit(0.5))
+        ).alias("__idf"),
+    )
+
+    matched = tf.join(
+        F.broadcast(q_terms.join(F.broadcast(idf), "__term")), "__term"
+    )
+    contrib = matched.select(
+        "__q",
+        "__doc",
+        (
+            F.col("__idf")
+            * (F.col("__tf") * (k1 + 1))
+            / (
+                F.col("__tf")
+                + k1 * (1 - b + b * F.col("__dl") / F.lit(float(avgdl)))
+            )
+        ).alias("__s"),
+    )
+    scores = contrib.groupBy("__q", "__doc").agg(F.sum("__s").alias("score"))
+    w = Window.partitionBy("__q").orderBy(
+        F.desc("score"), F.asc("__doc")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__q").alias(query_id),
+            F.col("__doc").alias(doc_id),
+            F.col("score"),
+            F.col("rank"),
+        )
+    )

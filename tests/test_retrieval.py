@@ -1,0 +1,94 @@
+"""bm25_topk vs a brute-force Python BM25 (same spec)."""
+
+import math
+import re
+
+import pytest
+
+from ontoma_spark.operators.retrieval import bm25_topk
+
+
+def _tok(s):
+    return [w for w in re.split(r"[^a-z0-9]+", s.lower()) if w]
+
+
+def brute_bm25(docs, queries, k=10, k1=1.2, b=0.75):
+    toks = {d: _tok(t) for d, t in docs}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = []
+    for q, qt in queries:
+        terms = set(_tok(qt))
+        scored = []
+        for d, tv in toks.items():
+            s = 0.0
+            for term in terms:
+                tf = tv.count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for v in toks.values() if term in v)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(tv) / avgdl)
+                )
+            if s > 0:
+                scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, s) in enumerate(scored[:k], 1):
+            out.append((q, d, s, rank))
+    return sorted(out)
+
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog"),
+    ("d2", "a quick brown dog outpaces a quick fox"),
+    ("d3", "lorem ipsum dolor sit amet"),
+    ("d4", "the dog barks at the fox and the fox runs"),
+    ("d5", "brown bread and brown butter"),
+]
+QUERIES = [("q1", "quick fox"), ("q2", "brown dog"), ("q3", "zebra")]
+
+
+def test_bm25_matches_brute(spark):
+    d = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    q = spark.createDataFrame(QUERIES, ["query_id", "query_text"])
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk(d, q, k=3).collect()
+    )
+    want = brute_bm25(DOCS, QUERIES, k=3)
+    assert [(a, b, d_) for a, b, _, d_ in got] == [
+        (a, b, d_) for a, b, _, d_ in want
+    ]
+    for (_, _, gs, _), (_, _, ws, _) in zip(got, want):
+        assert gs == pytest.approx(ws)
+
+
+def test_bm25_no_match_query_absent(spark):
+    d = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    q = spark.createDataFrame(QUERIES, ["query_id", "query_text"])
+    res = bm25_topk(d, q, k=3).collect()
+    assert not any(r["query_id"] == "q3" for r in res)  # zebra matches nothing
+
+
+def test_bm25_rank_and_k_cut(spark):
+    d = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    q = spark.createDataFrame([("q1", "the")], ["query_id", "query_text"])
+    res = bm25_topk(d, q, k=1).collect()
+    assert len(res) == 1 and res[0]["rank"] == 1
+
+
+def test_bm25_repeated_query_term_counts_once(spark):
+    d = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    q1 = spark.createDataFrame([("q", "fox")], ["query_id", "query_text"])
+    q2 = spark.createDataFrame([("q", "fox fox fox")], ["query_id", "query_text"])
+    s1 = {(r["doc_id"], r["score"]) for r in bm25_topk(d, q1, k=5).collect()}
+    s2 = {(r["doc_id"], r["score"]) for r in bm25_topk(d, q2, k=5).collect()}
+    assert s1 == s2
+
+
+def test_bm25_empty_corpus_raises(spark):
+    d = spark.createDataFrame([], "doc_id string, text string")
+    q = spark.createDataFrame([("q", "x")], ["query_id", "query_text"])
+    with pytest.raises(ValueError):
+        bm25_topk(d, q)
