@@ -1,0 +1,142 @@
+"""SCD2 (slowly-changing-dimension, type 2) history tracking on the
+snapshot-table layer.
+
+A KG pipeline's dimension tables (entity metadata, source registries,
+curation state) need validity-interval history: "what did this entity
+look like when that training run was cut?" SCD2 keeps one row per
+(key, validity interval) with ``_valid_from`` / ``_valid_to`` /
+``_is_current`` columns; ``scd2_plan`` computes the changed-row set for
+a batch of updates, and ``scd2_merge`` applies it to a
+``core.snapshots.SnapshotTable`` through the existing file-granular
+copy-on-write MERGE (row identity = keys + _valid_from, so only files
+containing affected history rows are rewritten).
+
+Batch semantics (full multi-version batches, not latest-only): a key's
+batch rows are ordered by the event-time column and chained —
+consecutive identical attribute states are dropped (including a first
+batch row equal to the table's current state), each survivor gets
+``_valid_from = its ts`` and ``_valid_to = next survivor's ts`` (NULL
+for the last, which becomes current), and the table's previously-
+current row is closed at the first survivor's ts. Late rows
+(ts <= the current row's _valid_from) are DROPPED — out-of-order
+arrivals cannot rewrite closed history; callers needing them must
+replay the table.
+
+Scale: one shuffle of the batch on the key (two windows over the same
+partitioning — Catalyst reuses the exchange), one key-keyed join of
+the batch against the CURRENT slice only (dimension-current-sized,
+broadcast-able), and the snapshot merge's touched-file discovery. The
+history table is never rewritten beyond the touched files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+VALID_FROM = "_valid_from"
+VALID_TO = "_valid_to"
+IS_CURRENT = "_is_current"
+
+
+def scd2_plan(
+    history: DataFrame | None,
+    updates: DataFrame,
+    keys: list,
+    ts_col: str = "ts",
+    attr_cols: list | None = None,
+) -> DataFrame:
+    """The changed-row set a batch of updates implies: closed versions
+    of previously-current rows plus the new interval rows. Returns
+    rows in HISTORY schema (keys + attrs + _valid_from/_valid_to/
+    _is_current); upsert them by ``keys + [_valid_from]``.
+
+    ``history`` may be None / empty (first load). ``attr_cols``
+    defaults to every update column that is neither a key nor the
+    event-time column. Updates must be unique per (keys, ts).
+    """
+    if attr_cols is None:
+        attr_cols = [
+            c for c in updates.columns if c not in keys and c != ts_col
+        ]
+    state = F.struct(*[F.col(c) for c in attr_cols])
+
+    cur = None
+    if history is not None and IS_CURRENT in history.columns:
+        cur = history.filter(F.col(IS_CURRENT)).select(
+            *keys,
+            F.col(VALID_FROM).alias("__cur_from"),
+            F.struct(
+                *[F.col(c).alias(c) for c in attr_cols]
+            ).alias("__cur_state"),
+            *[F.col(c).alias(f"__cur_{c}") for c in attr_cols],
+        )
+
+    u = updates.select(*keys, F.col(ts_col).alias("__ts"), *attr_cols)
+    if cur is not None:
+        u = u.join(cur.select(*keys, "__cur_from", "__cur_state"),
+                   on=keys, how="left")
+        # late rows cannot rewrite closed history
+        u = u.filter(
+            F.col("__cur_from").isNull() | (F.col("__ts") > F.col("__cur_from"))
+        )
+    else:
+        # NULL struct of the attr-state type (no table state exists)
+        u = u.withColumn("__cur_state", F.when(F.lit(False), state))
+
+    w = Window.partitionBy(*keys).orderBy("__ts")
+    # effective previous state: the prior batch row's state, else the
+    # table's current state; a row survives iff there is no previous
+    # state at all (brand-new key) or its state differs from it
+    prev = F.lag(state).over(w)
+    base = F.when(prev.isNotNull(), prev).otherwise(F.col("__cur_state"))
+    survivors = (
+        u.withColumn("__keep", base.isNull() | ~state.eqNullSafe(base))
+        .filter(F.col("__keep"))
+        .drop("__keep", "__cur_state")
+    )
+    # re-chain validity over survivors only
+    w2 = Window.partitionBy(*keys).orderBy("__ts")
+    chained = survivors.select(
+        *keys,
+        *attr_cols,
+        F.col("__ts").alias(VALID_FROM),
+        F.lead("__ts").over(w2).alias(VALID_TO),
+        F.lead("__ts").over(w2).isNull().alias(IS_CURRENT),
+    )
+
+    if cur is None:
+        return chained
+    first_ts = chained.groupBy(*keys).agg(
+        F.min(VALID_FROM).alias("__first_ts")
+    )
+    closed = (
+        cur.join(first_ts, on=keys)
+        .select(
+            *keys,
+            *[F.col(f"__cur_{c}").alias(c) for c in attr_cols],
+            F.col("__cur_from").alias(VALID_FROM),
+            F.col("__first_ts").alias(VALID_TO),
+            F.lit(False).alias(IS_CURRENT),
+        )
+    )
+    return chained.unionByName(closed)
+
+
+def scd2_merge(
+    table,
+    updates: DataFrame,
+    keys: list,
+    ts_col: str = "ts",
+    attr_cols: list | None = None,
+) -> int:
+    """Apply a batch of updates to a SnapshotTable holding SCD2
+    history: computes the changed-row set with ``scd2_plan`` against
+    the table's current version and upserts it by
+    ``keys + [_valid_from]`` through the file-granular copy-on-write
+    merge. Returns the new snapshot version."""
+    history = None
+    if table.current_version() is not None:
+        history = table.read()
+    plan = scd2_plan(history, updates, keys, ts_col, attr_cols)
+    return table.merge(plan, keys=[*keys, VALID_FROM])

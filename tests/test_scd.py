@@ -1,0 +1,149 @@
+"""SCD2 plan/merge vs a brute-force sequential oracle."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from ontoma_spark.core.snapshots import SnapshotTable
+from ontoma_spark.operators.scd import scd2_merge, scd2_plan
+
+
+def brute_scd2(batches, key_of, ts_of, state_of):
+    """Sequential SCD2: returns {(key, valid_from): (state, valid_to,
+    is_current)} after applying each batch in order."""
+    hist = {}  # (key, vf) -> [state, vt, cur]
+    for batch in batches:
+        cur = {}
+        for (k, vf), (st, vt, c) in hist.items():
+            if c:
+                cur[k] = (vf, st)
+        rows = sorted(batch, key=lambda r: (str(key_of(r)), ts_of(r)))
+        bykey = {}
+        for r in rows:
+            bykey.setdefault(key_of(r), []).append(r)
+        for k, rs in bykey.items():
+            prev_state = cur.get(k, (None, None))[1]
+            cur_from = cur.get(k, (None, None))[0]
+            survivors = []
+            for r in rs:
+                if cur_from is not None and ts_of(r) <= cur_from:
+                    continue  # late row dropped
+                st = state_of(r)
+                base = survivors[-1][1] if survivors else prev_state
+                if (survivors or prev_state is not None) and st == base:
+                    continue
+                survivors.append((ts_of(r), st))
+            if not survivors:
+                continue
+            if k in cur:
+                vf, st = cur[k]
+                hist[(k, vf)] = [st, survivors[0][0], False]
+            for i, (ts, st) in enumerate(survivors):
+                vt = survivors[i + 1][0] if i + 1 < len(survivors) else None
+                hist[(k, ts)] = [st, vt, vt is None]
+    return {k: tuple(v) for k, v in hist.items()}
+
+
+def _collect(df):
+    return {
+        (r["k"], r["_valid_from"]): (
+            (r["a"], r["b"]),
+            r["_valid_to"],
+            r["_is_current"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_scd2_plan_first_load(spark):
+    up = spark.createDataFrame(
+        [("k1", 1, "x", 10), ("k1", 3, "y", 11), ("k2", 2, "z", 20)],
+        ["k", "ts", "a", "b"],
+    )
+    got = _collect(scd2_plan(None, up, keys=["k"]))
+    want = brute_scd2(
+        [[("k1", 1, "x", 10), ("k1", 3, "y", 11), ("k2", 2, "z", 20)]],
+        key_of=lambda r: r[0],
+        ts_of=lambda r: r[1],
+        state_of=lambda r: (r[2], r[3]),
+    )
+    assert got == want
+
+
+def test_scd2_consecutive_dupes_dropped(spark):
+    up = spark.createDataFrame(
+        [("k", 1, "x", 1), ("k", 2, "x", 1), ("k", 3, "y", 1),
+         ("k", 4, "x", 1)],
+        ["k", "ts", "a", "b"],
+    )
+    got = _collect(scd2_plan(None, up, keys=["k"]))
+    # x@1..3, y@3..4, x@4.. (the @2 repeat is a no-op)
+    assert got == {
+        ("k", 1): (("x", 1), 3, False),
+        ("k", 3): (("y", 1), 4, False),
+        ("k", 4): (("x", 1), None, True),
+    }
+
+
+def test_scd2_merge_multi_batch_matches_brute(spark, tmp_path):
+    t = SnapshotTable(spark, os.path.join(str(tmp_path), "dim"))
+    batches = [
+        [("k1", 1, "x", 10), ("k2", 1, "p", 20)],
+        [("k1", 5, "y", 10), ("k2", 4, "p", 20), ("k3", 6, "q", 30)],
+        [("k1", 7, "y", 10), ("k1", 9, "x", 11), ("k3", 2, "LATE", 0)],
+    ]
+    for b in batches:
+        up = spark.createDataFrame(b, ["k", "ts", "a", "b"])
+        scd2_merge(t, up, keys=["k"])
+    got = _collect(t.read())
+    want = brute_scd2(
+        batches,
+        key_of=lambda r: r[0],
+        ts_of=lambda r: r[1],
+        state_of=lambda r: (r[2], r[3]),
+    )
+    assert got == want
+    # exactly one current row per key, validity intervals chain
+    cur = t.read().filter(F.col("_is_current"))
+    assert cur.count() == cur.select("k").distinct().count() == 3
+
+
+def test_scd2_noop_batch_writes_no_rows(spark, tmp_path):
+    t = SnapshotTable(spark, os.path.join(str(tmp_path), "dim"))
+    scd2_merge(t, spark.createDataFrame(
+        [("k", 1, "x", 1)], ["k", "ts", "a", "b"]), keys=["k"])
+    v1 = t.current_version()
+    scd2_merge(t, spark.createDataFrame(
+        [("k", 5, "x", 1)], ["k", "ts", "a", "b"]), keys=["k"])
+    assert _collect(t.read()) == {("k", 1): (("x", 1), None, True)}
+    assert t.snapshot(t.current_version())["row_count"] == 1
+    assert t.current_version() == v1 + 1  # merge still commits a version
+
+
+def test_scd2_null_attrs_compare_null_safely(spark):
+    hist_plan = scd2_plan(
+        None,
+        spark.createDataFrame(
+            [("k", 1, None, 1), ("k", 2, None, 1), ("k", 3, "v", 1)],
+            "k string, ts int, a string, b int",
+        ),
+        keys=["k"],
+    )
+    got = _collect(hist_plan)
+    assert got == {
+        ("k", 1): ((None, 1), 3, False),
+        ("k", 3): (("v", 1), None, True),
+    }
+
+
+def test_scd2_as_of_read(spark, tmp_path):
+    t = SnapshotTable(spark, os.path.join(str(tmp_path), "dim"))
+    scd2_merge(t, spark.createDataFrame(
+        [("k", 1, "x", 1), ("k", 5, "y", 1)], ["k", "ts", "a", "b"]),
+        keys=["k"])
+    h = t.read()
+    asof3 = h.filter(
+        (F.col("_valid_from") <= 3)
+        & (F.col("_valid_to").isNull() | (F.col("_valid_to") > 3))
+    )
+    assert [(r["k"], r["a"]) for r in asof3.collect()] == [("k", "x")]
