@@ -3195,7 +3195,58 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q67_transitive_closure": q67_transitive_closure,
         "q68_token_budget_mix": q68_token_budget_mix,
+        "q69_cc_twostar": q69_cc_twostar,
+        "q70_bm25_corpus": q70_bm25_corpus,
     }
+
+
+def q69_cc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (pytest-oracled via tests/test_graph_twostar.py brute
+    force): two-star connected components over a forest of 1000-node
+    CHAINS built from the customer table (c_custkey -> c_custkey - 1
+    within each 1000-block) — the deep-diameter shape where min-label
+    propagation would need ~1000 rounds and two-star must converge in
+    O(log^2): a wall-time regression here means the contraction
+    schedule broke."""
+    from ontoma_spark.operators.graph import connected_components_twostar
+
+    edges = (
+        _t(spark, sf_dir, "customer")
+        # break into 1000-blocks; custkey is 0-based, so also drop the
+        # key-0 row (its dst would be a phantom node -1)
+        .filter(((F.col("c_custkey") % 1000) != 0))
+        .select(
+            F.col("c_custkey").cast("long").alias("src"),
+            (F.col("c_custkey") - 1).cast("long").alias("dst"),
+        )
+    )
+    return connected_components_twostar(edges)
+
+
+def q70_bm25_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (DuckDB-oracled as q48's bm25 tier at sf0.01;
+    brute-force-oracled in tests/test_retrieval.py): BM25 top-20 over
+    the full documents table for a 10-query seed set — the
+    quality-filter / decontamination retrieval pass at corpus scale."""
+    from ontoma_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(
+        [
+            ("q01", "spark stream join"),
+            ("q02", "scan filter table"),
+            ("q03", "vector hash merge"),
+            ("q04", "query group order"),
+            ("q05", "window agg batch"),
+            ("q06", "customer line part"),
+            ("q07", "fast slow big small"),
+            ("q08", "data column row"),
+            ("q09", "sort key value"),
+            ("q10", "the a table"),
+        ],
+        ["query_id", "query_text"],
+    )
+    return bm25_topk(d, q, k=20)
 
 
 def entry(spark: SparkSession) -> DataFrame:
