@@ -209,23 +209,8 @@ def upsert_batch_into_snapshot(
     from ontoma_spark.core.snapshots import SnapshotTable
 
     table = SnapshotTable(spark, table_root)
-    current = table.current_version()
-    if current is not None:
-        # Walk versions newest-first for the latest snapshot that
-        # carries a stream high-water mark: only merge commits set it,
-        # and an interleaved maintenance commit (compact, append,
-        # delete_where) must not reset the exactly-once guard — a
-        # retried micro-batch after a compact would otherwise re-merge.
-        # Early-exits at the newest stream commit, so the walk is O(#
-        # maintenance commits since the last merge), metadata-sized.
-        for v in range(current, 0, -1):
-            seen = table.snapshot(v).get("properties", {}).get(
-                "stream_batch_id"
-            )
-            if seen is not None:
-                if int(seen) >= batch_id:
-                    return None  # retried batch: already committed
-                break
+    if _stream_batch_already_committed(table, batch_id):
+        return None  # retried batch: already committed
     value_cols = [c for c in batch_df.columns if c not in keys]
     if order_col is not None:
         others = [c for c in value_cols if c != order_col]
@@ -286,5 +271,96 @@ def stream_dedup(
         .format("memory")
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _stream_batch_already_committed(table, batch_id: int) -> bool:
+    """The exactly-once guard under foreachBatch's at-least-once
+    delivery: walk versions newest-first for the latest snapshot
+    carrying a stream high-water mark — only stream commits set it,
+    and an interleaved maintenance commit (compact, append,
+    delete_where) must not reset the guard, or a retried micro-batch
+    after a compact would re-merge. Early-exits at the newest stream
+    commit, so the walk is O(# maintenance commits since the last
+    stream commit), metadata-sized. Replaying an OLDER batch after
+    later ones committed is impossible within one stream (foreachBatch
+    ids are monotone per checkpoint), which is what makes the single
+    high-water-mark check sufficient."""
+    current = table.current_version()
+    if current is None:
+        return False
+    for v in range(current, 0, -1):
+        seen = table.snapshot(v).get("properties", {}).get(
+            "stream_batch_id"
+        )
+        if seen is not None:
+            return int(seen) >= batch_id
+    return False
+
+
+def scd2_batch_into_snapshot(
+    spark: SparkSession,
+    table_root: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    keys: list[str],
+    ts_col: str = "ts",
+    attr_cols: list[str] | None = None,
+) -> int | None:
+    """One micro-batch of dimension updates applied as SCD2 history
+    (operators/scd.py) — the foreachBatch body of ``stream_scd2``,
+    exposed for direct testing. Same exactly-once guard as
+    ``upsert_batch_into_snapshot``; returns the committed version or
+    None for a retried batch."""
+    from ontoma_spark.core.snapshots import SnapshotTable
+    from ontoma_spark.operators.scd import VALID_FROM, scd2_plan
+
+    table = SnapshotTable(spark, table_root)
+    if _stream_batch_already_committed(table, batch_id):
+        return None
+    history = None
+    if table.current_version() is not None:
+        history = table.read()
+    plan = scd2_plan(history, batch_df, keys, ts_col, attr_cols)
+    return table.merge(
+        plan,
+        keys=[*keys, VALID_FROM],
+        properties={"stream_batch_id": int(batch_id)},
+    )
+
+
+def stream_scd2(
+    spark: SparkSession,
+    input_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    schema: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    attr_cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incrementally maintain an SCD2 dimension-history SnapshotTable
+    from a stream of keyed, timestamped updates — the streaming twin of
+    ``operators/scd.py::scd2_merge``. Each micro-batch's changed-row
+    set (validity chaining, consecutive-dupe no-ops, late-row drops —
+    the batch operator's semantics exactly) is copy-on-write merged by
+    (keys, _valid_from); the stream_batch_id high-water mark makes a
+    retried batch a no-op, so history rows are never double-closed."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        scd2_batch_into_snapshot(
+            spark, table_root, batch_df, batch_id, keys, ts_col, attr_cols
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
         .start()
     )

@@ -360,3 +360,77 @@ def test_stream_dedup_matches_batch_twin(spark, tmp_path):
         .collect()
     )
     assert got == batch_twin == [1, 2, 3, 4]
+
+
+def test_stream_scd2_matches_batch_twin(spark, tmp_path):
+    """Streaming SCD2 over two micro-batch waves == applying
+    operators/scd.py::scd2_merge batch-wise to the same closed input,
+    and retried batches are no-ops."""
+    from ontoma_spark.core.snapshots import SnapshotTable
+    from ontoma_spark.operators.scd import scd2_merge
+    from ontoma_spark.streaming.incremental import (
+        scd2_batch_into_snapshot,
+        stream_scd2,
+    )
+
+    src = str(tmp_path / "scd_in")
+    table_root = str(tmp_path / "scd_table")
+    ckpt = str(tmp_path / "scd_ckpt")
+    wave1 = [(1, 10, "a"), (2, 10, "b")]
+    wave2 = [(1, 20, "a2"), (2, 15, "b"), (3, 20, "c")]
+
+    _write_events(spark, src, wave1)
+    q = stream_scd2(
+        spark, src, table_root, ckpt,
+        schema="k long, ts long, val string", keys=["k"],
+    )
+    q.processAllAvailable(); q.stop()
+    _write_events(spark, src, wave2)
+    q2 = stream_scd2(
+        spark, src, table_root, ckpt,
+        schema="k long, ts long, val string", keys=["k"],
+    )
+    q2.processAllAvailable(); q2.stop()
+
+    def hist(t):
+        return sorted(
+            (r["k"], r["_valid_from"], r["_valid_to"], r["_is_current"],
+             r["val"])
+            for r in t.read().collect()
+        )
+
+    got = hist(SnapshotTable(spark, table_root))
+
+    twin_root = str(tmp_path / "scd_twin")
+    twin = SnapshotTable(spark, twin_root)
+    for wave in (wave1, wave2):
+        scd2_merge(
+            twin,
+            spark.createDataFrame(wave, "k long, ts long, val string"),
+            keys=["k"],
+        )
+    assert got == hist(twin)
+    # k=1 versioned, k=2 unchanged (same attrs), k=3 inserted
+    assert got == [
+        (1, 10, 20, False, "a"),
+        (1, 20, None, True, "a2"),
+        (2, 10, None, True, "b"),
+        (3, 20, None, True, "c"),
+    ]
+
+    # retry guard: replaying the last batch id is a no-op
+    t = SnapshotTable(spark, table_root)
+    v = t.current_version()
+    last_id = None
+    for ver in range(v, 0, -1):
+        last_id = t.snapshot(ver).get("properties", {}).get(
+            "stream_batch_id"
+        )
+        if last_id is not None:
+            break
+    assert last_id is not None
+    retry = spark.createDataFrame(wave2, "k long, ts long, val string")
+    assert scd2_batch_into_snapshot(
+        spark, table_root, retry, int(last_id), ["k"]
+    ) is None
+    assert t.current_version() == v
