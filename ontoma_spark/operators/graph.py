@@ -657,3 +657,84 @@ def kcore(
     raise RuntimeError(
         f"kcore: no fixpoint in {max_iter} rounds — raise max_iter"
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+) -> DataFrame:
+    """Kleinberg HITS over the directed edge list: fixed ``n_iter``
+    mutual-reinforcement rounds — authority(v) = sum of hub scores over
+    in-edges, hub(u) = sum of authority scores over out-edges, each
+    L2-normalised per round (the classic formulation; deterministic,
+    no RNG). Returns (node, hub, authority) for every node incident to
+    an edge; sinks get hub 0, sources get authority 0.
+
+    Complements ``pagerank`` for KG consumers: hubs are survey-style
+    entities that point at many authorities (e.g. review documents
+    linking many terms), which a single PageRank score conflates.
+
+    Scale: per round, two node-keyed shuffle joins + two map-side-
+    combined aggregations (the same dataflow cost as one pagerank
+    round, twice); the score table is |V| rows so AQE broadcasts it
+    against the edge table when it fits; the L2 norm is a scalar agg
+    (one driver double per half-round); localCheckpoint per round cuts
+    the iterative lineage.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    ).localCheckpoint(eager=True)
+
+    def _l2(df: DataFrame, col: str) -> float:
+        s = df.agg(F.sum(F.col(col) * F.col(col))).collect()[0][0]
+        return float(s) ** 0.5 if s else 1.0
+
+    for _ in range(n_iter):
+        new_auth = (
+            e.join(
+                scores.select(F.col("node").alias("u"), "hub"), "u"
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("hub").alias("__a"))
+        )
+        scores = (
+            scores.join(new_auth, "node", "left")
+            .select(
+                "node", "hub", F.coalesce("__a", F.lit(0.0)).alias("auth")
+            )
+            .localCheckpoint(eager=True)
+        )
+        na = _l2(scores, "auth")
+        scores = scores.withColumn("auth", F.col("auth") / F.lit(na))
+        new_hub = (
+            e.join(
+                scores.select(F.col("node").alias("v"), "auth"), "v"
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("auth").alias("__h"))
+        )
+        scores = (
+            scores.join(new_hub, "node", "left")
+            .select(
+                "node", F.coalesce("__h", F.lit(0.0)).alias("hub"), "auth"
+            )
+            .localCheckpoint(eager=True)
+        )
+        nh = _l2(scores, "hub")
+        scores = scores.withColumn(
+            "hub", F.col("hub") / F.lit(nh)
+        ).localCheckpoint(eager=True)
+    return scores.select("node", "hub", F.col("auth").alias("authority"))

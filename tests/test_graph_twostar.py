@@ -172,3 +172,63 @@ def test_kcore_invalid_k(spark):
     df = spark.createDataFrame([("a", "b")], ["src", "dst"])
     with pytest.raises(ValueError):
         kcore(df, k=0)
+
+
+# ---------- HITS ----------
+
+
+def brute_hits(edges, n_iter):
+    es = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({n for e in es for n in e})
+    hub = {n: 1.0 for n in nodes}
+    auth = {n: 1.0 for n in nodes}
+    for _ in range(n_iter):
+        auth = {
+            v: sum(hub[a] for a, b in es if b == v) for v in nodes
+        }
+        na = sum(x * x for x in auth.values()) ** 0.5 or 1.0
+        auth = {k: v / na for k, v in auth.items()}
+        hub = {
+            u: sum(auth[b] for a, b in es if a == u) for u in nodes
+        }
+        nh = sum(x * x for x in hub.values()) ** 0.5 or 1.0
+        hub = {k: v / nh for k, v in hub.items()}
+    return hub, auth
+
+
+def test_hits_matches_brute(spark):
+    import pytest as _pt
+
+    from ontoma_spark.operators.graph import hits
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("e", "b"), ("e", "c"),
+        ("b", "d"), ("d", "a"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, n_iter=8).collect()
+    }
+    hub, auth = brute_hits(edges, 8)
+    assert set(got) == set(hub)
+    for n in hub:
+        assert got[n][0] == _pt.approx(hub[n], abs=1e-9)
+        assert got[n][1] == _pt.approx(auth[n], abs=1e-9)
+    # 'a' points at many authorities -> top hub; sinks have hub 0
+    assert max(got, key=lambda n: got[n][0]) == "a"
+    assert got["c"][0] == 0.0
+
+
+def test_hits_partitioning_invariant(spark):
+    from ontoma_spark.operators.graph import hits
+
+    edges = [(f"h{(i * 3) % 11}", f"h{(i * 7 + 1) % 11}") for i in range(15)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(map(tuple, hits(df, n_iter=4).collect()))
+    b = sorted(map(tuple, hits(df.repartition(5), n_iter=4).collect()))
+    for ra, rb in zip(a, b):
+        assert ra[0] == rb[0]
+        assert abs(ra[1] - rb[1]) < 1e-12 and abs(ra[2] - rb[2]) < 1e-12
