@@ -106,9 +106,11 @@ HEADLINE = [
     "q55_bucketed_join",
     "q56_code_comments",
     "q57_sampling_suite",
-    # bench-only round-3 operators (entrymod.bench_queries; pytest-oracled)
+    # bench-only round-3/4 operators (entrymod.bench_queries; pytest-oracled)
     "q67_transitive_closure",
     "q68_token_budget_mix",
+    "q69_cc_twostar",
+    "q70_bm25_corpus",
 ]
 
 T0 = time.time()
