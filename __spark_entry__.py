@@ -3197,7 +3197,21 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_token_budget_mix": q68_token_budget_mix,
         "q69_cc_twostar": q69_cc_twostar,
         "q70_bm25_corpus": q70_bm25_corpus,
+        "q71_lm_perplexity": q71_lm_perplexity,
     }
+
+
+def q71_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (brute-force-oracled in tests/test_lm.py): CCNet-style
+    Stupid-Backoff bigram-LM quality scoring — train on a deterministic
+    20% hash slice of documents (the 'trusted seed'), score the WHOLE
+    corpus. Two count aggregations + three broadcast lookups + one
+    doc-keyed mean; the corpus is never shuffled before that mean."""
+    from ontoma_spark.operators.lm import lm_score, lm_train
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = d.filter(F.abs(F.hash("doc_id")) % 5 == 0)
+    return lm_score(d, lm_train(seed, min_count=2))
 
 
 def q69_cc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:

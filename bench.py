@@ -111,6 +111,7 @@ HEADLINE = [
     "q68_token_budget_mix",
     "q69_cc_twostar",
     "q70_bm25_corpus",
+    "q71_lm_perplexity",
 ]
 
 T0 = time.time()

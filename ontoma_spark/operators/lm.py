@@ -1,0 +1,218 @@
+"""Stupid-Backoff bigram language-model quality scoring (CCNet-style).
+
+The canonical web-scale corpus quality gate (Wenzek et al. 2020, CCNet):
+train an n-gram LM on a trusted seed corpus (Wikipedia-like), score every
+candidate document by its per-token log-probability, and keep/bucket
+documents by perplexity. Smoothing is Stupid Backoff (Brants et al. 2007)
+— the estimator designed specifically for distributed LMs: no discounting
+mass to normalise, every score is a pure count ratio, so training is two
+map-side-combined count aggregations and scoring is three broadcast
+lookups. OnToma itself has no quality gate (reference scope is lexicon
+mapping only, `src/ontoma/ontoma.py`); this extends the engine for the
+training-data pipeline.
+
+Model semantics (mirrored exactly by the brute-force oracle in
+tests/test_lm.py):
+
+* ``P_uni(w)   = c(w)/N`` if seen, else ``1/N`` (floor — identical to an
+  unseen word carrying count 1).
+* ``P(w2|w1)  = c(w1,w2)/c(w1)`` if the bigram survives ``min_count``
+  pruning, else ``alpha * P_uni(w2)``.
+* The first token of a document is scored with ``P_uni``.
+* Document score = mean log10 probability over its tokens;
+  ``perplexity10 = 10**(-score)`` (empty documents score null).
+
+Scale notes
+-----------
+* Training: tokenisation is a narrow codegen pass (split + HOF zip, no
+  Python); unigram and bigram counts are algebraic ``count`` aggregates,
+  so Zipf-hot tokens ("the") collapse to one row per partition in the
+  map-side partial aggregation — no salting needed.
+* ``min_count`` prunes the BIGRAM table only (context counts c(w1) stay
+  exact); the pruned model for a Wikipedia-scale seed is tens of MB —
+  comfortably broadcast. For an oversized model pass
+  ``broadcast_model=False``: the three lookups become shuffle joins and
+  the corpus side is pre-aggregated per (doc, w1, w2) first, so repeated
+  tokens cross the shuffle once.
+* Scoring never shuffles the corpus except the final per-doc mean
+  (one groupBy on doc_id, evenly spread).
+* Bigram pairs are built with ``arrays_zip(prepend(null, toks), toks)``
+  — zero extra row width, zero window functions, zero shuffles.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tokens(df: DataFrame, text_col: str) -> "F.Column":
+    """Lowercased token array with empty residue removed. Pure Catalyst."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != ""
+    )
+
+
+@dataclass
+class BigramLM:
+    """A trained Stupid-Backoff bigram model.
+
+    ``unigrams``: (w, c) exact seed-corpus counts — also the context
+    denominators. ``bigrams``: (w1, w2, c12), pruned to c12 >= min_count.
+    ``n_tokens``: total seed token count (the unigram denominator).
+    """
+
+    unigrams: DataFrame
+    bigrams: DataFrame
+    n_tokens: int
+    alpha: float = 0.4
+
+
+def lm_train(
+    seed: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    alpha: float = 0.4,
+) -> BigramLM:
+    """Count a bigram LM from a trusted seed corpus.
+
+    Two aggregation jobs (unigram + bigram counts), both fully
+    map-side-combinable; one scalar collect for N.
+    """
+    toks = seed.select(_tokens(seed, text_col).alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.col("sz")
+    pairs = (
+        toks.select(F.col("toks"), F.size("toks").alias("sz"))
+        .filter(n >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, F.col("sz") - 1).alias("w1"),
+                    F.slice("toks", 2, F.col("sz") - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    n_tokens = (
+        toks.select(F.sum(F.size("toks")).alias("n")).collect()[0]["n"] or 0
+    )
+    return BigramLM(unigrams=uni, bigrams=bi, n_tokens=int(n_tokens), alpha=alpha)
+
+
+def lm_score(
+    corpus: DataFrame,
+    model: BigramLM,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score every document: (key, n_tokens, avg_log10_prob, perplexity10).
+
+    Three model lookups (context count, next-word unigram, bigram) then
+    one per-doc mean. With ``broadcast_model=True`` (default — correct
+    for any seed that fits an executor) the corpus is never shuffled
+    before the final doc-keyed mean.
+    """
+    if model.n_tokens <= 0:
+        raise ValueError("lm_score: model trained on an empty seed corpus")
+    mark = F.broadcast if broadcast_model else (lambda d: d)
+    uni = model.unigrams
+    bi = model.bigrams
+
+    toks = corpus.select(
+        F.col(key_col).alias("__doc"), _tokens(corpus, text_col).alias("toks")
+    )
+    # (w1 nullable, w2) per position: prepend null, zip with self.
+    pairs = toks.select(
+        "__doc",
+        F.explode(
+            F.arrays_zip(
+                F.concat(
+                    F.array(F.lit(None).cast("string")),
+                    F.slice(
+                        "toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))
+                    ),
+                ).alias("w1"),
+                F.col("toks").alias("w2"),
+            )
+        ).alias("p"),
+    ).select("__doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # an empty token array zips to one (null, null) row (arrays_zip pads
+    # the shorter side) — drop it; real tokens are never null
+    pairs = pairs.filter(F.col("w2").isNotNull())
+
+    if not broadcast_model:
+        # compress repeated (doc, w1, w2) so each crosses the shuffle once
+        pairs = pairs.groupBy("__doc", "w1", "w2").agg(
+            F.count("*").alias("__mult")
+        )
+    else:
+        pairs = pairs.withColumn("__mult", F.lit(1).cast("long"))
+
+    scored = (
+        pairs.join(
+            mark(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+            "left",
+        )
+        .join(
+            mark(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+            "left",
+        )
+        .join(mark(bi), ["w1", "w2"], "left")
+    )
+    log_uni = F.log10(F.coalesce(F.col("c2"), F.lit(1)) / F.lit(model.n_tokens))
+    logp = (
+        F.when(F.col("w1").isNull(), log_uni)
+        .when(
+            F.col("c12").isNotNull() & F.col("c1").isNotNull(),
+            F.log10(F.col("c12") / F.col("c1")),
+        )
+        .otherwise(F.lit(math.log10(model.alpha)) + log_uni)
+    )
+    per_doc = (
+        scored.select("__doc", F.col("__mult"), logp.alias("logp"))
+        .groupBy("__doc")
+        .agg(
+            F.sum("__mult").alias("n_tokens"),
+            (F.sum(F.col("logp") * F.col("__mult")) / F.sum("__mult")).alias(
+                "avg_log10_prob"
+            ),
+        )
+    )
+    # empty documents produce no pair rows — reinstate them with null
+    # scores so the quality gate sees every input key (narrow filter,
+    # no join: the empties come straight from the token pass)
+    empties = toks.filter(F.size("toks") == 0).select(
+        "__doc",
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit(None).cast("double").alias("avg_log10_prob"),
+    )
+    return (
+        per_doc.unionByName(empties)
+        .select(
+            F.col("__doc").alias(key_col),
+            "n_tokens",
+            F.round("avg_log10_prob", 6).alias("avg_log10_prob"),
+            F.round(
+                F.pow(F.lit(10.0), -F.col("avg_log10_prob")), 6
+            ).alias("perplexity10"),
+        )
+    )

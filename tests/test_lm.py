@@ -1,0 +1,158 @@
+"""Stupid-Backoff bigram LM quality scoring vs a brute-force oracle.
+
+The oracle re-implements the documented model semantics (operators/lm.py
+module docstring) sequentially in Python over the same token rule, so any
+drift between the Spark dataflow and the spec is a hard failure.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.core.planlint import assert_plan_clean
+from ontoma_spark.operators.lm import BigramLM, lm_score, lm_train
+
+TOK = re.compile(r"[^a-z0-9]+")
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in TOK.split(text.lower()) if t]
+
+
+def _brute_model(seed_texts, min_count=1):
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    n = 0
+    for text in seed_texts:
+        ts = _toks(text)
+        n += len(ts)
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    bi = {k: v for k, v in bi.items() if v >= min_count}
+    return uni, bi, n
+
+
+def _brute_score(text, uni, bi, n, alpha):
+    ts = _toks(text)
+    if not ts:
+        return 0, None, None
+    logps = []
+    for i, w in enumerate(ts):
+        log_uni = math.log10(uni.get(w, 1) / n)
+        if i == 0:
+            logps.append(log_uni)
+        elif (ts[i - 1], w) in bi and ts[i - 1] in uni:
+            logps.append(math.log10(bi[(ts[i - 1], w)] / uni[ts[i - 1]]))
+        else:
+            logps.append(math.log10(alpha) + log_uni)
+    avg = sum(logps) / len(logps)
+    return len(ts), round(avg, 6), round(10 ** (-avg), 6)
+
+
+SEED = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "a cat and a dog ran",
+    "the quick brown fox jumps over the lazy dog",
+    "cats and dogs live together",
+]
+CORPUS = [
+    ("d1", "the cat sat on the mat"),  # in-model text: high prob
+    ("d2", "zebra quark flux capacitor"),  # all-OOV
+    ("d3", ""),  # empty
+    ("d4", "the"),  # single token
+    ("d5", "THE CAT!! sat... on -- the MAT"),  # punctuation/case folding
+    ("d6", "dog the sat cat"),  # seen words, unseen order
+]
+
+
+@pytest.mark.parametrize("min_count,alpha", [(1, 0.4), (2, 0.4), (1, 0.1)])
+def test_lm_score_matches_bruteforce(spark, min_count, alpha):
+    seed = spark.createDataFrame([(t,) for t in SEED], ["text"])
+    model = lm_train(seed, min_count=min_count, alpha=alpha)
+    uni, bi, n = _brute_model(SEED, min_count=min_count)
+    assert model.n_tokens == n
+
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_log10_prob"], r["perplexity10"])
+        for r in lm_score(corpus, model).collect()
+    }
+    assert set(got) == {d for d, _ in CORPUS}
+    for doc_id, text in CORPUS:
+        nt, avg, ppl = _brute_score(text, uni, bi, n, alpha)
+        g_nt, g_avg, g_ppl = got[doc_id]
+        assert g_nt == nt, doc_id
+        if avg is None:
+            assert g_avg is None and g_ppl is None, doc_id
+        else:
+            assert g_avg == pytest.approx(avg, abs=2e-6), doc_id
+            assert g_ppl == pytest.approx(ppl, rel=1e-5), doc_id
+
+
+def test_lm_score_shuffle_join_path_identical(spark):
+    """broadcast_model=False (the oversized-model path, corpus
+    pre-aggregated per (doc, w1, w2)) must be value-identical."""
+    seed = spark.createDataFrame([(t,) for t in SEED], ["text"])
+    model = lm_train(seed)
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    a = sorted(map(tuple, lm_score(corpus, model).collect()))
+    b = sorted(
+        map(tuple, lm_score(corpus, model, broadcast_model=False).collect())
+    )
+    assert a == b
+
+
+def test_lm_partitioning_invariance(spark):
+    seed = spark.createDataFrame([(t,) for t in SEED], ["text"])
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    base = sorted(map(tuple, lm_score(corpus, lm_train(seed)).collect()))
+    re_seed = lm_train(seed.repartition(7))
+    re_out = sorted(
+        map(tuple, lm_score(corpus.repartition(5), re_seed).collect())
+    )
+    assert base == re_out
+
+
+def test_lm_in_model_text_scores_better_than_oov(spark):
+    seed = spark.createDataFrame([(t,) for t in SEED], ["text"])
+    model = lm_train(seed)
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in lm_score(corpus, model).collect()}
+    assert rows["d1"]["perplexity10"] < rows["d2"]["perplexity10"]
+    # punctuation/case folding makes d5 identical tokens to d1
+    assert rows["d5"]["avg_log10_prob"] == rows["d1"]["avg_log10_prob"]
+    # seen unigrams in unseen order sit between in-model and OOV
+    assert (
+        rows["d1"]["perplexity10"]
+        < rows["d6"]["perplexity10"]
+        < rows["d2"]["perplexity10"]
+    )
+
+
+def test_lm_empty_seed_raises(spark):
+    seed = spark.createDataFrame([("",)], ["text"])
+    model = lm_train(seed)
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        lm_score(corpus, model)
+
+
+def test_lm_min_count_prunes_bigrams_only(spark):
+    seed = spark.createDataFrame([(t,) for t in SEED], ["text"])
+    model = lm_train(seed, min_count=3)
+    # "the X" bigrams each occur < 3 times; unigram counts stay exact
+    assert model.bigrams.count() == 0
+    assert model.unigrams.filter(F.col("w") == "the").collect()[0]["c"] == 6
+
+
+def test_lm_score_plan_lints_clean(spark):
+    seed = spark.createDataFrame([(t,) for t in SEED], ["text"])
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    assert_plan_clean(lm_score(corpus, lm_train(seed)))
