@@ -738,3 +738,84 @@ def hits(
             "hub", F.col("hub") / F.lit(nh)
         ).localCheckpoint(eager=True)
     return scores.select("node", "hub", F.col("auth").alias("authority"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 20,
+    reverse: bool = False,
+    allow_truncation: bool = False,
+) -> DataFrame:
+    """Multi-source BFS hop distances: (node, dist) where dist is the
+    minimum number of directed edges from ANY source node — the
+    ontology-depth / hop-distance feature (e.g. "how many is_a levels
+    below EFO:disease is this term") that reachability
+    (``transitive_closure``) cannot answer. ``reverse=True`` walks
+    edges dst→src (distance to ancestors instead of descendants).
+
+    ``sources`` is a one-column DataFrame of start nodes (column name
+    irrelevant); they score dist 0 whether or not they appear in the
+    edge table.
+
+    Per round: one equi-join of the current frontier against the edge
+    table (shuffles on node id, frontier side is the small one and
+    AQE-broadcasts while it fits) + one left-anti join against the
+    visited set. BFS visits each node once at its minimal distance, so
+    no min-aggregation re-visit is ever needed and the frontier shrinks
+    monotonically toward the fringe. ``localCheckpoint`` per round cuts
+    the lineage. Round count is the graph eccentricity — right for
+    shallow ontology DAGs; a deep-chain graph should use
+    ``connected_components_twostar`` (membership) or
+    ``transitive_closure`` (reachability) instead.
+
+    Like ``transitive_closure``, exhausting ``max_depth`` with a
+    non-empty frontier RAISES by default — a truncated distance table
+    is a wrong-but-plausible answer. Pass ``allow_truncation=True`` to
+    accept the partial table (every emitted distance is still exact;
+    absent nodes are "dist > max_depth").
+    """
+    s, d = (dst, src) if reverse else (src, dst)
+    e = (
+        edges.select(F.col(s).alias("__u"), F.col(d).alias("__v"))
+        .filter(F.col("__u") != F.col("__v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    node_col = sources.columns[0]
+    frontier = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    visited = frontier
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__u"])
+            .select(F.col("__v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.count() == 0:
+            return visited.select("node", "dist")
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    # max_depth exhausted: is there still an unvisited fringe?
+    fringe = (
+        frontier.join(e, frontier["node"] == e["__u"])
+        .select(F.col("__v").alias("node"))
+        .distinct()
+        .join(visited.select("node"), "node", "left_anti")
+    )
+    if not allow_truncation and fringe.count() > 0:
+        raise RuntimeError(
+            f"bfs_distances: frontier still expanding after max_depth="
+            f"{max_depth} rounds — distances would be truncated; raise "
+            "max_depth or pass allow_truncation=True"
+        )
+    return visited.select("node", "dist")

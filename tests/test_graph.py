@@ -485,3 +485,90 @@ def test_transitive_closure_nonconvergence_raises(spark):
         for r in transitive_closure(tiny, max_iter=1).collect()
     }
     assert got == {(0, 1), (1, 2), (0, 2)}
+
+
+def _brute_bfs(edges, sources, reverse=False):
+    from collections import deque
+
+    adj: dict = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        a, b = (v, u) if reverse else (u, v)
+        adj.setdefault(a, set()).add(b)
+    dist = {s: 0 for s in sources}
+    dq = deque(sources)
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    return dist
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_bfs_distances_vs_bruteforce(spark, seed):
+    from ontoma_spark.operators.graph import bfs_distances
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = list(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(120)
+        }
+    )
+    sources = ["n0", "n1"]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    s = spark.createDataFrame([(x,) for x in sources], ["node"])
+    for reverse in (False, True):
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_distances(
+                e.repartition(5), s, max_depth=45, reverse=reverse
+            ).collect()
+        }
+        assert got == _brute_bfs(edges, sources, reverse=reverse)
+
+
+def test_bfs_distances_multi_source_takes_min(spark):
+    from ontoma_spark.operators.graph import bfs_distances
+
+    # chain a->b->c->d ; sources {a, c}: d is 1 hop from c, not 3 from a
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    s = spark.createDataFrame([("a",), ("c",)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, s).collect()}
+    assert got == {"a": 0, "c": 0, "b": 1, "d": 1}
+
+
+def test_bfs_distances_truncation_raises_unless_allowed(spark):
+    from ontoma_spark.operators.graph import bfs_distances
+
+    chain = [(f"c{i}", f"c{i+1}") for i in range(10)]
+    e = spark.createDataFrame(chain, ["src", "dst"])
+    s = spark.createDataFrame([("c0",)], ["node"])
+    with pytest.raises(RuntimeError, match="max_depth"):
+        bfs_distances(e, s, max_depth=3)
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(e, s, max_depth=3, allow_truncation=True)
+        .collect()
+    }
+    assert got == {"c0": 0, "c1": 1, "c2": 2, "c3": 3}
+    # exact max_depth: fringe empty, no raise
+    full = bfs_distances(e, s, max_depth=10).collect()
+    assert len(full) == 11
+
+
+def test_bfs_distances_isolated_source_and_cycle(spark):
+    from ontoma_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x")], ["src", "dst"]
+    )
+    s = spark.createDataFrame([("x",), ("lonely",)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, s).collect()}
+    assert got == {"x": 0, "lonely": 0, "y": 1, "z": 2}

@@ -198,3 +198,26 @@ def test_twostar_round_lints_clean(spark):
         .distinct()
     )
     assert_plan_clean(large)
+
+
+def test_bfs_round_lints_clean(spark):
+    """One BFS expansion round (frontier ⋈ edges + anti-join visited) —
+    the composition bfs_distances checkpoints away from its returned
+    plan — is cartesian-free, single-partition-free, Python-UDF-free."""
+    import pyspark.sql.functions as F
+
+    e = spark.range(2_000).selectExpr(
+        "CAST(id % 300 AS LONG) AS __u", "CAST(id % 131 + 300 AS LONG) AS __v"
+    )
+    frontier = spark.range(50).selectExpr(
+        "CAST(id AS LONG) AS node", "0 AS dist"
+    )
+    visited = frontier
+    nxt = (
+        frontier.join(e, frontier["node"] == e["__u"])
+        .select(F.col("__v").alias("node"))
+        .distinct()
+        .join(visited.select("node"), "node", "left_anti")
+        .withColumn("dist", F.lit(1))
+    )
+    assert_plan_clean(nxt)
