@@ -3198,7 +3198,29 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_cc_twostar": q69_cc_twostar,
         "q70_bm25_corpus": q70_bm25_corpus,
         "q71_lm_perplexity": q71_lm_perplexity,
+        "q72_relation_patterns": q72_relation_patterns,
     }
+
+
+def q72_relation_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (brute-force-oracled in tests/test_relations.py):
+    pattern-based relation extraction over the REAL pipeline's triple
+    output — per-doc mention-pair self-join + one doc-keyed gap-slice
+    join against the corpus. A catch-all pattern keeps every in-window
+    pair so the full pairing + gap-assembly volume is timed (the
+    generated templates contain no relation verbs; with the default
+    lexicon the output would be empty and the regex cost unmeasured)."""
+    from ontoma_spark.datagen import generate_repos
+    from ontoma_spark.operators.relations import relation_patterns
+    from ontoma_spark.pipeline.kg import build_triples
+    from ontoma_spark.pipeline.run import prepare_reference_tables
+
+    lexicon, canonical, bloom = prepare_reference_tables(spark)
+    repos = generate_repos(spark, _sf_rows(sf_dir))
+    triples = build_triples(repos, lexicon, canonical, token_bloom=bloom)
+    return relation_patterns(
+        triples, repos, patterns=(("kg:nearby", r"\w"),), max_gap_tokens=12
+    )
 
 
 def q71_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:

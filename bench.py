@@ -112,6 +112,7 @@ HEADLINE = [
     "q69_cc_twostar",
     "q70_bm25_corpus",
     "q71_lm_perplexity",
+    "q72_relation_patterns",
 ]
 
 T0 = time.time()

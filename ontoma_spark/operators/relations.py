@@ -1,0 +1,124 @@
+"""Pattern-based relation extraction between linked mention pairs.
+
+The pipeline's triple emitter (pipeline/kg.py::matches_to_triples,
+mirroring the reference's per-string mapping surface,
+reference src/ontoma/ontoma.py:392-425) links each MENTION to an
+ontology id (skos:exactMatch / relatedMatch). This operator adds the
+next KG-construction layer: ENTITY-to-ENTITY edges with real
+predicates, assigned by matching a small ordered pattern lexicon
+("inhibits", "is caused by", …) against the token gap BETWEEN two
+linked mentions of the same document — the classic Hearst-style
+bootstrap extractor.
+
+Inputs are the canonicalised triple/match table (doc keys + 1-based
+token ``start`` + token count ``n`` + ``obj`` — exactly what
+``matches_to_triples`` emits) and the corpus (for the gap tokens,
+re-tokenised with the SAME kernel the mention extractor used, so
+positions line up by construction).
+
+Scale notes
+-----------
+* The pair join is a self-join of the MATCH table keyed on the doc id —
+  matches per doc are few and bounded (overlap resolution keeps at most
+  one match per span), so per-doc pairing is small-quadratic, the same
+  stance as operators/graph.py::comention_edges. The corpus is never
+  self-joined.
+* Gap text comes from ONE doc-keyed equi-join of the (small) pair table
+  against the corpus, followed by a zero-shuffle slice + concat_ws —
+  one extra narrow pass over content, no window functions.
+* The pattern lexicon is a Python-side ordered list folded into one
+  CASE chain (first match wins, deterministic) — pure RE2 codegen,
+  no Python UDFs, broadcast as literals inside the expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.linker import DOC_COLS
+from ontoma_spark.operators.mentions import tokenize_content
+
+# Default predicate lexicon for the disease/phenotype KG: ordered —
+# earlier entries win on ties. Patterns are RE2, matched case-insensitively
+# against the space-joined token gap.
+DEFAULT_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("kg:inhibits", r"\b(inhibits?|suppress(es)?|blocks?)\b"),
+    ("kg:treats", r"\b(treats?|amelioriates?|alleviates?|cures?)\b"),
+    ("kg:causes", r"\b(causes?|induces?|leads? to|results? in)\b"),
+    ("kg:associatedWith", r"\b(associated with|linked to|related to)\b"),
+)
+
+
+def _pred_expr(
+    gap: Column, patterns: tuple[tuple[str, str], ...]
+) -> Column:
+    """Ordered CASE over the pattern lexicon; null when nothing hits."""
+    expr = F.lit(None).cast("string")
+    for pred, rx in reversed(patterns):
+        expr = F.when(F.lower(gap).rlike(rx), F.lit(pred)).otherwise(expr)
+    return expr
+
+
+def relation_patterns(
+    matches: DataFrame,
+    corpus: DataFrame,
+    patterns: tuple[tuple[str, str], ...] = DEFAULT_PATTERNS,
+    doc_cols: tuple[str, ...] = DOC_COLS,
+    content_col: str = "content",
+    max_gap_tokens: int = 8,
+) -> DataFrame:
+    """(doc keys, subj, pred, obj, gap_text, subj_start, obj_start):
+    one row per ordered mention pair whose token gap matches a pattern.
+
+    ``matches`` needs (doc_cols, start, n, obj); pairs are formed
+    left-to-right (subj mention strictly before obj mention, gap of
+    1..max_gap_tokens tokens, no self-pairs on the same entity id).
+    """
+    m = matches.select(
+        *doc_cols,
+        F.col("start").cast("int").alias("start"),
+        F.col("n").cast("int").alias("n"),
+        F.col("obj").alias("obj"),
+    ).dropDuplicates([*doc_cols, "start", "n", "obj"])
+
+    a, b = m.alias("a"), m.alias("b")
+    gap_len = F.col("b.start") - (F.col("a.start") + F.col("a.n"))
+    pairs = (
+        a.join(b, [F.col(f"a.{c}") == F.col(f"b.{c}") for c in doc_cols])
+        .filter(
+            (gap_len >= 1)
+            & (gap_len <= max_gap_tokens)
+            & (F.col("a.obj") != F.col("b.obj"))
+        )
+        .select(
+            *[F.col(f"a.{c}").alias(c) for c in doc_cols],
+            F.col("a.obj").alias("subj"),
+            F.col("b.obj").alias("obj"),
+            F.col("a.start").alias("subj_start"),
+            (F.col("a.start") + F.col("a.n")).alias("gap_start"),
+            gap_len.alias("gap_len"),
+            F.col("b.start").alias("obj_start"),
+        )
+    )
+    docs = corpus.select(
+        *doc_cols, tokenize_content(F.col(content_col)).alias("__toks")
+    )
+    gapped = pairs.join(docs, list(doc_cols)).select(
+        *doc_cols,
+        "subj",
+        "obj",
+        "subj_start",
+        "obj_start",
+        F.concat_ws(
+            " ", F.slice("__toks", F.col("gap_start"), F.col("gap_len"))
+        ).alias("gap_text"),
+    )
+    return (
+        gapped.withColumn("pred", _pred_expr(F.col("gap_text"), patterns))
+        .filter(F.col("pred").isNotNull())
+        .select(
+            *doc_cols, "subj", "pred", "obj",
+            "gap_text", "subj_start", "obj_start",
+        )
+    )

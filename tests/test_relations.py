@@ -1,0 +1,161 @@
+"""Pattern-based relation extraction vs a brute-force oracle.
+
+The oracle mirrors the documented semantics (operators/relations.py):
+ordered left-to-right mention pairs with a 1..max_gap token gap, gap
+text sliced from the SAME tokenisation the mention extractor uses,
+ordered-first-match pattern assignment.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.core.planlint import assert_plan_clean
+from ontoma_spark.operators.relations import (
+    DEFAULT_PATTERNS,
+    relation_patterns,
+)
+
+# Python mirror of mentions.TOKEN_RE (\p classes -> ascii test corpus)
+TOK = re.compile(r"[A-Za-z0-9](?:[A-Za-z0-9_:'\-]*[A-Za-z0-9])?")
+
+DOCS = [
+    ("r1", "a.py", "c1", "aspirin strongly inhibits severe migraine onset"),
+    ("r1", "b.py", "c1", "smoking causes lung cancer ; cancer linked to apc"),
+    ("r2", "c.py", "c2", "migraine and aspirin appear together no verb"),
+    ("r2", "d.py", "c2", "statin treats hypercholesterolemia"),
+]
+
+# (doc, token_start(1-based), n_tokens, entity)
+MATCHES = [
+    (("r1", "a.py", "c1"), 1, 1, "CHEMBL:25"),      # aspirin
+    (("r1", "a.py", "c1"), 4, 2, "EFO:0003821"),     # severe migraine
+    (("r1", "b.py", "c1"), 1, 1, "EFO:SMOKE"),       # smoking
+    (("r1", "b.py", "c1"), 3, 2, "EFO:LC"),          # lung cancer
+    (("r1", "b.py", "c1"), 5, 1, "EFO:CANCER"),      # cancer (overlap ok)
+    (("r1", "b.py", "c1"), 6, 1, "EFO:CANCER"),      # 2nd "cancer"
+    (("r1", "b.py", "c1"), 9, 1, "ENSG:APC"),        # apc
+    (("r2", "c.py", "c2"), 1, 1, "EFO:0003821"),
+    (("r2", "c.py", "c2"), 3, 1, "CHEMBL:25"),
+    (("r2", "d.py", "c2"), 1, 1, "CHEMBL:STATIN"),
+    (("r2", "d.py", "c2"), 3, 1, "EFO:HC"),
+]
+
+
+def _dfs(spark):
+    corpus = spark.createDataFrame(DOCS, ["repo", "path", "commit", "content"])
+    matches = spark.createDataFrame(
+        [(d[0], d[1], d[2], s, n, o) for (d, s, n, o) in MATCHES],
+        ["repo", "path", "commit", "start", "n", "obj"],
+    )
+    return corpus, matches
+
+
+def _brute(max_gap=8, patterns=DEFAULT_PATTERNS):
+    toks = {(r, p, c): TOK.findall(t) for r, p, c, t in DOCS}
+    out = set()
+    for (d1, s1, n1, o1) in MATCHES:
+        for (d2, s2, n2, o2) in MATCHES:
+            if d1 != d2 or o1 == o2:
+                continue
+            gap = s2 - (s1 + n1)
+            if not (1 <= gap <= max_gap):
+                continue
+            gap_text = " ".join(toks[d1][s1 + n1 - 1 : s2 - 1])
+            for pred, rx in patterns:
+                if re.search(rx, gap_text.lower()):
+                    out.add((*d1, o1, pred, o2, gap_text, s1, s2))
+                    break
+    return out
+
+
+def test_relation_patterns_vs_bruteforce(spark):
+    corpus, matches = _dfs(spark)
+    got = {
+        tuple(r)
+        for r in relation_patterns(
+            matches.repartition(3), corpus.repartition(2)
+        ).collect()
+    }
+    want = _brute()
+    assert got == want
+    # sanity on content: the two verb-ful docs produced relations
+    preds = {(r[3], r[4], r[5]) for r in got}
+    assert ("CHEMBL:25", "kg:inhibits", "EFO:0003821") in preds
+    assert ("EFO:SMOKE", "kg:causes", "EFO:LC") in preds
+    assert ("CHEMBL:STATIN", "kg:treats", "EFO:HC") in preds
+    # the verb-free co-mention doc produced nothing
+    assert not any(r[0] == "r2" and r[1] == "c.py" for r in got)
+
+
+def test_relation_patterns_gap_cap_and_order(spark):
+    corpus, matches = _dfs(spark)
+    # max_gap=1: "smoking causes lung..." survives (gap 'causes' = 1 token),
+    # aspirin->migraine needs 2 gap tokens and is cut
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in relation_patterns(matches, corpus, max_gap_tokens=1)
+        .collect()
+    }
+    assert ("EFO:SMOKE", "kg:causes", "EFO:LC") in got
+    assert all(s != "CHEMBL:25" for s, _, _ in got)
+
+    # pattern order: a catch-all first entry shadows later specifics
+    pats = (("kg:any", r"\w"), *DEFAULT_PATTERNS)
+    got2 = {
+        r["pred"] for r in relation_patterns(matches, corpus, pats).collect()
+    }
+    assert got2 == {"kg:any"}
+
+
+def test_relation_patterns_brute_gap_cap_agrees(spark):
+    corpus, matches = _dfs(spark)
+    got = {
+        tuple(r)
+        for r in relation_patterns(matches, corpus, max_gap_tokens=2)
+        .collect()
+    }
+    assert got == _brute(max_gap=2)
+
+
+def test_relation_patterns_plan_lints_clean(spark):
+    corpus, matches = _dfs(spark)
+    assert_plan_clean(relation_patterns(matches, corpus))
+
+
+def test_relation_patterns_end_to_end_pipeline(spark):
+    """Integration: triples from the REAL linking pipeline feed the
+    relation extractor (positions produced by extract_candidates line up
+    with tokenize_content slicing)."""
+    from ontoma_spark.lexicon import build_lexicon
+    from ontoma_spark.pipeline.kg import build_triples
+
+    corpus = spark.createDataFrame(
+        [
+            ("r9", "x.md", "c9", "en",
+             "aspirin inhibits migraine in this study"),
+        ],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    raw = spark.createDataFrame(
+        [
+            ("CHEMBL:25", "aspirin", 1.0, "symbol", "name", "CD", "label"),
+            ("EFO:0003821", "migraine", 1.0, "term", "name", "DS", "label"),
+        ],
+        [
+            "entityId", "entityLabel", "entityScore", "nlpPipelineTrack",
+            "entitySource", "entityType", "entityKind",
+        ],
+    )
+    canonical = spark.createDataFrame(
+        [("CHEMBL:25", "CHEMBL:25")], ["node", "canonicalId"]
+    )
+    triples = build_triples(corpus, build_lexicon([raw]), canonical)
+    rels = relation_patterns(triples, corpus).collect()
+    assert [(r["subj"], r["pred"], r["obj"]) for r in rels] == [
+        ("CHEMBL:25", "kg:inhibits", "EFO:0003821")
+    ]
+    assert rels[0]["gap_text"] == "inhibits"
