@@ -1,0 +1,131 @@
+"""Context-window disambiguation of multi-mapped mentions.
+
+OnToma deliberately keeps ALL top-tier ids for an ambiguous surface
+(dense_rank ties, reference src/ontoma/ontoma.py:247-253 — "MS" maps to
+both multiple-sclerosis and mass-spectrometry), leaving the choice to
+the consumer. This operator is that consumer-side chooser: score each
+candidate id by the lexical overlap between the mention's token CONTEXT
+WINDOW in the document and the candidate's GLOSS (the bag of all its
+lexicon labels/synonyms), and keep the argmax — the classic Lesk-style
+disambiguator, built entirely from array higher-order functions.
+
+Score = |ctx ∩ gloss| / sqrt(|ctx| * |gloss|) over distinct lowercase
+tokens (binary cosine). The mention's own tokens are EXCLUDED from the
+context — every candidate's gloss contains the matched surface by
+construction, so including them would wash out the signal. Ties (and
+gloss-less candidates) break deterministically by entityId.
+
+Scale notes
+-----------
+* The gloss table is lexicon-sized (one row per entityId) and is
+  broadcast; the corpus-side token pass is one narrow projection.
+* Context slicing is zero-shuffle array arithmetic on the SAME
+  tokenisation the mention extractor used (positions line up by
+  construction, like operators/relations.py).
+* The candidate table (triples) joins the corpus once, doc-keyed; the
+  final argmax is a window partitioned by (doc, span) — bounded state,
+  never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.linker import DOC_COLS
+from ontoma_spark.operators.mentions import tokenize_content
+
+
+def entity_gloss(raw_lexicon: DataFrame) -> DataFrame:
+    """(entityId, gloss): distinct lowercase tokens of every label the
+    lexicon knows for the entity. One map-side-combined aggregation over
+    the lexicon — vocabulary-sized output."""
+    toks = raw_lexicon.select(
+        F.col("entityId"),
+        F.explode(tokenize_content(F.lower(F.col("entityLabel")))).alias(
+            "tok"
+        ),
+    ).distinct()
+    return toks.groupBy("entityId").agg(
+        F.array_sort(F.collect_set("tok")).alias("gloss")
+    )
+
+
+def disambiguate(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    raw_lexicon: DataFrame,
+    doc_cols: tuple[str, ...] = DOC_COLS,
+    content_col: str = "content",
+    window: int = 10,
+    keep_all: bool = False,
+) -> DataFrame:
+    """Pick one entity id per mention span by context-gloss cosine.
+
+    ``candidates`` needs (doc_cols, start, n, obj) — the triple table's
+    shape, one row per candidate id per span. Returns the input columns
+    + ``ctx_score`` (+ ``rnk`` when ``keep_all=True``; otherwise only
+    rank-1 rows survive — exactly one id per (doc, span)).
+    """
+    docs = corpus.select(
+        *doc_cols,
+        F.transform(
+            tokenize_content(F.col(content_col)), lambda t: F.lower(t)
+        ).alias("__toks"),
+    )
+    cand = candidates.select(
+        *doc_cols,
+        F.col("start").cast("int").alias("start"),
+        F.col("n").cast("int").alias("n"),
+        F.col("obj").alias("obj"),
+    ).dropDuplicates([*doc_cols, "start", "n", "obj"])
+
+    lo = F.greatest(F.col("start") - window, F.lit(1))
+    with_ctx = cand.join(docs, list(doc_cols)).select(
+        *doc_cols,
+        "start",
+        "n",
+        "obj",
+        F.array_distinct(
+            F.concat(
+                F.slice("__toks", lo, F.col("start") - lo),
+                F.slice(
+                    "__toks",
+                    F.col("start") + F.col("n"),
+                    F.least(
+                        F.lit(window),
+                        F.greatest(
+                            F.size("__toks")
+                            - (F.col("start") + F.col("n"))
+                            + 1,
+                            F.lit(0),
+                        ),
+                    ),
+                ),
+            )
+        ).alias("ctx"),
+    )
+    gloss = entity_gloss(raw_lexicon).withColumnRenamed("entityId", "obj")
+    scored = (
+        with_ctx.join(F.broadcast(gloss), "obj", "left")
+        .withColumn(
+            "ctx_score",
+            F.when(
+                F.col("gloss").isNull()
+                | (F.size("ctx") == 0)
+                | (F.size("gloss") == 0),
+                F.lit(0.0),
+            ).otherwise(
+                F.size(F.array_intersect("ctx", "gloss"))
+                / F.sqrt(F.size("ctx") * F.size("gloss"))
+            ),
+        )
+        .drop("ctx", "gloss")
+    )
+    w = Window.partitionBy(*doc_cols, "start", "n").orderBy(
+        F.col("ctx_score").desc(), F.col("obj").asc()
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if keep_all:
+        return ranked
+    return ranked.filter(F.col("rnk") == 1).drop("rnk")

@@ -1,0 +1,136 @@
+"""Context-window disambiguation vs a brute-force oracle."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.core.planlint import assert_plan_clean
+from ontoma_spark.operators.disambig import disambiguate, entity_gloss
+
+TOK = re.compile(r"[A-Za-z0-9](?:[A-Za-z0-9_:'\-]*[A-Za-z0-9])?")
+
+# "ms" is ambiguous: multiple sclerosis (EFO:MS) vs mass spectrometry
+# (OBI:MS). Doc 1's context is neurological, doc 2's is analytical.
+DOCS = [
+    ("r1", "a.md", "c1",
+     "patient relapsing lesions diagnosed with ms after brain mri scan"),
+    ("r1", "b.md", "c1",
+     "protein samples measured by ms using ionization spectrometry assay"),
+    ("r2", "c.md", "c2", "ms"),  # bare mention: empty context
+]
+
+LEX = [
+    ("EFO:MS", "ms"),
+    ("EFO:MS", "multiple sclerosis"),
+    ("EFO:MS", "relapsing remitting multiple sclerosis"),
+    ("EFO:MS", "brain lesions"),
+    ("OBI:MS", "ms"),
+    ("OBI:MS", "mass spectrometry"),
+    ("OBI:MS", "ionization mass spectrometry"),
+]
+
+# the mention "ms": (doc, start(1-based), n=1, candidate)
+CANDS = [
+    (("r1", "a.md", "c1"), 6, 1, "EFO:MS"),
+    (("r1", "a.md", "c1"), 6, 1, "OBI:MS"),
+    (("r1", "b.md", "c1"), 5, 1, "EFO:MS"),
+    (("r1", "b.md", "c1"), 5, 1, "OBI:MS"),
+    (("r2", "c.md", "c2"), 1, 1, "EFO:MS"),
+    (("r2", "c.md", "c2"), 1, 1, "OBI:MS"),
+]
+
+
+def _dfs(spark):
+    corpus = spark.createDataFrame(DOCS, ["repo", "path", "commit", "content"])
+    cands = spark.createDataFrame(
+        [(d[0], d[1], d[2], s, n, o) for (d, s, n, o) in CANDS],
+        ["repo", "path", "commit", "start", "n", "obj"],
+    )
+    lex = spark.createDataFrame(LEX, ["entityId", "entityLabel"])
+    return corpus, cands, lex
+
+
+def _brute(window=10):
+    toks = {(r, p, c): [t.lower() for t in TOK.findall(t_)]
+            for r, p, c, t_ in DOCS}
+    gloss: dict[str, set] = {}
+    for eid, label in LEX:
+        gloss.setdefault(eid, set()).update(
+            t.lower() for t in TOK.findall(label)
+        )
+    scored = {}
+    for (d, s, n, o) in CANDS:
+        ts = toks[d]
+        lo = max(s - window, 1)
+        left = ts[lo - 1 : s - 1]
+        rstart = s + n
+        rlen = min(window, max(len(ts) - rstart + 1, 0))
+        ctx = set(left + ts[rstart - 1 : rstart - 1 + rlen])
+        g = gloss.get(o, set())
+        sc = (
+            len(ctx & g) / math.sqrt(len(ctx) * len(g))
+            if ctx and g
+            else 0.0
+        )
+        scored[(*d, s, n, o)] = sc
+    return scored
+
+
+def test_disambiguate_scores_match_bruteforce(spark):
+    corpus, cands, lex = _dfs(spark)
+    got = {
+        (r["repo"], r["path"], r["commit"], r["start"], r["n"], r["obj"]):
+            r["ctx_score"]
+        for r in disambiguate(
+            cands.repartition(3), corpus.repartition(2), lex, keep_all=True
+        ).collect()
+    }
+    want = _brute()
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_disambiguate_picks_the_right_sense(spark):
+    corpus, cands, lex = _dfs(spark)
+    top = {
+        (r["repo"], r["path"]): r["obj"]
+        for r in disambiguate(cands, corpus, lex).collect()
+    }
+    assert top[("r1", "a.md")] == "EFO:MS"   # neurological context
+    assert top[("r1", "b.md")] == "OBI:MS"   # analytical context
+    # empty context: both score 0, deterministic entityId tie-break
+    assert top[("r2", "c.md")] == "EFO:MS"
+    # exactly one winner per span
+    assert len(disambiguate(cands, corpus, lex).collect()) == 3
+
+
+def test_disambiguate_window_param(spark):
+    corpus, cands, lex = _dfs(spark)
+    # window=1: only adjacent tokens ("with"/"after", "by"/"using")
+    # carry no gloss tokens -> all scores 0
+    rows = disambiguate(
+        cands, corpus, lex, window=1, keep_all=True
+    ).collect()
+    assert all(r["ctx_score"] == 0.0 for r in rows)
+    got = {
+        (r["repo"], r["path"], r["commit"], r["start"], r["n"], r["obj"]):
+            r["ctx_score"]
+        for r in rows
+    }
+    assert got == pytest.approx(_brute(window=1))
+
+
+def test_entity_gloss_shape(spark):
+    _, _, lex = _dfs(spark)
+    g = {r["entityId"]: r["gloss"] for r in entity_gloss(lex).collect()}
+    assert g["OBI:MS"] == sorted({"ms", "mass", "spectrometry", "ionization"})
+
+
+def test_disambiguate_plan_lints_clean(spark):
+    corpus, cands, lex = _dfs(spark)
+    assert_plan_clean(disambiguate(cands, corpus, lex))
