@@ -208,6 +208,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    personalize: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank on a directed edge list; returns
     (node, rank).
@@ -224,6 +225,15 @@ def pagerank(
     proportionally to edge weight — ``rank(u) * w(u,v) / sum_w(u)`` —
     instead of uniformly over out-degree. None keeps the unweighted
     semantics above bit-for-bit (weight 1 per edge).
+
+    ``personalize`` (a one-column DataFrame of seed nodes) switches to
+    PERSONALIZED PageRank: the teleport vector puts 1/|S| on each seed
+    (S = seeds ∩ graph nodes; outside seeds are ignored) and 0
+    elsewhere, ranks start at that vector, and each iteration computes
+    ``rank(v) = (1-d)*p(v) + d * Σ contribs`` — topic-relative entity
+    salience (e.g. "salience within the oncology neighbourhood of the
+    co-mention graph"). The seed table is broadcast (seed sets are
+    small); None keeps the global semantics above bit-for-bit.
 
     N (one scalar) is the only driver-side value; everything else stays
     distributed. Each iteration is lineage-cut with a lazy
@@ -248,7 +258,34 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("__src").agg(F.sum("__w").alias("__odeg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if personalize is None:
+        nodes_p = nodes.withColumn("__p", F.lit(1.0 / n))
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    else:
+        seeds = (
+            personalize.select(
+                F.col(personalize.columns[0]).alias("node")
+            )
+            .distinct()
+            .join(nodes, "node", "left_semi")
+        )
+        s_cnt = seeds.count()
+        if s_cnt == 0:
+            raise ValueError(
+                "pagerank: no personalization seed is a graph node"
+            )
+        nodes_p = (
+            nodes.join(
+                F.broadcast(seeds.withColumn("__m", F.lit(1.0 / s_cnt))),
+                "node",
+                "left",
+            )
+            .select(
+                "node", F.coalesce("__m", F.lit(0.0)).alias("__p")
+            )
+            .localCheckpoint(eager=False)
+        )
+        ranks = nodes_p.select("node", F.col("__p").alias("rank"))
     base = (1.0 - damping) / n
     for _ in range(n_iter):
         contribs = (
@@ -263,12 +300,17 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
         )
+        base_col = (
+            F.lit(base)
+            if personalize is None
+            else F.lit(1.0 - damping) * F.col("__p")
+        )
         ranks = (
-            nodes.join(contribs, on="node", how="left")
+            nodes_p.join(contribs, on="node", how="left")
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base_col
                     + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))
                 ).alias("rank"),
             )

@@ -572,3 +572,63 @@ def test_bfs_distances_isolated_source_and_cycle(spark):
     s = spark.createDataFrame([("x",), ("lonely",)], ["node"])
     got = {r["node"]: r["dist"] for r in bfs_distances(e, s).collect()}
     assert got == {"x": 0, "lonely": 0, "y": 1, "z": 2}
+
+
+def _brute_ppr(edges, seeds, n_iter=3, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    seeds = [s for s in seeds if s in nodes]
+    p = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    odeg: dict = {}
+    for u, _ in edges:
+        odeg[u] = odeg.get(u, 0) + 1
+    rank = dict(p)
+    for _ in range(n_iter):
+        contrib = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            contrib[v] += rank[u] / odeg[u]
+        rank = {v: (1 - d) * p[v] + d * contrib[v] for v in nodes}
+    return rank
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_personalized_pagerank_vs_bruteforce(spark, seed):
+    from ontoma_spark.operators.graph import pagerank
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = list(
+        {(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)}
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    seeds = ["n0", "n3", "zzz-not-in-graph"]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    s = spark.createDataFrame([(x,) for x in seeds], ["node"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e.repartition(4), personalize=s).collect()
+    }
+    want = _brute_ppr(edges, seeds)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
+
+
+def test_personalized_pagerank_locality_and_guards(spark):
+    from ontoma_spark.operators.graph import pagerank
+
+    # two disjoint 3-cycles; seeding in one leaves the other at zero
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x")],
+        ["src", "dst"],
+    )
+    s = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["rank"] for r in pagerank(e, personalize=s).collect()}
+    assert got["x"] == got["y"] == got["z"] == 0.0
+    assert got["a"] > 0 and got["b"] > 0 and got["c"] > 0
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(e, personalize=spark.createDataFrame(
+            [("nope",)], ["node"]
+        )).collect()
