@@ -416,6 +416,61 @@ class SnapshotTable:
             stats,
         )
 
+    def delete_matching(
+        self,
+        keys_df: DataFrame,
+        keys: list[str],
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Copy-on-write keyed DELETE: drop every current row whose key
+        tuple appears in ``keys_df`` (a DataFrame — the key set stays
+        DISTRIBUTED, unlike ``delete_where``'s literal predicate, so a
+        million-doc change set never becomes a driver-side isin list).
+
+        File-granular like ``merge``: touched files are discovered by
+        one left-semi join grouped by ``input_file_name()`` (only the
+        file LIST is collected — metadata-sized), survivors of touched
+        files are rewritten, untouched files are carried by reference.
+        """
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError(f"{self.root}: no committed snapshot")
+        psnap = self.snapshot(parent)
+        cur = self.read(parent).withColumn("_file", F.input_file_name())
+        key_df = keys_df.select(*keys).distinct()
+        touched_uris = [
+            r["_file"]
+            for r in cur.join(key_df, on=keys, how="left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+        touched_rel = {self._rel_from_uri(u) for u in touched_uris}
+        untouched = [
+            f for f in self._manifest_files(parent) if f not in touched_rel
+        ]
+        old_stats = psnap.get("file_stats", {})
+        stats = {f: old_stats[f] for f in untouched if f in old_stats}
+        if not touched_uris:
+            return self._commit(
+                untouched, "delete", psnap["row_count"], stats
+            )
+        touched_df = cur.filter(F.col("_file").isin(touched_uris))
+        touched_rows = touched_df.count()
+        survivors = touched_df.join(
+            key_df, on=keys, how="left_anti"
+        ).drop("_file")
+        rel, n, new_stats = self._write_data(
+            survivors, parent + 1, stats_cols
+        )
+        stats.update(new_stats)
+        return self._commit(
+            [*untouched, rel],
+            "delete",
+            psnap["row_count"] - touched_rows + n,
+            stats,
+        )
+
     def diff(
         self, v_old: int, v_new: int, keys: list[str]
     ) -> DataFrame:

@@ -1,0 +1,101 @@
+"""Diff-driven incremental KG maintenance over snapshot tables.
+
+The north-star pipeline is resumable and incremental: when the repo
+table moves from snapshot v_old to v_new, re-linking the WHOLE 10^12-file
+corpus to refresh the triple table is absurd — only the changed slice
+matters. This composition reads the keyed change set
+(``SnapshotTable.diff``), purges triples of removed/updated documents
+(``delete_matching`` — CoW, file-granular, distributed key set), relinks
+ONLY the added/updated documents through the full linker
+(``pipeline/kg.py::build_triples``), and commits the result with a
+copy-on-write MERGE so a crashed-and-retried run converges to the same
+table state.
+
+Cost model at scale: one diff (full-outer join of two manifest-pruned
+snapshot reads on the doc key), one semi-join to slice the changed docs
+out of v_new, the linker over |changed| documents instead of |corpus|,
+and two metadata-sized snapshot commits. Nothing corpus-sized is
+re-linked, collected, or rewritten — rewrite cost is proportional to
+the touched-file footprint.
+
+Equivalence contract (tested): after ``relink_changed``, the triple
+table's current snapshot equals a from-scratch ``build_triples`` over
+the v_new corpus, row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ontoma_spark.core.snapshots import SnapshotTable
+from ontoma_spark.operators.linker import DOC_COLS
+from ontoma_spark.pipeline.kg import build_triples
+
+
+def relink_changed(
+    repo_table: SnapshotTable,
+    triple_table: SnapshotTable,
+    lexicon: DataFrame,
+    canonical: DataFrame,
+    v_old: int,
+    v_new: int,
+    doc_cols: tuple[str, ...] = DOC_COLS,
+    **build_kwargs,
+) -> dict:
+    """Bring ``triple_table`` from the v_old linking state to v_new by
+    touching only changed documents. Returns a change report.
+
+    ``build_kwargs`` pass through to ``build_triples`` (token_bloom,
+    fuzzy_threshold, content_col, …) — use the SAME values as the
+    original full build or the equivalence contract is void.
+    """
+    keys = list(doc_cols)
+    changes = repo_table.diff(v_old, v_new, keys=keys).localCheckpoint(
+        eager=False
+    )
+    counts = {
+        r["change"]: r["n"]
+        for r in changes.groupBy("change").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    report = {
+        "v_old": v_old,
+        "v_new": v_new,
+        "added": counts.get("added", 0),
+        "updated": counts.get("updated", 0),
+        "removed": counts.get("removed", 0),
+    }
+    if not counts:
+        report.update(
+            purge_version=None,
+            merge_version=None,
+            triples_written=0,
+        )
+        return report
+
+    # 1. purge triples of documents that no longer exist or changed
+    #    (an updated doc may have FEWER mentions now — merge alone
+    #    could never remove its stale triples when the relink emits
+    #    zero rows for it)
+    if report["removed"] or report["updated"]:
+        gone = changes.filter(F.col("change").isin("removed", "updated"))
+        report["purge_version"] = triple_table.delete_matching(gone, keys)
+    else:
+        report["purge_version"] = None
+
+    # 2. relink only the added/updated slice of the v_new corpus
+    fresh_keys = changes.filter(F.col("change").isin("added", "updated"))
+    fresh_docs = repo_table.read(v_new).join(
+        fresh_keys.select(*keys), on=keys, how="left_semi"
+    )
+    new_triples = build_triples(
+        fresh_docs, lexicon, canonical, **build_kwargs
+    ).localCheckpoint(eager=False)
+
+    # 3. idempotent commit: merge on the doc key converges under retry
+    #    (a crashed run that already purged re-purges nothing; a run
+    #    that already merged replaces with identical rows)
+    report["merge_version"] = triple_table.merge(new_triples, keys=keys)
+    report["triples_written"] = new_triples.count()
+    return report

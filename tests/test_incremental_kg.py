@@ -1,0 +1,156 @@
+"""Diff-driven incremental relink == from-scratch rebuild (the
+equivalence contract of pipeline/incremental_kg.py), plus the
+delete_matching CoW keyed delete it relies on.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.core.snapshots import SnapshotTable
+from ontoma_spark.datagen import generate_repos, ontology_terms_df
+from ontoma_spark.lexicon import as_id_lut, as_label_lut, build_lexicon
+from ontoma_spark.operators.unionfind import canonical_map
+from ontoma_spark.pipeline.incremental_kg import relink_changed
+from ontoma_spark.pipeline.kg import build_triples
+
+N_DOCS = 120
+DOC_KEYS = ["repo", "path", "commit"]
+
+
+@pytest.fixture(scope="module")
+def ref(spark):
+    terms = ontology_terms_df(spark)
+    lex = build_lexicon([as_label_lut(terms), as_id_lut(terms)]).cache()
+    canon = canonical_map(terms).cache()
+    lex.count()
+    return {"lex": lex, "canon": canon}
+
+
+def _corpora(spark):
+    """v1 = 120 generated docs; v2 = v1 minus 10 removed, 5 updated
+    (2 retargeted to a different mention, 3 scrubbed to zero mentions),
+    plus 15 added docs (the deterministic generator's rows 120..135)."""
+    v1 = generate_repos(spark, N_DOCS)
+    all_135 = generate_repos(spark, N_DOCS + 15)
+    added = all_135.join(v1.select(*DOC_KEYS), DOC_KEYS, "left_anti")
+
+    keys = [tuple(r) for r in
+            v1.select(*DOC_KEYS).orderBy(*DOC_KEYS).collect()]
+    removed = set(keys[:10])
+    retarget = set(keys[10:12])
+    scrub = set(keys[12:15])
+
+    key_str = F.concat_ws("||", *DOC_KEYS)
+    to_str = lambda s: [("||".join(k)) for k in s]  # noqa: E731
+    v2_base = (
+        v1.filter(~key_str.isin(to_str(removed)))
+        .withColumn(
+            "content",
+            F.when(
+                key_str.isin(to_str(retarget)),
+                F.lit("this module handles lung cancer telemetry paths"),
+            )
+            .when(
+                key_str.isin(to_str(scrub)),
+                F.lit("nothing medical in here at all just plumbing"),
+            )
+            .otherwise(F.col("content")),
+        )
+    )
+    v2 = v2_base.unionByName(added)
+    return v1, v2
+
+
+def test_relink_changed_equals_full_rebuild(spark, tmp_path, ref):
+    v1, v2 = _corpora(spark)
+    repo_t = SnapshotTable(spark, str(tmp_path / "repos"))
+    repo_t.append(v1)
+    repo_t.overwrite(v2)
+
+    triple_t = SnapshotTable(spark, str(tmp_path / "triples"))
+    triple_t.append(build_triples(v1, ref["lex"], ref["canon"]))
+
+    report = relink_changed(
+        repo_t, triple_t, ref["lex"], ref["canon"], v_old=1, v_new=2
+    )
+    assert report["removed"] == 10
+    assert report["updated"] == 5
+    assert report["added"] == 15
+
+    got = sorted(map(tuple, triple_t.read().collect()))
+    want = sorted(
+        map(tuple, build_triples(v2, ref["lex"], ref["canon"]).collect())
+    )
+    assert got == want
+
+    # scrubbed docs: triples fully purged, none re-added
+    scrub_keys = [tuple(r) for r in v1.select(*DOC_KEYS)
+                  .orderBy(*DOC_KEYS).collect()][12:15]
+    cur = triple_t.read()
+    for rk, pk, ck in scrub_keys:
+        assert (
+            cur.filter(
+                (F.col("repo") == rk)
+                & (F.col("path") == pk)
+                & (F.col("commit") == ck)
+            ).count()
+            == 0
+        )
+
+    # re-running the same relink converges to the same rows (retry safety)
+    relink_changed(
+        repo_t, triple_t, ref["lex"], ref["canon"], v_old=1, v_new=2
+    )
+    assert sorted(map(tuple, triple_t.read().collect())) == want
+
+
+def test_relink_no_changes_is_a_noop(spark, tmp_path, ref):
+    v1 = generate_repos(spark, 30)
+    repo_t = SnapshotTable(spark, str(tmp_path / "repos"))
+    repo_t.append(v1)
+    repo_t.append(v1.limit(0))  # v2 manifest adds an empty dir: same rows
+
+    triple_t = SnapshotTable(spark, str(tmp_path / "triples"))
+    triple_t.append(build_triples(v1, ref["lex"], ref["canon"]))
+    before = sorted(map(tuple, triple_t.read().collect()))
+
+    report = relink_changed(
+        repo_t, triple_t, ref["lex"], ref["canon"], v_old=1, v_new=2
+    )
+    assert report["purge_version"] is None
+    assert report["merge_version"] is None
+    assert report["triples_written"] == 0
+    assert sorted(map(tuple, triple_t.read().collect())) == before
+
+
+def test_delete_matching_file_granular(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # two separately-committed data dirs -> disjoint file sets
+    t.append(spark.range(0, 50).select(F.col("id").alias("k")))
+    t.append(spark.range(100, 150).select(F.col("id").alias("k")))
+    v_before = t.current_version()
+    files_before = set(t._manifest_files(v_before))
+
+    kill = spark.createDataFrame([(5,), (7,)], ["k"])
+    v = t.delete_matching(kill, ["k"])
+    assert sorted(r["k"] for r in t.read().collect()) == sorted(
+        set(range(0, 50)) - {5, 7} | set(range(100, 150))
+    )
+    # the second append's data dir (snap-000002) holds none of the
+    # deleted keys: every one of its files is carried by reference
+    files_after = set(t._manifest_files(v))
+    v2_files = {f for f in files_before if f.startswith("snap-000002")}
+    assert v2_files and v2_files <= files_after
+    # the first dir was touched: its files are NOT all carried
+    v1_files = {f for f in files_before if f.startswith("snap-000001")}
+    assert not (v1_files <= files_after)
+    # time travel unaffected
+    assert t.read(version=v_before).count() == 100
+
+    # deleting absent keys commits a no-op version with identical rows
+    v2 = t.delete_matching(
+        spark.createDataFrame([(99999,)], ["k"]), ["k"]
+    )
+    assert t.read(version=v2).count() == 98
