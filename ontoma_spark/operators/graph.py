@@ -861,3 +861,98 @@ def bfs_distances(
             "max_depth or pass allow_truncation=True"
         )
     return visited.select("node", "dist")
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> float:
+    """Newman modularity Q of a community assignment on the undirected
+    simple graph — the standard "are these communities better than
+    chance" score for evaluating ``label_propagation`` /
+    ``connected_components_twostar`` output before trusting it
+    downstream. Q = Σ_c [ e_c/m − (d_c/2m)² ] where m = #undirected
+    edges, e_c = #intra-community edges, d_c = Σ degrees in c.
+    Q ∈ [−0.5, 1); ~0 means no better than the random null model.
+
+    Spec details (the brute-force test mirrors them): the edge list is
+    symmetrised and deduped to one row per unordered pair; self-loops
+    are dropped; nodes missing from ``communities`` form singleton
+    communities of their own (they contribute only their degree term).
+
+    Dataflow: two broadcast-friendly joins of the (|V|-row) community
+    table against the edge list, then two map-side-combined aggregations
+    and one scalar collect — nothing driver-sized beyond Q itself.
+    """
+    cm = communities.select(
+        F.col(communities.columns[0]).alias("node"),
+        F.col(communities.columns[1]).alias("__lab"),
+    ).distinct()
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    m = e.count()
+    if m == 0:
+        return 0.0
+    # label each endpoint; unassigned nodes get a singleton label
+    # derived from the node id (prefixes keep the two namespaces
+    # disjoint — assigned labels are often node ids themselves)
+    labelled = (
+        e.join(
+            cm.select(
+                F.col("node").alias("u"), F.col("__lab").alias("__lu")
+            ),
+            "u",
+            "left",
+        )
+        .join(
+            cm.select(
+                F.col("node").alias("v"), F.col("__lab").alias("__lv")
+            ),
+            "v",
+            "left",
+        )
+        .select(
+            F.coalesce(
+                F.concat(F.lit("a:"), F.col("__lu")),
+                F.concat(F.lit("n:"), F.col("u")),
+            ).alias("lu"),
+            F.coalesce(
+                F.concat(F.lit("a:"), F.col("__lv")),
+                F.concat(F.lit("n:"), F.col("v")),
+            ).alias("lv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    intra = (
+        labelled.filter(F.col("lu") == F.col("lv"))
+        .groupBy("lu")
+        .agg(F.count("*").alias("ec"))
+        .withColumnRenamed("lu", "lab")
+    )
+    deg = (
+        labelled.select(F.col("lu").alias("lab"))
+        .union(labelled.select(F.col("lv").alias("lab")))
+        .groupBy("lab")
+        .agg(F.count("*").alias("dc"))
+    )
+    row = (
+        deg.join(intra, "lab", "left")
+        .select(
+            (
+                F.coalesce(F.col("ec"), F.lit(0)) / F.lit(float(m))
+                - F.pow(F.col("dc") / F.lit(2.0 * m), 2)
+            ).alias("q")
+        )
+        .agg(F.sum("q").alias("Q"))
+        .collect()[0]
+    )
+    return float(row["Q"])

@@ -632,3 +632,59 @@ def test_personalized_pagerank_locality_and_guards(spark):
         pagerank(e, personalize=spark.createDataFrame(
             [("nope",)], ["node"]
         )).collect()
+
+
+def _brute_modularity(edges, comm):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    m = len(und)
+    if m == 0:
+        return 0.0
+    lab = lambda x: ("a", comm[x]) if x in comm else ("n", x)  # noqa: E731
+    ec: dict = {}
+    dc: dict = {}
+    for u, v in und:
+        lu, lv = lab(u), lab(v)
+        if lu == lv:
+            ec[lu] = ec.get(lu, 0) + 1
+        dc[lu] = dc.get(lu, 0) + 1
+        dc[lv] = dc.get(lv, 0) + 1
+    return sum(
+        ec.get(c, 0) / m - (dc[c] / (2 * m)) ** 2 for c in dc
+    )
+
+
+@pytest.mark.parametrize("seed", [11, 31])
+def test_modularity_vs_bruteforce(spark, seed):
+    from ontoma_spark.operators.graph import modularity
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(25)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(70)})
+    # assign only 20 nodes to 3 communities; leave the rest singleton
+    comm = {n: f"c{i % 3}" for i, n in enumerate(nodes[:20])}
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    c = spark.createDataFrame(list(comm.items()), ["node", "label"])
+    got = modularity(e.repartition(4), c)
+    assert got == pytest.approx(_brute_modularity(edges, comm), abs=1e-12)
+
+
+def test_modularity_structure_signal(spark):
+    from ontoma_spark.operators.graph import label_propagation, modularity
+
+    # two 4-cliques + one bridge: LPA recovers them, Q is strongly
+    # positive; a deliberately wrong half-half split scores lower
+    cl1 = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    cl2 = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges = cl1 + cl2 + [("a0", "b0")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    lpa = label_propagation(e)
+    q_good = modularity(e, lpa)
+    assert q_good > 0.3
+    bad = spark.createDataFrame(
+        [(f"a{i}", "x" if i % 2 else "y") for i in range(4)]
+        + [(f"b{i}", "x" if i % 2 else "y") for i in range(4)],
+        ["node", "label"],
+    )
+    assert modularity(e, bad) < q_good
+    # empty graph
+    assert modularity(e.limit(0), lpa) == 0.0
