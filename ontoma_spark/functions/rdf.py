@@ -1,0 +1,119 @@
+"""N-Triples serialisation of the (subj, pred, obj) triple table.
+
+The pipeline materialises triples in snapshot/parquet tables
+(pipeline/kg.py); downstream graph stores (Jena, Virtuoso, oxigraph)
+ingest W3C N-Triples. This module renders each triple row to one
+spec-compliant NT line with pure Column expressions — a formatting
+projection, zero shuffles, so the 100 TB export is a single narrow
+pass feeding ``df.write.text``.
+
+Term mapping (mirrored by the tests' spec oracle):
+
+* CURIEs (``skos:exactMatch``, ``EFO:0000270``) expand against a
+  prefix map to full IRIs.
+* A subject that is not a known CURIE (a raw mention string) becomes
+  ``urn:mention:<encoded>`` — N-Triples subjects must be IRIs, and a
+  deterministic URN keeps the mention addressable.
+* An object that is not a known CURIE is rendered as a quoted literal
+  with the spec's escapes (backslash, quote, LF, CR, TAB).
+* IRI-forbidden characters in URNs (space ``<>"{}|^\\``` and the
+  backslash) are percent-encoded; full RFC 3987 normalisation is out
+  of scope and documented as such.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+DEFAULT_PREFIXES: dict[str, str] = {
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "EFO": "http://www.ebi.ac.uk/efo/EFO_",
+    "MONDO": "http://purl.obolibrary.org/obo/MONDO_",
+    "HP": "http://purl.obolibrary.org/obo/HP_",
+    "ORPHANET": "http://www.orpha.net/ORDO/Orphanet_",
+    "OMIM": "https://omim.org/entry/",
+    "CHEMBL": "https://www.ebi.ac.uk/chembl/compound_report_card/",
+    "ENSG": "https://identifiers.org/ensembl:ENSG",
+    "kg": "urn:kg:pred:",
+}
+
+_IRI_ENCODE = [
+    ("%", "%25"),  # first, so later escapes aren't double-encoded
+    (" ", "%20"),
+    ("<", "%3C"),
+    (">", "%3E"),
+    ('"', "%22"),
+    ("{", "%7B"),
+    ("}", "%7D"),
+    ("|", "%7C"),
+    ("^", "%5E"),
+    ("`", "%60"),
+    ("\\", "%5C"),
+]
+
+
+def _encode_iri_part(c: Column) -> Column:
+    for ch, enc in _IRI_ENCODE:
+        c = F.replace(c, F.lit(ch), F.lit(enc))
+    return c
+
+
+def _escape_literal(c: Column) -> Column:
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+    return c
+
+
+def _expand_curie(
+    c: Column, prefixes: dict[str, str]
+) -> Column:
+    """IRI for a known-prefix CURIE, else null."""
+    expr = F.lit(None).cast("string")
+    for pfx, base in prefixes.items():
+        expr = F.when(
+            c.startswith(pfx + ":"),
+            F.concat(
+                F.lit(base),
+                _encode_iri_part(F.substring(c, len(pfx) + 2, 1 << 20)),
+            ),
+        ).otherwise(expr)
+    return expr
+
+
+def to_ntriples(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    prefixes: dict[str, str] | None = None,
+    out_col: str = "nt",
+) -> DataFrame:
+    """One N-Triples line per row in ``out_col`` — feed to
+    ``.select(out_col).write.text(...)``. Pure projection, no shuffle."""
+    pf = DEFAULT_PREFIXES if prefixes is None else prefixes
+    s = F.col(subj_col)
+    p = F.col(pred_col)
+    o = F.col(obj_col)
+    subj_iri = F.coalesce(
+        _expand_curie(s, pf),
+        F.concat(F.lit("urn:mention:"), _encode_iri_part(s)),
+    )
+    pred_iri = F.coalesce(
+        _expand_curie(p, pf),
+        F.concat(F.lit("urn:kg:pred:"), _encode_iri_part(p)),
+    )
+    obj_term = F.coalesce(
+        F.concat(F.lit("<"), _expand_curie(o, pf), F.lit(">")),
+        F.concat(F.lit('"'), _escape_literal(o), F.lit('"')),
+    )
+    return triples.withColumn(
+        out_col,
+        F.concat(
+            F.lit("<"), subj_iri, F.lit("> <"), pred_iri, F.lit("> "),
+            obj_term, F.lit(" ."),
+        ),
+    )

@@ -42,6 +42,7 @@ from ontoma_spark.operators.linker import (
     DOC_COLS,
     link_matches,
 )
+from ontoma_spark.operators.graph import transitive_closure
 from ontoma_spark.operators.mentions import extract_candidates
 from ontoma_spark.functions.text import format_identifier
 
@@ -211,3 +212,63 @@ def build_triples(
     )
     resolved = resolve_overlaps(matches)
     return matches_to_triples(resolved, canonical)
+
+
+PRED_BROAD = "skos:broadMatch"
+
+
+def infer_broader(
+    triples: DataFrame,
+    isa_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    pred: str = PRED_BROAD,
+    max_iter: int = 12,
+) -> DataFrame:
+    """Subsumption inference: for every emitted triple (…, pred, obj)
+    and every ANCESTOR of obj in the is_a hierarchy, materialise an
+    additional (…, skos:broadMatch, ancestor) triple — the standard
+    ontology roll-up that lets a consumer ask "all mentions under
+    EFO:cancer" against the triple table directly instead of recursing
+    per query.
+
+    Ancestors come from ``transitive_closure`` over ``isa_edges``
+    (child→parent rows; log-depth path doubling, cycle-safe, RAISES on
+    non-convergence). The closure table is ontology-sized and is
+    broadcast into the triple join — the triple table shuffles only for
+    the final dedup.
+
+    Inferred rows carry the source row's provenance columns verbatim.
+    An ancestor that is already DIRECTLY linked at the same provenance
+    (same values in every carried column except tier/score) is dropped:
+    broadMatch is strictly weaker than an existing direct link. Diamond
+    paths dedupe to one row per (provenance, ancestor).
+    """
+    anc = transitive_closure(
+        isa_edges, src=src, dst=dst, max_iter=max_iter
+    )
+    keep = [c for c in triples.columns if c not in (pred_col, obj_col)]
+    ex_key = [c for c in keep if c not in ("tier", "score")]
+    inferred = (
+        triples.join(
+            F.broadcast(
+                anc.select(
+                    F.col(src).alias(obj_col), F.col(dst).alias("__anc")
+                )
+            ),
+            obj_col,
+        )
+        .select(
+            *keep,
+            F.lit(pred).alias(pred_col),
+            F.col("__anc").alias(obj_col),
+        )
+        .dropDuplicates([*ex_key, obj_col])
+    )
+    return inferred.join(
+        triples.select(*ex_key, obj_col).distinct(),
+        [*ex_key, obj_col],
+        "left_anti",
+    )

@@ -1,0 +1,98 @@
+"""Subsumption inference (skos:broadMatch roll-up) vs a brute-force
+DFS-ancestors oracle."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.core.planlint import assert_plan_clean
+from ontoma_spark.pipeline.kg import infer_broader
+
+# diamond + chain: B -> A -> R, B -> C -> R (diamond to R), D -> A
+ISA = [
+    ("EFO:B", "EFO:A"),
+    ("EFO:A", "EFO:R"),
+    ("EFO:B", "EFO:C"),
+    ("EFO:C", "EFO:R"),
+    ("EFO:D", "EFO:A"),
+]
+
+TRIPLES = [
+    # (repo, path, commit, start, n, subj, tier, score, pred, obj)
+    ("r1", "a", "c", 1, 1, "tumour", 2, 1.0, "skos:exactMatch", "EFO:B"),
+    ("r1", "a", "c", 5, 1, "root", 2, 1.0, "skos:exactMatch", "EFO:R"),
+    ("r2", "b", "c", 3, 2, "growth", 1, 0.9, "skos:relatedMatch", "EFO:D"),
+    ("r3", "c", "c", 7, 1, "leaf", 2, 1.0, "skos:exactMatch", "EFO:X"),
+]
+
+COLS = ["repo", "path", "commit", "start", "n", "subj", "tier", "score",
+        "pred", "obj"]
+
+
+def _ancestors():
+    adj: dict = {}
+    for c, p in ISA:
+        adj.setdefault(c, set()).add(p)
+    out = {}
+    for n in {x for e in ISA for x in e}:
+        seen, stack = set(), [n]
+        while stack:
+            for p in adj.get(stack.pop(), ()):
+                if p not in seen:
+                    seen.add(p)
+                    stack.append(p)
+        out[n] = seen
+    return out
+
+
+def test_infer_broader_vs_bruteforce(spark):
+    t = spark.createDataFrame(TRIPLES, COLS)
+    isa = spark.createDataFrame(ISA, ["src", "dst"])
+    got = {
+        (r["repo"], r["path"], r["commit"], r["start"], r["n"],
+         r["subj"], r["pred"], r["obj"])
+        for r in infer_broader(t.repartition(3), isa).collect()
+    }
+    anc = _ancestors()
+    direct = {
+        (r[0], r[1], r[2], r[3], r[4], r[5], r[9]) for r in TRIPLES
+    }
+    want = set()
+    for (rp, pa, cm, st, n, sj, tr, sc, pd, ob) in TRIPLES:
+        for a in anc.get(ob, ()):
+            if (rp, pa, cm, st, n, sj, a) in direct:
+                continue  # already directly linked at this provenance
+            want.add((rp, pa, cm, st, n, sj, "skos:broadMatch", a))
+    assert got == want
+    # spot semantics: the diamond (B -> {A,C} -> R) rolled up to ONE
+    # row per ancestor, and EFO:X (not in the hierarchy) inferred nothing
+    b_rows = [g for g in got if g[5] == "tumour"]
+    assert {g[7] for g in b_rows} == {"EFO:A", "EFO:C", "EFO:R"}
+    assert not any(g[5] == "leaf" for g in got)
+    # root mention: every ancestor set of EFO:R is empty -> no rows
+    assert not any(g[5] == "root" for g in got)
+
+
+def test_infer_broader_direct_link_suppression(spark):
+    # same span multi-mapped to both B and its ancestor A: the inferred
+    # broadMatch to A must be suppressed, the one to R kept
+    rows = [
+        ("r1", "a", "c", 1, 1, "m", 2, 1.0, "skos:exactMatch", "EFO:B"),
+        ("r1", "a", "c", 1, 1, "m", 2, 0.7, "skos:exactMatch", "EFO:A"),
+    ]
+    t = spark.createDataFrame(rows, COLS)
+    isa = spark.createDataFrame(ISA, ["src", "dst"])
+    got = {(r["pred"], r["obj"]) for r in infer_broader(t, isa).collect()}
+    assert got == {("skos:broadMatch", "EFO:R"), ("skos:broadMatch", "EFO:C")}
+
+
+def test_infer_broader_cycle_safe_and_plan(spark):
+    t = spark.createDataFrame(TRIPLES, COLS)
+    cyc = spark.createDataFrame(
+        ISA + [("EFO:R", "EFO:B")], ["src", "dst"]
+    )
+    out = infer_broader(t, cyc)
+    rows = out.collect()  # closure is cycle-safe: everything reaches all
+    assert all(r["pred"] == "skos:broadMatch" for r in rows)
+    assert_plan_clean(infer_broader(t, spark.createDataFrame(ISA, ["src", "dst"])))

@@ -1,0 +1,66 @@
+"""N-Triples serialisation vs hand-written spec lines."""
+
+from __future__ import annotations
+
+import pytest
+
+from ontoma_spark.core.planlint import assert_plan_clean
+from ontoma_spark.functions.rdf import to_ntriples
+
+
+def _nt(spark, rows):
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    return [r["nt"] for r in to_ntriples(df).collect()]
+
+
+def test_ntriples_curie_expansion(spark):
+    [line] = _nt(spark, [("EFO:0000270", "skos:exactMatch", "MONDO:0004979")])
+    assert line == (
+        "<http://www.ebi.ac.uk/efo/EFO_0000270> "
+        "<http://www.w3.org/2004/02/skos/core#exactMatch> "
+        "<http://purl.obolibrary.org/obo/MONDO_0004979> ."
+    )
+
+
+def test_ntriples_mention_subject_and_literal_object(spark):
+    [line] = _nt(spark, [("brest cancer", "kg:fuzzy", "not a curie")])
+    assert line == (
+        "<urn:mention:brest%20cancer> "
+        "<urn:kg:pred:fuzzy> "
+        '"not a curie" .'
+    )
+
+
+def test_ntriples_literal_escapes(spark):
+    [line] = _nt(
+        spark,
+        [("m", "kg:note", 'say "hi"\\twice\nplease\tnow\r')],
+    )
+    assert line == (
+        "<urn:mention:m> <urn:kg:pred:note> "
+        '"say \\"hi\\"\\\\twice\\nplease\\tnow\\r" .'
+    )
+
+
+def test_ntriples_iri_percent_encoding(spark):
+    [line] = _nt(spark, [('a<b>"c|d%e', "kg:x", "EFO:0")])
+    assert line.startswith("<urn:mention:a%3Cb%3E%22c%7Cd%25e> ")
+
+
+def test_ntriples_unknown_pred_prefix_is_urn(spark):
+    [line] = _nt(spark, [("m", "madeup", "EFO:1")])
+    assert "<urn:kg:pred:madeup>" in line
+
+
+def test_ntriples_custom_prefixes_and_plan(spark):
+    df = spark.createDataFrame([("X:1", "skos:broadMatch", "X:2")],
+                               ["subj", "pred", "obj"])
+    out = to_ntriples(df, prefixes={"X": "http://x.org/", "skos":
+                                    "http://www.w3.org/2004/02/skos/core#"})
+    [r] = out.collect()
+    assert r["nt"] == (
+        "<http://x.org/1> "
+        "<http://www.w3.org/2004/02/skos/core#broadMatch> "
+        "<http://x.org/2> ."
+    )
+    assert_plan_clean(out)
