@@ -1,0 +1,98 @@
+"""Deterministic training-shard writer: membership, determinism,
+balance, and the shard_assignments == physical-file-index contract."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.sharding import (
+    shard_assignments,
+    write_training_shards,
+)
+
+
+def _docs(spark, n=5000):
+    return spark.range(n).selectExpr(
+        "concat('doc-', id) AS doc_id", "concat('text ', id % 97) AS text"
+    )
+
+
+def _read_by_file(spark, path):
+    df = spark.read.parquet(path).withColumn("__f", F.input_file_name())
+    rows = df.collect()
+    out: dict[int, list] = {}
+    for r in rows:
+        m = re.search(r"part-(\d+)", r["__f"])
+        out.setdefault(int(m.group(1)), []).append((r["doc_id"], r["text"]))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_shards_conserve_and_are_deterministic(spark, tmp_path):
+    d = _docs(spark)
+    rep = write_training_shards(
+        d, str(tmp_path / "a"), key_cols=("doc_id",), n_shards=10
+    )
+    assert rep["n_shards"] == 10 and rep["rows"] is None
+    a = _read_by_file(spark, str(tmp_path / "a"))
+    # same data, radically different input partitioning -> same shards
+    write_training_shards(
+        d.repartition(37), str(tmp_path / "b"),
+        key_cols=("doc_id",), n_shards=10,
+    )
+    b = _read_by_file(spark, str(tmp_path / "b"))
+    assert a == b
+    assert sum(len(v) for v in a.values()) == 5000
+
+
+def test_shard_assignments_match_physical_files(spark, tmp_path):
+    d = _docs(spark, 2000)
+    write_training_shards(
+        d, str(tmp_path / "s"), key_cols=("doc_id",), n_shards=8
+    )
+    physical = _read_by_file(spark, str(tmp_path / "s"))
+    logical: dict[int, list] = {}
+    for r in shard_assignments(d, ("doc_id",), 8).collect():
+        logical.setdefault(r["__shard"], []).append(
+            (r["doc_id"], r["text"])
+        )
+    logical = {k: sorted(v) for k, v in logical.items()}
+    assert physical == logical
+
+
+def test_shard_balance_and_seed_reshuffle(spark, tmp_path):
+    n, k = 5000, 10
+    sizes = {
+        r["__shard"]: r["n"]
+        for r in shard_assignments(_docs(spark, n), ("doc_id",), k)
+        .groupBy("__shard").agg(F.count("*").alias("n")).collect()
+    }
+    mean = n / k
+    assert len(sizes) == k
+    for s in sizes.values():
+        assert abs(s - mean) < 6 * math.sqrt(mean)
+    # a different seed re-deals membership
+    a = {r["doc_id"]: r["__shard"]
+         for r in shard_assignments(_docs(spark, 500), ("doc_id",), 10)
+         .collect()}
+    b = {r["doc_id"]: r["__shard"]
+         for r in shard_assignments(
+             _docs(spark, 500), ("doc_id",), 10, seed=1).collect()}
+    assert any(a[d] != b[d] for d in a)
+
+
+def test_shard_rows_mode_and_arg_guards(spark, tmp_path):
+    d = _docs(spark, 1000)
+    rep = write_training_shards(
+        d, str(tmp_path / "r"), key_cols=("doc_id",), shard_rows=300
+    )
+    assert rep["rows"] == 1000 and rep["n_shards"] == 4
+    with pytest.raises(ValueError):
+        write_training_shards(d, "x", key_cols=("doc_id",))
+    with pytest.raises(ValueError):
+        write_training_shards(
+            d, "x", key_cols=("doc_id",), n_shards=2, shard_rows=5
+        )
