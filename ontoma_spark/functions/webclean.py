@@ -1,0 +1,85 @@
+"""Web-text cleaning kernels: HTML stripping + entity decoding +
+unicode punctuation normalisation.
+
+The first stage of every web-corpus curation pipeline (CCNet/RefinedWeb
+start from WET/WARC text that still carries markup residue). All
+kernels are pure Column expressions — RE2 regexp chains and one
+``translate`` — so cleaning 100 TB is a narrow codegen pass with no
+Python and no shuffle.
+
+Spec (mirrored exactly by the brute-force oracle in
+tests/test_webclean.py):
+
+* ``strip_html``: drop ``<script>``/``<style>`` elements INCLUDING
+  their content (case-insensitive), drop HTML comments, replace
+  block-level closing/opening tags and ``<br>`` with newlines, drop all
+  remaining tags, decode the common entities (&amp; &lt; &gt; &quot;
+  &#39; &apos; &nbsp; and numeric &#NN; for NN < 128), then collapse
+  runs of spaces/tabs and trim each line. ``&amp;`` is decoded LAST so
+  ``&amp;lt;`` round-trips to the literal ``&lt;`` (not ``<``) — the
+  HTML spec's double-escape behaviour.
+* ``normalize_punct``: curly quotes→ASCII quotes, en/em dash→``-``,
+  ellipsis→``...``, NBSP→space, zero-width chars (ZWSP/ZWNJ/ZWJ/BOM)
+  removed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|table|tr|td|th|h[1-6]|blockquote|pre|section|"
+    "article|header|footer"
+)
+
+
+def strip_html(c: Column) -> Column:
+    # script/style elements with content, and comments
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    # block boundaries become newlines so words don't fuse across <p>
+    c = F.regexp_replace(c, rf"(?i)</?({_BLOCK_TAGS})\b[^>]*/?>", "\n")
+    # every remaining tag
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    # entities: numeric first, then named; &amp; strictly last
+    # (numeric entities outside 32..126 are left as written)
+    c = _decode_numeric(c)
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.replace(c, F.lit("&amp;"), F.lit("&"))
+    # whitespace: collapse spaces/tabs, trim around newlines
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    # F.trim strips spaces only — strip boundary newlines explicitly
+    return F.regexp_replace(F.trim(c), r"^\n+|\n+$", "")
+
+
+def _decode_numeric(c: Column) -> Column:
+    """Decode ``&#NN;`` for printable ASCII (32..126) via an unrolled
+    replace chain — RE2 has no computed backreference substitution, and
+    127 literal replaces stay one codegen stage."""
+    for code in range(32, 127):
+        c = F.replace(c, F.lit(f"&#{code};"), F.lit(chr(code)))
+    return c
+
+
+_PUNCT_SRC = (
+    "\u2018\u2019\u201a"   # curly single quotes
+    "\u201c\u201d\u201e"   # curly double quotes
+    "\u2013\u2014"          # en / em dash
+    "\u00a0"                 # NBSP
+)
+_PUNCT_DST = "'''" + '"""' + "-- "
+_ZERO_WIDTH = "[\u200b\u200c\u200d\ufeff]"
+
+
+def normalize_punct(c: Column) -> Column:
+    c = F.translate(c, _PUNCT_SRC, _PUNCT_DST)
+    c = F.replace(c, F.lit("\u2026"), F.lit("..."))
+    return F.regexp_replace(c, _ZERO_WIDTH, "")

@@ -1,0 +1,88 @@
+"""Web-text cleaning kernels vs a brute-force spec mirror."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.core.planlint import assert_plan_clean
+from ontoma_spark.functions.webclean import normalize_punct, strip_html
+
+
+def _brute_strip_html(s: str) -> str:
+    s = re.sub(r"(?is)<script\b[^>]*>.*?</script>", " ", s)
+    s = re.sub(r"(?is)<style\b[^>]*>.*?</style>", " ", s)
+    s = re.sub(r"(?s)<!--.*?-->", " ", s)
+    block = (
+        "p|div|br|li|ul|ol|table|tr|td|th|h[1-6]|blockquote|pre|section|"
+        "article|header|footer"
+    )
+    s = re.sub(rf"(?i)</?({block})\b[^>]*/?>", "\n", s)
+    s = re.sub(r"(?s)<[^>]+>", " ", s)
+    for code in range(32, 127):
+        s = s.replace(f"&#{code};", chr(code))
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+    ):
+        s = s.replace(ent, ch)
+    s = s.replace("&amp;", "&")
+    s = re.sub(r"[ \t]+", " ", s)
+    s = re.sub(r" ?\n ?", "\n", s)
+    s = re.sub(r"\n{2,}", "\n", s)
+    return s.strip()
+
+
+FIXTURES = [
+    "<html><head><style>p {color: red}</style>"
+    "<script type='text/js'>if (a<b) alert('x');</script></head>"
+    "<body><h1>Title</h1><p>First  para.</p><p>Second &amp; third</p>"
+    "<!-- hidden --><ul><li>one</li><li>two</li></ul></body></html>",
+    "a &lt;tag&gt; literal &amp;lt; stays, &#65;&#66;&#67; decodes, "
+    "&#300; survives",
+    "no markup at all",
+    "<br/>leading break<br>and<BR >another",
+    "<div class='x' data-y=\"<>\">attr junk</div>tail",
+    "",
+]
+
+
+def test_strip_html_matches_bruteforce(spark):
+    df = spark.createDataFrame([(s,) for s in FIXTURES], ["raw"])
+    got = [
+        r["c"]
+        for r in df.select(strip_html(F.col("raw")).alias("c")).collect()
+    ]
+    want = [_brute_strip_html(s) for s in FIXTURES]
+    assert got == want
+    # the semantics worth pinning, independent of the mirror:
+    assert "color" not in got[0] and "alert" not in got[0]
+    assert "Title\nFirst para.\nSecond & third" in got[0]
+    assert "one\ntwo" in got[0]
+    assert "<tag> literal &lt; stays" in got[1]  # double-escape round-trip
+    assert "ABC decodes" in got[1]
+    assert "&#300; survives" in got[1]  # out-of-range left as written
+    assert got[2] == "no markup at all"
+
+
+def test_normalize_punct(spark):
+    raw = (
+        "‘a’ “b” – — c…"
+        "​d e﻿"
+    )
+    df = spark.createDataFrame([(raw,)], ["t"])
+    [r] = df.select(normalize_punct(F.col("t")).alias("c")).collect()
+    assert r["c"] == "'a' \"b\" - - c...d e"
+
+
+def test_webclean_plan_lints_clean(spark):
+    df = spark.createDataFrame([(s,) for s in FIXTURES], ["raw"])
+    out = df.select(
+        normalize_punct(strip_html(F.col("raw"))).alias("clean")
+    )
+    assert_plan_clean(out)
+    # pure projection: no exchange at all in the optimized plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
