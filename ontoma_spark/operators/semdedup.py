@@ -1,0 +1,112 @@
+"""Semantic deduplication (SemDeDup-style) over an embedding column.
+
+Recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication" — public arXiv 2303.09540):
+
+1. A coarse k-means quantizer partitions the corpus into cells. Here
+   cell assignment is pure Column algebra over centroid LITERALS
+   (``ivf_cell_expr``) — one narrow pass, no broadcast variable, no
+   Python. Centroids come from ``train_centroids`` (pyspark.ml KMeans,
+   seeded) or ``deterministic_centroids`` (md5 pseudo-random, a pure
+   function of (dim, k) any engine can replicate, which is what makes
+   the whole operator DuckDB-oracle-able in tests).
+2. Only WITHIN a cell are pairs cosine-scored — scored-pair count is
+   sum(|cell|^2) instead of n^2; n_cells grows with the corpus so the
+   per-cell quadratic term stays bounded (the paper runs 50k clusters
+   on LAION). The in-cell join shuffles once on the cell id; skewed
+   mega-cells are split by AQE skew-join handling.
+3. The keep policy is SemDeDup's greedy low-index rule, made engine
+   independent by ordering on the key: a row is DROPPED iff some row in
+   the same cell with a SMALLER key has cosine >= threshold to it.
+   This is a left-semi/anti join on the dominating-pair set — NOT a
+   transitive closure — so chains a~b~c (without a~c) keep a, drop b,
+   and drop c only if c is dominated by a surviving-or-not smaller row
+   (exactly the paper's behaviour, where dropped rows still dominate).
+
+Scale story at 100 TB: the quantizer is fitted on a sample, assignment
+is narrow, the single shuffle is on cell ids, and the dominance
+anti-join is a shuffle on the same key — no driver collect anywhere.
+
+No reference counterpart (OnToma has no embedding layer); this is part
+of the LLM-training-data operator family alongside
+``dedup.embedding_neardup_pairs`` (LSH-blocked pair listing — pairs as
+the product) where this operator's product is the kept/dropped corpus
+partition itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.similarity import (
+    cosine,
+    deterministic_centroids,
+    ivf_cell_expr,
+    train_centroids,
+)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 8,
+    dim: int | None = None,
+    trained: bool = False,
+) -> DataFrame:
+    """Mark each row kept/dropped under SemDeDup's greedy in-cell rule.
+
+    Returns (key_col, cell, is_kept, dup_of, sim) — ``dup_of`` is the
+    SMALLEST same-cell key that dominates a dropped row (NULL for kept
+    rows) and ``sim`` its cosine, so the output doubles as an audit
+    trail. Row count always equals the input row count; downstream
+    training reads ``filter(is_kept)``.
+
+    ``centroids=None`` picks md5-deterministic centroids (reproducible
+    in any engine — the pytest oracle path) unless ``trained=True``,
+    which fits a seeded KMeans quantizer on the corpus (the quality
+    path; assignment stays pure Column algebra either way).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if centroids is None:
+        centroids = (
+            train_centroids(df, n_cells, vec_col=vec_col)
+            if trained
+            else deterministic_centroids(dim, n_cells)
+        )
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        ivf_cell_expr(vec_col, centroids).alias("cell"),
+    )
+    lo = base.select(
+        F.col("k").alias("a"), F.col("v").alias("va"), "cell"
+    )
+    hi = base.select(
+        F.col("k").alias("b"), F.col("v").alias("vb"), "cell"
+    )
+    # Dominating pairs: smaller key a beats larger key b when cosine
+    # clears the threshold. One shuffle on cell; AQE splits mega-cells.
+    dominated = (
+        lo.join(hi, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .groupBy("b")
+        .agg(F.min_by(F.struct("a", "sim"), "a").alias("m"))
+        .select("b", F.col("m.a").alias("dup_of"), F.col("m.sim").alias("__simraw"))
+    )
+    return (
+        base.join(dominated, base["k"] == dominated["b"], "left")
+        .select(
+            F.col("k").alias(key_col),
+            "cell",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+            F.round("__simraw", 4).alias("sim"),
+        )
+    )

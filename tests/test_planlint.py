@@ -221,3 +221,17 @@ def test_bfs_round_lints_clean(spark):
         .withColumn("dist", F.lit(1))
     )
     assert_plan_clean(nxt)
+
+
+def test_semantic_dedup_lints_clean(spark):
+    """semantic_dedup: cell assignment must be narrow (no cartesian —
+    the in-cell pair join is keyed on the cell id), and the whole plan
+    Python-UDF-free (cosine is Column algebra)."""
+    from ontoma_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.range(200).selectExpr(
+        "id AS vec_id",
+        "array(CAST(id % 7 AS DOUBLE), CAST(id % 5 AS DOUBLE), "
+        "CAST(id % 3 AS DOUBLE)) AS embedding",
+    )
+    assert_plan_clean(semantic_dedup(emb, threshold=0.95, dim=3, n_cells=4))

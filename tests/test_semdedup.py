@@ -1,0 +1,154 @@
+"""semantic_dedup: brute-force numpy oracle of the SemDeDup greedy
+in-cell dominance rule, plus invariants (row preservation, threshold
+boundary, partitioning invariance, trained-quantizer path)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.semdedup import semantic_dedup
+from ontoma_spark.operators.similarity import deterministic_centroids
+
+DIM = 6
+N = 80
+N_CELLS = 4
+
+
+def _vec(i: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish vector (md5, engine-free)."""
+    out = []
+    for d in range(DIM):
+        h = hashlib.md5(f"sd:{i}:{d}".encode()).digest()
+        out.append(int.from_bytes(h[:4], "big") / 2**31 - 1.0)
+    return out
+
+
+def _rows():
+    rows = []
+    for i in range(N):
+        rows.append((i, _vec(i)))
+    # planted near-duplicates: copy of every 10th row, tiny perturbation,
+    # key shifted above the original so the ORIGINAL is the keeper.
+    for i in range(0, N, 10):
+        v = _vec(i)
+        rows.append((1000 + i, [v[0] + 1e-4] + v[1:]))
+    return rows
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+def _brute(rows, centroids, threshold):
+    """The spec, straight from the docstring: drop b iff some same-cell
+    a < b has cosine(a, b) >= threshold; dup_of = min such a."""
+    def cell(v):
+        best = None
+        for idx, c in enumerate(centroids):
+            d = sum((x - y) ** 2 for x, y in zip(v, c))
+            if best is None or d < best[0] or (d == best[0] and idx < best[1]):
+                best = (d, idx)
+        return best[1]
+
+    assign = {k: cell(v) for k, v in rows}
+    vec = dict(rows)
+    out = {}
+    for k in vec:
+        doms = [
+            a
+            for a in vec
+            if a < k and assign[a] == assign[k]
+            and _cos(vec[a], vec[k]) >= threshold
+        ]
+        out[k] = (assign[k], min(doms) if doms else None)
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(
+        _rows(), "vec_id long, embedding array<double>"
+    ).cache()
+
+
+def test_semantic_dedup_matches_brute_force(emb):
+    cents = deterministic_centroids(DIM, N_CELLS)
+    got = {
+        r["vec_id"]: (r["cell"], r["dup_of"], r["is_kept"], r["sim"])
+        for r in semantic_dedup(
+            emb, threshold=0.9, centroids=cents, dim=DIM
+        ).collect()
+    }
+    want = _brute(_rows(), cents, 0.9)
+    assert set(got) == set(want)
+    for k, (cell, dup_of) in want.items():
+        gcell, gdup, gkept, gsim = got[k]
+        assert gcell == cell, k
+        assert gdup == dup_of, k
+        assert gkept == (dup_of is None), k
+        if dup_of is not None:
+            assert gsim == round(_cos(dict(_rows())[dup_of], dict(_rows())[k]), 4)
+        else:
+            assert gsim is None
+
+
+def test_row_count_preserved_and_planted_dups_dropped(emb):
+    out = semantic_dedup(emb, threshold=0.999, dim=DIM, n_cells=N_CELLS)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    by_id = {r["vec_id"]: r for r in rows}
+    # every planted copy is dominated by its original (same cell is
+    # guaranteed: the perturbation is 1e-4 on one axis)
+    for i in range(0, N, 10):
+        assert by_id[1000 + i]["is_kept"] is False
+        assert by_id[1000 + i]["dup_of"] == i
+        assert by_id[i]["is_kept"] is True
+
+
+def test_threshold_boundary_inclusive(spark):
+    # identical vectors => cosine exactly 1.0 >= threshold 1.0
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, threshold=1.0, dim=2, n_cells=2
+    ).collect()}
+    assert out[2]["is_kept"] is False and out[2]["dup_of"] == 1
+    assert out[1]["is_kept"] is True
+
+
+def test_partitioning_invariance(emb):
+    cents = deterministic_centroids(DIM, N_CELLS)
+    a = semantic_dedup(emb.repartition(1), threshold=0.9, centroids=cents, dim=DIM)
+    b = semantic_dedup(emb.repartition(13), threshold=0.9, centroids=cents, dim=DIM)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_trained_quantizer_path(emb):
+    # quality path: seeded KMeans centroids; spec invariants still hold
+    out = semantic_dedup(emb, threshold=0.999, dim=DIM, n_cells=3, trained=True)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    dropped = [r for r in rows if not r["is_kept"]]
+    # the planted near-identical copies land in their original's cell
+    # regardless of quantizer, so at least those 8 are dropped
+    assert len(dropped) >= N // 10
+    for r in dropped:
+        assert r["dup_of"] is not None and r["dup_of"] < r["vec_id"]
+
+
+def test_dedup_then_filter_composes(emb):
+    kept = (
+        semantic_dedup(emb, threshold=0.999, dim=DIM, n_cells=N_CELLS)
+        .filter(F.col("is_kept"))
+    )
+    assert kept.count() == N  # all originals, no planted copies
