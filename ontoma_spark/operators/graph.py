@@ -956,3 +956,113 @@ def modularity(
         .collect()[0]
     )
     return float(row["Q"])
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node: (node, degree,
+    n_triangles, coeff) over the undirected simple graph, where
+    ``coeff = 2*T(v) / (d(v)*(d(v)-1))`` and degree-<2 nodes score 0 —
+    the standard "how clique-like is this entity's neighbourhood"
+    signal, used here to separate tight synonym clusters (coeff near
+    1) from star-shaped hub artifacts (coeff near 0) in the co-mention
+    KG before trusting its communities.
+
+    Input: one row per undirected edge with ``src < dst``. Pure
+    composition: ``triangle_counts`` (the m^1.5 oriented-wedge
+    algorithm — hubs are NOT quadratic) joined against
+    ``entity_degrees``; one extra node-keyed shuffle beyond the
+    triangle pass, nothing driver-side.
+    """
+    deg = entity_degrees(edges)
+    tri = triangle_counts(edges)
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("n_triangles"), F.lit(0))
+                    / (d * (d - 1.0)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+    )
+
+
+def jaccard_similarity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_sim: float = 0.0,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Neighbourhood-Jaccard node similarity: for every node pair with
+    at least one common neighbour, (src, dst, n_common, n_union, sim)
+    with ``src < dst`` and ``sim = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|`` —
+    the set-overlap cousin of ``adamic_adar`` (which weights common
+    neighbours by 1/ln degree instead of counting them), used for KG
+    entity-resolution blocking: two mentions whose neighbourhoods
+    overlap heavily are canonicalisation candidates even when no xref
+    connects them.
+
+    Dataflow mirrors ``adamic_adar``: common-neighbour counts from ONE
+    self-join of the bidirectional adjacency list on the midpoint;
+    endpoint degrees attached by two broadcasts of the |V|-row degree
+    table; union size is ``d(a) + d(b) - inter`` so the union is never
+    materialised. ``max_degree`` prunes hub MIDPOINTS below both
+    self-join inputs (broadcast left-semi, same plan shape the
+    adamic_adar plan test pins) — a documented approximation: common
+    neighbours reached only through capped hubs stop counting, but the
+    quadratic wedge fan-out of a degree-10^6 hub never happens.
+    Endpoint degrees stay UNCAPPED so the denominator is exact.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    bi = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    deg = bi.groupBy(F.col("u").alias("z")).agg(F.count("*").alias("__deg"))
+    adj = bi.select(F.col("u").alias("z"), F.col("v").alias("o"))
+    if max_degree is not None:
+        capped = deg.filter(F.col("__deg") <= max_degree)
+        adj = adj.join(F.broadcast(capped.select("z")), "z", "left_semi")
+    inter = (
+        adj.alias("a")
+        .join(adj.alias("b"), "z")
+        .filter(F.col("a.o") < F.col("b.o"))
+        .groupBy(F.col("a.o").alias(src), F.col("b.o").alias(dst))
+        .agg(F.count("*").alias("n_common"))
+    )
+    da = F.broadcast(
+        deg.select(F.col("z").alias(src), F.col("__deg").alias("__da"))
+    )
+    db = F.broadcast(
+        deg.select(F.col("z").alias(dst), F.col("__deg").alias("__db"))
+    )
+    return (
+        inter.join(da, src)
+        .join(db, dst)
+        .select(
+            src,
+            dst,
+            "n_common",
+            (F.col("__da") + F.col("__db") - F.col("n_common")).alias(
+                "n_union"
+            ),
+            F.round(
+                F.col("n_common")
+                / (F.col("__da") + F.col("__db") - F.col("n_common")),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= min_sim)
+    )

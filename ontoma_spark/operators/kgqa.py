@@ -1,0 +1,102 @@
+"""KG quality report: per-predicate health metrics for a triple table.
+
+A construction pipeline that materialises (subj, pred, obj) triples
+needs a cheap post-write gate before the graph is trusted downstream —
+the reference's equivalent trust signal is its pytest fixture P/R; at
+100 TB the gate has to be a handful of aggregations instead. Metrics,
+all exact and all SQL-expressible (full oracle in tests):
+
+* ``n_triples`` / ``n_dupes`` — raw row count and how many rows are
+  redundant restatements of a distinct triple (dupes inflate degree
+  and PMI statistics downstream).
+* ``n_distinct_subj`` / ``n_distinct_obj`` — endpoint cardinalities.
+* ``max_out_fanout`` — the largest per-subject object fan-out; with
+  ``functional`` (fanout == 1 for every subject) this catches a
+  skos:exactMatch predicate that silently became many-valued.
+* ``skew`` — max fan-out over mean fan-out: the "is one 'cancer'-like
+  subject about to melt a reducer" number that decides whether the
+  downstream groupBy needs salting (``operators/salted_agg``).
+* ``n_dangling_obj`` — distinct objects absent from a supplied node
+  registry (e.g. the lexicon's id column): dangling edges break
+  closure and PageRank mass conservation.
+
+Shuffle profile: one (pred, subj) agg rolled up to pred (map-side
+combined both levels), one distinct over the triple shape for the dupe
+count, and — only when ``node_ids`` is given — one anti-join of the
+distinct (pred, obj) pairs against the registry (broadcast when the
+registry is dimension-sized, which a lexicon is). Predicates are few,
+so every result table is tiny; nothing is collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def kg_quality_report(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    node_ids: DataFrame | None = None,
+    broadcast_nodes: bool = True,
+) -> DataFrame:
+    """One row per predicate; see module docstring for the columns.
+
+    ``node_ids``: optional single-column DataFrame of valid object ids
+    (any column name; the first column is used). Omitted =>
+    ``n_dangling_obj`` is NULL rather than silently 0.
+    """
+    t = triples.select(
+        F.col(subj).alias("s"), F.col(pred).alias("p"), F.col(obj).alias("o")
+    )
+    per_subj = t.groupBy("p", "s").agg(
+        F.count("*").alias("__n"), F.countDistinct("o").alias("__no")
+    )
+    base = per_subj.groupBy("p").agg(
+        F.sum("__n").alias("n_triples"),
+        F.count("*").alias("n_distinct_subj"),
+        F.max("__no").alias("max_out_fanout"),
+        F.avg("__no").alias("__mean_fanout"),
+    )
+    dist = t.distinct().groupBy("p").agg(
+        F.count("*").alias("__n_distinct_triples"),
+        F.countDistinct("o").alias("n_distinct_obj"),
+    )
+    rep = (
+        base.join(dist, "p")
+        .select(
+            F.col("p").alias(pred),
+            "n_triples",
+            (F.col("n_triples") - F.col("__n_distinct_triples")).alias(
+                "n_dupes"
+            ),
+            "n_distinct_subj",
+            "n_distinct_obj",
+            "max_out_fanout",
+            (F.col("max_out_fanout") == 1).alias("functional"),
+            F.round(
+                F.col("max_out_fanout") / F.col("__mean_fanout"), 6
+            ).alias("skew"),
+        )
+    )
+    if node_ids is None:
+        return rep.withColumn("n_dangling_obj", F.lit(None).cast("long"))
+    reg = node_ids.select(
+        F.col(node_ids.columns[0]).alias("o")
+    ).distinct()
+    if broadcast_nodes:
+        reg = F.broadcast(reg)
+    dangling = (
+        t.select("p", "o")
+        .distinct()
+        .join(reg, "o", "left_anti")
+        .groupBy("p")
+        .agg(F.count("*").alias("n_dangling_obj"))
+    )
+    return rep.join(
+        dangling.withColumnRenamed("p", pred), pred, "left"
+    ).withColumn(
+        "n_dangling_obj", F.coalesce(F.col("n_dangling_obj"), F.lit(0))
+    )

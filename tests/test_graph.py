@@ -688,3 +688,126 @@ def test_modularity_structure_signal(spark):
     assert modularity(e, bad) < q_good
     # empty graph
     assert modularity(e.limit(0), lpa) == 0.0
+
+
+def test_clustering_coefficient_vs_bruteforce(spark):
+    import itertools
+
+    from ontoma_spark.operators.graph import clustering_coefficient
+
+    rng = random.Random(11)
+    nodes = list(range(25))
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for _ in range(120)
+            for a, b in [(rng.choice(nodes), rng.choice(nodes))]
+            if a != b
+        }
+    )
+    eset = set(edges)
+    deg: dict[int, int] = {}
+    tri: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for n in (a, b, c):
+                tri[n] = tri.get(n, 0) + 1
+    expected = {
+        n: (
+            deg[n],
+            tri.get(n, 0),
+            round(2.0 * tri.get(n, 0) / (deg[n] * (deg[n] - 1)), 6)
+            if deg[n] >= 2
+            else 0.0,
+        )
+        for n in deg
+    }
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["coeff"])
+        for r in clustering_coefficient(
+            spark.createDataFrame(edges, "src int, dst int")
+        ).collect()
+    }
+    assert got == expected and expected
+
+
+def test_clustering_coefficient_clique_and_star(spark):
+    from ontoma_spark.operators.graph import clustering_coefficient
+
+    # K4: every node coeff 1; star center coeff 0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    star = [(10, i) for i in range(11, 15)]
+    got = {
+        r["node"]: r["coeff"]
+        for r in clustering_coefficient(
+            spark.createDataFrame(k4 + star, "src int, dst int")
+        ).collect()
+    }
+    assert all(got[n] == 1.0 for n in range(4))
+    assert got[10] == 0.0 and got[11] == 0.0
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_jaccard_similarity_vs_bruteforce(spark, seed):
+    import itertools
+
+    from ontoma_spark.operators.graph import jaccard_similarity
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(14)]
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for _ in range(36)
+            for a, b in [(rng.choice(nodes), rng.choice(nodes))]
+            if a != b
+        }
+    )
+    nbr: dict[str, set] = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    expected = {}
+    for a, b in itertools.combinations(sorted(nbr), 2):
+        inter = len(nbr[a] & nbr[b])
+        if inter:
+            union = len(nbr[a] | nbr[b])
+            expected[(a, b)] = (inter, union, round(inter / union, 6))
+    got = {
+        (r["src"], r["dst"]): (r["n_common"], r["n_union"], r["sim"])
+        for r in jaccard_similarity(
+            spark.createDataFrame(edges, "src string, dst string")
+        ).collect()
+    }
+    assert got == expected and expected
+
+
+def test_jaccard_similarity_hub_cap_and_min_sim(spark):
+    from ontoma_spark.operators.graph import jaccard_similarity
+
+    # hub h connects a,b; separately a,b share neighbour z (degree 2)
+    edges = [("h", x) for x in ("a", "b", "c", "d", "e")] + [
+        ("a", "z"), ("b", "z")
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    # uncapped: (a,b) common = {h, z} -> 2
+    full = {
+        (r["src"], r["dst"]): r["n_common"]
+        for r in jaccard_similarity(df).collect()
+    }
+    assert full[("a", "b")] == 2
+    # cap drops the degree-5 hub as a midpoint: only z counts, and the
+    # denominator stays exact (deg a = deg b = 2 -> union 3)
+    capped = {
+        (r["src"], r["dst"]): (r["n_common"], r["n_union"])
+        for r in jaccard_similarity(df, max_degree=2).collect()
+    }
+    assert capped[("a", "b")] == (1, 3)
+    # min_sim filters
+    assert all(
+        r["sim"] >= 0.5
+        for r in jaccard_similarity(df, min_sim=0.5).collect()
+    )

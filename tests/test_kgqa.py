@@ -1,0 +1,140 @@
+"""kg_quality_report: full DuckDB SQL oracle (every metric is
+SQL-expressible) plus semantic pins (functional predicate, dupes,
+dangling objects, skew, no-registry NULL column)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from ontoma_spark.operators.kgqa import kg_quality_report
+
+TRIPLES = (
+    # skos:exactMatch — functional, one dupe row, one dangling object
+    [("m1", "exactMatch", "EFO:1"), ("m1", "exactMatch", "EFO:1"),
+     ("m2", "exactMatch", "EFO:2"), ("m3", "exactMatch", "BAD:9")]
+    # relatedMatch — skewed: m1 fans out to 4, others to 1
+    + [("m1", "relatedMatch", f"EFO:{i}") for i in range(1, 5)]
+    + [("m2", "relatedMatch", "EFO:7"), ("m4", "relatedMatch", "EFO:1")]
+)
+NODES = [("EFO:1",), ("EFO:2",), ("EFO:3",), ("EFO:4",), ("EFO:7",)]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string"
+    ).cache()
+
+
+def _duck_report():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(s VARCHAR, p VARCHAR, o VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?)", TRIPLES)
+    con.execute("CREATE TABLE reg(o VARCHAR)")
+    con.executemany("INSERT INTO reg VALUES (?)", NODES)
+    return {
+        r[0]: r[1:]
+        for r in con.execute(
+            """
+            WITH per_subj AS (
+              SELECT p, s, COUNT(*) cnt, COUNT(DISTINCT o) nobj
+              FROM t GROUP BY p, s
+            ),
+            base AS (
+              SELECT p, SUM(cnt) n_triples, COUNT(*) n_distinct_subj,
+                     MAX(nobj) max_out_fanout, AVG(nobj) mean_fanout
+              FROM per_subj GROUP BY p
+            ),
+            dist AS (
+              SELECT p, COUNT(*) ndt, COUNT(DISTINCT o) n_distinct_obj
+              FROM (SELECT DISTINCT s, p, o FROM t) GROUP BY p
+            ),
+            dang AS (
+              SELECT p, COUNT(*) n_dangling
+              FROM (SELECT DISTINCT p, o FROM t) x
+              WHERE o NOT IN (SELECT o FROM reg) GROUP BY p
+            )
+            SELECT base.p, n_triples, n_triples - ndt AS n_dupes,
+                   n_distinct_subj, n_distinct_obj, max_out_fanout,
+                   max_out_fanout = 1 AS functional,
+                   ROUND(max_out_fanout / mean_fanout, 6) AS skew,
+                   COALESCE(n_dangling, 0) AS n_dangling_obj
+            FROM base JOIN dist USING (p) LEFT JOIN dang ON base.p = dang.p
+            """
+        ).fetchall()
+    }
+
+
+def test_report_matches_duckdb_oracle(spark, triples):
+    reg = spark.createDataFrame(NODES, "id string")
+    got = {
+        r["pred"]: (
+            r["n_triples"], r["n_dupes"], r["n_distinct_subj"],
+            r["n_distinct_obj"], r["max_out_fanout"], r["functional"],
+            r["skew"], r["n_dangling_obj"],
+        )
+        for r in kg_quality_report(triples, node_ids=reg).collect()
+    }
+    want = _duck_report()
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p] == pytest.approx(want[p]), p
+
+
+def test_semantic_pins(spark, triples):
+    reg = spark.createDataFrame(NODES, "id string")
+    rep = {
+        r["pred"]: r for r in kg_quality_report(triples, node_ids=reg).collect()
+    }
+    em = rep["exactMatch"]
+    assert em["functional"] is True and em["n_dupes"] == 1
+    assert em["n_dangling_obj"] == 1  # BAD:9
+    rm = rep["relatedMatch"]
+    assert rm["functional"] is False and rm["max_out_fanout"] == 4
+    assert rm["skew"] == 2.0  # max 4 / mean (4+1+1)/3
+    assert rm["n_dangling_obj"] == 0
+
+
+def test_no_registry_gives_null_dangling(spark, triples):
+    rep = kg_quality_report(triples).collect()
+    assert all(r["n_dangling_obj"] is None for r in rep)
+
+
+def test_real_pipeline_triples_pass_dangling_gate(spark):
+    """End-to-end: every object the KG pipeline emits must exist in the
+    ontology term registry (no dangling edges), and the report's skew
+    column must be >= 1 by construction. Dupes ARE expected here: the
+    report folds provenance away, and the same (mention, pred, id)
+    legitimately recurs across documents."""
+    from ontoma_spark.datagen import generate_repos, ontology_terms_df
+    from ontoma_spark.lexicon import as_id_lut, as_label_lut, build_lexicon
+    from ontoma_spark.operators.unionfind import canonical_map
+    from ontoma_spark.pipeline.kg import build_triples
+
+    import pyspark.sql.functions as F
+
+    from ontoma_spark.functions.text import format_identifier
+
+    terms = ontology_terms_df(spark)
+    lex = build_lexicon([as_label_lut(terms), as_id_lut(terms)])
+    canon = canonical_map(terms)
+    tr = build_triples(generate_repos(spark, 60), lex, canon)
+    # registry in the SAME identifier space the pipeline emits: CURIE-
+    # formatted term ids plus the xref-closure canonical targets (the
+    # first draft of this test passed raw underscore ids and the gate
+    # correctly flagged every emitted object as dangling)
+    registry = (
+        terms.select(
+            format_identifier(F.upper(F.trim(F.col("id")))).alias("id")
+        )
+        .union(canon.select(F.col("canonicalId").alias("id")))
+        .distinct()
+    )
+    rep = kg_quality_report(tr, node_ids=registry).collect()
+    assert rep, "pipeline emitted no predicates"
+    for r in rep:
+        assert r["n_dangling_obj"] == 0, r["pred"]
+        assert r["skew"] >= 1.0, r["pred"]

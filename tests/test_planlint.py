@@ -235,3 +235,31 @@ def test_semantic_dedup_lints_clean(spark):
         "CAST(id % 3 AS DOUBLE)) AS embedding",
     )
     assert_plan_clean(semantic_dedup(emb, threshold=0.95, dim=3, n_cells=4))
+
+
+def test_kgqa_and_graph_similarity_lint_clean(spark):
+    """kg_quality_report, clustering_coefficient, jaccard_similarity:
+    cartesian-free (every join keyed), single-partition-free,
+    Python-UDF-free."""
+    from ontoma_spark.operators.graph import (
+        clustering_coefficient,
+        jaccard_similarity,
+    )
+    from ontoma_spark.operators.kgqa import kg_quality_report
+
+    edges = spark.range(300).selectExpr(
+        "concat('n', id % 40) AS src", "concat('n', (id * 7) % 40) AS dst"
+    ).filter("src < dst").distinct()
+    triples = spark.range(500).selectExpr(
+        "concat('m', id % 50) AS subj",
+        "CASE WHEN id % 3 = 0 THEN 'exactMatch' ELSE 'relatedMatch' END AS pred",
+        "concat('EFO:', id % 80) AS obj",
+    )
+    reg = spark.range(80).selectExpr("concat('EFO:', id) AS id")
+    for df in (
+        clustering_coefficient(edges),
+        jaccard_similarity(edges, max_degree=8),
+        kg_quality_report(triples, node_ids=reg),
+        kg_quality_report(triples),
+    ):
+        assert_plan_clean(df)
