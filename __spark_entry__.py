@@ -3199,7 +3199,63 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_bm25_corpus": q70_bm25_corpus,
         "q71_lm_perplexity": q71_lm_perplexity,
         "q72_relation_patterns": q72_relation_patterns,
+        "q73_semantic_dedup": q73_semantic_dedup,
+        "q74_repo_dependency_graph": q74_repo_dependency_graph,
     }
+
+
+def q73_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (brute-force-oracled in tests/test_semdedup.py):
+    SemDeDup over the embeddings table with planted near-identical
+    copies (every vec_id % 7 == 3 duplicated at key + 1e6) — times the
+    narrow quantizer-cell assignment plus the in-cell cosine dominance
+    join at sf scale."""
+    from ontoma_spark.operators.semdedup import semantic_dedup
+
+    e = _emb(spark, sf_dir)
+    dup = e.filter(F.col("vec_id") % 7 == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    return semantic_dedup(
+        e.unionByName(dup), threshold=0.999, dim=EMBED_DIM, n_cells=8
+    )
+
+
+def q74_repo_dependency_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (brute-force-oracled in tests/test_codegraph.py):
+    cross-repo dependency edges at sf volume. The file table derives
+    deterministically from documents: file i defines module
+    ``pkg{i%997}.mod{i}`` and imports three modules of rows
+    ``(i*7919 + k) % n`` — every import resolves, so the full
+    ownership-join + edge-aggregation dataflow is timed at corpus
+    scale (the generated repo corpus embeds no real import
+    statements)."""
+    from ontoma_spark.operators.codegraph import repo_dependency_edges
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i")
+    )
+    n = F.lit(d.count())  # doc_ids are dense 0..n-1: every import resolves
+    imp = [
+        F.concat(
+            F.lit("import pkg"),
+            ((F.col("i") * 7919 + k) % n) % 997,
+            F.lit(".mod"),
+            (F.col("i") * 7919 + k) % n,
+        )
+        for k in (1, 2, 3)
+    ]
+    files = d.select(
+        F.concat(F.lit("repo-"), F.col("i") % 500).alias("repo"),
+        F.concat(
+            F.lit("src/pkg"), F.col("i") % 997, F.lit("/mod"),
+            F.col("i"), F.lit(".py"),
+        ).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.concat_ws("\n", *imp).alias("content"),
+    )
+    return repo_dependency_edges(files)
 
 
 def q72_relation_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:

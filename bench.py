@@ -113,6 +113,8 @@ HEADLINE = [
     "q70_bm25_corpus",
     "q71_lm_perplexity",
     "q72_relation_patterns",
+    "q73_semantic_dedup",
+    "q74_repo_dependency_graph",
 ]
 
 T0 = time.time()

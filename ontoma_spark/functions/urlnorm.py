@@ -1,0 +1,110 @@
+"""URL canonicalization kernels for web-corpus dedup and provenance.
+
+Two crawls of the same page rarely carry byte-identical URLs: tracking
+params (utm_*, fbclid), fragments, default ports, case-variant hosts
+and shuffled query order all produce distinct strings for one resource.
+Exact URL-level dedup therefore under-merges unless URLs are first
+normalised — the standard crawl-pipeline preprocessing step (same role
+as the WARC-dedup key normalisation in public CommonCrawl tooling).
+
+All kernels are pure Column algebra (regexp / split / array ops inside
+whole-stage codegen): a narrow projection with zero shuffle and zero
+Python, safe to run in the scan stage of a 100 TB corpus pass.
+
+Canonical form produced by ``canonical_url`` (each step documented,
+deterministic, and mirrored by the pure-Python oracle in tests):
+
+1. trim whitespace;
+2. lowercase the scheme and authority (path/query stay case-sensitive
+   per RFC 3986);
+3. drop the fragment (``#...`` never reaches the server);
+4. drop default ports (``:80`` for http, ``:443`` for https);
+5. drop tracking query params (utm_*, gclid, fbclid, msclkid, igshid,
+   ref) and SORT the survivors — ordering is not semantic for the
+   overwhelming majority of endpoints, and sorting is what lets two
+   param-shuffled crawls of one page collide (a documented, opt-out-by-
+   not-using-this-kernel approximation);
+6. drop a lone trailing slash on the path (``/a/`` == ``/a``; a bare
+   host keeps no slash).
+
+``url_registered_domain`` is a HEURISTIC approximation of the public-
+suffix list (which is a 10k-line moving target): last two labels,
+widened to three when the URL ends in a two-level suffix like
+``co.uk`` / ``com.au`` (second-to-last label in a small well-known set
+AND a 2-letter ccTLD). Documented trade-off: rare exotic suffixes
+group at the wrong level; the hot paths (com/org/net/io + major ccTLD
+pairs) are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|gclid|fbclid|msclkid|igshid|ref)(=.*)?$"
+
+# second-level labels that commonly sit directly under a ccTLD
+_SECOND_LEVEL = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+
+def canonical_url(c: Column) -> Column:
+    u = F.trim(c)
+    # lowercase scheme://authority, keep the rest
+    scheme_auth = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    u = F.when(
+        scheme_auth != "",
+        F.concat(
+            F.lower(scheme_auth),
+            F.substring(u, F.length(scheme_auth) + 1, F.lit(2**30)),
+        ),
+    ).otherwise(u)
+    # drop fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # drop default ports
+    u = F.regexp_replace(u, r"^(http://[^/?#]*?):80(?=[/?#]|$)", "$1")
+    u = F.regexp_replace(u, r"^(https://[^/?#]*?):443(?=[/?#]|$)", "$1")
+    # query handling: strip tracking params, sort survivors
+    base = F.substring_index(u, "?", 1)
+    query = F.when(
+        u.contains("?"), F.substring(u, F.length(base) + 2, F.lit(2**30))
+    ).otherwise(F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    u = F.when(
+        (query != "") & (F.size(kept) > 0),
+        F.concat(base, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(base)
+    # drop a lone trailing slash on the path
+    u = F.regexp_replace(u, r"(^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(?:/[^?#]*?)?)/(\?|$)", "$1$2")
+    return u
+
+
+def url_host(c: Column) -> Column:
+    """Lowercased host (no port, no userinfo); '' when no authority."""
+    h = F.regexp_extract(
+        F.trim(c), r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1
+    )
+    return F.lower(h)
+
+
+def url_registered_domain(c: Column) -> Column:
+    """Heuristic eTLD+1 (see module docstring for the approximation)."""
+    host = url_host(c)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    second = F.element_at(labels, -2)
+    tld = F.element_at(labels, -1)
+    two_level = (
+        (n >= 3)
+        & (F.length(tld) == 2)
+        & second.isin(*_SECOND_LEVEL)
+    )
+    take = F.when(two_level, F.lit(3)).otherwise(F.lit(2))
+    return F.when(
+        n >= 2,
+        F.array_join(F.slice(labels, n - take + 1, take), "."),
+    ).otherwise(host)

@@ -7,17 +7,25 @@ from ontoma_spark.operators.dedup import (
     simhash_candidates,
 )
 from ontoma_spark.operators.graph import (
+    clustering_coefficient,
     comention_edges,
     entity_degrees,
+    jaccard_similarity,
     pagerank,
 )
 from ontoma_spark.operators.joins import asof_join, range_join
+from ontoma_spark.operators.kgqa import kg_quality_report
 from ontoma_spark.operators.packing import pack_sequences, running_total
 from ontoma_spark.operators.sampling import hash_sample, hash_split
+from ontoma_spark.operators.semdedup import semantic_dedup
 from ontoma_spark.operators.tfidf import corpus_tokens, tfidf_top_terms
 
 __all__ = [
     "asof_join",
+    "clustering_coefficient",
+    "jaccard_similarity",
+    "kg_quality_report",
+    "semantic_dedup",
     "comention_edges",
     "corpus_tokens",
     "entity_degrees",

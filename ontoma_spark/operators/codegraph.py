@@ -1,0 +1,140 @@
+"""Cross-repo dependency graph derived purely from the corpus.
+
+The code-KG layer above ``functions/code.py::imported_modules``: which
+REPO depends on which REPO. No manifest/registry is consulted — module
+ownership is derived from the corpus itself, so the operator works on
+any (repo, path, commit, lang, content) snapshot:
+
+1. **Ownership table** (narrow pass over paths, no content read):
+   a Python file ``pkg/sub/mod.py`` in repo R makes R an owner of
+   module ``pkg.sub.mod`` (and ``pkg.sub`` / ``pkg`` via its
+   ``__init__.py`` files, which produce those names naturally); Java
+   ``src/main/java/com/x/Y.java`` owns ``com.x.Y`` after the
+   conventional source-root prefixes are stripped.
+2. **Import edges**: ``imported_modules`` explodes per-file imports
+   (bounded fan-out), joined against ownership on the module name —
+   one shuffle join on a short string key; the ownership side is
+   usually dimension-sized relative to the corpus and AQE broadcasts
+   it when so.
+3. **Repo edges**: (src_repo, dst_repo, weight = #importing files,
+   n_modules = #distinct modules used), self-edges dropped.
+
+Ambiguity is resolved conservatively: a module name owned by K repos
+contributes 1/K to each candidate edge's ``weight`` (fractional
+attribution keeps the total mass equal to the number of resolved
+import statements — summing whole edges would inflate hub repos that
+squat common names). ``min_weight`` prunes noise edges.
+
+The emitted edge list feeds ``operators/graph.py`` unchanged
+(PageRank for repo importance, two-star components for ecosystem
+clusters, transitive closure for full dependency cones).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ontoma_spark.functions.code import imported_modules
+
+# conventional source-root prefixes stripped before path->module
+_SRC_ROOTS = r"^(src/main/java/|src/main/kotlin/|src/|lib/|app/)"
+
+
+def module_names_from_path(path: F.Column, lang: F.Column) -> F.Column:
+    """Array of module names a file defines, from its path alone.
+
+    python: ``a/b/c.py`` -> ``a.b.c``; ``a/b/__init__.py`` -> ``a.b``.
+    java:   ``src/main/java/com/x/Y.java`` -> ``com.x.Y``.
+    javascript/typescript: ``lib/u/v.js`` -> ``u/v`` (require-style
+    relative specifier without extension; index.js folds to its dir).
+    Other languages: empty array.
+    """
+    p = F.regexp_replace(path, _SRC_ROOTS, "")
+    py = F.when(
+        p.endswith("/__init__.py"),
+        F.array(
+            F.translate(F.regexp_replace(p, r"/__init__\.py$", ""), "/", ".")
+        ),
+    ).when(
+        p.endswith(".py"),
+        F.array(F.translate(F.regexp_replace(p, r"\.py$", ""), "/", ".")),
+    ).otherwise(F.array().cast("array<string>"))
+    java = F.when(
+        p.rlike(r"\.(java|kt)$"),
+        F.array(
+            F.translate(F.regexp_replace(p, r"\.(java|kt)$", ""), "/", ".")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    js = F.when(
+        p.rlike(r"/index\.(js|ts)$"),
+        F.array(F.regexp_replace(p, r"/index\.(js|ts)$", "")),
+    ).when(
+        p.rlike(r"\.(js|ts)$"),
+        F.array(F.regexp_replace(p, r"\.(js|ts)$", "")),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        F.when(lang == "python", py)
+        .when(lang.isin("java", "kotlin"), java)
+        .when(lang.isin("javascript", "typescript"), js)
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def module_owners(files: DataFrame) -> DataFrame:
+    """(module, repo) distinct ownership table from paths only."""
+    return (
+        files.select(
+            "repo",
+            F.explode(
+                module_names_from_path(F.col("path"), F.col("lang"))
+            ).alias("module"),
+        )
+        .distinct()
+    )
+
+
+def repo_dependency_edges(
+    files: DataFrame,
+    min_weight: float = 0.0,
+    owners: DataFrame | None = None,
+) -> DataFrame:
+    """(src_repo, dst_repo, weight, n_modules) — see module docstring.
+
+    ``owners`` overrides the derived ownership table (e.g. a curated
+    module registry); schema (module, repo).
+    """
+    if owners is None:
+        owners = module_owners(files)
+    imports = (
+        files.select(
+            F.col("repo").alias("src_repo"),
+            "path",
+            F.explode(
+                imported_modules(F.col("content"), F.col("lang"))
+            ).alias("module"),
+        )
+        .distinct()  # one vote per (file, module)
+    )
+    k_owners = owners.groupBy("module").agg(
+        F.count("*").alias("__k")
+    )
+    resolved = (
+        imports.join(owners, "module")
+        .join(k_owners, "module")
+        .filter(F.col("repo") != F.col("src_repo"))
+        .select(
+            "src_repo",
+            F.col("repo").alias("dst_repo"),
+            "module",
+            (F.lit(1.0) / F.col("__k")).alias("__w"),
+        )
+    )
+    return (
+        resolved.groupBy("src_repo", "dst_repo")
+        .agg(
+            F.round(F.sum("__w"), 6).alias("weight"),
+            F.countDistinct("module").alias("n_modules"),
+        )
+        .filter(F.col("weight") >= min_weight)
+    )

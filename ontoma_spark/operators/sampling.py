@@ -141,3 +141,67 @@ def weighted_sample_topk(
         .filter(F.col("_rk") <= k)
         .drop("_neg_priority", "_rk")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    clusters: DataFrame | None = None,
+    cluster_col: str | None = None,
+    salt: str = "",
+    broadcast_clusters: bool = True,
+) -> dict[str, DataFrame]:
+    """Train/val/test splits that cannot leak near-duplicates across
+    sides: the hash draw is keyed on a row's DEDUP CLUSTER, not the row,
+    so an entire near-duplicate cluster lands on exactly one side. A
+    naive ``hash_split`` on doc ids puts two 0.95-Jaccard copies of the
+    same page in train and test and the eval is contaminated — the
+    leakage mode Lee et al. 2022 measure (train/test overlap inflating
+    perplexity wins).
+
+    Cluster identity comes from either ``cluster_col`` (already on the
+    row — zero extra shuffle, the split stays a pure scan-side filter)
+    or ``clusters``, a (key_col, cluster_id) map such as
+    ``dedup.neardup_clusters`` output (one join; broadcast by default
+    since the clustered subset is a tiny fraction of a deduped corpus).
+    Rows absent from the map are singleton clusters keyed by their own
+    key — identical draw to ``hash_split``, so the two operators agree
+    everywhere except inside multi-member clusters, which is the point.
+
+    Same cut-points-on-the-[0,1)-axis construction as ``hash_split``:
+    disjoint, exhaustive up to sum(fractions), deterministic across
+    partitionings, tables, and engines (md5 draw — DuckDB-replicable).
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError("fractions sum must be <= 1")
+    if (clusters is None) == (cluster_col is None):
+        raise ValueError("pass exactly one of clusters / cluster_col")
+    if cluster_col is not None:
+        based = df
+        cluster_id = F.col(cluster_col).cast("string")
+    else:
+        m = clusters.select(
+            F.col(clusters.columns[0]).alias(key_col),
+            F.col(clusters.columns[1]).alias("__cluster"),
+        )
+        if broadcast_clusters:
+            m = F.broadcast(m)
+        based = df.join(m, key_col, "left")
+        cluster_id = F.col("__cluster").cast("string")
+    draw = hash_draw(
+        F.coalesce(cluster_id, F.col(key_col).cast("string")), salt
+    )
+    out: dict[str, DataFrame] = {}
+    lo = 0.0
+    for name, frac in fractions.items():
+        hi = lo + frac
+        side = based.filter(
+            (draw >= int(lo * _U32)) & (draw < int(hi * _U32))
+        )
+        if cluster_col is None:
+            side = side.drop("__cluster")
+        out[name] = side
+        lo = hi
+    return out

@@ -204,3 +204,90 @@ def test_import_graph_roundtrip(spark):
     )
     ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=2).collect()}
     assert ranks["shared"] == max(ranks.values())
+
+
+def _gate(spark, content, **kw):
+    return (
+        spark.createDataFrame([(content,)], "content string")
+        .select(C.code_quality_gate(F.col("content"), **kw).alias("g"))
+        .first()["g"]
+    )
+
+
+def test_code_line_stats_matches_python(spark):
+    samples = [
+        "a\nbb\nccc",          # 3 lines, lens 1/2/3
+        "a\nbb\nccc\n",        # trailing newline: STILL 3 lines
+        "",                     # empty file
+        "single",
+        "\n\n",                # two empty lines + trailing
+    ]
+    rows = (
+        spark.createDataFrame([(s,) for s in samples], "content string")
+        .select(C.code_line_stats(F.col("content")).alias("s"))
+        .collect()
+    )
+    for s, r in zip(samples, rows):
+        lines = s.split("\n")
+        if lines and lines[-1] == "":
+            lines = lines[:-1]
+        lens = [len(x) for x in lines]
+        assert r["s"]["n_lines"] == len(lens), s
+        assert r["s"]["max_line_len"] == (max(lens) if lens else 0), s
+        want_avg = round(sum(lens) / len(lens), 4) if lens else 0.0
+        assert r["s"]["avg_line_len"] == pytest.approx(want_avg), s
+
+
+def test_alnum_fraction(spark):
+    rows = (
+        spark.createDataFrame(
+            [("abc123",), ("{};+=!",), ("ab!!",), ("",)], "content string"
+        )
+        .select(C.alnum_fraction(F.col("content")).alias("f"))
+        .collect()
+    )
+    assert [r["f"] for r in rows] == [1.0, 0.0, 0.5, 0.0]
+
+
+def test_autogen_header_only(spark):
+    gen = "// Code generated by protoc. DO NOT EDIT.\npackage x\n"
+    prints = "x" * 2000 + '\nprint("do not edit")\n'
+    df = spark.createDataFrame(
+        [(gen,), (prints,), ("normal code\n",)], "content string"
+    ).select(C.is_autogenerated(F.col("content")).alias("a"))
+    assert [r["a"] for r in df.collect()] == [True, False, False]
+
+
+def test_code_quality_gate_reasons(spark):
+    ok = "def f():\n    return 1\n"
+    assert _gate(spark, ok)["keep"] is True
+
+    minified = "var a=" + "x().y();" * 300  # one 2400-char line
+    g = _gate(spark, minified)
+    assert g["keep"] is False
+    assert set(g["reasons"]) == {"avg_line_len", "max_line_len"}
+
+    blob = "!@#$%^&*()" * 50
+    assert "alnum_frac" in _gate(spark, blob)["reasons"]
+
+    gen = "# @generated\nx = 1\n"
+    assert _gate(spark, gen)["reasons"] == ["autogenerated"]
+    assert _gate(spark, gen, drop_autogenerated=False)["keep"] is True
+
+
+def test_gate_thresholds_are_paper_defaults(spark):
+    # a 100.5-avg file trips the default but passes a raised bound
+    line = "x" * 100  # avg 100.5 with one 101-char line
+    content = "x" * 101 + "\n" + line
+    assert _gate(spark, content)["keep"] is False
+    assert _gate(spark, content, max_avg_line_len=150)["keep"] is True
+
+
+def test_gate_is_narrow_plan(spark):
+    from ontoma_spark.core.planlint import assert_plan_clean
+
+    df = spark.range(10).selectExpr("repeat('a', 5) AS content").select(
+        C.code_quality_gate(F.col("content")).alias("g")
+    )
+    assert_plan_clean(df)
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,133 @@
+"""repo_dependency_edges: brute-force oracle over a fixture corpus,
+path->module pins per language, fractional-attribution semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.operators.codegraph import (
+    module_names_from_path,
+    module_owners,
+    repo_dependency_edges,
+)
+
+FILES = [
+    # repoA: python lib "alib"
+    ("repoA", "src/alib/__init__.py", "c1", "python", ""),
+    ("repoA", "src/alib/core.py", "c1", "python", "import os\n"),
+    # repoB imports alib twice (two files) and blib once
+    ("repoB", "b/uses.py", "c1", "python", "import alib.core\nfrom blib import x\n"),
+    ("repoB", "b/more.py", "c1", "python", "from alib.core import f\n"),
+    # repoC also defines blib (ambiguous owner with repoD)
+    ("repoC", "blib/__init__.py", "c1", "python", ""),
+    ("repoD", "blib/__init__.py", "c1", "python", ""),
+    # java: repoE owns com.x.Y; repoF imports it
+    ("repoE", "src/main/java/com/x/Y.java", "c1", "java", "package com.x;\n"),
+    ("repoF", "src/main/java/com/f/Z.java", "c1", "java",
+     "import com.x.Y;\nclass Z {}\n"),
+    # js: repoG owns lib/util via index.js; repoH requires it
+    ("repoG", "lib/util/index.js", "c1", "javascript", "module.exports = 1\n"),
+    ("repoH", "app/main.js", "c1", "javascript", "const u = require('util')\n"),
+]
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    return spark.createDataFrame(
+        FILES, "repo string, path string, commit string, lang string, content string"
+    ).cache()
+
+
+def test_module_names_from_path_pins(spark):
+    cases = [
+        ("src/alib/__init__.py", "python", ["alib"]),
+        ("src/alib/core.py", "python", ["alib.core"]),
+        ("a/b/c.py", "python", ["a.b.c"]),
+        ("src/main/java/com/x/Y.java", "java", ["com.x.Y"]),
+        ("lib/util/index.js", "javascript", ["util"]),
+        ("lib/u/v.ts", "typescript", ["u/v"]),
+        ("README.md", "markdown", []),
+        ("x.go", "go", []),
+    ]
+    rows = (
+        spark.createDataFrame(
+            [(p, lang) for p, lang, _ in cases], "path string, lang string"
+        )
+        .select(
+            module_names_from_path(F.col("path"), F.col("lang")).alias("m")
+        )
+        .collect()
+    )
+    assert [r["m"] for r in rows] == [want for _, _, want in cases]
+
+
+def test_module_owners(files):
+    got = {
+        (r["module"], r["repo"]) for r in module_owners(files).collect()
+    }
+    assert ("alib", "repoA") in got
+    assert ("alib.core", "repoA") in got
+    assert ("blib", "repoC") in got and ("blib", "repoD") in got
+    assert ("com.x.Y", "repoE") in got
+    assert ("util", "repoG") in got
+
+
+def test_repo_dependency_edges_vs_bruteforce(files):
+    got = {
+        (r["src_repo"], r["dst_repo"]): (r["weight"], r["n_modules"])
+        for r in repo_dependency_edges(files).collect()
+    }
+    # repoB -> repoA: alib.core imported by two files, sole owner => 2.0
+    assert got[("repoB", "repoA")] == (2.0, 1)
+    # repoB -> repoC and -> repoD: blib has 2 owners => 0.5 each
+    assert got[("repoB", "repoC")] == (0.5, 1)
+    assert got[("repoB", "repoD")] == (0.5, 1)
+    # java and js edges resolve
+    assert got[("repoF", "repoE")] == (1.0, 1)
+    assert got[("repoH", "repoG")] == (1.0, 1)
+    # no self-edges anywhere
+    assert all(s != d for s, d in got)
+    # unresolvable imports (os, com.f internals) create no edges
+    assert len(got) == 5
+
+
+def test_min_weight_prunes(files):
+    got = {
+        (r["src_repo"], r["dst_repo"])
+        for r in repo_dependency_edges(files, min_weight=0.9).collect()
+    }
+    assert got == {("repoB", "repoA"), ("repoF", "repoE"), ("repoH", "repoG")}
+
+
+def test_curated_owner_override(spark, files):
+    owners = spark.createDataFrame(
+        [("alib.core", "repoZ")], "module string, repo string"
+    )
+    got = {
+        (r["src_repo"], r["dst_repo"]): r["weight"]
+        for r in repo_dependency_edges(files, owners=owners).collect()
+    }
+    assert got == {("repoB", "repoZ"): 2.0}
+
+
+def test_edges_feed_graph_suite(files):
+    from ontoma_spark.operators.graph import pagerank
+
+    edges = repo_dependency_edges(files).select(
+        F.col("src_repo").alias("src"), F.col("dst_repo").alias("dst")
+    )
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=3).collect()}
+    # every repo in the edge list is ranked, and every importing repo
+    # (no in-edges) ranks strictly below every imported repo
+    assert set(pr) == {"repoA", "repoB", "repoC", "repoD",
+                       "repoE", "repoF", "repoG", "repoH"}
+    assert max(pr["repoB"], pr["repoF"], pr["repoH"]) < min(
+        pr["repoA"], pr["repoE"], pr["repoG"]
+    )
+
+
+def test_plan_lints_clean(files):
+    from ontoma_spark.core.planlint import assert_plan_clean
+
+    assert_plan_clean(repo_dependency_edges(files))

@@ -230,3 +230,131 @@ def test_chunk_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, ["a"])], "doc long, toks array<string>")
     with _p.raises(ValueError):
         chunk_with_overlap(df, ["doc"], "toks", 4, 4)
+
+
+def _md5_draw(key: str, salt: str = "") -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:8], 16)
+
+
+def test_leakage_safe_split_matches_md5_oracle(spark):
+    from ontoma_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.range(200).selectExpr(
+        "concat('d', id) AS doc_id", "concat('text ', id) AS text"
+    )
+    # clusters: d0..d9 -> c0, d10..d19 -> c1; the rest singletons
+    clusters = spark.createDataFrame(
+        [(f"d{i}", "c0") for i in range(10)]
+        + [(f"d{i}", "c1") for i in range(10, 20)],
+        "doc_id string, cluster_id string",
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = leakage_safe_split(docs, "doc_id", fr, clusters=clusters, salt="s")
+    u32 = 1 << 32
+    cl = {f"d{i}": ("c0" if i < 10 else "c1") for i in range(20)}
+    expected: dict[str, set] = {k: set() for k in fr}
+    for i in range(200):
+        key = f"d{i}"
+        draw = _md5_draw(cl.get(key, key), "s")
+        lo = 0.0
+        for name, frac in fr.items():
+            hi = lo + frac
+            if int(lo * u32) <= draw < int(hi * u32):
+                expected[name].add(key)
+                break
+            lo = hi
+    for name in fr:
+        assert {
+            r["doc_id"] for r in got[name].collect()
+        } == expected[name], name
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from ontoma_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.range(500).selectExpr(
+        "concat('d', id) AS doc_id",
+        "concat('c', id % 50) AS cluster_id",
+    )
+    parts = leakage_safe_split(
+        docs,
+        "doc_id",
+        {"train": 0.7, "val": 0.15, "test": 0.15},
+        cluster_col="cluster_id",
+    )
+    seen: dict[str, str] = {}
+    total = 0
+    for name, side in parts.items():
+        for r in side.collect():
+            assert seen.setdefault(r["cluster_id"], name) == name
+            total += 1
+    assert total == 500  # disjoint + exhaustive
+
+
+def test_leakage_safe_split_singleton_agrees_with_hash_split(spark):
+    from ontoma_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.range(300).selectExpr("concat('d', id) AS doc_id")
+    empty = spark.createDataFrame([], "doc_id string, cluster_id string")
+    fr = {"a": 0.5, "b": 0.5}
+    ls = leakage_safe_split(docs, "doc_id", fr, clusters=empty, salt="x")
+    hs = hash_split(docs, "doc_id", fr, salt="x")
+    for name in fr:
+        assert {r["doc_id"] for r in ls[name].collect()} == {
+            r["doc_id"] for r in hs[name].collect()
+        }
+
+
+def test_leakage_safe_split_end_to_end_with_neardup_clusters(spark):
+    """Composition: neardup_clusters output feeds the split; planted
+    near-duplicate pairs never straddle sides, and the naive hash_split
+    DOES leak at least one planted pair (proving the guard is load-
+    bearing, not vacuous)."""
+    from ontoma_spark.operators.dedup import neardup_clusters
+    from ontoma_spark.operators.sampling import leakage_safe_split
+
+    # numeric ids: neardup_clusters' component closure keys on numeric
+    # doc ids; copy of doc i is doc i + 1000
+    base = [
+        (i, f"unique document body number {i} with words " + " ".join(
+            f"w{i}_{j}" for j in range(8)
+        ))
+        for i in range(40)
+    ]
+    copies = [(i + 1000, base[i][1] + " tail") for i in range(0, 40, 2)]
+    docs = spark.createDataFrame(base + copies, "doc_id long, text string")
+    cl = neardup_clusters(docs, threshold=0.5).select("doc_id", "cluster_id")
+    fr = {"train": 0.5, "test": 0.5}
+    parts = leakage_safe_split(docs, "doc_id", fr, clusters=cl, salt="z")
+    side = {}
+    for name, df in parts.items():
+        for r in df.collect():
+            side[r["doc_id"]] = name
+    for i in range(0, 40, 2):
+        assert side[i] == side[i + 1000], i
+    from ontoma_spark.operators.sampling import hash_split as _hs
+
+    naive = _hs(docs, "doc_id", fr, salt="z")
+    nside = {}
+    for name, df in naive.items():
+        for r in df.collect():
+            nside[r["doc_id"]] = name
+    assert any(nside[i] != nside[i + 1000] for i in range(0, 40, 2))
+
+
+def test_leakage_safe_split_validates_args(spark):
+    from ontoma_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.range(5).selectExpr("concat('d', id) AS doc_id")
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, "doc_id", {"a": 0.9, "b": 0.2},
+                           cluster_col="doc_id")
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, "doc_id", {"a": 0.5})
+    with pytest.raises(ValueError):
+        leakage_safe_split(
+            docs, "doc_id", {"a": 0.5}, cluster_col="doc_id",
+            clusters=docs,
+        )

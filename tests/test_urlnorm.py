@@ -1,0 +1,143 @@
+"""URL canonicalization: pure-Python mirror oracle over a corpus of
+messy URLs + semantic pins for every documented step."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.functions.urlnorm import (
+    TRACKING_PARAM_RE,
+    canonical_url,
+    url_host,
+    url_registered_domain,
+)
+
+URLS = [
+    "HTTP://Example.COM:80/Path/?b=2&utm_source=x&a=1#frag",
+    "https://example.com:443/",
+    "https://example.com/",
+    "https://example.com",
+    "http://a.b.co.uk/x/y/?fbclid=abc",
+    "https://User:Pw@Sub.Example.org:8443/P?z=1&y=2",
+    "  http://t.co/q?gclid=1&ref=tw  ",
+    "ftp://Files.Example.net/dir/",
+    "relative/path?utm_campaign=z",
+    "https://x.io/a?k=v&k=u",
+    "http://site.com/page?utm_a=1&utm_b=2",
+    "https://news.com.au/story/",
+]
+
+
+def _py_canonical(u: str) -> str:
+    u = u.strip()
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", u)
+    if m:
+        u = m.group(1).lower() + u[m.end():]
+    u = re.sub(r"#.*$", "", u)
+    u = re.sub(r"^(http://[^/?#]*?):80(?=[/?#]|$)", r"\1", u)
+    u = re.sub(r"^(https://[^/?#]*?):443(?=[/?#]|$)", r"\1", u)
+    if "?" in u:
+        base, query = u.split("?", 1)
+        kept = sorted(
+            p for p in query.split("&")
+            if p and not re.match(TRACKING_PARAM_RE, p)
+        )
+        u = base + ("?" + "&".join(kept) if kept else "")
+    u = re.sub(
+        r"(^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(?:/[^?#]*?)?)/(\?|$)",
+        r"\1\2",
+        u,
+    )
+    return u
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    return spark.createDataFrame([(u,) for u in URLS], "url string")
+
+
+def test_canonical_url_matches_python_mirror(urls):
+    got = [
+        r["c"]
+        for r in urls.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [_py_canonical(u) for u in URLS]
+
+
+def test_canonical_semantic_pins(spark):
+    def c(u):
+        return (
+            spark.createDataFrame([(u,)], "url string")
+            .select(canonical_url(F.col("url")).alias("c"))
+            .first()["c"]
+        )
+
+    # the headline collision: case, port, tracking, order, slash, frag
+    assert (
+        c("HTTP://Example.COM:80/Path/?b=2&utm_source=x&a=1#frag")
+        == "http://example.com/Path?a=1&b=2"
+    )
+    # two crawls of one page collide after normalisation
+    assert c("https://E.com/a/?y=2&x=1&fbclid=q") == c(
+        "https://e.com/a?x=1&y=2"
+    )
+    # all-tracking query disappears entirely
+    assert c("http://site.com/page?utm_a=1&utm_b=2") == "http://site.com/page"
+    # bare host: no trailing slash survives
+    assert c("https://example.com/") == "https://example.com"
+    # path case preserved (RFC 3986: only scheme+authority case-fold)
+    assert c("https://A.com/CaseSensitive") == "https://a.com/CaseSensitive"
+    # non-default port kept
+    assert c("http://a.com:8080/x") == "http://a.com:8080/x"
+    # :443 is default only for https
+    assert c("http://a.com:443/x") == "http://a.com:443/x"
+
+
+def test_url_host_and_userinfo(spark):
+    rows = spark.createDataFrame(
+        [
+            ("https://User:Pw@Sub.Example.org:8443/P?z=1",),
+            ("http://a.com/x",),
+            ("no-scheme/path",),
+        ],
+        "url string",
+    ).select(url_host(F.col("url")).alias("h")).collect()
+    assert [r["h"] for r in rows] == ["sub.example.org", "a.com", ""]
+
+
+def test_registered_domain_heuristic(spark):
+    cases = [
+        ("http://a.b.co.uk/x", "b.co.uk"),
+        ("https://news.com.au/story/", "news.com.au"),
+        ("https://sub.deep.example.com/", "example.com"),
+        ("https://example.io/", "example.io"),
+        ("http://localhost/x", "localhost"),
+    ]
+    rows = (
+        spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        .select(url_registered_domain(F.col("url")).alias("d"))
+        .collect()
+    )
+    assert [r["d"] for r in rows] == [d for _, d in cases]
+
+
+def test_canonical_url_is_idempotent(urls):
+    once = urls.select(canonical_url(F.col("url")).alias("c"))
+    twice = once.select(canonical_url(F.col("c")).alias("c"))
+    assert [r["c"] for r in once.collect()] == [
+        r["c"] for r in twice.collect()
+    ]
+
+
+def test_plan_is_narrow(urls):
+    from ontoma_spark.core.planlint import assert_plan_clean
+
+    df = urls.select(
+        canonical_url(F.col("url")).alias("c"),
+        url_registered_domain(F.col("url")).alias("d"),
+    )
+    assert_plan_clean(df)
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
