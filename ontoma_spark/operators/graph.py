@@ -1066,3 +1066,123 @@ def jaccard_similarity(
         )
         .filter(F.col("sim") >= min_sim)
     )
+
+
+def cyclic_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Nodes that participate in at least one DIRECTED cycle — the
+    dependency-hygiene gate for the repo graph (a cycle in
+    ``repo_dependency_edges`` output means no clean build order
+    exists) and for ontology subsumption edges (a cycle there breaks
+    ``transitive_closure``'s DAG assumptions).
+
+    Classic iterative trimming: repeatedly delete nodes with no
+    incoming or no outgoing edge (they cannot lie on a cycle); the
+    fixed point is exactly the union of all cycles plus the paths
+    BETWEEN cycles — so a second forward+backward containment check is
+    not needed for the gate use-case ("is there any cycle, and which
+    nodes are implicated"): the fixed point is empty iff the graph is
+    a DAG. Each round is two semi-joins + a count; the edge set only
+    shrinks, per-round ``localCheckpoint`` truncates lineage, and the
+    count-based early stop mirrors ``transitive_closure``. Rounds
+    needed = longest tail path being peeled, bounded by ``max_iter``
+    (exhaustion raises rather than returning a wrong-but-plausible
+    answer, same contract as the other iterative operators here).
+
+    Returns the surviving edge list (same column names); the
+    implicated node set is its src∪dst."""
+    cur = edges.select(src, dst).distinct().localCheckpoint(eager=True)
+    n = cur.count()
+    for _ in range(max_iter):
+        if n == 0:
+            return cur
+        srcs = cur.select(F.col(src).alias("__n")).distinct()
+        dsts = cur.select(F.col(dst).alias("__n")).distinct()
+        keep = srcs.join(dsts, "__n", "left_semi")  # has in AND out
+        nxt = (
+            cur.join(keep.withColumnRenamed("__n", src), src, "left_semi")
+            .join(keep.withColumnRenamed("__n", dst), dst, "left_semi")
+            .select(src, dst)
+            .localCheckpoint(eager=True)
+        )
+        m = nxt.count()
+        if m == n:
+            return nxt
+        cur, n = nxt, m
+    raise RuntimeError(
+        f"cyclic_core: no fixed point within {max_iter} trimming rounds"
+    )
+
+
+def topo_layers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, layer) longest-path layering of a DAG: layer 0 = no
+    incoming edges; layer(v) = 1 + max(layer(u)) over edges u->v —
+    the build/evaluation order for a dependency graph (every node's
+    prerequisites sit in strictly lower layers), and the rollup
+    schedule for ontology DAGs.
+
+    Iterative max-propagation: every node starts at layer 0; each
+    round propagates ``layer(u) + 1`` across edges and takes the max
+    with the current value; the fixed point is the longest-path depth.
+    Rounds = DAG depth (not diameter-of-doubling — depth is the right
+    bound here because layer values must be exact, and a depth-D DAG
+    converges in D rounds). Cycles never converge — exhausting
+    ``max_iter`` raises, so feeding a cyclic graph (check with
+    ``cyclic_core`` first) fails loudly instead of returning garbage.
+
+    Each round: one edge-keyed join + one node-keyed max agg,
+    ``localCheckpoint`` per round to truncate lineage."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("node")).distinct()
+    layers = nodes.select("node", F.lit(0).alias("layer"))
+    layers = layers.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (
+            e.join(
+                layers.select(F.col("node").alias("u"), F.col("layer").alias("__lu")),
+                "u",
+            )
+            .groupBy("node")
+            .agg((F.max("__lu") + 1).alias("__cand"))
+        )
+        nxt = (
+            layers.join(prop, "node", "left")
+            .select(
+                "node",
+                F.greatest(
+                    F.col("layer"), F.coalesce(F.col("__cand"), F.lit(0))
+                ).alias("layer"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(
+                layers.withColumnRenamed("layer", "__old"), "node"
+            )
+            .filter(F.col("layer") != F.col("__old"))
+            .count()
+        )
+        layers = nxt
+        if changed == 0:
+            nodes.unpersist()
+            return layers
+    nodes.unpersist()
+    raise RuntimeError(
+        f"topo_layers: no fixed point within {max_iter} rounds — "
+        "the graph is cyclic or deeper than max_iter (run cyclic_core "
+        "to locate cycles, or raise max_iter for ultra-deep DAGs)"
+    )

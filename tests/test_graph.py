@@ -811,3 +811,117 @@ def test_jaccard_similarity_hub_cap_and_min_sim(spark):
         r["sim"] >= 0.5
         for r in jaccard_similarity(df, min_sim=0.5).collect()
     )
+
+
+def _brute_cyclic_nodes(edges):
+    """Nodes on at least one directed cycle OR on a path between
+    cycles == fixed point of trimming (the documented contract)."""
+    es = set(edges)
+    while True:
+        srcs = {a for a, _ in es}
+        dsts = {b for _, b in es}
+        keep = srcs & dsts
+        nxt = {(a, b) for a, b in es if a in keep and b in keep}
+        if nxt == es:
+            return es
+        es = nxt
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_cyclic_core_vs_bruteforce(spark, seed):
+    from ontoma_spark.operators.graph import cyclic_core
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(20)]
+    edges = sorted(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(35)
+        }
+        - {(n, n) for n in nodes} | set()
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    got = {
+        (r["src"], r["dst"])
+        for r in cyclic_core(
+            spark.createDataFrame(edges, "src string, dst string")
+        ).collect()
+    }
+    assert got == _brute_cyclic_nodes(edges)
+
+
+def test_cyclic_core_dag_is_empty_and_cycle_found(spark):
+    from ontoma_spark.operators.graph import cyclic_core
+
+    dag = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    assert cyclic_core(spark.createDataFrame(dag, "src string, dst string")).count() == 0
+    # triangle cycle with a tail: the tail is trimmed, the cycle stays
+    cyc = dag + [("d", "e"), ("e", "f"), ("f", "d")]
+    got = {
+        (r["src"], r["dst"])
+        for r in cyclic_core(
+            spark.createDataFrame(cyc, "src string, dst string")
+        ).collect()
+    }
+    assert got == {("d", "e"), ("e", "f"), ("f", "d")}
+
+
+def _brute_layers(edges):
+    nodes = {n for e in edges for n in e}
+    layer = {n: 0 for n in nodes}
+    for _ in range(len(nodes) + 1):
+        changed = False
+        for a, b in edges:
+            if layer[a] + 1 > layer[b]:
+                layer[b] = layer[a] + 1
+                changed = True
+        if not changed:
+            return layer
+    raise AssertionError("cyclic fixture")
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_topo_layers_vs_bruteforce_dag(spark, seed):
+    from ontoma_spark.operators.graph import topo_layers
+
+    rng = random.Random(seed)
+    # random DAG: edges only from lower to higher id
+    edges = sorted(
+        {
+            (f"n{a}", f"n{b}")
+            for _ in range(40)
+            for a, b in [sorted(rng.sample(range(18), 2))]
+        }
+    )
+    got = {
+        r["node"]: r["layer"]
+        for r in topo_layers(
+            spark.createDataFrame(edges, "src string, dst string")
+        ).collect()
+    }
+    assert got == _brute_layers(edges)
+
+
+def test_topo_layers_prerequisites_below(spark):
+    from ontoma_spark.operators.graph import topo_layers
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("x", "c")]
+    got = {
+        r["node"]: r["layer"]
+        for r in topo_layers(
+            spark.createDataFrame(edges, "src string, dst string")
+        ).collect()
+    }
+    assert got == {"a": 0, "x": 0, "b": 1, "c": 2}
+    for a, b in edges:
+        assert got[a] < got[b]
+
+
+def test_topo_layers_cycle_raises(spark):
+    from ontoma_spark.operators.graph import topo_layers
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    with pytest.raises(RuntimeError, match="cyclic"):
+        topo_layers(cyc, max_iter=6)

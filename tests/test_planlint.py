@@ -263,3 +263,18 @@ def test_kgqa_and_graph_similarity_lint_clean(spark):
         kg_quality_report(triples),
     ):
         assert_plan_clean(df)
+
+
+def test_cyclic_core_and_topo_layers_round_lint_clean(spark):
+    """One trimming round of cyclic_core and one propagation round of
+    topo_layers: keyed joins only, no cartesian, no Python."""
+    from ontoma_spark.operators.graph import cyclic_core, topo_layers
+
+    edges = spark.range(400).selectExpr(
+        "concat('n', id % 60) AS src", "concat('n', (id * 13 + 1) % 60) AS dst"
+    ).filter("src <> dst")
+    assert_plan_clean(cyclic_core(edges, max_iter=50))
+    dag = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    assert_plan_clean(topo_layers(dag))
