@@ -184,21 +184,26 @@ def sessionize_batch(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     gap_us = gap_sec * 1_000_000
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        # pure-numpy run-length fold: groups here are per-user and
+        # small, so an inner pandas groupby per call costs more than
+        # the session math itself (measured 7.4 s -> see q26 bench for
+        # the suite-level effect at sf0.1)
+        us_all = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = pdf["event_id"].to_numpy()
+        order = np.lexsort((eid, us_all))
+        us = us_all[order]
         uid = int(pdf["user_id"].iloc[0])
         is_new = np.ones(len(us), dtype=bool)
         is_new[1:] = (us[1:] - us[:-1]) > gap_us
-        seq = np.cumsum(is_new)
-        g = pd.DataFrame({"seq": seq, "us": us}).groupby("seq")["us"]
-        agg = g.agg(["min", "max", "count"]).reset_index()
+        starts = np.flatnonzero(is_new)          # first index per session
+        ends = np.append(starts[1:], len(us))    # one past last index
         return pd.DataFrame(
             {
                 "user_id": uid,
-                "session_seq": agg["seq"].astype("int64"),
-                "session_start_micros": agg["min"].astype("int64"),
-                "session_end_micros": agg["max"].astype("int64"),
-                "n_events": agg["count"].astype("int64"),
+                "session_seq": np.arange(1, len(starts) + 1, dtype="int64"),
+                "session_start_micros": us[starts],
+                "session_end_micros": us[ends - 1],
+                "n_events": (ends - starts).astype("int64"),
             }
         )
 
