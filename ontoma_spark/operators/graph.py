@@ -1186,3 +1186,57 @@ def topo_layers(
         "the graph is cyclic or deeper than max_iter (run cyclic_core "
         "to locate cycles, or raise max_iter for ultra-deep DAGs)"
     )
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Exact strongly-connected components: (node, scc_id) for every
+    node of the directed graph, scc_id = min node id of its component.
+    ``cyclic_core`` answers "is there a cycle and who is implicated";
+    this answers "which nodes form WHICH cycle group" — the unit a
+    dependency-graph consumer must merge (or an ontology curator must
+    fix) as one.
+
+    Dataflow exploits the same structural fact the gate does: only the
+    trimmed cyclic core can hold non-singleton SCCs. The core is
+    computed first (scalable trimming, the whole-graph pass), then
+    mutual reachability runs ONLY on the core — ``transitive_closure``
+    (log-depth path doubling) intersected with its own transpose, and
+    scc_id = min(self, min mutual partner). Everything outside the
+    core — in real dependency graphs, almost everything — is a
+    singleton SCC and never enters the quadratic-prone closure. A core
+    that is itself huge and dense makes the closure table large; that
+    is inherent to materialising SCCs of a pathological graph, and
+    ``transitive_closure``'s non-convergence raise (max_iter) is the
+    loud failure mode.
+    """
+    core = cyclic_core(edges, src=src, dst=dst)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    reach = transitive_closure(core, src=src, dst=dst, max_iter=max_iter)
+    mutual = reach.join(
+        reach.select(
+            F.col(dst).alias(src), F.col(src).alias(dst)
+        ),
+        [src, dst],
+        "left_semi",
+    )
+    min_partner = mutual.groupBy(F.col(src).alias("node")).agg(
+        F.min(dst).alias("__mp")
+    )
+    return nodes.join(min_partner, "node", "left").select(
+        "node",
+        F.when(
+            F.col("__mp").isNull() | (F.col("node") < F.col("__mp")),
+            F.col("node"),
+        )
+        .otherwise(F.col("__mp"))
+        .alias("scc_id"),
+    )

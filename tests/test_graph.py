@@ -925,3 +925,89 @@ def test_topo_layers_cycle_raises(spark):
     )
     with pytest.raises(RuntimeError, match="cyclic"):
         topo_layers(cyc, max_iter=6)
+
+
+def _brute_scc(edges):
+    """Kosaraju on the fixture scale."""
+    from collections import defaultdict
+
+    nodes = sorted({n for e in edges for n in e})
+    fwd, bwd = defaultdict(list), defaultdict(list)
+    for a, b in edges:
+        fwd[a].append(b)
+        bwd[b].append(a)
+    seen, order = set(), []
+
+    def dfs1(u):
+        stack = [(u, iter(fwd[u]))]
+        seen.add(u)
+        while stack:
+            v, it = stack[-1]
+            adv = next(it, None)
+            if adv is None:
+                order.append(v)
+                stack.pop()
+            elif adv not in seen:
+                seen.add(adv)
+                stack.append((adv, iter(fwd[adv])))
+
+    for u in nodes:
+        if u not in seen:
+            dfs1(u)
+    comp = {}
+    for u in reversed(order):
+        if u in comp:
+            continue
+        stack, members = [u], [u]
+        comp[u] = u
+        while stack:
+            v = stack.pop()
+            for w in bwd[v]:
+                if w not in comp:
+                    comp[w] = u
+                    members.append(w)
+                    stack.append(w)
+        root = min(members)
+        for m in members:
+            comp[m] = root
+    return comp
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_scc_vs_kosaraju(spark, seed):
+    from ontoma_spark.operators.graph import scc
+
+    rng = random.Random(seed)
+    nodes = [f"n{i:02d}" for i in range(16)]
+    edges = sorted(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(30)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    got = {
+        r["node"]: r["scc_id"]
+        for r in scc(
+            spark.createDataFrame(edges, "src string, dst string")
+        ).collect()
+    }
+    assert got == _brute_scc(edges)
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    from ontoma_spark.operators.graph import scc
+
+    edges = [
+        ("a", "b"), ("b", "a"),           # SCC {a,b}
+        ("b", "p"), ("p", "c"),           # bridge through p
+        ("c", "d"), ("d", "e"), ("e", "c"),  # SCC {c,d,e}
+    ]
+    got = {
+        r["node"]: r["scc_id"]
+        for r in scc(
+            spark.createDataFrame(edges, "src string, dst string")
+        ).collect()
+    }
+    assert got == {"a": "a", "b": "a", "p": "p",
+                   "c": "c", "d": "c", "e": "c"}
