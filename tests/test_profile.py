@@ -74,3 +74,90 @@ def test_profile_table_col_subset_and_errors(spark, prof_df):
     assert {r["column"] for r in got} == {"id", "s"}
     with pytest.raises(ValueError, match="no atomic"):
         profile_table(prof_df.select("arr"))
+
+
+def test_quantile_bins_spec(spark):
+    from ontoma_spark.operators.profile import quantile_bins
+
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(pmod(id * 2654435761, 1000) AS DOUBLE) AS score"
+    )
+    out = quantile_bins(df, "score", n_bins=4, relative_error=0.0).collect()
+    assert len(out) == 1000
+    by_bin: dict[int, list[float]] = {}
+    for r in out:
+        by_bin.setdefault(r["bin"], []).append(r["score"])
+    assert set(by_bin) == {0, 1, 2, 3}
+    # value-disjoint and ordered: max(bin i) < min(bin i+1)
+    for i in range(3):
+        assert max(by_bin[i]) < min(by_bin[i + 1])
+    # near-equal sizes (exact thresholds; scores are a permutation of
+    # 0..999 so each bin is exactly 250 up to threshold tie handling)
+    for i in range(4):
+        assert abs(len(by_bin[i]) - 250) <= 1, (i, len(by_bin[i]))
+    # bin_lo is the inclusive lower threshold
+    for r in out:
+        if r["bin"] == 0:
+            assert r["bin_lo"] is None
+        else:
+            assert r["score"] >= r["bin_lo"]
+
+
+def test_quantile_bins_precomputed_thresholds_and_validation(spark):
+    from ontoma_spark.operators.profile import quantile_bins
+
+    df = spark.range(10).selectExpr("CAST(id AS DOUBLE) AS score")
+    out = {
+        r["score"]: (r["bin"], r["bin_lo"])
+        for r in quantile_bins(
+            df, "score", n_bins=3, thresholds=[3.0, 7.0]
+        ).collect()
+    }
+    assert out[2.0] == (0, None)
+    assert out[3.0] == (1, 3.0)   # half-open: threshold joins the upper bin
+    assert out[6.0] == (1, 3.0)
+    assert out[7.0] == (2, 7.0)
+    assert out[9.0] == (2, 7.0)
+
+    with pytest.raises(ValueError):
+        quantile_bins(df, "score", n_bins=3, thresholds=[7.0, 3.0])
+    with pytest.raises(ValueError):
+        quantile_bins(df, "score", n_bins=1)
+
+
+def test_quantile_bins_plan_has_no_global_window(spark):
+    from ontoma_spark.core.planlint import assert_plan_clean
+    from ontoma_spark.operators.profile import quantile_bins
+
+    df = spark.range(100).selectExpr("CAST(id AS DOUBLE) AS score")
+    out = quantile_bins(df, "score", n_bins=4, thresholds=[25.0, 50.0, 75.0])
+    assert_plan_clean(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Exchange" not in plan
+
+
+def test_quantile_bins_curriculum_composition(spark):
+    """End-to-end: perplexity-score the documents table, bin into
+    difficulty quartiles; every bin non-empty and ordered by score."""
+    from ontoma_spark.operators.lm import lm_score, lm_train
+    from ontoma_spark.operators.profile import quantile_bins
+    import pyspark.sql.functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    scored = lm_score(d, lm_train(d.limit(100), min_count=1))
+    binned = quantile_bins(scored, "avg_log10_prob", n_bins=4)
+    agg = {
+        r["bin"]: (r["lo"], r["hi"], r["n"])
+        for r in binned.groupBy("bin")
+        .agg(
+            F.min("avg_log10_prob").alias("lo"),
+            F.max("avg_log10_prob").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert set(agg) == {0, 1, 2, 3}
+    for i in range(3):
+        assert agg[i][1] <= agg[i + 1][0] or agg[i][2] > 0
