@@ -1,0 +1,191 @@
+"""Weisfeiler-Leman structural node signatures (1-WL color refinement).
+
+Two KG consumers need "are these nodes structurally interchangeable?":
+
+* **entity-resolution blocking across graphs** — nodes whose r-hop
+  neighborhood SHAPES differ can never be the same entity, so equal WL
+  colors are a sound blocking key (the graph-topology sibling of the
+  lexical blocking in ``operators/linker.py``);
+* **structural dedup / role discovery** — repeated sub-structures
+  (template-generated ontology branches, mirrored dependency subtrees)
+  land in one color class.
+
+The reference (opentargets/OnToma) has no graph layer at all
+(src/ontoma/ontoma.py stops at per-string mappings); this module is
+part of the graft's added KG surface, like ``operators/graph.py``.
+
+Semantics are the classic 1-WL refinement (Weisfeiler & Leman 1968;
+Shervashidze et al. 2011, "Weisfeiler-Lehman graph kernels"):
+
+    color_0(v)  = H(initial label of v)
+    color_r(v)  = H(color_{r-1}(v), MULTISET{color_{r-1}(u) : u∈N(v)})
+
+Two nodes get equal round-r colors iff their r-hop unfoldings are
+indistinguishable by 1-WL. Colors are 64-bit hashes, so "equal
+multiset ⇒ equal color" holds exactly and the converse holds up to
+hash collisions (2^-64-grade, same trust level as the repo's
+xxhash64-keyed sharding and sampling).
+
+Scale notes
+-----------
+* The textbook formulation materialises each node's sorted neighbor
+  multiset (``sort_array(collect_list(...))``) — a degree-10^6 hub
+  becomes a 10^6-element array in one row, the exact blowup
+  ``adamic_adar``'s hub cap exists to avoid. Here the multiset is
+  HASHED COMMUTATIVELY instead: per neighbor contribute
+  xxhash64(color), aggregate with SUM (wide decimal, overflow-free)
+  plus COUNT. Sum+count is multiset-sensitive (reordering invariant,
+  multiplicity visible — unlike XOR, where duplicate colors cancel)
+  and fully map-side combinable, so a round is ONE edge-keyed join +
+  ONE node-keyed partial agg, no arrays, hub-safe.
+* The color table is |V| rows (≪ |E|); AQE broadcasts it into the
+  edge join when it fits. ``localCheckpoint`` per round cuts iterative
+  lineage (same treatment as ``graph.py::pagerank``).
+* Refinement is monotone: the color partition only splits. The loop
+  stops as soon as ``countDistinct(color)`` is stable — the 1-WL
+  fixed point — so ``rounds`` is an upper bound, not a fixed cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def wl_signatures(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    node_labels: DataFrame | None = None,
+    label_col: str = "label",
+    directed: bool = False,
+    keep_rounds: bool = False,
+) -> DataFrame:
+    """1-WL color refinement over an edge list.
+
+    Parameters
+    ----------
+    edges : (src, dst) pairs; self-loops dropped, duplicate edges
+        collapsed (simple-graph semantics, matching ``triangle_count``).
+    rounds : maximum refinement rounds (r-hop radius of the signature).
+        Stops early at the 1-WL fixed point.
+    node_labels : optional (node, ``label_col``) seed labels — e.g.
+        entity type or namespace. Unlabelled nodes that appear in
+        ``edges`` get a distinct "unlabelled" seed color. Without the
+        argument every node starts identically (pure topology).
+    directed : when True the in- and out-neighbor multisets are hashed
+        separately (directed 1-WL), so a→b and b→a unfold differently;
+        when False edges are symmetrised first.
+    keep_rounds : also return ``wl_0 … wl_k`` per-round columns (graph
+        kernels use the whole color sequence, not just the last round).
+
+    Returns (node, wl_color) — equal ``wl_color`` ⇔ 1-WL cannot
+    distinguish the nodes within ``rounds`` hops. Covers every node in
+    ``edges`` plus every node in ``node_labels``.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if not directed:
+        e = (
+            e.select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    else:
+        e = e.localCheckpoint(eager=True)
+        sym = e
+
+    nodes = sym.select(F.col("u").alias("node")).union(
+        sym.select(F.col("v").alias("node"))
+    )
+    if node_labels is not None:
+        nodes = nodes.union(node_labels.select(F.col("node")))
+    nodes = nodes.distinct()
+
+    if node_labels is not None:
+        lab = node_labels.select(
+            "node", F.col(label_col).cast("string").alias("__lab")
+        )
+        colors = nodes.join(lab, "node", "left").select(
+            "node",
+            F.xxhash64(F.coalesce(F.col("__lab"), F.lit("\x00unlabelled")))
+            .alias("color"),
+        )
+    else:
+        colors = nodes.select("node", F.xxhash64(F.lit("wl0")).alias("color"))
+    colors = colors.localCheckpoint(eager=True)
+    per_round = [colors.select("node", F.col("color").alias("wl_0"))]
+    n_colors = colors.agg(F.countDistinct("color")).collect()[0][0]
+
+    def _neighbor_digest(edge_view: DataFrame, suffix: str) -> DataFrame:
+        """(u, sum_<suffix>, cnt_<suffix>): commutative multiset hash of
+        u's neighbor colors along edge_view's (u → v) orientation."""
+        return (
+            edge_view.join(
+                colors.select(F.col("node").alias("v"), "color"), "v"
+            )
+            .groupBy("u")
+            .agg(
+                F.sum(F.xxhash64("color").cast("decimal(20,0)")).alias(
+                    f"sum_{suffix}"
+                ),
+                F.count("*").alias(f"cnt_{suffix}"),
+            )
+            .withColumnRenamed("u", "node")
+        )
+
+    for r in range(1, rounds + 1):
+        if directed:
+            out_d = _neighbor_digest(sym, "out")
+            in_d = _neighbor_digest(
+                sym.select(F.col("v").alias("u"), F.col("u").alias("v")),
+                "in",
+            )
+            nxt = (
+                colors.join(out_d, "node", "left")
+                .join(in_d, "node", "left")
+                .select(
+                    "node",
+                    F.xxhash64(
+                        F.col("color"),
+                        F.coalesce(F.col("sum_out"), F.lit(0).cast("decimal(20,0)")),
+                        F.coalesce(F.col("cnt_out"), F.lit(0)),
+                        F.coalesce(F.col("sum_in"), F.lit(0).cast("decimal(20,0)")),
+                        F.coalesce(F.col("cnt_in"), F.lit(0)),
+                    ).alias("color"),
+                )
+            )
+        else:
+            d = _neighbor_digest(sym, "all")
+            nxt = (
+                colors.join(d, "node", "left")
+                .select(
+                    "node",
+                    F.xxhash64(
+                        F.col("color"),
+                        F.coalesce(F.col("sum_all"), F.lit(0).cast("decimal(20,0)")),
+                        F.coalesce(F.col("cnt_all"), F.lit(0)),
+                    ).alias("color"),
+                )
+            )
+        colors = nxt.localCheckpoint(eager=True)
+        per_round.append(colors.select("node", F.col("color").alias(f"wl_{r}")))
+        n_next = colors.agg(F.countDistinct("color")).collect()[0][0]
+        if n_next == n_colors:
+            break  # 1-WL fixed point: refinement can only split classes
+        n_colors = n_next
+
+    out = colors.select("node", F.col("color").alias("wl_color"))
+    if keep_rounds:
+        for snap in per_round:
+            out = out.join(snap, "node")
+    return out

@@ -1,0 +1,182 @@
+"""wl_signatures: partition-equality oracle against a pure-Python 1-WL.
+
+Colors are hashes, so the VALUES are implementation detail; the
+semantic contract is the induced partition — two nodes share a color
+iff textbook 1-WL cannot distinguish them. The oracle runs the
+textbook refinement (sorted neighbor-color multisets, canonicalised to
+ints each round) and we compare partitions as sets of frozensets.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ontoma_spark.operators.graphsig import wl_signatures
+
+
+def _py_wl(edges, nodes, rounds, labels=None, directed=False):
+    """Textbook 1-WL; returns the final partition {frozenset(nodes)}."""
+    nodes = set(nodes)
+    es = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        nodes.add(a)
+        nodes.add(b)
+        es.add((a, b))
+    out_adj = {n: [] for n in nodes}
+    in_adj = {n: [] for n in nodes}
+    if directed:
+        for a, b in es:
+            out_adj[a].append(b)
+            in_adj[b].append(a)
+    else:
+        for a, b in set(
+            (min(a, b), max(a, b)) for a, b in es
+        ):
+            out_adj[a].append(b)
+            out_adj[b].append(a)
+    color = {
+        n: (labels.get(n) if labels and n in labels else "\x00unlabelled")
+        if labels is not None
+        else 0
+        for n in nodes
+    }
+
+    def canon(c):
+        ids = {}
+        return {n: ids.setdefault(c[n], len(ids)) for n in c}
+
+    color = canon(color)
+    for _ in range(rounds):
+        if directed:
+            nxt = {
+                n: (
+                    color[n],
+                    tuple(sorted(color[u] for u in out_adj[n])),
+                    tuple(sorted(color[u] for u in in_adj[n])),
+                )
+                for n in nodes
+            }
+        else:
+            nxt = {
+                n: (color[n], tuple(sorted(color[u] for u in out_adj[n])))
+                for n in nodes
+            }
+        nxt = canon(nxt)
+        if len(set(nxt.values())) == len(set(color.values())):
+            color = nxt
+            break
+        color = nxt
+    part = {}
+    for n, c in color.items():
+        part.setdefault(c, set()).add(n)
+    return {frozenset(v) for v in part.values()}
+
+
+def _spark_partition(df):
+    part = {}
+    for r in df.collect():
+        part.setdefault(r["wl_color"], set()).add(r["node"])
+    return {frozenset(v) for v in part.values()}
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src bigint, dst bigint"
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("directed", [False, True])
+def test_wl_matches_textbook_on_random_graphs(spark, seed, directed):
+    rng = random.Random(seed)
+    n = 14
+    pairs = {
+        (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(8, 26))
+    }
+    got = _spark_partition(
+        wl_signatures(_edges_df(spark, pairs), rounds=4, directed=directed)
+    )
+    want = _py_wl(pairs, set(), 4, directed=directed)
+    assert got == want, (seed, directed)
+
+
+def test_wl_structural_pins(spark):
+    # C6 cycle: vertex-transitive, one class
+    c6 = [(i, (i + 1) % 6) for i in range(6)]
+    assert _spark_partition(wl_signatures(_edges_df(spark, c6), rounds=4)) == {
+        frozenset(range(6))
+    }
+    # P4 path 0-1-2-3: ends {0,3}, middles {1,2}
+    p4 = [(0, 1), (1, 2), (2, 3)]
+    assert _spark_partition(wl_signatures(_edges_df(spark, p4), rounds=4)) == {
+        frozenset({0, 3}),
+        frozenset({1, 2}),
+    }
+    # directed path 0->1->2: all distinct (in/out degree profiles differ)
+    d = wl_signatures(_edges_df(spark, [(0, 1), (1, 2)]), rounds=2, directed=True)
+    assert _spark_partition(d) == {frozenset({0}), frozenset({1}), frozenset({2})}
+    # ...but undirected, ends merge
+    u = wl_signatures(_edges_df(spark, [(0, 1), (1, 2)]), rounds=2)
+    assert _spark_partition(u) == {frozenset({0, 2}), frozenset({1})}
+
+
+def test_wl_isomorphic_components_share_colors(spark):
+    # two disjoint triangles: all six nodes are 1-WL-equivalent
+    tri2 = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    assert _spark_partition(
+        wl_signatures(_edges_df(spark, tri2), rounds=4)
+    ) == {frozenset({0, 1, 2, 10, 11, 12})}
+
+
+def test_wl_seed_labels_and_isolated_nodes(spark):
+    edges = _edges_df(spark, [(0, 1), (1, 2)])
+    labels = spark.createDataFrame(
+        [(0, "drug"), (2, "disease"), (99, "drug")],
+        "node bigint, label string",
+    )
+    part = _spark_partition(
+        wl_signatures(edges, rounds=3, node_labels=labels)
+    )
+    # labels split the path ends; node 99 is isolated but present
+    want = _py_wl(
+        [(0, 1), (1, 2)],
+        {99},
+        3,
+        labels={0: "drug", 2: "disease", 99: "drug"},
+    )
+    assert part == want
+    # isolated drug node is NOT merged with the degree-1 drug node
+    assert frozenset({99}) in part
+
+
+def test_wl_keep_rounds_and_round0(spark):
+    edges = _edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    df = wl_signatures(edges, rounds=2, keep_rounds=True)
+    cols = set(df.columns)
+    assert {"node", "wl_color", "wl_0", "wl_1"} <= cols
+    rows = {r["node"]: r for r in df.collect()}
+    # round 0 with no labels: everyone identical
+    assert len({r["wl_0"] for r in rows.values()}) == 1
+    # rounds=0 returns the seed coloring
+    df0 = wl_signatures(edges, rounds=0)
+    assert len({r["wl_color"] for r in df0.collect()}) == 1
+    with pytest.raises(ValueError):
+        wl_signatures(edges, rounds=-1)
+
+
+def test_wl_partitioning_invariance_and_plan(spark):
+    from ontoma_spark.core.planlint import assert_plan_clean
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(20), rng.randrange(20)) for _ in range(40)})
+    base = _edges_df(spark, pairs)
+    a = wl_signatures(base, rounds=3)
+    b = wl_signatures(base.repartition(13, "dst"), rounds=3)
+    ra = {(r["node"], r["wl_color"]) for r in a.collect()}
+    rb = {(r["node"], r["wl_color"]) for r in b.collect()}
+    assert ra == rb  # colors themselves are deterministic, not just the partition
+    assert_plan_clean(a)
