@@ -1,0 +1,208 @@
+"""SGD-free node embeddings: PPMI co-occurrence rows projected with a
+signed sparse hash (count-sketch / feature hashing).
+
+Completes the in-engine loop graph → embeddings → similarity: feed
+``kgtrain.random_walks`` → ``kgtrain.skipgram_pairs`` (or raw
+co-mention edges) in here and the resulting ``array<float>`` column
+drops straight into ``operators/semdedup.semantic_dedup`` or the ANN
+operators in ``operators/similarity.py``.
+
+Published basis — no SGD, no parameter server, two shuffles total:
+
+* word2vec-with-negative-sampling implicitly factorises the
+  shifted-PMI matrix (Levy & Goldberg 2014, "Neural Word Embedding as
+  Implicit Matrix Factorization") — so the PPMI row of a node IS a
+  (sparse, high-dim) embedding with the same geometry word2vec learns;
+* NetSMF / ProNE (Qiu et al. 2019; Zhang et al. 2019) make that
+  practical at scale by sparsifying the PMI matrix and applying a
+  cheap linear dimensionality reduction instead of training;
+* here the reduction is feature hashing with signs (Weinberger et
+  al. 2009; count-sketch, Charikar et al. 2002): each context hashes
+  into ``s`` of ``dim`` buckets with ±1 signs, an UNBIASED linear
+  projection whose inner products concentrate around the PPMI-row
+  inner products. Fully deterministic — the "random" matrix is
+  xxhash64 of (context, probe, salt), so embeddings are reproducible
+  and mergeable across runs with no stored projection matrix.
+
+The reference (opentargets/OnToma) has no embedding surface; this is
+graft-added capability like the rest of the graph/training layer.
+
+Scale notes
+-----------
+* PPMI needs the total weight (ONE scalar collect), the two marginal
+  tables (|V|-sized, map-side-combined aggs, AQE-broadcast back into
+  the pair table), and zero pair×pair joins.
+* Projection explodes each (node, context, ppmi) row into ``s`` ≤ 8
+  bucket contributions (bounded fan-out, no array materialisation),
+  then ONE (node, bucket) partial agg and ONE per-node assembly agg
+  whose collect_list is capped at ``dim`` entries by construction —
+  hub nodes with 10^6 contexts still assemble ≤ dim rows here.
+* Everything is Column algebra; no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def ppmi_weights(
+    pairs: DataFrame,
+    node_col: str = "center",
+    context_col: str = "context",
+    weight_col: str | None = None,
+    shift: float = 0.0,
+) -> DataFrame:
+    """(node, context, ppmi) from a co-occurrence pair table.
+
+    ppmi = max(0, log( p(n,c) / (p(n) p(c)) ) - shift); ``shift`` =
+    log(k) mimics word2vec's k negative samples (Levy & Goldberg 2014,
+    eq. SPPMI). Duplicate (node, context) rows are weight-summed
+    first, so raw skip-gram pair streams can be fed directly.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    nc = (
+        pairs.select(
+            F.col(node_col).alias("node"),
+            F.col(context_col).alias("context"),
+            w.cast("double").alias("w"),
+        )
+        .groupBy("node", "context")
+        .agg(F.sum("w").alias("w_nc"))
+    )
+    n_marg = nc.groupBy("node").agg(F.sum("w_nc").alias("w_n"))
+    c_marg = nc.groupBy("context").agg(F.sum("w_nc").alias("w_c"))
+    total = nc.agg(F.sum("w_nc")).collect()[0][0]
+    if not total:
+        return nc.select("node", "context", F.lit(0.0).alias("ppmi")).limit(0)
+    pmi = F.log(
+        (F.col("w_nc") * F.lit(float(total)))
+        / (F.col("w_n") * F.col("w_c"))
+    ) - F.lit(float(shift))
+    return (
+        nc.join(n_marg, "node")
+        .join(c_marg, "context")
+        .select(
+            "node",
+            "context",
+            F.greatest(F.lit(0.0), pmi).alias("ppmi"),
+        )
+        .filter(F.col("ppmi") > 0)
+    )
+
+
+def hash_project(
+    weights: DataFrame,
+    node_col: str = "node",
+    context_col: str = "context",
+    weight_col: str = "ppmi",
+    dim: int = 64,
+    probes: int = 4,
+    normalize: bool = True,
+    salt: str = "embed",
+) -> DataFrame:
+    """Project sparse (node, context, weight) rows to dense
+    ``array<double>`` embeddings with a signed hash matrix.
+
+    Context c contributes weight·sign(c,i) to bucket(c,i) for probes
+    i = 0..probes-1, where bucket = pmod(xxhash64(c, i, salt), dim)
+    and sign = ±1 from an independent hash — the count-sketch
+    projection. E[⟨emb(u), emb(v)⟩] = (probes)·⟨row(u), row(v)⟩, so
+    with ``normalize=True`` cosine similarities estimate PPMI-row
+    cosines. Identical context rows ⇒ bit-identical embeddings.
+    """
+    if dim < 2 or probes < 1:
+        raise ValueError("dim must be >= 2 and probes >= 1")
+    c = F.col(context_col).cast("string")
+    contrib = weights.select(
+        F.col(node_col).alias("node"),
+        F.col(weight_col).cast("double").alias("w"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(probes - 1)),
+                lambda i: F.struct(
+                    F.pmod(F.xxhash64(c, i, F.lit(salt)), F.lit(dim))
+                    .cast("int")
+                    .alias("bucket"),
+                    (
+                        F.pmod(
+                            F.xxhash64(c, i, F.lit(salt + "#sign")), F.lit(2)
+                        )
+                        * 2
+                        - 1
+                    )
+                    .cast("double")
+                    .alias("sign"),
+                ),
+            )
+        ).alias("p"),
+    ).select("node", F.col("p.bucket").alias("bucket"), (F.col("w") * F.col("p.sign")).alias("x"))
+    by_bucket = contrib.groupBy("node", "bucket").agg(F.sum("x").alias("x"))
+    assembled = (
+        by_bucket.groupBy("node")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "x"))
+            ).alias("m")
+        )
+        .select(
+            "node",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.coalesce(
+                    F.element_at(F.col("m"), d.cast("int")), F.lit(0.0)
+                ),
+            ).alias("embedding"),
+        )
+    )
+    if normalize:
+        norm = F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, v: acc + v * v,
+            )
+        )
+        assembled = assembled.select(
+            "node",
+            F.when(
+                norm > 0,
+                F.transform(F.col("embedding"), lambda v: v / norm),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    return assembled
+
+
+def node_embeddings(
+    pairs: DataFrame,
+    node_col: str = "center",
+    context_col: str = "context",
+    weight_col: str | None = None,
+    dim: int = 64,
+    probes: int = 4,
+    shift: float = 0.0,
+    normalize: bool = True,
+    salt: str = "embed",
+) -> DataFrame:
+    """PPMI + count-sketch in one call: (node, embedding array<double>)
+    from a skip-gram pair stream (``kgtrain.skipgram_pairs`` output) or
+    any co-occurrence table (e.g. ``graph.comention_edges`` with its
+    weight column)."""
+    return hash_project(
+        ppmi_weights(
+            pairs,
+            node_col=node_col,
+            context_col=context_col,
+            weight_col=weight_col,
+            shift=shift,
+        ),
+        node_col="node",
+        context_col="context",
+        weight_col="ppmi",
+        dim=dim,
+        probes=probes,
+        normalize=normalize,
+        salt=salt,
+    )

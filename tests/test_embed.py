@@ -1,0 +1,209 @@
+"""PPMI + count-sketch node embeddings: exact-mirror oracles.
+
+The projection matrix is xxhash64-derived, so the oracle pulls the
+EXACT (bucket, sign) table for the test's contexts from Spark itself
+(one tiny query) and recomputes the embeddings in pure Python/numpy —
+value-exact up to float-summation order.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.embed import (
+    hash_project,
+    node_embeddings,
+    ppmi_weights,
+)
+
+PAIRS = [
+    # (node, context, weight)
+    ("a", "x", 2.0),
+    ("a", "y", 1.0),
+    ("b", "x", 1.0),
+    ("b", "z", 3.0),
+    ("c", "y", 1.0),
+    ("c", "y", 1.0),  # duplicate row: weight-summed
+]
+
+
+def _pairs_df(spark):
+    return spark.createDataFrame(
+        PAIRS, "center string, context string, w double"
+    )
+
+
+def _py_ppmi(pairs, shift=0.0):
+    from collections import defaultdict
+
+    w_nc = defaultdict(float)
+    for n, c, w in pairs:
+        w_nc[(n, c)] += w
+    w_n = defaultdict(float)
+    w_c = defaultdict(float)
+    for (n, c), w in w_nc.items():
+        w_n[n] += w
+        w_c[c] += w
+    total = sum(w_nc.values())
+    out = {}
+    for (n, c), w in w_nc.items():
+        v = math.log(w * total / (w_n[n] * w_c[c])) - shift
+        if max(0.0, v) > 0:
+            out[(n, c)] = v
+    return out
+
+
+@pytest.mark.parametrize("shift", [0.0, math.log(5.0)])
+def test_ppmi_weights_exact(spark, shift):
+    got = {
+        (r["node"], r["context"]): r["ppmi"]
+        for r in ppmi_weights(
+            _pairs_df(spark), weight_col="w", shift=shift
+        ).collect()
+    }
+    want = _py_ppmi(PAIRS, shift=shift)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_ppmi_unweighted_counts_rows(spark):
+    # weight_col=None counts each row once: duplicate (c,y) rows = 2
+    got = {
+        (r["node"], r["context"]): r["ppmi"]
+        for r in ppmi_weights(_pairs_df(spark)).collect()
+    }
+    want = _py_ppmi([(n, c, 1.0) for n, c, _ in PAIRS])
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def _spark_sketch_table(spark, contexts, dim, probes, salt):
+    """The exact (context, probe) -> (bucket, sign) map the operator uses."""
+    df = spark.createDataFrame([(c,) for c in contexts], "context string")
+    rows = df.select(
+        "context",
+        F.explode(F.sequence(F.lit(0), F.lit(probes - 1))).alias("i"),
+    ).select(
+        "context",
+        "i",
+        F.pmod(F.xxhash64(F.col("context").cast("string"), F.col("i"), F.lit(salt)), F.lit(dim))
+        .cast("int")
+        .alias("bucket"),
+        (
+            F.pmod(
+                F.xxhash64(F.col("context").cast("string"), F.col("i"), F.lit(salt + "#sign")),
+                F.lit(2),
+            )
+            * 2
+            - 1
+        )
+        .cast("double")
+        .alias("sign"),
+    )
+    return {(r["context"], r["i"]): (r["bucket"], r["sign"]) for r in rows.collect()}
+
+
+def test_hash_project_exact_mirror(spark):
+    dim, probes, salt = 16, 3, "t1"
+    w = spark.createDataFrame(
+        [("a", "x", 1.5), ("a", "y", 0.5), ("b", "x", 2.0)],
+        "node string, context string, ppmi double",
+    )
+    sk = _spark_sketch_table(spark, ["x", "y"], dim, probes, salt)
+    want = {"a": [0.0] * dim, "b": [0.0] * dim}
+    for n, c, wt in [("a", "x", 1.5), ("a", "y", 0.5), ("b", "x", 2.0)]:
+        for i in range(probes):
+            b, s = sk[(c, i)]
+            want[n][b] += wt * s
+    got = {
+        r["node"]: r["embedding"]
+        for r in hash_project(
+            w, dim=dim, probes=probes, normalize=False, salt=salt
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12), n
+
+
+def test_hash_project_normalize_and_identity(spark):
+    # identical context rows => identical embeddings; norms == 1
+    w = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("twin", "x", 1.0), ("twin", "y", 2.0),
+         ("other", "z", 5.0)],
+        "node string, context string, ppmi double",
+    )
+    got = {
+        r["node"]: r["embedding"]
+        for r in hash_project(w, dim=32, probes=4).collect()
+    }
+    assert got["a"] == got["twin"]
+    for n, e in got.items():
+        assert math.fsum(v * v for v in e) == pytest.approx(1.0, rel=1e-9), n
+    # scaling a row does not change its normalized embedding direction
+    w2 = spark.createDataFrame(
+        [("a", "x", 10.0), ("a", "y", 20.0)],
+        "node string, context string, ppmi double",
+    )
+    got2 = {r["node"]: r["embedding"] for r in hash_project(w2, dim=32, probes=4).collect()}
+    assert got2["a"] == pytest.approx(got["a"], rel=1e-12)
+
+    with pytest.raises(ValueError):
+        hash_project(w, dim=1)
+    with pytest.raises(ValueError):
+        hash_project(w, probes=0)
+
+
+def test_cosine_geometry_preserved(spark):
+    # shared-context nodes land close; disjoint-context nodes do not
+    rows = (
+        [("u", f"c{i}", 1.0) for i in range(20)]
+        + [("v", f"c{i}", 1.0) for i in range(20)]      # identical to u
+        + [("w", f"d{i}", 1.0) for i in range(20)]      # disjoint
+    )
+    w = spark.createDataFrame(rows, "node string, context string, ppmi double")
+    got = {
+        r["node"]: r["embedding"]
+        for r in hash_project(w, dim=128, probes=4).collect()
+    }
+
+    def cos(a, b):
+        return math.fsum(x * y for x, y in zip(a, b))
+
+    assert cos(got["u"], got["v"]) == pytest.approx(1.0, rel=1e-9)
+    # deterministic instance (fixed salt): disjoint rows are near-orthogonal
+    assert abs(cos(got["u"], got["w"])) < 0.5
+
+
+def test_node_embeddings_end_to_end_and_plan(spark):
+    from ontoma_spark.core.planlint import assert_plan_clean
+
+    pairs = _pairs_df(spark)
+    emb = node_embeddings(pairs, weight_col="w", dim=16, probes=2)
+    rows = {r["node"]: r["embedding"] for r in emb.collect()}
+    # nodes whose every ppmi entry is filtered to zero may drop out;
+    # the survivors carry unit-norm 16-dim vectors
+    assert rows
+    for n, e in rows.items():
+        assert len(e) == 16
+        assert math.fsum(v * v for v in e) == pytest.approx(1.0, rel=1e-9)
+    assert_plan_clean(emb)
+    plan = emb._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+    # partitioning invariance (float-sum order => approx, not bit-exact)
+    rows2 = {
+        r["node"]: r["embedding"]
+        for r in node_embeddings(
+            pairs.repartition(7, "context"), weight_col="w", dim=16, probes=2
+        ).collect()
+    }
+    assert set(rows2) == set(rows)
+    for n in rows:
+        assert rows2[n] == pytest.approx(rows[n], rel=1e-9), n
