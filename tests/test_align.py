@@ -1,0 +1,140 @@
+"""align_ontologies: blocking channels, scoring, and mutual-best assignment."""
+
+from __future__ import annotations
+
+import pytest
+
+from ontoma_spark.functions.fuzzy import jaro_winkler
+from ontoma_spark.operators.align import align_ontologies
+
+
+def _nodes(spark, rows):
+    return spark.createDataFrame(rows, "id string, label string")
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(list(pairs), "src string, dst string")
+
+
+def test_recovers_perturbed_copy(spark):
+    left = _nodes(
+        spark,
+        [
+            ("L1", "Alzheimer disease"),
+            ("L2", "type 2 diabetes mellitus"),
+            ("L3", "cystic fibrosis"),
+            ("L4", "parkinson disease"),
+        ],
+    )
+    right = _nodes(
+        spark,
+        [
+            ("R1", "disease, Alzheimer"),          # word order + punct: exact sig
+            ("R2", "type 2 diabetes melitus"),     # typo: fuzzy
+            ("R3", "cystic fibrosis"),             # identical
+            ("R4", "parkinsons disease"),          # plural-ish typo
+            ("R9", "asthma"),                      # distractor, no match
+        ],
+    )
+    got = {
+        (r["left_id"], r["right_id"]): (r["score"], r["evidence"])
+        for r in align_ontologies(left, right, min_score=0.85).collect()
+    }
+    assert set(got) == {("L1", "R1"), ("L2", "R2"), ("L3", "R3"), ("L4", "R4")}
+    assert got[("L1", "R1")][0] == 1.0
+    assert "exact" in got[("L1", "R1")][1]
+    assert got[("L3", "R3")][0] == 1.0
+    # fuzzy scores equal the same JW kernel the linker uses, over
+    # normalised signatures
+    assert got[("L2", "R2")][0] == pytest.approx(
+        jaro_winkler("2 diabetes mellitus type", "2 diabetes melitus type"),
+        rel=1e-12,
+    )
+
+
+def test_mutual_best_is_one_to_one(spark):
+    # two left nodes both closest to the same right node: only the
+    # better one survives mutual assignment
+    left = _nodes(spark, [("L1", "lung carcinoma"), ("L2", "lung carcinomas")])
+    right = _nodes(spark, [("R1", "lung carcinoma")])
+    got = align_ontologies(left, right, min_score=0.5).collect()
+    assert [(r["left_id"], r["right_id"]) for r in got] == [("L1", "R1")]
+    # without mutual_only both candidates return
+    raw = align_ontologies(left, right, min_score=0.5, mutual_only=False)
+    assert {(r["left_id"], r["right_id"]) for r in raw.collect()} == {
+        ("L1", "R1"),
+        ("L2", "R1"),
+    }
+
+
+def test_stop_token_blocks_dropped(spark):
+    # "disease" appears in every left label (df 3 > cap 2) so it cannot
+    # form blocks; pairs that share ONLY the stop token never become
+    # candidates even with min_score=0
+    left = _nodes(
+        spark,
+        [
+            ("L1", "kidney disease"),
+            ("L2", "heart disease"),
+            ("L3", "liver disease"),
+        ],
+    )
+    right = _nodes(spark, [("R1", "bone disease")])
+    got = align_ontologies(
+        left, right, min_score=0.0, block_df_cap=2, mutual_only=False
+    ).collect()
+    assert got == []
+    # raising the cap re-enables the token channel
+    got2 = align_ontologies(
+        left, right, min_score=0.0, block_df_cap=10, mutual_only=False
+    ).collect()
+    assert len(got2) == 3
+    assert all("token" in r["evidence"] for r in got2)
+
+
+def test_wl_structural_channel(spark):
+    # isomorphic 4-chains with label-disjoint vocabularies: lexical
+    # blocking finds nothing, WL colors pair structure-equivalent nodes
+    left = _nodes(
+        spark, [("A", "alpha"), ("B", "beta"), ("C", "gamma"), ("D", "delta")]
+    )
+    right = _nodes(
+        spark, [("W", "omega"), ("X", "sigma"), ("Y", "kappa"), ("Z", "theta")]
+    )
+    le = _edges(spark, [("A", "B"), ("B", "C"), ("C", "D")])
+    re_ = _edges(spark, [("W", "X"), ("X", "Y"), ("Y", "Z")])
+    # directed chains: every position is structurally unique, so each
+    # left node collides with exactly one right node
+    got = align_ontologies(
+        left,
+        right,
+        left_edges=le,
+        right_edges=re_,
+        min_score=0.0,
+        mutual_only=False,
+    )
+    rows = got.collect()
+    wl_pairs = {
+        (r["left_id"], r["right_id"])
+        for r in rows
+        if "wl" in r["evidence"]
+    }
+    # undirected chain: ends {A,D} match ends {W,Z}, middles match middles
+    assert wl_pairs == {
+        ("A", "W"), ("A", "Z"), ("D", "W"), ("D", "Z"),
+        ("B", "X"), ("B", "Y"), ("C", "X"), ("C", "Y"),
+    }
+
+
+def test_no_edges_means_no_wl_channel_and_plan(spark):
+    from ontoma_spark.core.planlint import assert_plan_clean
+
+    left = _nodes(spark, [("L1", "exact same label")])
+    right = _nodes(spark, [("R1", "exact same label")])
+    out = align_ontologies(left, right)
+    rows = out.collect()
+    assert [(r["left_id"], r["right_id"], r["score"]) for r in rows] == [
+        ("L1", "R1", 1.0)
+    ]
+    assert "wl" not in set(rows[0]["evidence"])
+    assert_plan_clean(out)
