@@ -13,7 +13,15 @@ from ontoma_spark.operators.graph import (
     jaccard_similarity,
     pagerank,
 )
+from ontoma_spark.operators.align import align_ontologies
+from ontoma_spark.operators.embed import (
+    hash_project,
+    node_embeddings,
+    ppmi_weights,
+)
+from ontoma_spark.operators.graphsig import wl_signatures
 from ontoma_spark.operators.joins import asof_join, range_join
+from ontoma_spark.operators.profile import profile_table, quantile_bins
 from ontoma_spark.operators.kgqa import kg_quality_report
 from ontoma_spark.operators.packing import pack_sequences, running_total
 from ontoma_spark.operators.sampling import hash_sample, hash_split
@@ -21,7 +29,14 @@ from ontoma_spark.operators.semdedup import semantic_dedup
 from ontoma_spark.operators.tfidf import corpus_tokens, tfidf_top_terms
 
 __all__ = [
+    "align_ontologies",
     "asof_join",
+    "hash_project",
+    "node_embeddings",
+    "ppmi_weights",
+    "profile_table",
+    "quantile_bins",
+    "wl_signatures",
     "clustering_coefficient",
     "jaccard_similarity",
     "kg_quality_report",
