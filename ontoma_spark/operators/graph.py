@@ -1240,3 +1240,135 @@ def scc(
         .otherwise(F.col("__mp"))
         .alias("scc_id"),
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    k_landmarks: int = 16,
+    seed: int = 17,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    max_depth: int = 30,
+    allow_truncation: bool = False,
+) -> DataFrame:
+    """Harmonic centrality H(v) = Σ_{u≠v} 1/d(u, v), estimated from
+    ``k_landmarks`` sampled BFS sources (Eppstein & Wang 2004's sampled
+    closeness estimator, applied to the harmonic variant — Boldi &
+    Vigna 2014 argue harmonic is the right formulation on graphs that
+    are not strongly connected, since unreachable pairs contribute 0
+    instead of poisoning the mean).
+
+    The landmark set is the ``k_landmarks`` nodes with the smallest
+    xxhash64(node, seed) — a deterministic uniform sample (same device
+    as ``sampling.hash_sample``), so results are reproducible and
+    partitioning-independent. The estimate for node v is
+
+        Ĥ(v) = (n-1) / k'(v) · Σ_{s ∈ S, s≠v} 1/d(s, v)
+
+    with k'(v) = |S \\ {v}| — unbiased under uniform sampling without
+    replacement, and EXACT (scale 1) when ``k_landmarks >= n``, which
+    is the test oracle path. ``directed=False`` symmetrises first;
+    ``directed=True`` measures incoming-path centrality d(s → v).
+
+    Returns (node, harmonic, n_reached) for every node incident to an
+    edge; ``n_reached`` = landmarks that reach v (excluding v itself).
+
+    Scale: the BFS state is keyed (landmark, node) — all k walks run
+    in ONE pass of eccentricity-many rounds, each round one equi-join
+    frontier ⋈ edges (shuffles on node id) + one anti-join against the
+    visited set, frontier ≤ k·|V| rows total across all rounds.
+    ``localCheckpoint`` per round; exhausting ``max_depth`` with a
+    live frontier raises (distances lost to truncation silently bias
+    Ĥ downward) unless ``allow_truncation``.
+    """
+    if k_landmarks < 1:
+        raise ValueError("k_landmarks must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if not directed:
+        e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0.0).alias("harmonic"),
+            F.lit(0).cast("long").alias("n_reached"),
+        )
+    landmarks = (
+        nodes.orderBy(F.xxhash64("node", F.lit(seed)), F.col("node"))
+        .limit(min(k_landmarks, n))
+        .select(F.col("node").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    k = landmarks.count()
+
+    # BFS keyed (s, node): each landmark's wavefront advances in the
+    # same round, so round count is the max eccentricity, not k×it.
+    frontier = landmarks.select("s", F.col("s").alias("node")).localCheckpoint(
+        eager=True
+    )
+    visited = frontier
+    dists = frontier.select("s", "node", F.lit(0).alias("dist"))
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["a"])
+            .select("s", F.col("b").alias("node"))
+            .distinct()
+            .join(visited, ["s", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dists = dists.union(nxt.select("s", "node", F.lit(depth).alias("dist")))
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        live = (
+            frontier.join(e, frontier["node"] == e["a"])
+            .select("s", F.col("b").alias("node"))
+            .join(visited, ["s", "node"], "left_anti")
+            .limit(1)
+            .count()
+        )
+        if live and not allow_truncation:
+            raise RuntimeError(
+                f"harmonic_centrality: frontier alive at max_depth="
+                f"{max_depth}; raise max_depth or pass "
+                "allow_truncation=True (estimate would be biased low)"
+            )
+
+    contrib = dists.filter(F.col("dist") > 0).groupBy("node").agg(
+        F.sum(1.0 / F.col("dist")).alias("__h"),
+        F.count("*").alias("n_reached"),
+    )
+    is_lm = landmarks.select(F.col("s").alias("node"), F.lit(1).alias("__lm"))
+    return (
+        nodes.join(contrib, "node", "left")
+        .join(is_lm, "node", "left")
+        .select(
+            "node",
+            F.when(
+                (F.lit(k) - F.coalesce(F.col("__lm"), F.lit(0))) > 0,
+                F.coalesce(F.col("__h"), F.lit(0.0))
+                * F.lit(float(n - 1))
+                / (F.lit(k) - F.coalesce(F.col("__lm"), F.lit(0))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("harmonic"),
+            F.coalesce(F.col("n_reached"), F.lit(0)).cast("long").alias(
+                "n_reached"
+            ),
+        )
+    )

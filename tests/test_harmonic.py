@@ -1,0 +1,156 @@
+"""harmonic_centrality: exact-mode oracle + sampled-estimator mirror."""
+
+from __future__ import annotations
+
+import random
+from collections import deque
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.graph import harmonic_centrality
+
+
+def _py_bfs(adj, s):
+    dist = {s: 0}
+    q = deque([s])
+    while q:
+        u = q.popleft()
+        for w in adj.get(u, ()):
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    return dist
+
+
+def _py_harmonic(pairs, directed, landmarks, n):
+    nodes = set()
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        nodes.add(a)
+        nodes.add(b)
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    per_lm = {s: _py_bfs(adj, s) for s in landmarks}
+    out = {}
+    for v in nodes:
+        ks = [s for s in landmarks if s != v]
+        tot = sum(
+            1.0 / per_lm[s][v] for s in ks if v in per_lm[s]
+        )
+        out[v] = (n - 1) / len(ks) * tot if ks else 0.0
+    return out
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src bigint, dst bigint"
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("directed", [False, True])
+def test_exact_mode_matches_bruteforce(spark, seed, directed):
+    rng = random.Random(seed)
+    pairs = {
+        (rng.randrange(12), rng.randrange(12)) for _ in range(rng.randrange(10, 25))
+    }
+    pairs = {(a, b) for a, b in pairs if a != b}
+    nodes = {x for p in pairs for x in p}
+    got = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(
+            _edges_df(spark, pairs), k_landmarks=100, directed=directed
+        ).collect()
+    }
+    want = _py_harmonic(pairs, directed, sorted(nodes), len(nodes))
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12), v
+
+
+def test_star_graph_pins(spark):
+    # star K1,5 undirected: center H = 5; each leaf H = 1 + 4/2 = 3
+    star = [(0, i) for i in range(1, 6)]
+    got = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(
+            _edges_df(spark, star), k_landmarks=100
+        ).collect()
+    }
+    assert got[0] == pytest.approx(5.0)
+    for leaf in range(1, 6):
+        assert got[leaf] == pytest.approx(3.0)
+
+
+def test_sampled_estimator_mirror_and_unreachable(spark):
+    rng = random.Random(9)
+    pairs = {(rng.randrange(20), rng.randrange(20)) for _ in range(45)}
+    pairs = {(a, b) for a, b in pairs if a != b}
+    e = _edges_df(spark, pairs)
+    k, seed = 5, 23
+    # the exact landmark set the operator derives (hash order, id tiebreak)
+    nodes_df = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    landmarks = [
+        r["node"]
+        for r in nodes_df.orderBy(
+            F.xxhash64("node", F.lit(seed)), F.col("node")
+        )
+        .limit(k)
+        .collect()
+    ]
+    nodes = {x for p in pairs for x in p}
+    want = _py_harmonic(pairs, True, landmarks, len(nodes))
+    got = {
+        r["node"]: (r["harmonic"], r["n_reached"])
+        for r in harmonic_centrality(
+            e, k_landmarks=k, seed=seed, directed=True
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][0] == pytest.approx(want[v], rel=1e-12), v
+    # determinism under repartition
+    got2 = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(
+            e.repartition(11, "dst"), k_landmarks=k, seed=seed, directed=True
+        ).collect()
+    }
+    for v in got:
+        assert got2[v] == pytest.approx(got[v][0], rel=1e-12)
+
+
+def test_truncation_raises_and_opt_out(spark):
+    chain = [(i, i + 1) for i in range(8)]
+    e = _edges_df(spark, chain)
+    with pytest.raises(RuntimeError, match="max_depth"):
+        harmonic_centrality(e, k_landmarks=100, max_depth=3, directed=True)
+    out = harmonic_centrality(
+        e, k_landmarks=100, max_depth=3, directed=True, allow_truncation=True
+    )
+    assert out.count() == 9
+    with pytest.raises(ValueError):
+        harmonic_centrality(e, k_landmarks=0)
+
+
+def test_single_landmark_scoring_itself_is_zero(spark):
+    # directed edge 0 -> 1, one landmark: if the landmark is node 1,
+    # nothing reaches node 1's landmark set besides itself
+    e = _edges_df(spark, [(0, 1)])
+    rows = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(e, k_landmarks=1, directed=True).collect()
+    }
+    # whichever node was sampled, the other gets a finite estimate and
+    # the landmark itself never divides by zero
+    assert set(rows) == {0, 1}
+    assert all(v >= 0.0 for v in rows.values())
