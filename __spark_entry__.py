@@ -3201,7 +3201,90 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_relation_patterns": q72_relation_patterns,
         "q73_semantic_dedup": q73_semantic_dedup,
         "q74_repo_dependency_graph": q74_repo_dependency_graph,
+        "q75_node_embeddings": q75_node_embeddings,
+        "q76_ontology_alignment": q76_ontology_alignment,
+        "q77_harmonic_centrality": q77_harmonic_centrality,
     }
+
+
+def q75_node_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (exact-mirror-oracled in tests/test_embed.py):
+    walks -> skip-gram pairs -> PPMI -> count-sketch embeddings over
+    the 20k-node part hierarchy (q67's graph). Times the per-step walk
+    joins, the two marginal aggs, and the bounded-fan-out projection
+    at a size where a shuffle regression is visible."""
+    from ontoma_spark.operators.embed import node_embeddings
+    from ontoma_spark.operators.kgtrain import random_walks, skipgram_pairs
+
+    edges = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") > 1)
+        .select(
+            F.col("p_partkey").alias("src"),
+            (F.col("p_partkey") / 2).cast("long").alias("dst"),
+        )
+    )
+    walks = random_walks(edges, walk_len=6, num_walks=2, seed=11)
+    pairs = skipgram_pairs(walks, window=2)
+    return node_embeddings(pairs, dim=32, probes=4)
+
+
+def q76_ontology_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (oracled in tests/test_align.py): align the part
+    name table against a deterministically perturbed copy. TPC-H part
+    names draw from ~92 color words (huge token df), so each label
+    gets a unique ``pt<key>`` anchor token — blocking volume is then
+    exactly n pairs, all flowing through the Arrow JW scorer (80% of
+    rows lose the last char of their first color word; 20% are pure
+    word-order reversals, which the sorted signature matches exactly).
+    Times rare-token blocking, the pandas JW kernel over ~n candidate
+    pairs, and the two assignment windows at 2x20k nodes."""
+    from ontoma_spark.operators.align import align_ontologies
+
+    raw = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("id"),
+        F.col("p_name").alias("label"),
+    )
+    base = raw.select(
+        "id",
+        F.concat(F.col("label"), F.lit(" pt"), F.col("id")).alias("label"),
+    )
+    toks = F.split(F.col("label"), " ")
+    first = F.element_at(toks, 1)
+    perturbed_first = F.when(
+        F.col("id").cast("long") % 5 != 0,
+        F.substring(first, F.lit(1), F.length(first) - 1),
+    ).otherwise(first)
+    right = raw.select(
+        F.concat(F.lit("R"), F.col("id")).alias("id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("pt"), F.col("id")),
+            F.array_join(F.reverse(F.slice(toks, 2, F.size(toks) - 1)), " "),
+            perturbed_first,
+        ).alias("label"),
+    )
+    return align_ontologies(base, right, min_score=0.9, block_df_cap=40)
+
+
+def q77_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (oracled in tests/test_harmonic.py): 16-landmark
+    harmonic centrality on the part hierarchy walked child->parent
+    (depth ~14, so the single multi-landmark BFS pass runs ~14
+    frontier rounds). Times the per-round join + anti-join dataflow."""
+    from ontoma_spark.operators.graph import harmonic_centrality
+
+    edges = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") > 1)
+        .select(
+            F.col("p_partkey").alias("src"),
+            (F.col("p_partkey") / 2).cast("long").alias("dst"),
+        )
+    )
+    return harmonic_centrality(
+        edges, k_landmarks=16, seed=7, directed=True, max_depth=25
+    )
 
 
 def q73_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -115,6 +115,9 @@ HEADLINE = [
     "q72_relation_patterns",
     "q73_semantic_dedup",
     "q74_repo_dependency_graph",
+    "q75_node_embeddings",
+    "q76_ontology_alignment",
+    "q77_harmonic_centrality",
 ]
 
 T0 = time.time()
