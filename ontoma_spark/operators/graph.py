@@ -1372,3 +1372,128 @@ def harmonic_centrality(
             ),
         )
     )
+
+
+def _oriented_triangles(edges: DataFrame) -> DataFrame:
+    """(a, b, c) one row per triangle of the undirected simple graph
+    given as ``src < dst`` edge rows — the m^1.5 degree-oriented wedge
+    enumeration shared with ``triangle_counts`` (see its docstring for
+    the cost argument). Endpoints within a row follow the degree
+    orientation, so edge recovery must re-normalise with least/greatest.
+
+    The two multiply-consumed intermediates (input edges: degree union
+    ×2 + orientation join; fwd: both wedge sides + closure) are
+    lineage-cut with LAZY localCheckpoints rather than persist() so an
+    iterative caller (``ktruss`` re-enumerates per peel round) never
+    accrues unpaired persisted RDDs — blocks release when the returned
+    plan is garbage-collected (same stance as ``edge_pmi``)."""
+    edges = edges.localCheckpoint(eager=False)
+    deg = entity_degrees(edges)
+    e = (
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("degree").alias("_ds")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("degree").alias("_dd")),
+            "dst",
+        )
+    )
+    src_first = (F.col("_ds") < F.col("_dd")) | (
+        (F.col("_ds") == F.col("_dd")) & (F.col("src") < F.col("dst"))
+    )
+    fwd = e.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    ).localCheckpoint(eager=False)
+    wedges = fwd.alias("e1").join(
+        fwd.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("a"),
+        F.col("e1.v").alias("b"),
+        F.col("e2.v").alias("c"),
+    )
+    return wedges.join(
+        fwd.alias("e3"),
+        (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+        "left_semi",
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """The k-truss subgraph: iteratively drop edges supported by fewer
+    than k-2 triangles until fixpoint (Cohen 2008). A k-truss is a
+    stricter cohesion filter than the (k-1)-core — every surviving
+    EDGE sits in ≥ k-2 triangles within the surviving subgraph — so
+    it isolates clique-like regions (synonym clusters, tightly
+    co-mentioned entity groups) that degree-based k-core keeps mixed
+    with stars. k=2 is the whole graph by definition.
+
+    Returns the surviving undirected edge list (src < dst, distinct).
+
+    Scale: each round is ONE m^1.5 degree-oriented triangle
+    enumeration (``_oriented_triangles``, hub-safe: wedge volume is
+    Σ forward-degree², forward degree O(√m)) + a 3-way corner fan-out
+    + one edge-keyed count + one semi-join; the edge set only
+    shrinks, and dropped-edge count gates convergence exactly.
+    ``localCheckpoint`` per round cuts the iterative lineage; raises
+    on ``max_iter`` exhaustion (same stance as ``kcore``).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    cur = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .select(
+            F.least("s", "d").alias("src"), F.greatest("s", "d").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if k == 2:
+        return cur
+    need = k - 2
+    for _ in range(max_iter):
+        tri = _oriented_triangles(cur)
+        # fan each triangle out to its three edges, re-normalised
+        tri_edges = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("a", "b").alias("src"),
+                        F.greatest("a", "b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.least("b", "c").alias("src"),
+                        F.greatest("b", "c").alias("dst"),
+                    ),
+                    F.struct(
+                        F.least("a", "c").alias("src"),
+                        F.greatest("a", "c").alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+        support = tri_edges.groupBy("src", "dst").agg(
+            F.count("*").alias("__sup")
+        )
+        keep = support.filter(F.col("__sup") >= need).select("src", "dst")
+        nxt = cur.join(keep, ["src", "dst"], "left_semi").localCheckpoint(
+            eager=True
+        )
+        n_next = nxt.count()
+        n_cur = cur.count()
+        cur = nxt
+        if n_next == n_cur:
+            return cur
+        if n_next == 0:
+            return cur
+    raise RuntimeError(
+        f"ktruss: no fixpoint within {max_iter} rounds — raise max_iter"
+    )

@@ -1,0 +1,84 @@
+"""ktruss: brute-force peeling oracle + structural pins."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+from ontoma_spark.operators.graph import ktruss
+
+
+def _py_ktruss(pairs, k):
+    edges = {
+        (min(a, b), max(a, b)) for a, b in pairs if a != b
+    }
+    if k == 2:
+        return edges
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        drop = {
+            (a, b)
+            for a, b in edges
+            if len(adj[a] & adj[b]) < k - 2
+        }
+        if not drop:
+            return edges
+        edges -= drop
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src bigint, dst bigint"
+    )
+
+
+def _collect(df):
+    return {(r["src"], r["dst"]) for r in df.collect()}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("k", [3, 4])
+def test_ktruss_matches_bruteforce(spark, seed, k):
+    rng = random.Random(seed)
+    n = 12
+    pairs = {
+        (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(20, 45))
+    }
+    got = _collect(ktruss(_edges_df(spark, pairs), k=k))
+    assert got == _py_ktruss(pairs, k), (seed, k)
+
+
+def test_ktruss_pins(spark):
+    k4 = list(itertools.combinations(range(4), 2))
+    # K4: every edge in exactly 2 triangles -> a 4-truss, not a 5-truss
+    assert _collect(ktruss(_edges_df(spark, k4), k=4)) == set(k4)
+    assert _collect(ktruss(_edges_df(spark, k4), k=5)) == set()
+    # triangle + pendant edge: pendant peels at k=3, triangle stays
+    tri_p = [(0, 1), (1, 2), (2, 0), (2, 9)]
+    assert _collect(ktruss(_edges_df(spark, tri_p), k=3)) == {
+        (0, 1), (1, 2), (0, 2),
+    }
+    # C5 has no triangles at all
+    c5 = [(i, (i + 1) % 5) for i in range(5)]
+    assert _collect(ktruss(_edges_df(spark, c5), k=3)) == set()
+    # k=2 is the whole (normalised) graph, duplicate/self rows dropped
+    messy = [(1, 0), (0, 1), (3, 3), (2, 4)]
+    assert _collect(ktruss(_edges_df(spark, messy), k=2)) == {(0, 1), (2, 4)}
+    with pytest.raises(ValueError):
+        ktruss(_edges_df(spark, c5), k=1)
+
+
+def test_ktruss_cascade(spark):
+    # two triangles sharing edge (1,2): all 5 edges survive k=3, but
+    # k=4 peels the unshared edges FIRST and the shared edge second —
+    # the fixpoint iteration must cascade to empty
+    bowtie = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)]
+    assert _collect(ktruss(_edges_df(spark, bowtie), k=3)) == {
+        (0, 1), (1, 2), (0, 2), (1, 3), (2, 3),
+    }
+    assert _collect(ktruss(_edges_df(spark, bowtie), k=4)) == set()
