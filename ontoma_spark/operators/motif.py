@@ -1,0 +1,100 @@
+"""Basic graph-pattern (motif) matching over (subj, pred, obj) triples.
+
+The SPARQL-shaped read queries a KG consumer runs against the
+materialised triple tables (``pipeline/kg.py`` output): chain patterns
+("mention —exactMatch→ term —is_a→ ancestor") and star patterns
+("entities that have ALL of these predicates"). The reference
+(opentargets/OnToma) has no query surface at all — mappings are
+returned as a DataFrame and querying is left to the caller; this
+module is the graft's KG read layer, sibling to ``operators/graph.py``.
+
+Scale notes
+-----------
+* A k-hop chain is k predicate-FILTERED scans joined pairwise on the
+  shared node — each hop's filter lands in the parquet scan
+  (PushedFilters), so join inputs are the per-predicate slices, never
+  the full triple table. Hops shuffle on the join node; AQE broadcasts
+  a selective hop against a big one.
+* Cycle edges (``same=``) are plain column equality filters applied
+  at the earliest hop where both endpoints are bound — Catalyst pushes
+  them below the later joins.
+* ``star_centers`` is k-1 left-semi joins of per-predicate DISTINCT
+  subject slices (set containment, no fan-out): a center with 10^4
+  objects per predicate contributes ONE row per slice, so multi-valued
+  predicates cannot explode the match set (the naive "join all arms"
+  formulation is quadratic in arm cardinality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def match_path(
+    triples: DataFrame,
+    pattern: list[str | None],
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    distinct_nodes: bool = False,
+) -> DataFrame:
+    """Bindings of a k-hop chain pattern.
+
+    ``pattern`` is one predicate per hop; ``None`` is a wildcard hop.
+    Returns columns ``n0 … nk`` (the bound node at each position) plus
+    ``p1 … pk`` (the matched predicate per hop — informative for
+    wildcard hops, constant otherwise). ``distinct_nodes=True`` keeps
+    only simple paths (all bound nodes pairwise distinct).
+    """
+    if not pattern:
+        raise ValueError("pattern must have at least one hop")
+
+    def hop(i: int, pred: str | None) -> DataFrame:
+        t = triples
+        if pred is not None:
+            t = t.filter(F.col(pred_col) == pred)
+        return t.select(
+            F.col(subj_col).alias(f"n{i - 1}"),
+            F.col(pred_col).alias(f"p{i}"),
+            F.col(obj_col).alias(f"n{i}"),
+        )
+
+    out = hop(1, pattern[0])
+    for i, pred in enumerate(pattern[1:], start=2):
+        out = out.join(hop(i, pred), f"n{i - 1}")
+    k = len(pattern)
+    cols = [f"n{j}" for j in range(k + 1)] + [f"p{j}" for j in range(1, k + 1)]
+    out = out.select(*cols)
+    if distinct_nodes:
+        cond = F.lit(True)
+        for a in range(k + 1):
+            for b in range(a + 1, k + 1):
+                cond = cond & (F.col(f"n{a}") != F.col(f"n{b}"))
+        out = out.filter(cond)
+    return out
+
+
+def star_centers(
+    triples: DataFrame,
+    predicates: list[str],
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Subjects that carry ALL of ``predicates`` (SPARQL star pattern
+    with a shared subject, object unconstrained). Returns one column
+    ``center`` with distinct matching subjects — set containment via
+    chained left-semi joins of per-predicate distinct-subject slices,
+    so multi-valued predicates never fan out."""
+    if not predicates:
+        raise ValueError("predicates must be non-empty")
+    slices = [
+        triples.filter(F.col(pred_col) == p)
+        .select(F.col(subj_col).alias("center"))
+        .distinct()
+        for p in predicates
+    ]
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.join(s, "center", "left_semi")
+    return out

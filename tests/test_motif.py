@@ -1,0 +1,118 @@
+"""match_path / star_centers: brute-force enumeration oracles."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+from ontoma_spark.operators.motif import match_path, star_centers
+
+TRIPLES_SCHEMA = "subj string, pred string, obj string"
+
+
+def _py_paths(triples, pattern, distinct_nodes=False):
+    out = set()
+
+    def rec(pos, bound, preds):
+        if pos == len(pattern):
+            out.add(tuple(bound) + tuple(preds))
+            return
+        want = pattern[pos]
+        for s, p, o in triples:
+            if s == bound[-1] and (want is None or p == want):
+                rec(pos + 1, bound + [o], preds + [p])
+
+    starts = {s for s, _, _ in triples}
+    for s0 in starts:
+        rec(0, [s0], [])
+    if distinct_nodes:
+        k = len(pattern) + 1
+        out = {row for row in out if len(set(row[:k])) == k}
+    return out
+
+
+def _spark_paths(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_match_path_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    nodes = [f"e{i}" for i in range(8)]
+    preds = ["exactMatch", "is_a", "seeAlso"]
+    triples = list(
+        {
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(35)
+        }
+    )
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    for pattern in (
+        ["exactMatch"],
+        ["exactMatch", "is_a"],
+        ["is_a", "is_a"],
+        [None, "is_a"],
+        ["exactMatch", None, "seeAlso"],
+    ):
+        got = _spark_paths(match_path(df, pattern))
+        want = _py_paths(triples, pattern)
+        assert got == want, (seed, pattern)
+    # simple-path filter
+    got = _spark_paths(match_path(df, ["is_a", "is_a"], distinct_nodes=True))
+    want = _py_paths(triples, ["is_a", "is_a"], distinct_nodes=True)
+    assert got == want
+
+
+def test_match_path_shape_and_validation(spark):
+    t = [
+        ("m1", "exactMatch", "EFO:1"),
+        ("EFO:1", "is_a", "EFO:root"),
+        ("m2", "relatedMatch", "EFO:1"),
+    ]
+    df = spark.createDataFrame(t, TRIPLES_SCHEMA)
+    out = match_path(df, ["exactMatch", "is_a"])
+    assert out.columns == ["n0", "n1", "n2", "p1", "p2"]
+    assert _spark_paths(out) == {
+        ("m1", "EFO:1", "EFO:root", "exactMatch", "is_a")
+    }
+    with pytest.raises(ValueError):
+        match_path(df, [])
+    with pytest.raises(ValueError):
+        star_centers(df, [])
+
+
+def test_star_centers_no_fanout(spark):
+    # e1 has both predicates (with MULTIPLE objects each — must not
+    # multiply), e2 has one, e3 has both
+    t = (
+        [("e1", "a", f"x{i}") for i in range(5)]
+        + [("e1", "b", f"y{i}") for i in range(7)]
+        + [("e2", "a", "z")]
+        + [("e3", "a", "q"), ("e3", "b", "r")]
+    )
+    df = spark.createDataFrame(t, TRIPLES_SCHEMA)
+    got = {r["center"] for r in star_centers(df, ["a", "b"]).collect()}
+    assert got == {"e1", "e3"}
+    assert star_centers(df, ["a", "b"]).count() == 2  # no fan-out rows
+    assert {r["center"] for r in star_centers(df, ["a"]).collect()} == {
+        "e1", "e2", "e3",
+    }
+
+
+def test_match_path_pushdown_and_plan(spark, tmp_path):
+    from ontoma_spark.core.planlint import assert_plan_clean
+
+    t = [(f"s{i}", "is_a", f"s{i+1}") for i in range(50)] + [
+        (f"s{i}", "other", "junk") for i in range(50)
+    ]
+    p = str(tmp_path / "triples.parquet")
+    spark.createDataFrame(t, TRIPLES_SCHEMA).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = match_path(df, ["is_a", "is_a"])
+    assert out.count() == 49
+    assert_plan_clean(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the per-hop predicate filter reaches the parquet scan
+    assert "PushedFilters" in plan and "is_a" in plan
