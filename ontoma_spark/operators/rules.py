@@ -1,0 +1,142 @@
+"""AMIE-style horn-rule mining over (subj, pred, obj) triples.
+
+KG-completion support: which predicate compositions IMPLY another
+predicate? Mined rules like ``exactMatch(x,y) ∧ is_a(y,z) ⇒
+broadMatch(x,z)`` both validate a pipeline's inference layer (the
+repo's ``pipeline/kg.py::infer_broader`` materialises exactly that
+rule — mined confidence should be 1.0 on its output, which the test
+pins) and propose new edges where confidence is high but the head is
+missing. Semantics follow AMIE (Galárraga et al. 2013, WWW):
+
+    support(rule)    = #distinct (x,z) pairs satisfying the BODY
+                       that also satisfy the head
+    confidence(rule) = support / #distinct body pairs   (standard CWA
+                       confidence — every unproven head counts false)
+
+The reference (opentargets/OnToma) has no rule or inference surface;
+this is graft-added KG capability like ``operators/motif.py``.
+
+Scale notes
+-----------
+* Bodies are DISTINCT (x, z) pair sets per predicate (1-hop) or per
+  predicate pair (2-hop chain x-p1-y-p2-z): the chain join shuffles
+  on the shared node y, and the midpoint fan-out is the same
+  Σ deg_in(y)·deg_out(y) wedge cost as the graph layer's triangle
+  work — ``max_pairs_per_mid`` caps pathological hub midpoints
+  (deterministically, smallest partners kept) the way
+  ``adamic_adar.max_degree`` does, BEFORE the wedge join.
+* Head checks are ONE left-semi-style join of body pairs against the
+  triple table re-keyed on (subj, obj) — pairs never self-join.
+* Predicate vocabularies are tiny; all (p1, p2, p3) bookkeeping is
+  map-side-combined aggregation, nothing collected but the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def mine_rules(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    min_support: int = 2,
+    min_confidence: float = 0.5,
+    max_body: int = 2,
+    max_pairs_per_mid: int | None = None,
+) -> DataFrame:
+    """Mine 1-hop (``p1(x,z) ⇒ p3(x,z)``) and 2-hop chain
+    (``p1(x,y) ∧ p2(y,z) ⇒ p3(x,z)``) rules.
+
+    Returns (body_p1, body_p2, head, support, n_body, confidence)
+    sorted-ready (no global sort applied); ``body_p2`` is NULL for
+    1-hop rules. Trivial self-implications (1-hop rules with
+    ``body_p1 == head``) are excluded; 2-hop rules may reuse a
+    predicate in body and head (that is how transitivity shows up:
+    ``is_a ∧ is_a ⇒ is_a``).
+    """
+    if max_body not in (1, 2):
+        raise ValueError("max_body must be 1 or 2")
+    t = triples.select(
+        F.col(subj_col).alias("x"),
+        F.col(pred_col).alias("p"),
+        F.col(obj_col).alias("z"),
+    ).distinct()
+
+    heads = t.select(F.col("x"), F.col("p").alias("head"), F.col("z"))
+
+    def _score(body: DataFrame) -> DataFrame:
+        """body: distinct (body_p1, body_p2, x, z) rows."""
+        n_body = body.groupBy("body_p1", "body_p2").agg(
+            F.count("*").alias("n_body")
+        )
+        sup = (
+            body.join(heads, ["x", "z"])
+            .groupBy("body_p1", "body_p2", "head")
+            .agg(F.count("*").alias("support"))
+        )
+        return (
+            sup.join(n_body, ["body_p1", "body_p2"])
+            .withColumn(
+                "confidence", F.col("support") / F.col("n_body")
+            )
+            .filter(
+                (F.col("support") >= min_support)
+                & (F.col("confidence") >= min_confidence)
+            )
+        )
+
+    # 1-hop bodies carry a non-null sentinel in body_p2 internally:
+    # the per-rule bookkeeping joins on (body_p1, body_p2), and a NULL
+    # key never equi-joins. Converted back to NULL on output.
+    _NO_P2 = "\x00none"
+    one_hop = _score(
+        t.select(
+            F.col("p").alias("body_p1"),
+            F.lit(_NO_P2).alias("body_p2"),
+            "x",
+            "z",
+        )
+    ).filter(F.col("body_p1") != F.col("head"))
+
+    def _out(df: DataFrame) -> DataFrame:
+        return df.select(
+            "body_p1",
+            F.when(F.col("body_p2") == _NO_P2, F.lit(None))
+            .otherwise(F.col("body_p2"))
+            .alias("body_p2"),
+            "head",
+            "support",
+            "n_body",
+            "confidence",
+        )
+
+    if max_body == 1:
+        return _out(one_hop)
+
+    left = t.select(F.col("p").alias("body_p1"), "x", F.col("z").alias("y"))
+    right = t.select(F.col("p").alias("body_p2"), F.col("x").alias("y"), "z")
+    if max_pairs_per_mid is not None:
+        from pyspark.sql import Window
+
+        wl = Window.partitionBy("y", "body_p1").orderBy("x")
+        wr = Window.partitionBy("y", "body_p2").orderBy("z")
+        left = (
+            left.withColumn("__r", F.row_number().over(wl))
+            .filter(F.col("__r") <= max_pairs_per_mid)
+            .drop("__r")
+        )
+        right = (
+            right.withColumn("__r", F.row_number().over(wr))
+            .filter(F.col("__r") <= max_pairs_per_mid)
+            .drop("__r")
+        )
+    two_body = (
+        left.join(right, "y")
+        .select("body_p1", "body_p2", "x", "z")
+        .distinct()
+    )
+    two_hop = _score(two_body)
+    return _out(one_hop.unionByName(two_hop))

@@ -1,0 +1,163 @@
+"""mine_rules: brute-force AMIE oracle + pipeline-inference integration pin."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ontoma_spark.operators.rules import mine_rules
+
+SCHEMA = "subj string, pred string, obj string"
+
+
+def _py_rules(triples, min_support, min_conf, max_body=2):
+    t = set(triples)
+    preds = sorted({p for _, p, _ in t})
+    by_pred = {p: {(x, z) for x, pp, z in t if pp == p} for p in preds}
+    out = set()
+    for p1 in preds:
+        body = by_pred[p1]
+        for p3 in preds:
+            if p3 == p1:
+                continue
+            sup = len(body & by_pred[p3])
+            if sup >= min_support and sup / len(body) >= min_conf:
+                out.add((p1, None, p3, sup, len(body)))
+    if max_body == 2:
+        for p1 in preds:
+            for p2 in preds:
+                body = {
+                    (x, z)
+                    for (x, y) in by_pred[p1]
+                    for (y2, z) in by_pred[p2]
+                    if y == y2
+                }
+                if not body:
+                    continue
+                for p3 in preds:
+                    sup = len(body & by_pred[p3])
+                    if sup >= min_support and sup / len(body) >= min_conf:
+                        out.add((p1, p2, p3, sup, len(body)))
+    return out
+
+
+def _collect(df):
+    return {
+        (r["body_p1"], r["body_p2"], r["head"], r["support"], r["n_body"])
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("max_body", [1, 2])
+def test_mine_rules_bruteforce(spark, seed, max_body):
+    rng = random.Random(seed)
+    nodes = [f"e{i}" for i in range(7)]
+    preds = ["a", "b", "c"]
+    triples = list(
+        {
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(30)
+        }
+    )
+    df = spark.createDataFrame(triples, SCHEMA)
+    got = _collect(
+        mine_rules(df, min_support=1, min_confidence=0.0, max_body=max_body)
+    )
+    want = _py_rules(triples, 1, 0.0, max_body=max_body)
+    assert got == want, (seed, max_body)
+
+
+def test_thresholds_and_confidence_values(spark):
+    # p1 holds on 4 pairs; head q on 3 of them -> conf 0.75
+    t = (
+        [(f"x{i}", "p1", f"z{i}") for i in range(4)]
+        + [(f"x{i}", "q", f"z{i}") for i in range(3)]
+    )
+    df = spark.createDataFrame(t, SCHEMA)
+    rows = {
+        (r["body_p1"], r["head"]): (r["support"], r["n_body"], r["confidence"])
+        for r in mine_rules(df, min_support=2, min_confidence=0.7).collect()
+        if r["body_p2"] is None
+    }
+    assert rows[("p1", "q")] == (3, 4, pytest.approx(0.75))
+    # q => p1 has conf 1.0 (all 3 q-pairs are p1 pairs)
+    assert rows[("q", "p1")] == (3, 3, pytest.approx(1.0))
+    # min_confidence filters: at 0.8, p1 => q disappears
+    rows2 = {
+        (r["body_p1"], r["head"])
+        for r in mine_rules(df, min_support=2, min_confidence=0.8).collect()
+        if r["body_p2"] is None
+    }
+    assert ("p1", "q") not in rows2 and ("q", "p1") in rows2
+    with pytest.raises(ValueError):
+        mine_rules(df, max_body=3)
+
+
+def test_transitivity_and_inference_integration(spark):
+    """The pipeline's own subsumption inference (infer_broader) obeys
+    the rule exactMatch ∧ is_a ⇒ broadMatch with confidence 1.0 — rule
+    mining over its output must rediscover that rule at full
+    confidence, and is_a transitive closure shows up as
+    is_a ∧ is_a ⇒ is_a."""
+    import pyspark.sql.functions as F
+
+    from ontoma_spark.operators.graph import transitive_closure
+
+    # chain ontology c0 -> c1 -> c2 -> c3 (is_a to parent)
+    isa = [(f"c{i}", "is_a", f"c{i+1}") for i in range(3)]
+    exact = [(f"m{i}", "exactMatch", f"c{i % 2}") for i in range(6)]
+    base = spark.createDataFrame(isa + exact, SCHEMA)
+    # materialise closure-is_a and broadMatch the way the pipeline does
+    isa_df = spark.createDataFrame(
+        [(a, b) for a, _, b in isa], "src string, dst string"
+    )
+    closure = transitive_closure(isa_df)
+    isa_closed = closure.select(
+        F.col("src").alias("subj"),
+        F.lit("is_a").alias("pred"),
+        F.col("dst").alias("obj"),
+    )
+    broad = (
+        base.filter(F.col("pred") == "exactMatch")
+        .join(closure, base["obj"] == closure["src"])
+        .select(
+            "subj", F.lit("broadMatch").alias("pred"),
+            F.col("dst").alias("obj"),
+        )
+    )
+    kg = base.unionByName(isa_closed).unionByName(broad).distinct()
+    rules = {
+        (r["body_p1"], r["body_p2"], r["head"]): r["confidence"]
+        for r in mine_rules(kg, min_support=2, min_confidence=0.9).collect()
+    }
+    assert rules[("exactMatch", "is_a", "broadMatch")] == pytest.approx(1.0)
+    assert rules[("is_a", "is_a", "is_a")] == pytest.approx(1.0)
+
+
+def test_hub_cap_and_plan(spark):
+    from ontoma_spark.core.planlint import assert_plan_clean
+
+    t = (
+        [(f"x{i}", "p", "hub") for i in range(10)]
+        + [("hub", "q", f"z{i}") for i in range(10)]
+        + [("x0", "r", "z0")]   # head instance so the rule row survives
+    )
+    df = spark.createDataFrame(t, SCHEMA)
+    full = mine_rules(df, min_support=1, min_confidence=0.0)
+    capped = mine_rules(
+        df, min_support=1, min_confidence=0.0, max_pairs_per_mid=3
+    )
+    n_full = {
+        (r["body_p1"], r["body_p2"], r["head"]): r["n_body"]
+        for r in full.collect()
+    }
+    n_capped = {
+        (r["body_p1"], r["body_p2"], r["head"]): r["n_body"]
+        for r in capped.collect()
+    }
+    assert n_full[("p", "q", "r")] == 100   # 10x10 through the hub
+    # cap keeps the 3 smallest partners per (mid, pred) side: x0/z0 kept
+    assert n_capped[("p", "q", "r")] == 9   # 3x3 through the hub
+    assert_plan_clean(full)
