@@ -1,0 +1,116 @@
+"""Alias dictionaries and graph sparsification for the linking layer.
+
+``alias_priors`` builds the commonness dictionary P(entity | surface)
+from a corpus of already-linked mentions — the Wikipedia-anchor-text
+construction (Medelyan et al. 2008; Milne & Witten 2008) that gives an
+entity linker its disambiguation prior: when "ms" maps to either
+multiple sclerosis or mitral stenosis, the corpus-wide link counts say
+which reading is a priori likely. The reference (opentargets/OnToma)
+keeps multi-mappings unresolved by design (README.md:18); this
+operator lets a consumer rank them by evidence, complementing the
+context-based chooser in ``operators/disambig.py``.
+
+``prune_edges_topk`` is kNN-graph sparsification: keep each node's k
+strongest incident edges — the standard densification control before
+running community detection / embeddings on a co-mention graph whose
+PMI tail is noise.
+
+Scale notes: ``alias_priors`` is one (surface, entity) groupBy plus
+one surface-keyed join of the per-surface totals — both map-side
+combinable, nothing collected. ``prune_edges_topk`` windows per NODE
+(never a global window): rank volume is |E| (directed) or 2|E|
+(undirected both-orientations view).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def alias_priors(
+    linked: DataFrame,
+    surface_col: str = "surface",
+    entity_col: str = "entity_id",
+    min_count: int = 1,
+    alpha: float = 0.0,
+) -> DataFrame:
+    """(surface, entity, n, prior) with prior = P(entity | surface).
+
+    ``alpha`` is additive (Laplace) smoothing over the entities
+    OBSERVED for that surface: prior = (n + α) / (total + α·m) where m
+    is the surface's distinct-entity count — smoothed priors still sum
+    to 1 per surface. ``min_count`` drops (surface, entity) pairs
+    rarer than the threshold BEFORE totals, so dropped noise does not
+    leak into the denominator.
+    """
+    counts = (
+        linked.select(
+            F.col(surface_col).alias("surface"),
+            F.col(entity_col).alias("entity"),
+        )
+        .groupBy("surface", "entity")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    totals = counts.groupBy("surface").agg(
+        F.sum("n").alias("__tot"), F.count("*").alias("__m")
+    )
+    return (
+        counts.join(totals, "surface")
+        .select(
+            "surface",
+            "entity",
+            "n",
+            (
+                (F.col("n") + F.lit(float(alpha)))
+                / (F.col("__tot") + F.lit(float(alpha)) * F.col("__m"))
+            ).alias("prior"),
+        )
+    )
+
+
+def prune_edges_topk(
+    edges: DataFrame,
+    k: int,
+    weight_col: str,
+    src: str = "src",
+    dst: str = "dst",
+    undirected: bool = True,
+) -> DataFrame:
+    """Keep each node's k strongest edges by ``weight_col``.
+
+    ``undirected=True`` (edges stored once, src < dst): an edge
+    survives if it ranks in the top-k of EITHER endpoint — the mutual
+    kNN-graph convention that never strands a low-degree node whose
+    best neighbour is a hub. ``undirected=False``: top-k OUTGOING
+    edges per src. Ties break by (weight desc, partner id asc) —
+    deterministic. Output keeps the input columns.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col)
+    if not undirected:
+        win = Window.partitionBy(src).orderBy(w.desc(), F.col(dst).asc())
+        return (
+            edges.withColumn("__r", F.row_number().over(win))
+            .filter(F.col("__r") <= k)
+            .drop("__r")
+        )
+    both = edges.select(
+        F.col(src).alias("__node"), F.col(dst).alias("__peer"), "*"
+    ).unionByName(
+        edges.select(
+            F.col(dst).alias("__node"), F.col(src).alias("__peer"), "*"
+        )
+    )
+    win = Window.partitionBy("__node").orderBy(
+        w.desc(), F.col("__peer").asc()
+    )
+    kept = (
+        both.withColumn("__r", F.row_number().over(win))
+        .filter(F.col("__r") <= k)
+        .select(src, dst)
+        .distinct()
+    )
+    return edges.join(kept, [src, dst], "left_semi")

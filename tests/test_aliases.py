@@ -1,0 +1,120 @@
+"""alias_priors / prune_edges_topk: brute-force oracles + invariants."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from ontoma_spark.operators.aliases import alias_priors, prune_edges_topk
+
+
+def test_alias_priors_values_and_smoothing(spark):
+    mentions = (
+        [("ms", "EFO:MS")] * 8
+        + [("ms", "EFO:MitralStenosis")] * 2
+        + [("cancer", "EFO:cancer")] * 5
+    )
+    df = spark.createDataFrame(mentions, "surface string, entity_id string")
+    got = {
+        (r["surface"], r["entity"]): (r["n"], r["prior"])
+        for r in alias_priors(df).collect()
+    }
+    assert got[("ms", "EFO:MS")] == (8, pytest.approx(0.8))
+    assert got[("ms", "EFO:MitralStenosis")] == (2, pytest.approx(0.2))
+    assert got[("cancer", "EFO:cancer")] == (5, pytest.approx(1.0))
+    # Laplace alpha=1: (8+1)/(10+2) and (2+1)/(10+2); still sums to 1
+    sm = {
+        (r["surface"], r["entity"]): r["prior"]
+        for r in alias_priors(df, alpha=1.0).collect()
+    }
+    assert sm[("ms", "EFO:MS")] == pytest.approx(9 / 12)
+    assert sm[("ms", "EFO:MitralStenosis")] == pytest.approx(3 / 12)
+    assert sum(v for (s, _), v in sm.items() if s == "ms") == pytest.approx(1.0)
+
+
+def test_alias_priors_min_count_excluded_from_denominator(spark):
+    mentions = [("s", "e1")] * 5 + [("s", "e2")] * 1
+    df = spark.createDataFrame(mentions, "surface string, entity_id string")
+    got = {
+        r["entity"]: r["prior"]
+        for r in alias_priors(df, min_count=2).collect()
+    }
+    # e2 dropped BEFORE totals: e1's prior is 5/5, not 5/6
+    assert got == {"e1": pytest.approx(1.0)}
+
+
+def _py_prune_undirected(pairs, k):
+    # edge survives if top-k of either endpoint; ties (w desc, peer asc)
+    incident = {}
+    for a, b, w in pairs:
+        incident.setdefault(a, []).append((b, w))
+        incident.setdefault(b, []).append((a, w))
+    keep = set()
+    for node, lst in incident.items():
+        lst = sorted(lst, key=lambda t: (-t[1], t[0]))[:k]
+        for peer, _ in lst:
+            keep.add((min(node, peer), max(node, peer)))
+    return keep
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_prune_topk_undirected_bruteforce(spark, seed, k):
+    rng = random.Random(seed)
+    pairs = {}
+    for _ in range(30):
+        a, b = rng.randrange(10), rng.randrange(10)
+        if a == b:
+            continue
+        pairs[(min(a, b), max(a, b))] = round(rng.random(), 6)
+    rows = [(a, b, w) for (a, b), w in pairs.items()]
+    df = spark.createDataFrame(rows, "src bigint, dst bigint, w double")
+    got = {
+        (r["src"], r["dst"])
+        for r in prune_edges_topk(df, k=k, weight_col="w").collect()
+    }
+    assert got == _py_prune_undirected(rows, k), (seed, k)
+
+
+def test_prune_topk_directed_and_validation(spark):
+    rows = [
+        (0, 1, 5.0), (0, 2, 4.0), (0, 3, 3.0),
+        (1, 2, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "src bigint, dst bigint, w double")
+    got = {
+        (r["src"], r["dst"])
+        for r in prune_edges_topk(
+            df, k=2, weight_col="w", undirected=False
+        ).collect()
+    }
+    assert got == {(0, 1), (0, 2), (1, 2)}
+    with pytest.raises(ValueError):
+        prune_edges_topk(df, k=0, weight_col="w")
+
+
+def test_prune_keeps_low_degree_nodes_attached(spark):
+    # hub 0 with strong edges to 1..5; leaf 9 weakly tied to 0: the
+    # leaf's ONLY edge must survive via the leaf's own top-k even
+    # though it's far outside the hub's top-k
+    rows = [(0, i, 10.0 + i) for i in range(1, 6)] + [(0, 9, 0.1)]
+    df = spark.createDataFrame(rows, "src bigint, dst bigint, w double")
+    got = {
+        (r["src"], r["dst"])
+        for r in prune_edges_topk(df, k=2, weight_col="w").collect()
+    }
+    assert (0, 9) in got
+
+
+def test_plans_are_node_windowed(spark):
+    from ontoma_spark.core.planlint import assert_plan_clean
+
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0)], "src bigint, dst bigint, w double"
+    )
+    out = prune_edges_topk(df, k=1, weight_col="w")
+    assert_plan_clean(out)
+    m = spark.createDataFrame([("s", "e")], "surface string, entity_id string")
+    assert_plan_clean(alias_priors(m))
