@@ -206,3 +206,92 @@ def node_embeddings(
         normalize=normalize,
         salt=salt,
     )
+
+
+def link_prediction_eval(
+    embeddings: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    emb_col: str = "embedding",
+    src: str = "src",
+    dst: str = "dst",
+    n_neg: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Matched-pair AUC of an embedding table against held-out edges —
+    the standard "did the embeddings learn the graph?" gate before
+    spending them on semantic dedup or ANN.
+
+    For every positive edge (u, v) and ``n_neg`` FILTERED tail
+    corruptions v' (``kgtrain.negative_samples``: guaranteed
+    non-edges, deterministic), score s = cos(emb(u), emb(·)) and
+    estimate AUC = P(s_pos > s_neg) + 0.5·P(tie) over matched pairs —
+    the per-positive-matched estimator, which needs NO global sort
+    (a rank-based AUC would funnel all scores through one ordering).
+
+    Returns ONE row: (auc, n_pairs, n_pos) — n_pos counts positives
+    that had both endpoint embeddings and ≥1 surviving negative.
+
+    Scale: two node-keyed joins attach embeddings (embedding table
+    AQE-broadcasts when it fits), the dot product is Column algebra
+    (``aggregate``/``zip_with``, no UDF), and the result is one
+    map-side-combined global agg. The original dst is threaded through
+    ``negative_samples``'s pred slot so negatives re-match their OWN
+    positive edge without re-keying.
+    """
+    from ontoma_spark.operators.kgtrain import negative_samples
+
+    pos = edges.select(
+        F.col(src).cast("string").alias("u"),
+        F.col(dst).cast("string").alias("v"),
+    ).distinct()
+    neg = negative_samples(
+        pos.select(
+            F.col("u").alias("subj"),
+            F.col("v").alias("pred"),  # thread dst through the pred slot
+            F.col("v").alias("obj"),
+        ),
+        n_neg=n_neg,
+        seed=seed,
+    ).select(
+        F.col("subj").alias("u"),
+        F.col("pred").alias("v"),
+        F.col("neg_obj").alias("w"),
+    )
+    emb = embeddings.select(
+        F.col(node_col).cast("string").alias("__n"),
+        F.col(emb_col).alias("__e"),
+    )
+
+    def _dot(a, b):  # noqa: ANN001
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _attach(df: DataFrame, key: str, out: str) -> DataFrame:
+        return df.join(
+            emb.select(F.col("__n").alias(key), F.col("__e").alias(out)),
+            key,
+        )
+
+    pos_scored = _attach(_attach(pos, "u", "__eu"), "v", "__ev").select(
+        "u", "v", _dot(F.col("__eu"), F.col("__ev")).alias("s_pos")
+    )
+    neg_scored = _attach(_attach(neg, "u", "__eu"), "w", "__ew").select(
+        "u", "v", _dot(F.col("__eu"), F.col("__ew")).alias("s_neg")
+    )
+    pairs = pos_scored.join(neg_scored, ["u", "v"]).select(
+        "u",
+        "v",
+        F.when(F.col("s_pos") > F.col("s_neg"), 1.0)
+        .when(F.col("s_pos") == F.col("s_neg"), 0.5)
+        .otherwise(0.0)
+        .alias("__win"),
+    )
+    return pairs.agg(
+        F.avg("__win").alias("auc"),
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("u", "v").alias("n_pos"),
+    )

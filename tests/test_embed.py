@@ -207,3 +207,72 @@ def test_node_embeddings_end_to_end_and_plan(spark):
     assert set(rows2) == set(rows)
     for n in rows:
         assert rows2[n] == pytest.approx(rows[n], rel=1e-9), n
+
+
+def test_link_prediction_eval_exact_mirror(spark):
+    from ontoma_spark.operators.embed import link_prediction_eval
+    from ontoma_spark.operators.kgtrain import negative_samples
+    import pyspark.sql.functions as F
+
+    emb_rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [0.9, 0.1]),
+        ("c", [0.0, 1.0]),
+        ("d", [0.1, 0.9]),
+    ]
+    emb = spark.createDataFrame(emb_rows, "node string, embedding array<double>")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "src string, dst string"
+    )
+    n_neg, seed = 3, 5
+    got = link_prediction_eval(emb, edges, n_neg=n_neg, seed=seed).collect()[0]
+    # mirror: same negatives via the same generator
+    neg = negative_samples(
+        edges.select(
+            F.col("src").alias("subj"),
+            F.col("dst").alias("pred"),
+            F.col("dst").alias("obj"),
+        ),
+        n_neg=n_neg,
+        seed=seed,
+    ).collect()
+    ed = dict(emb_rows)
+
+    def cos(x, y):
+        return sum(p * q for p, q in zip(ed[x], ed[y]))
+
+    wins, n_pairs = 0.0, 0
+    for r in neg:
+        u, v, w = r["subj"], r["pred"], r["neg_obj"]
+        sp, sn = cos(u, v), cos(u, w)
+        wins += 1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+        n_pairs += 1
+    assert got["n_pairs"] == n_pairs
+    assert got["auc"] == pytest.approx(wins / n_pairs, rel=1e-12)
+
+
+def test_link_prediction_eval_learned_embeddings_beat_ties(spark):
+    from ontoma_spark.operators.embed import link_prediction_eval, node_embeddings
+
+    # two 4-cliques joined by nothing: intra-clique edges are the
+    # positives; embeddings trained on the same structure should
+    # score them above corrupted tails
+    import itertools
+
+    cliq = [(f"a{i}", f"a{j}") for i, j in itertools.combinations(range(4), 2)]
+    cliq += [(f"b{i}", f"b{j}") for i, j in itertools.combinations(range(4), 2)]
+    edges = spark.createDataFrame(cliq, "src string, dst string")
+    pairs = edges.union(
+        edges.select(edges["dst"].alias("src"), edges["src"].alias("dst"))
+    ).toDF("center", "context")
+    emb = node_embeddings(pairs, dim=32, probes=4)
+    row = link_prediction_eval(emb, edges, n_neg=4, seed=3).collect()[0]
+    assert row["n_pairs"] > 0
+    assert row["auc"] > 0.7, row["auc"]
+
+    # identical embeddings everywhere -> every matched pair ties -> 0.5
+    import pyspark.sql.functions as F
+
+    flat = emb.select("node", F.expr("array(1.0d, 0.0d)").alias("embedding"))
+    tie = link_prediction_eval(flat, edges, n_neg=4, seed=3).collect()[0]
+    assert tie["auc"] == pytest.approx(0.5)
