@@ -295,3 +295,65 @@ def link_prediction_eval(
         F.count("*").alias("n_pairs"),
         F.countDistinct("u", "v").alias("n_pos"),
     )
+
+
+def merge_embeddings(
+    a: DataFrame,
+    b: DataFrame,
+    node_col: str = "node",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Merge two UNNORMALISED ``hash_project`` outputs built with the
+    same (dim, probes, salt): the projection is linear in the weight
+    rows, so project(w₁ ⊎ w₂) = project(w₁) + project(w₂) EXACTLY —
+    per-shard / per-day embedding builds merge by vector addition with
+    no access to the original co-occurrence data (the mergeability the
+    module docstring promises, materialised; exact-law-tested).
+
+    Normalised vectors do NOT merge linearly — build shards with
+    ``normalize=False``, merge, then apply ``normalize_embeddings``.
+
+    Full-outer on the node key; a node absent from one side
+    contributes zeros. One shuffle on node id.
+    """
+    dim_probe = F.size(F.col(emb_col))
+    za = a.select(
+        F.col(node_col).alias("node"),
+        F.col(emb_col).alias("__ea"),
+        dim_probe.alias("__da"),
+    )
+    zb = b.select(
+        F.col(node_col).alias("node"),
+        F.col(emb_col).alias("__eb"),
+        dim_probe.alias("__db"),
+    )
+    dim_expr = F.coalesce(F.col("__da"), F.col("__db"))
+    zeros = F.transform(
+        F.sequence(F.lit(1), dim_expr), lambda _: F.lit(0.0)
+    )
+    return za.join(zb, "node", "full_outer").select(
+        "node",
+        F.zip_with(
+            F.coalesce(F.col("__ea"), zeros),
+            F.coalesce(F.col("__eb"), zeros),
+            lambda x, y: x + y,
+        ).alias(emb_col),
+    )
+
+
+def normalize_embeddings(
+    df: DataFrame, emb_col: str = "embedding"
+) -> DataFrame:
+    """L2-normalise an embedding column in place (zero vectors pass
+    through unchanged). Pure Column algebra, zero shuffle."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(emb_col), F.lit(0.0), lambda acc, v: acc + v * v
+        )
+    )
+    return df.withColumn(
+        emb_col,
+        F.when(
+            norm > 0, F.transform(F.col(emb_col), lambda v: v / norm)
+        ).otherwise(F.col(emb_col)),
+    )

@@ -276,3 +276,49 @@ def test_link_prediction_eval_learned_embeddings_beat_ties(spark):
     flat = emb.select("node", F.expr("array(1.0d, 0.0d)").alias("embedding"))
     tie = link_prediction_eval(flat, edges, n_neg=4, seed=3).collect()[0]
     assert tie["auc"] == pytest.approx(0.5)
+
+
+def test_merge_embeddings_exact_linearity_law(spark):
+    from ontoma_spark.operators.embed import (
+        hash_project,
+        merge_embeddings,
+        normalize_embeddings,
+    )
+
+    w1 = spark.createDataFrame(
+        [("a", "x", 1.5), ("b", "y", 2.0), ("c", "z", 1.0)],
+        "node string, context string, ppmi double",
+    )
+    w2 = spark.createDataFrame(
+        [("a", "y", 0.5), ("b", "y", 1.0), ("d", "x", 3.0)],
+        "node string, context string, ppmi double",
+    )
+    kw = dict(dim=16, probes=3, normalize=False, salt="m")
+    merged = {
+        r["node"]: r["embedding"]
+        for r in merge_embeddings(
+            hash_project(w1, **kw), hash_project(w2, **kw)
+        ).collect()
+    }
+    direct = {
+        r["node"]: r["embedding"]
+        for r in hash_project(w1.unionByName(w2), **kw).collect()
+    }
+    assert set(merged) == set(direct) == {"a", "b", "c", "d"}
+    for n in direct:
+        assert merged[n] == pytest.approx(direct[n], abs=1e-12), n
+    # normalize-after-merge equals the one-shot normalized build
+    nm = {
+        r["node"]: r["embedding"]
+        for r in normalize_embeddings(
+            merge_embeddings(hash_project(w1, **kw), hash_project(w2, **kw))
+        ).collect()
+    }
+    one = {
+        r["node"]: r["embedding"]
+        for r in hash_project(
+            w1.unionByName(w2), dim=16, probes=3, normalize=True, salt="m"
+        ).collect()
+    }
+    for n in one:
+        assert nm[n] == pytest.approx(one[n], rel=1e-12), n
