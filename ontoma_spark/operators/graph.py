@@ -1497,3 +1497,168 @@ def ktruss(
     raise RuntimeError(
         f"ktruss: no fixpoint within {max_iter} rounds — raise max_iter"
     )
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    k_landmarks: int = 16,
+    seed: int = 17,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    max_depth: int = 30,
+    allow_truncation: bool = False,
+) -> DataFrame:
+    """Approximate betweenness centrality by sampled-source Brandes
+    (Brandes 2001 dependency accumulation; Brandes & Pich 2007 /
+    Bader et al. 2007 source sampling): bc(v) ≈ (n/k)·Σ_{s∈S} δ_s(v),
+    the broker/bottleneck score that degree and PageRank both miss
+    (an articulation node between two communities can have degree 2).
+
+    The landmark set S is the ``k_landmarks`` smallest xxhash64(node,
+    seed) nodes — deterministic uniform sampling, same device as
+    ``harmonic_centrality``; ``k_landmarks >= n`` makes the result
+    EXACT (the test-oracle path). ``directed=False`` symmetrises the
+    edge list and halves the accumulated score (each unordered pair
+    is counted from both ends), matching textbook undirected
+    unnormalised betweenness at k = n.
+
+    Returns (node, betweenness) for every node incident to an edge.
+
+    Scale: all k sources advance in ONE keyed dataflow. Forward pass:
+    per BFS level one frontier ⋈ edges join plus one (s, node) agg
+    that SUMS path counts σ (map-side combinable; multiple shortest
+    parents merge in the agg, never enumerated). Backward pass: per
+    level one reversed-edge join + one agg computing
+    δ_v = Σ σ_v/σ_w·(1+δ_w) over successors w. 2×eccentricity rounds
+    total, every intermediate ``localCheckpoint``-ed; level tables
+    hold (landmark, node) rows — bounded by k·|V| across ALL levels.
+    Exhausting ``max_depth`` with a live frontier raises (truncated
+    dependencies silently understate bc) unless ``allow_truncation``.
+    """
+    if k_landmarks < 1:
+        raise ValueError("k_landmarks must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if not directed:
+        e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("betweenness"))
+    landmarks = (
+        nodes.orderBy(F.xxhash64("node", F.lit(seed)), F.col("node"))
+        .limit(min(k_landmarks, n))
+        .select(F.col("node").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    k = landmarks.count()
+
+    # ---- forward: per-level (s, node, sigma) with sigma = #shortest paths
+    level = landmarks.select(
+        "s", F.col("s").alias("node"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    visited = level.select("s", "node")
+    levels = [level]
+    truncated = False
+    for _ in range(max_depth):
+        nxt = (
+            level.join(e, level["node"] == e["a"])
+            .select("s", F.col("b").alias("node"), "sigma")
+            .groupBy("s", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["s", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.union(nxt.select("s", "node")).localCheckpoint(
+            eager=True
+        )
+        level = nxt
+    else:
+        live = (
+            level.join(e, level["node"] == e["a"])
+            .select("s", F.col("b").alias("node"))
+            .join(visited, ["s", "node"], "left_anti")
+            .limit(1)
+            .count()
+        )
+        if live:
+            if not allow_truncation:
+                raise RuntimeError(
+                    "betweenness_centrality: frontier alive at "
+                    f"max_depth={max_depth}; raise max_depth or pass "
+                    "allow_truncation=True (scores would be biased low)"
+                )
+            truncated = True
+    _ = truncated  # documented bias opt-in; nothing further to do
+
+    # ---- backward: delta accumulation from the deepest level up
+    acc = None  # union of (s, node, delta) over levels >= 1
+    delta = None  # (s, node, delta) at the level currently being consumed
+    for d in range(len(levels) - 1, 0, -1):
+        w_lvl = levels[d]
+        if delta is None:
+            w_full = w_lvl.select(
+                "s", "node", "sigma", F.lit(0.0).alias("delta")
+            )
+        else:
+            w_full = w_lvl.join(delta, ["s", "node"], "left").select(
+                "s",
+                "node",
+                "sigma",
+                F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+            )
+        acc = (
+            w_full.select("s", "node", "delta")
+            if acc is None
+            else acc.union(w_full.select("s", "node", "delta"))
+        )
+        # predecessors v of w: edge v->w with dist(v) = d-1
+        contrib = (
+            w_full.join(e, w_full["node"] == e["b"])
+            .select(
+                "s",
+                F.col("a").alias("pnode"),
+                (F.col("sigma")).alias("sigma_w"),
+                "delta",
+            )
+            .join(
+                levels[d - 1].select(
+                    "s",
+                    F.col("node").alias("pnode"),
+                    F.col("sigma").alias("sigma_v"),
+                ),
+                ["s", "pnode"],
+            )
+            .groupBy("s", F.col("pnode").alias("node"))
+            .agg(
+                F.sum(
+                    (F.col("sigma_v") / F.col("sigma_w"))
+                    * (F.lit(1.0) + F.col("delta"))
+                ).alias("delta")
+            )
+        )
+        delta = contrib.localCheckpoint(eager=True)
+
+    if acc is None:
+        return nodes.select("node", F.lit(0.0).alias("betweenness"))
+    scale = float(n) / float(k) * (0.5 if not directed else 1.0)
+    bc = acc.groupBy("node").agg(
+        (F.sum("delta") * F.lit(scale)).alias("betweenness")
+    )
+    return nodes.join(bc, "node", "left").select(
+        "node", F.coalesce(F.col("betweenness"), F.lit(0.0)).alias("betweenness")
+    )

@@ -1,0 +1,158 @@
+"""betweenness_centrality: exact-mode Brandes oracle + sampled mirror."""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict, deque
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.graph import betweenness_centrality
+
+
+def _py_brandes(pairs, directed, sources, n, k):
+    nodes = set()
+    adj = defaultdict(list)
+    es = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        nodes.add(a)
+        nodes.add(b)
+        es.add((a, b))
+        if not directed:
+            es.add((b, a))
+    for a, b in es:
+        adj[a].append(b)
+    bc = defaultdict(float)
+    for s in sources:
+        dist = {s: 0}
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        preds = defaultdict(list)
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    scale = n / k * (0.5 if not directed else 1.0)
+    return {v: bc[v] * scale for v in nodes}
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src bigint, dst bigint"
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("directed", [False, True])
+def test_exact_mode_matches_brandes(spark, seed, directed):
+    rng = random.Random(seed)
+    pairs = {
+        (rng.randrange(11), rng.randrange(11)) for _ in range(rng.randrange(12, 28))
+    }
+    pairs = {(a, b) for a, b in pairs if a != b}
+    nodes = sorted({x for p in pairs for x in p})
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(
+            _edges_df(spark, pairs), k_landmarks=100, directed=directed
+        ).collect()
+    }
+    want = _py_brandes(pairs, directed, nodes, len(nodes), len(nodes))
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9, abs=1e-12), (
+            v, directed,
+        )
+
+
+def test_structural_pins(spark):
+    # P4 path: inner nodes broker 2 pairs each, ends 0
+    p4 = [(0, 1), (1, 2), (2, 3)]
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(
+            _edges_df(spark, p4), k_landmarks=100
+        ).collect()
+    }
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(2.0)
+    assert got[2] == pytest.approx(2.0)
+    # star K1,5: center brokers all C(5,2) leaf pairs
+    star = [(9, i) for i in range(5)]
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(
+            _edges_df(spark, star), k_landmarks=100
+        ).collect()
+    }
+    assert got[9] == pytest.approx(10.0)
+    assert all(got[i] == pytest.approx(0.0) for i in range(5))
+
+
+def test_sampled_mirror_and_determinism(spark):
+    rng = random.Random(4)
+    pairs = {(rng.randrange(16), rng.randrange(16)) for _ in range(40)}
+    pairs = {(a, b) for a, b in pairs if a != b}
+    e = _edges_df(spark, pairs)
+    kreq, seed = 6, 31
+    nodes_df = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    landmarks = [
+        r["node"]
+        for r in nodes_df.orderBy(F.xxhash64("node", F.lit(seed)), F.col("node"))
+        .limit(kreq)
+        .collect()
+    ]
+    nodes = {x for p in pairs for x in p}
+    want = _py_brandes(pairs, False, landmarks, len(nodes), len(landmarks))
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(
+            e, k_landmarks=kreq, seed=seed
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9, abs=1e-12), v
+    got2 = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(
+            e.repartition(9, "src"), k_landmarks=kreq, seed=seed
+        ).collect()
+    }
+    for v in got:
+        assert got2[v] == pytest.approx(got[v], rel=1e-9)
+
+
+def test_truncation_and_validation(spark):
+    chain = [(i, i + 1) for i in range(8)]
+    e = _edges_df(spark, chain)
+    with pytest.raises(RuntimeError, match="max_depth"):
+        betweenness_centrality(e, k_landmarks=100, max_depth=3, directed=True)
+    out = betweenness_centrality(
+        e, k_landmarks=100, max_depth=3, directed=True, allow_truncation=True
+    )
+    assert out.count() == 9
+    with pytest.raises(ValueError):
+        betweenness_centrality(e, k_landmarks=0)
