@@ -1662,3 +1662,78 @@ def betweenness_centrality(
     return nodes.join(bc, "node", "left").select(
         "node", F.coalesce(F.col("betweenness"), F.lit(0.0)).alias("betweenness")
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Weighted shortest-path distances from each source node:
+    (source, node, dist) per-source (unlike ``bfs_distances``, which
+    collapses to the min over ALL sources) — the weighted-KG distance
+    feature (e.g. cost = 1 - npmi) that hop counting cannot express.
+
+    Distributed Bellman-Ford / min-plus relaxation: per round one
+    state ⋈ edges join proposing dist(v) + w(v,u), then one
+    (source, node) MIN aggregation merging proposals with the current
+    state — both map-side combinable, no per-node priority queue to
+    emulate. Converges in L rounds where L = max shortest-path HOP
+    count (≤ |V|-1); stops as soon as a round improves nothing.
+    Negative weights raise (min-plus fixpoint semantics need
+    non-negative costs; a negative cycle would diverge silently).
+
+    ``weight_col=None`` means unit weights (then this is per-source
+    BFS). ``sources`` is a one-column DataFrame. ``localCheckpoint``
+    per round; raises on ``max_iter`` exhaustion with improvements
+    still occurring.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
+    ).filter(F.col("a") != F.col("b"))
+    if not directed:
+        e = e.union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+    # keep the cheapest parallel edge; also the negative-weight gate
+    e = e.groupBy("a", "b").agg(F.min("w").alias("w")).localCheckpoint(
+        eager=True
+    )
+    wmin = e.agg(F.min("w")).collect()[0][0]
+    if wmin is not None and wmin < 0:
+        raise ValueError("shortest_paths: negative edge weights")
+
+    cur = (
+        sources.select(F.col(sources.columns[0]).alias("source"))
+        .distinct()
+        .select("source", F.col("source").alias("node"), F.lit(0.0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        cand = (
+            cur.join(e, cur["node"] == e["a"])
+            .select("source", F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        nxt = (
+            cur.unionByName(cand)
+            .groupBy("source", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = nxt.exceptAll(cur).limit(1).count()
+        cur = nxt
+        if improved == 0:
+            return cur.select("source", "node", "dist")
+    raise RuntimeError(
+        f"shortest_paths: still improving after {max_iter} rounds — "
+        "raise max_iter"
+    )

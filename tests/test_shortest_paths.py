@@ -1,0 +1,123 @@
+"""shortest_paths: Dijkstra oracle + relaxation pins."""
+
+from __future__ import annotations
+
+import heapq
+import random
+
+import pytest
+
+from ontoma_spark.operators.graph import shortest_paths
+
+
+def _py_dijkstra(wedges, sources, directed):
+    adj = {}
+    for a, b, w in wedges:
+        if a == b:
+            continue
+        adj.setdefault(a, {})
+        adj[a][b] = min(adj[a].get(b, float("inf")), w)
+        if not directed:
+            adj.setdefault(b, {})
+            adj[b][a] = min(adj[b].get(a, float("inf")), w)
+    out = {}
+    for s in sources:
+        dist = {s: 0.0}
+        pq = [(0.0, s)]
+        while pq:
+            d, v = heapq.heappop(pq)
+            if d > dist.get(v, float("inf")):
+                continue
+            for u, w in adj.get(v, {}).items():
+                nd = d + w
+                if nd < dist.get(u, float("inf")):
+                    dist[u] = nd
+                    heapq.heappush(pq, (nd, u))
+        for v, d in dist.items():
+            out[(s, v)] = d
+    return out
+
+
+def _wedges_df(spark, rows):
+    return spark.createDataFrame(
+        [(int(a), int(b), float(w)) for a, b, w in rows],
+        "src bigint, dst bigint, w double",
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("directed", [True, False])
+def test_matches_dijkstra(spark, seed, directed):
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(10), rng.randrange(10), round(rng.uniform(0.1, 5), 3))
+        for _ in range(30)
+    ]
+    srcs = [0, 3, 7]
+    got = {
+        (r["source"], r["node"]): r["dist"]
+        for r in shortest_paths(
+            _wedges_df(spark, rows),
+            spark.createDataFrame([(s,) for s in srcs], "s bigint"),
+            weight_col="w",
+            directed=directed,
+        ).collect()
+    }
+    want = _py_dijkstra(rows, srcs, directed)
+    assert set(got) == set(want), (seed, directed)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_weighted_beats_hop_shortcut(spark):
+    # hop-shortest path 0->2 (direct, weight 10) must LOSE to the
+    # two-hop route 0->1->2 (1+1)
+    rows = [(0, 2, 10.0), (0, 1, 1.0), (1, 2, 1.0)]
+    got = {
+        (r["source"], r["node"]): r["dist"]
+        for r in shortest_paths(
+            _wedges_df(spark, rows),
+            spark.createDataFrame([(0,)], "s bigint"),
+            weight_col="w",
+        ).collect()
+    }
+    assert got[(0, 2)] == pytest.approx(2.0)
+    # parallel edges keep the cheapest
+    rows2 = [(0, 1, 5.0), (0, 1, 2.0)]
+    got2 = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(
+            _wedges_df(spark, rows2),
+            spark.createDataFrame([(0,)], "s bigint"),
+            weight_col="w",
+        ).collect()
+    }
+    assert got2[1] == pytest.approx(2.0)
+
+
+def test_unit_weights_and_unreachable(spark):
+    rows = [(0, 1, 9.9), (1, 2, 9.9), (5, 6, 9.9)]
+    got = {
+        (r["source"], r["node"]): r["dist"]
+        for r in shortest_paths(
+            _wedges_df(spark, rows),
+            spark.createDataFrame([(0,)], "s bigint"),
+        ).collect()  # weight_col=None -> unit weights
+    }
+    assert got == {(0, 0): 0.0, (0, 1): 1.0, (0, 2): 2.0}  # 5,6 unreachable: absent
+
+
+def test_negative_weight_and_max_iter_raise(spark):
+    bad = _wedges_df(spark, [(0, 1, -1.0)])
+    with pytest.raises(ValueError, match="negative"):
+        shortest_paths(
+            bad, spark.createDataFrame([(0,)], "s bigint"), weight_col="w"
+        )
+    chain = _wedges_df(spark, [(i, i + 1, 1.0) for i in range(6)])
+    with pytest.raises(RuntimeError, match="max_iter"):
+        shortest_paths(
+            chain,
+            spark.createDataFrame([(0,)], "s bigint"),
+            weight_col="w",
+            max_iter=3,
+        )
