@@ -364,3 +364,81 @@ def stream_scd2(
         .outputMode("update")
         .start()
     )
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    event_time: str = "ts",
+    max_gap: str = "10 minutes",
+    watermark_delay: str = "1 hour",
+    left_filter: str | None = "event_type = 'view'",
+    right_filter: str | None = "event_type = 'click'",
+    schema: str | StructType | None = None,
+    query_name: str = "stream_interval_join",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream-stream INTERVAL join: pair each left event with every
+    right event of the same ``key`` whose event time falls in
+    [left_ts, left_ts + max_gap] — the attribution primitive
+    (view→click, impression→conversion) that batch twins express as a
+    range join. Both sides are file-source streams so the two inputs
+    advance independently, and a right event may arrive micro-batches
+    AFTER its left partner: Spark buffers each side's state and the
+    time-range condition + BOTH watermarks bound that state (left rows
+    are dropped once the right watermark passes left_ts + max_gap) —
+    without the range condition an inner stream-stream join's state
+    grows forever, which is why ``max_gap`` is mandatory here.
+
+    Output columns: ``key``, ``left_ts``, ``right_ts``, ``gap_sec``.
+    Append-mode memory sink under ``query_name``; batch twin for
+    equality tests: the same filters + range condition over static
+    reads of the same directories.
+
+    ``schema`` (DDL or StructType) parameterises the ingest; defaults
+    to the benchmark events table's.
+    """
+    if schema is None:
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+
+    def _side(path: str, flt: str | None, tag: str):
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        df = reader.parquet(path)
+        if flt:
+            df = df.filter(flt)
+        return df.select(
+            F.col(key).alias(f"{tag}_key"),
+            F.col(event_time).alias(f"{tag}_ts"),
+        ).withWatermark(f"{tag}_ts", watermark_delay)
+
+    left = _side(left_dir, left_filter, "l")
+    right = _side(right_dir, right_filter, "r")
+    joined = left.join(
+        right,
+        F.expr(
+            "l_key = r_key AND r_ts >= l_ts "
+            f"AND r_ts <= l_ts + INTERVAL {max_gap}"
+        ),
+    ).select(
+        F.col("l_key").alias(key),
+        F.col("l_ts").alias("left_ts"),
+        F.col("r_ts").alias("right_ts"),
+        (
+            F.col("r_ts").cast("double") - F.col("l_ts").cast("double")
+        ).alias("gap_sec"),
+    )
+    return (
+        joined.writeStream.queryName(query_name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

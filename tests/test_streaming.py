@@ -434,3 +434,81 @@ def test_stream_scd2_matches_batch_twin(spark, tmp_path):
         spark, table_root, retry, int(last_id), ["k"]
     ) is None
     assert t.current_version() == v
+
+
+def test_stream_interval_join_matches_batch_twin(spark, tmp_path):
+    """View->click attribution across independent streams: same-user
+    clicks within the gap pair up (including a click arriving in a
+    LATER micro-batch than its view — buffered join state), clicks
+    outside the gap or cross-user never do; result equals the batch
+    range-join twin over the same files."""
+    from ontoma_spark.streaming.incremental import stream_interval_join
+
+    left_dir = str(tmp_path / "views")
+    right_dir = str(tmp_path / "clicks")
+    ckpt = str(tmp_path / "ckpt_ij")
+    os.makedirs(left_dir)
+    os.makedirs(right_dir)
+
+    schema = (
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def _write(path, rows):
+        spark.createDataFrame(rows, schema).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    # wave 1: user 1 view @00:00, click @00:05 (in gap);
+    #         user 2 view @00:00, click @00:20 (outside 10m gap)
+    _write(left_dir, [
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 00:00:00", 2, "view", 0.0, "{}"),
+    ])
+    _write(right_dir, [
+        (3, "2024-01-01 00:05:00", 1, "click", 0.0, "{}"),
+        (4, "2024-01-01 00:20:00", 2, "click", 0.0, "{}"),
+    ])
+
+    q = stream_interval_join(
+        spark, left_dir, right_dir, ckpt,
+        max_gap="10 minutes", query_name="ij_t1",
+    )
+    try:
+        q.processAllAvailable()
+        # wave 2: a LATE click for user 2's view arrives in a later
+        # micro-batch but within the gap — buffered left state must
+        # still pair it; plus a cross-user click that must not match
+        _write(right_dir, [
+            (5, "2024-01-01 00:09:00", 2, "click", 0.0, "{}"),
+            (6, "2024-01-01 00:05:00", 99, "click", 0.0, "{}"),
+        ])
+        q.processAllAvailable()
+        got = sorted(
+            (r["user_id"], str(r["left_ts"]), str(r["right_ts"]), r["gap_sec"])
+            for r in spark.sql("SELECT * FROM ij_t1").collect()
+        )
+    finally:
+        q.stop()
+
+    views = spark.read.parquet(left_dir).filter("event_type = 'view'")
+    clicks = spark.read.parquet(right_dir).filter("event_type = 'click'")
+    twin = sorted(
+        (r["user_id"], str(r["l_ts"]), str(r["r_ts"]), r["gap"])
+        for r in views.alias("l").join(
+            clicks.alias("r"),
+            F.expr(
+                "l.user_id = r.user_id AND r.ts >= l.ts "
+                "AND r.ts <= l.ts + INTERVAL 10 minutes"
+            ),
+        ).selectExpr(
+            "l.user_id AS user_id", "l.ts AS l_ts", "r.ts AS r_ts",
+            "CAST(r.ts AS DOUBLE) - CAST(l.ts AS DOUBLE) AS gap",
+        ).collect()
+    )
+    assert got == twin
+    assert len(got) == 2  # (u1, 00:05) and the late (u2, 00:09)
+    users = [g[0] for g in got]
+    assert users == [1, 2]
