@@ -3204,7 +3204,49 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_node_embeddings": q75_node_embeddings,
         "q76_ontology_alignment": q76_ontology_alignment,
         "q77_harmonic_centrality": q77_harmonic_centrality,
+        "q78_betweenness": q78_betweenness,
+        "q79_shortest_paths": q79_shortest_paths,
     }
+
+
+def q78_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (full-Brandes-oracled in tests/test_betweenness.py):
+    8-landmark sampled Brandes on the part hierarchy (directed
+    child->parent, depth ~14) — times the forward sigma-agg rounds plus
+    the backward dependency rounds (~28 keyed join+agg iterations)."""
+    from ontoma_spark.operators.graph import betweenness_centrality
+
+    edges = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") > 1)
+        .select(
+            F.col("p_partkey").alias("src"),
+            (F.col("p_partkey") / 2).cast("long").alias("dst"),
+        )
+    )
+    return betweenness_centrality(
+        edges, k_landmarks=8, seed=13, directed=True, max_depth=25
+    )
+
+
+def q79_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (Dijkstra-oracled in tests/test_shortest_paths.py):
+    weighted min-plus relaxation from 4 sources over the part
+    hierarchy with p_retailprice-derived edge costs — times the
+    join+MIN-agg rounds to fixpoint on a depth-14 graph."""
+    from ontoma_spark.operators.graph import shortest_paths
+
+    edges = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") > 1)
+        .select(
+            F.col("p_partkey").alias("src"),
+            (F.col("p_partkey") / 2).cast("long").alias("dst"),
+            (F.col("p_retailprice") / 1000.0).alias("w"),
+        )
+    )
+    sources = spark.createDataFrame([(2,), (3,), (6,), (7,)], "s bigint")
+    return shortest_paths(edges, sources, weight_col="w", directed=False)
 
 
 def q75_node_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

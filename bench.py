@@ -118,6 +118,8 @@ HEADLINE = [
     "q75_node_embeddings",
     "q76_ontology_alignment",
     "q77_harmonic_centrality",
+    "q78_betweenness",
+    "q79_shortest_paths",
 ]
 
 T0 = time.time()
