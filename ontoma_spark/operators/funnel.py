@@ -1,0 +1,114 @@
+"""Funnel analysis over event streams: how far does each user get
+through an ordered step sequence, and when?
+
+The standard product-analytics read (view → cart → purchase) the
+events table exists for. Semantics are the "loose unordered-window"
+funnel: step i+1 is satisfied by the EARLIEST qualifying event
+strictly after the user's step-i time (and within ``within_sec`` of
+it, when set) — earliest-match is the textbook greedy rule, and without a
+gap bound it is optimal for reach (if any assignment completes k
+steps, greedy does). WITH ``within_sec`` greedy-earliest is the
+FIRST-TOUCH attribution convention, not a reach maximiser — a user
+whose first step-1 event leads into a too-long gap counts as broken
+even if a later step-1 retry would have completed (deliberate: that
+is how product funnels are conventionally scored, and the test
+oracle implements the same rule).
+
+Scale notes
+-----------
+* One pass per step (k is small and fixed): filter the events table
+  to that step's predicate — lands in the parquet scan — join against
+  the current per-user state (|users| rows, AQE-broadcasts while it
+  fits), keep events after the prior step time, take MIN(ts) per
+  user. No per-user event arrays are ever collected (the
+  collect_list-then-scan formulation blows up on hot users); state
+  stays one row per user throughout.
+* The output is a LEFT spine over step-1 reachers: users keep NULL
+  times past their furthest step, so conversion between adjacent
+  steps is one aggregation over the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    within_sec: float | None = None,
+) -> DataFrame:
+    """Per-user funnel progression through ``steps`` (event-type
+    values, length ≥ 2 recommended).
+
+    Returns one row per user who reached step 1:
+    (user, t1 … tk, steps_reached) where t_i is the earliest time the
+    user satisfied step i under the greedy rule (NULL once the funnel
+    broke) and ``steps_reached`` counts non-null times.
+    ``within_sec`` bounds each ADJACENT gap (not the whole funnel).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    u, ty, ts = F.col(user_col), F.col(type_col), F.col(time_col)
+
+    state = (
+        events.filter(ty == steps[0])
+        .groupBy(u.alias("user"))
+        .agg(F.min(ts).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t{i - 1}"
+        nxt = (
+            events.filter(ty == step)
+            .select(u.alias("user"), ts.alias("__ts"))
+            .join(state.select("user", prev), "user")
+            .filter(F.col("__ts") > F.col(prev))
+        )
+        if within_sec is not None:
+            nxt = nxt.filter(
+                F.col("__ts").cast("double") - F.col(prev).cast("double")
+                <= float(within_sec)
+            )
+        hits = nxt.groupBy("user").agg(F.min("__ts").alias(f"t{i}"))
+        state = state.join(hits, "user", "left")
+    reached = sum(
+        F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return state.withColumn("steps_reached", reached)
+
+
+def funnel_conversion(funnel_df: DataFrame, n_steps: int) -> DataFrame:
+    """Aggregate a ``funnel`` result into the conversion table:
+    (step, n_users, conversion_from_prev, conversion_from_start)."""
+    aggs = [
+        F.sum(
+            F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+        ).alias(f"n{i}")
+        for i in range(1, n_steps + 1)
+    ]
+    row = funnel_df.agg(*aggs)
+    cols = []
+    for i in range(1, n_steps + 1):
+        cols.append(
+            F.struct(
+                F.lit(i).alias("step"),
+                F.col(f"n{i}").alias("n_users"),
+                (
+                    F.col(f"n{i}")
+                    / F.when(
+                        F.col(f"n{max(i - 1, 1)}") > 0,
+                        F.col(f"n{max(i - 1, 1)}"),
+                    )
+                ).alias("conversion_from_prev"),
+                (
+                    F.col(f"n{i}")
+                    / F.when(F.col("n1") > 0, F.col("n1"))
+                ).alias("conversion_from_start"),
+            )
+        )
+    return row.select(F.explode(F.array(*cols)).alias("s")).select("s.*")

@@ -1,0 +1,136 @@
+"""funnel: greedy earliest-match oracle + conversion table."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+
+from ontoma_spark.operators.funnel import funnel, funnel_conversion
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ev(u, minutes, typ):
+    return (u, T0 + timedelta(minutes=minutes), typ)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def _py_funnel(rows, steps, within_sec=None):
+    by_user = {}
+    for u, t, ty in rows:
+        by_user.setdefault(u, []).append((t, ty))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        times = []
+        cur = None
+        for step in steps:
+            cand = [
+                t
+                for t, ty in evs
+                if ty == step
+                and (cur is None or t > cur)
+                and (
+                    within_sec is None
+                    or cur is None
+                    or (t - cur).total_seconds() <= within_sec
+                )
+            ]
+            if not cand:
+                break
+            cur = min(cand)
+            times.append(cur)
+        if times:
+            out[u] = times
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("within", [None, 600.0])
+def test_funnel_matches_greedy_oracle(spark, seed, within):
+    rng = random.Random(seed)
+    types = ["view", "cart", "buy"]
+    rows = [
+        _ev(rng.randrange(6), rng.randrange(120), rng.choice(types))
+        for _ in range(60)
+    ]
+    got = {
+        r["user"]: [r[f"t{i}"] for i in (1, 2, 3) if r[f"t{i}"] is not None]
+        for r in funnel(
+            _df(spark, rows), types, within_sec=within
+        ).collect()
+    }
+    want = _py_funnel(rows, types, within_sec=within)
+    assert got == want, (seed, within)
+
+
+def test_funnel_semantics_pins(spark):
+    rows = [
+        # u1 completes in order
+        _ev(1, 0, "view"), _ev(1, 5, "cart"), _ev(1, 9, "buy"),
+        # u2: buy BEFORE cart -> funnel breaks at step 2's buy... but a
+        # later buy would count; here none, so steps_reached = 2
+        _ev(2, 0, "view"), _ev(2, 10, "cart"), _ev(2, 5, "buy"),
+        # u3 never views: not in the spine at all
+        _ev(3, 0, "cart"), _ev(3, 1, "buy"),
+        # u4: same-timestamp step must NOT satisfy the strict ordering
+        _ev(4, 0, "view"), _ev(4, 0, "cart"),
+    ]
+    got = {
+        r["user"]: (r["steps_reached"], r["t2"])
+        for r in funnel(_df(spark, rows), ["view", "cart", "buy"]).collect()
+    }
+    assert set(got) == {1, 2, 4}
+    assert got[1][0] == 3
+    assert got[2][0] == 2
+    assert got[4] == (1, None)
+
+    conv = {
+        r["step"]: (r["n_users"], r["conversion_from_start"])
+        for r in funnel_conversion(
+            funnel(_df(spark, rows), ["view", "cart", "buy"]), 3
+        ).collect()
+    }
+    assert conv[1] == (3, pytest.approx(1.0))
+    assert conv[2] == (2, pytest.approx(2 / 3))
+    assert conv[3] == (1, pytest.approx(1 / 3))
+
+    with pytest.raises(ValueError):
+        funnel(_df(spark, rows), [])
+
+
+def test_funnel_within_gap_is_adjacent_not_total(spark):
+    rows = [
+        _ev(1, 0, "view"), _ev(1, 9, "cart"), _ev(1, 17, "buy"),
+    ]
+    # each adjacent gap is 9 and 8 min; a 10-min adjacent bound passes
+    # even though the total span (17 min) exceeds it
+    got = funnel(
+        _df(spark, rows), ["view", "cart", "buy"], within_sec=600
+    ).collect()[0]
+    assert got["steps_reached"] == 3
+
+
+def test_funnel_plan_no_user_arrays(spark, tmp_path):
+    from ontoma_spark.core.planlint import assert_plan_clean
+
+    p = str(tmp_path / "ev.parquet")
+    _df(
+        spark,
+        [_ev(u, m, t) for u in range(20) for m, t in
+         [(0, "view"), (3, "cart"), (7, "buy")]],
+    ).write.parquet(p)
+    out = funnel(spark.read.parquet(p), ["view", "cart", "buy"])
+    assert out.count() == 20
+    assert_plan_clean(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    # the step predicate reaches the parquet scan
+    assert "PushedFilters" in plan
