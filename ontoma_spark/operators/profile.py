@@ -128,3 +128,147 @@ def quantile_bins(
         )
         lo_expr = F.when(s < thresholds[i], lo).otherwise(lo_expr)
     return df.withColumn("bin", bin_expr).withColumn("bin_lo", lo_expr)
+
+
+def functional_deps(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    max_violation_rate: float = 0.0,
+) -> DataFrame:
+    """Discover column-pair functional dependencies A → B (every A
+    value maps to exactly one B value) — the key/hierarchy detector a
+    KG-ingest pipeline runs before trusting a column as an entity id
+    or a roll-up level (nationkey → nationname holds; regionkey →
+    nationname must not).
+
+    Returns (determinant, dependent, n_groups, n_violating_groups,
+    violation_rate, holds) for every ordered pair; ``holds`` is
+    violation_rate <= ``max_violation_rate`` (0.0 = exact FDs; a small
+    tolerance finds "approximate FDs" that hold up to dirty rows).
+    NULL determinant rows are excluded (SQL key semantics); a NULL
+    dependent counts as a value.
+
+    Scale: ONE aggregation per determinant column covering ALL
+    dependents at once — groupBy(A) with p-1 countDistinct columns,
+    map-side partial — then a count over groups; p determinants ⇒ p
+    shuffles on single columns, never a p² pass over the data.
+    """
+    if cols is None:
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, _ATOMIC)
+        ]
+    if len(cols) < 2:
+        raise ValueError("need at least two atomic columns")
+    parts = []
+    for a in cols:
+        others = [b for b in cols if b != a]
+        grouped = (
+            df.filter(F.col(a).isNotNull())
+            .groupBy(a)
+            .agg(
+                *[
+                    F.countDistinct(F.coalesce(F.col(b).cast("string"), F.lit("\x00null"))).alias(f"__d_{b}")
+                    for b in others
+                ]
+            )
+        )
+        row = grouped.agg(
+            F.count("*").alias("n_groups"),
+            *[
+                F.sum(
+                    F.when(F.col(f"__d_{b}") > 1, 1).otherwise(0)
+                ).alias(f"__v_{b}")
+                for b in others
+            ],
+        )
+        per_dep = row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(a).alias("determinant"),
+                            F.lit(b).alias("dependent"),
+                            F.col("n_groups").alias("n_groups"),
+                            F.col(f"__v_{b}").alias("n_violating_groups"),
+                        )
+                        for b in others
+                    ]
+                )
+            ).alias("s")
+        ).select("s.*")
+        parts.append(per_dep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    rate = F.when(
+        F.col("n_groups") > 0,
+        F.col("n_violating_groups") / F.col("n_groups"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "determinant",
+        "dependent",
+        "n_groups",
+        "n_violating_groups",
+        rate.alias("violation_rate"),
+        (rate <= max_violation_rate).alias("holds"),
+    )
+
+
+def inclusion_deps(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Discover inclusion dependencies left.A ⊆ right.B (every non-null
+    left value appears in the right column) — join-key / foreign-key
+    discovery between two tables (orders.custkey ⊆ customer.custkey).
+
+    Returns (left_col, right_col, n_left_distinct, n_missing, holds)
+    for every column pair with compatible value comparison (values are
+    compared as strings, the profiling convention). NULLs are ignored
+    on both sides.
+
+    Scale: each column's DISTINCT value set is computed ONCE
+    (column-cardinality-sized), then each pair is one left-anti join
+    between two distinct sets — never a join of the base tables.
+    """
+    if left_cols is None:
+        left_cols = [
+            f.name
+            for f in left.schema.fields
+            if isinstance(f.dataType, _ATOMIC)
+        ]
+    if right_cols is None:
+        right_cols = [
+            f.name
+            for f in right.schema.fields
+            if isinstance(f.dataType, _ATOMIC)
+        ]
+    if not left_cols or not right_cols:
+        raise ValueError("need at least one atomic column per side")
+
+    def _dset(df: DataFrame, c: str) -> DataFrame:
+        return (
+            df.select(F.col(c).cast("string").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+    lsets = {c: _dset(left, c) for c in left_cols}
+    rsets = {c: _dset(right, c) for c in right_cols}
+    rows = []
+    for lc, ls in lsets.items():
+        n_left = ls.count()
+        for rc, rs in rsets.items():
+            n_missing = ls.join(rs, "v", "left_anti").count()
+            rows.append((lc, rc, n_left, n_missing, n_missing == 0))
+    spark = left.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "left_col string, right_col string, n_left_distinct long, "
+        "n_missing long, holds boolean",
+    )

@@ -161,3 +161,81 @@ def test_quantile_bins_curriculum_composition(spark):
     assert set(agg) == {0, 1, 2, 3}
     for i in range(3):
         assert agg[i][1] <= agg[i + 1][0] or agg[i][2] > 0
+
+
+def test_functional_deps_discovery(spark):
+    from ontoma_spark.operators.profile import functional_deps
+
+    rows = [
+        (1, "r1", "alice"),
+        (2, "r1", "bob"),
+        (3, "r2", "carol"),
+        (3, "r2", "carol"),   # duplicate row: still one group, no violation
+        (None, "r9", "nobody"),  # NULL determinant rows excluded for id->
+    ]
+    df = spark.createDataFrame(rows, "id int, region string, name string")
+    got = {
+        (r["determinant"], r["dependent"]): (
+            r["n_violating_groups"], r["holds"],
+        )
+        for r in functional_deps(df).collect()
+    }
+    # id -> region and id -> name hold (each id one value)
+    assert got[("id", "region")] == (0, True)
+    assert got[("id", "name")] == (0, True)
+    # region -> name fails for r1 (alice, bob)
+    assert got[("region", "name")] == (1, False)
+    # name -> id holds; name -> region holds
+    assert got[("name", "id")][1] is True
+    # approximate FD: region->name holds at 50% tolerance (1 of 3 groups)
+    ap = {
+        (r["determinant"], r["dependent"]): r["holds"]
+        for r in functional_deps(df, max_violation_rate=0.5).collect()
+    }
+    assert ap[("region", "name")] is True
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        functional_deps(df.select("id"))
+
+
+def test_functional_deps_null_dependent_counts(spark):
+    from ontoma_spark.operators.profile import functional_deps
+
+    # same determinant mapping to NULL and 'x' is a violation
+    df = spark.createDataFrame(
+        [(1, None), (1, "x"), (2, None)], "k int, v string"
+    )
+    got = {
+        (r["determinant"], r["dependent"]): r["holds"]
+        for r in functional_deps(df).collect()
+    }
+    assert got[("k", "v")] is False
+
+
+def test_inclusion_deps_on_real_tables(spark):
+    from ontoma_spark.operators.profile import inclusion_deps
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    got = {
+        (r["left_col"], r["right_col"]): (r["n_missing"], r["holds"])
+        for r in inclusion_deps(
+            orders, cust,
+            left_cols=["o_custkey", "o_orderkey"],
+            right_cols=["c_custkey"],
+        ).collect()
+    }
+    # the foreign key holds; the order id is NOT contained in custkeys
+    assert got[("o_custkey", "c_custkey")] == (0, True)
+    assert got[("o_orderkey", "c_custkey")][1] is False
+
+
+def test_inclusion_deps_nulls_ignored(spark):
+    from ontoma_spark.operators.profile import inclusion_deps
+
+    left = spark.createDataFrame([("a",), (None,)], "x string")
+    right = spark.createDataFrame([("a",), ("b",)], "y string")
+    r = inclusion_deps(left, right).collect()[0]
+    assert (r["n_left_distinct"], r["n_missing"], r["holds"]) == (1, 0, True)
