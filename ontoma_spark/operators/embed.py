@@ -357,3 +357,83 @@ def normalize_embeddings(
             norm > 0, F.transform(F.col(emb_col), lambda v: v / norm)
         ).otherwise(F.col(emb_col)),
     )
+
+
+def text_embeddings(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    dim: int = 128,
+    probes: int = 2,
+    idf_weight: bool = True,
+    lowercase: bool = True,
+    salt: str = "textemb",
+) -> DataFrame:
+    """Training-free document embeddings from hashed character
+    n-grams — the fastText-style bag-of-subwords vector (Bojanowski et
+    al. 2017's subword hashing, minus the learned table; with
+    ``idf_weight`` the TF-IDF-weighted variant, the classic strong
+    baseline for near-duplicate and topical similarity). Gives any
+    text table an ``embedding`` column IN-ENGINE — no external model —
+    ready for ``semantic_dedup`` or the ANN operators.
+
+    weight(doc, gram) = tf · (idf = ln((N+1)/(df+1)) + 1, smoothed)
+    and the vector is the L2-normalised count-sketch projection of
+    those weights (``hash_project``), so two documents sharing most
+    n-grams land at cosine ≈ 1 regardless of length.
+
+    Scale: one explode to (doc, gram) rows (output ≈ corpus chars), a
+    (doc, gram) tf agg, an optional gram-keyed df agg joined back
+    (vocabulary-sized, AQE-broadcast), then the projection's bounded
+    fan-out — the corpus is never self-joined.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    grams = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.length(txt) - n, F.lit(0))
+        ),
+        lambda i: F.substring(txt, i + 1, n),
+    )
+    tf = (
+        docs.select(
+            F.col(key_col).alias("node"),
+            F.explode(grams).alias("context"),
+        )
+        .filter(F.length("context") == n)
+        .groupBy("node", "context")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    if idf_weight:
+        n_docs = docs.select(key_col).distinct().count()
+        df_tab = tf.groupBy("context").agg(
+            F.countDistinct("node").alias("__df")
+        )
+        tf = tf.join(df_tab, "context").select(
+            "node",
+            "context",
+            (
+                F.col("w")
+                * (
+                    F.log(
+                        (F.lit(float(n_docs + 1)))
+                        / (F.col("__df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("w"),
+        )
+    return hash_project(
+        tf,
+        node_col="node",
+        context_col="context",
+        weight_col="w",
+        dim=dim,
+        probes=probes,
+        normalize=True,
+        salt=salt,
+    ).withColumnRenamed("node", key_col)

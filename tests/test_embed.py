@@ -322,3 +322,82 @@ def test_merge_embeddings_exact_linearity_law(spark):
     }
     for n in one:
         assert nm[n] == pytest.approx(one[n], rel=1e-12), n
+
+
+def test_text_embeddings_similarity_structure(spark):
+    from ontoma_spark.operators.embed import text_embeddings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumped over the lazy dog"),   # near-dup
+            (3, "the quick brown fox jumps over the lazy dog"),    # exact dup
+            (4, "zzzz qqqq xxxx wwww vvvv kkkk jjjj"),             # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in text_embeddings(docs, dim=128, probes=2).collect()
+    }
+
+    def cos(a, b):
+        return math.fsum(x * y for x, y in zip(a, b))
+
+    # exact duplicate: identical vector
+    assert got[1] == got[3]
+    # near-duplicate far above the disjoint doc (IDF amplifies the
+    # distinctive differing grams, so this is ~0.87, not ~0.99)
+    assert cos(got[1], got[2]) > 0.8
+    assert cos(got[1], got[4]) < 0.3
+    # unit norms
+    for v in got.values():
+        assert math.fsum(x * x for x in v) == pytest.approx(1.0, rel=1e-9)
+    with pytest.raises(ValueError):
+        text_embeddings(docs, n=0)
+
+
+def test_text_embeddings_idf_downweights_boilerplate(spark):
+    from ontoma_spark.operators.embed import text_embeddings
+
+    # every doc shares a long boilerplate prefix; the distinctive tail
+    # differs. IDF weighting must separate docs 1 and 2 MORE than
+    # unweighted tf does.
+    boiler = "copyright 2024 example corp all rights reserved " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + "alpha beta gamma"),
+            (2, boiler + "delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def cos_of(idf):
+        got = {
+            r["doc_id"]: r["embedding"]
+            for r in text_embeddings(
+                docs, dim=256, probes=2, idf_weight=idf
+            ).collect()
+        }
+        return math.fsum(x * y for x, y in zip(got[1], got[2]))
+
+    assert cos_of(True) < cos_of(False)
+
+
+def test_text_embeddings_feeds_semantic_dedup(spark):
+    from ontoma_spark.operators.embed import text_embeddings
+    from ontoma_spark.operators.semdedup import semantic_dedup
+
+    base = "a long enough document body with plenty of shared content "
+    docs = spark.createDataFrame(
+        [(i, base + f"variant tail {i % 2}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    emb = text_embeddings(docs, dim=64, probes=2).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    out = semantic_dedup(emb, threshold=0.999, dim=64, n_cells=2)
+    kept = [r["vec_id"] for r in out.collect() if r["is_kept"]]
+    # the two tail-variants form two near-identical groups: exactly one
+    # survivor per group
+    assert len(kept) == 2
