@@ -3206,7 +3206,20 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_harmonic_centrality": q77_harmonic_centrality,
         "q78_betweenness": q78_betweenness,
         "q79_shortest_paths": q79_shortest_paths,
+        "q80_text_embeddings": q80_text_embeddings,
     }
+
+
+def q80_text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (structure/IDF/semantic-dedup-composition-oracled in
+    tests/test_embed.py): TF-IDF-weighted hashed-trigram embeddings
+    over the whole documents table — times the gram explode (~corpus
+    chars), the (doc, gram) tf agg, the df join-back, and the
+    count-sketch projection."""
+    from ontoma_spark.operators.embed import text_embeddings
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_embeddings(d, dim=64, probes=2)
 
 
 def q78_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:

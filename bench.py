@@ -120,6 +120,7 @@ HEADLINE = [
     "q77_harmonic_centrality",
     "q78_betweenness",
     "q79_shortest_paths",
+    "q80_text_embeddings",
 ]
 
 T0 = time.time()
