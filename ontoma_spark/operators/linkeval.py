@@ -1,0 +1,133 @@
+"""Evaluation layer for the entity-linking / ER stack.
+
+Two measurements every linking deployment needs and the reference
+(opentargets/OnToma) leaves to the caller:
+
+* ``score_calibration`` — given fuzzy-scored candidate pairs plus gold
+  labels, the per-threshold precision/recall/F1 table that turns a
+  default like ``DEFAULT_FUZZY_THRESHOLD`` from folklore into a
+  measured choice (operating-point selection, PR-curve style).
+* ``blocking_metrics`` — the standard ER blocking scorecard
+  (Christen 2012): REDUCTION RATIO (how much of the n×m pair space
+  the blocker pruned) and PAIR COMPLETENESS (what fraction of gold
+  matches survived into the candidate set). A blocker is only as good
+  as the recall it preserves per unit of pruning.
+
+Scale notes
+-----------
+* Calibration avoids a global score sort: scores bucket into
+  ``n_bins`` histogram bins (one map-side agg), and the cumulative
+  "predict-positive above threshold" counts come from a window over
+  the BIN table (n_bins rows, not data rows) — the same
+  O(#bins)-window trick as ``operators/packing.py``'s offset table.
+* Blocking metrics are two counts and one semi-join of the gold pairs
+  against the candidates (gold is evaluation-sized); the n×m total is
+  computed from the two side counts, never materialised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def score_calibration(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_match",
+    n_bins: int = 100,
+) -> DataFrame:
+    """Precision/recall/F1 at each score threshold.
+
+    ``scored``: one row per candidate pair with a numeric score in
+    [0, 1] and a boolean/0-1 gold label. Returns one row per occupied
+    bin: (threshold, n_pairs_at_or_above, n_true_at_or_above,
+    precision, recall, f1) where ``threshold`` is the bin's lower
+    edge — "predict match when score >= threshold".
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    binned = scored.select(
+        F.least(
+            F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("__bin"),
+        y.alias("__y"),
+    )
+    hist = binned.groupBy("__bin").agg(
+        F.count("*").alias("__n"), F.sum("__y").alias("__t")
+    )
+    total_true = hist.agg(F.sum("__t")).collect()[0][0] or 0
+    w = Window.orderBy(F.col("__bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "__bin",
+        F.sum("__n").over(w).alias("n_pairs_at_or_above"),
+        F.sum("__t").over(w).alias("n_true_at_or_above"),
+    )
+    prec = F.col("n_true_at_or_above") / F.col("n_pairs_at_or_above")
+    rec = (
+        F.col("n_true_at_or_above") / F.lit(float(total_true))
+        if total_true
+        else F.lit(0.0)
+    )
+    return cum.select(
+        (F.col("__bin") / n_bins).alias("threshold"),
+        "n_pairs_at_or_above",
+        "n_true_at_or_above",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(
+            (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )
+
+
+def blocking_metrics(
+    candidates: DataFrame,
+    gold: DataFrame,
+    n_left: int,
+    n_right: int,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """One-row scorecard for a blocking stage.
+
+    ``candidates``: the blocker's output pairs. ``gold``: the true
+    match pairs (evaluation-sized). ``n_left``/``n_right``: the two
+    table sizes, so the pruned n×m space is computed, never built.
+
+    Returns (n_candidates, n_gold, n_gold_covered, reduction_ratio,
+    pair_completeness) — reduction_ratio = 1 - |cand| / (n_left ·
+    n_right); pair_completeness = |cand ∩ gold| / |gold|.
+    """
+    if n_left <= 0 or n_right <= 0:
+        raise ValueError("n_left and n_right must be positive")
+    cand = candidates.select(
+        F.col(left_col).alias("l"), F.col(right_col).alias("r")
+    ).distinct()
+    g = gold.select(
+        F.col(left_col).alias("l"), F.col(right_col).alias("r")
+    ).distinct()
+    n_cand = cand.count()
+    n_gold = g.count()
+    n_cov = g.join(cand, ["l", "r"], "left_semi").count()
+    spark = candidates.sparkSession
+    total = float(n_left) * float(n_right)
+    return spark.createDataFrame(
+        [
+            (
+                n_cand,
+                n_gold,
+                n_cov,
+                1.0 - n_cand / total,
+                (n_cov / n_gold) if n_gold else 0.0,
+            )
+        ],
+        "n_candidates long, n_gold long, n_gold_covered long, "
+        "reduction_ratio double, pair_completeness double",
+    )

@@ -1,0 +1,118 @@
+"""score_calibration / blocking_metrics: brute-force oracles +
+end-to-end over the real alignment operator."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ontoma_spark.operators.linkeval import blocking_metrics, score_calibration
+
+
+def _py_calibration(rows, n_bins):
+    total_true = sum(y for _, y in rows)
+    out = {}
+    occupied = sorted(
+        {min(int(s * n_bins), n_bins - 1) for s, _ in rows}, reverse=True
+    )
+    cum_n = cum_t = 0
+    seen = []
+    for b in occupied:
+        in_bin = [
+            (s, y)
+            for s, y in rows
+            if min(int(s * n_bins), n_bins - 1) == b
+        ]
+        cum_n += len(in_bin)
+        cum_t += sum(y for _, y in in_bin)
+        prec = cum_t / cum_n
+        rec = cum_t / total_true if total_true else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+        out[round(b / n_bins, 9)] = (cum_n, cum_t, prec, rec, f1)
+        seen.append(b)
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_calibration_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    rows = [
+        (round(rng.random(), 4), 1 if rng.random() < 0.4 else 0)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "score double, is_match int")
+    got = {
+        round(r["threshold"], 9): (
+            r["n_pairs_at_or_above"],
+            r["n_true_at_or_above"],
+            r["precision"],
+            r["recall"],
+            r["f1"],
+        )
+        for r in score_calibration(df, n_bins=20).collect()
+    }
+    want = _py_calibration(rows, 20)
+    assert set(got) == set(want)
+    for k in want:
+        for a, b in zip(got[k], want[k]):
+            assert a == pytest.approx(b, rel=1e-12), k
+
+
+def test_calibration_pins(spark):
+    # perfectly separable scores: threshold at 0.5 gives P=R=F1=1
+    rows = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    df = spark.createDataFrame(rows, "score double, is_match int")
+    got = {
+        round(r["threshold"], 2): (r["precision"], r["recall"])
+        for r in score_calibration(df, n_bins=10).collect()
+    }
+    assert got[0.9] == (pytest.approx(1.0), pytest.approx(0.5))
+    assert got[0.8] == (pytest.approx(1.0), pytest.approx(1.0))
+    assert got[0.1] == (pytest.approx(0.5), pytest.approx(1.0))
+    with pytest.raises(ValueError):
+        score_calibration(df, n_bins=1)
+
+
+def test_blocking_metrics_values_and_validation(spark):
+    cand = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "x")],  # dup collapses
+        "left_id string, right_id string",
+    )
+    gold = spark.createDataFrame(
+        [("a", "x"), ("c", "z")], "left_id string, right_id string"
+    )
+    r = blocking_metrics(cand, gold, n_left=10, n_right=10).collect()[0]
+    assert r["n_candidates"] == 3
+    assert r["n_gold"] == 2
+    assert r["n_gold_covered"] == 1
+    assert r["reduction_ratio"] == pytest.approx(1 - 3 / 100)
+    assert r["pair_completeness"] == pytest.approx(0.5)
+    with pytest.raises(ValueError):
+        blocking_metrics(cand, gold, n_left=0, n_right=10)
+
+
+def test_end_to_end_over_alignment_candidates(spark):
+    """Blocking quality of align_ontologies' candidate stage against a
+    known ground truth: the perturbed-copy fixture where every left
+    node's true partner is its R-twin."""
+    from ontoma_spark.operators.align import align_ontologies
+
+    left = spark.createDataFrame(
+        [(f"L{i}", f"disease variant alpha{i}") for i in range(8)],
+        "id string, label string",
+    )
+    right = spark.createDataFrame(
+        [(f"R{i}", f"variant alpha{i} disease") for i in range(8)],
+        "id string, label string",
+    )
+    cand = align_ontologies(
+        left, right, min_score=0.0, mutual_only=False, block_df_cap=2
+    ).select("left_id", "right_id")
+    gold = spark.createDataFrame(
+        [(f"L{i}", f"R{i}") for i in range(8)], "left_id string, right_id string"
+    )
+    r = blocking_metrics(cand, gold, n_left=8, n_right=8).collect()[0]
+    # the unique alphaN token blocks exactly the true pairs
+    assert r["pair_completeness"] == pytest.approx(1.0)
+    assert r["reduction_ratio"] > 0.8
