@@ -118,3 +118,23 @@ def test_plans_are_node_windowed(spark):
     assert_plan_clean(out)
     m = spark.createDataFrame([("s", "e")], "surface string, entity_id string")
     assert_plan_clean(alias_priors(m))
+
+
+def test_prune_topk_large_k_is_identity(spark):
+    """Law: k >= max degree keeps every edge, both modes."""
+    rng = random.Random(5)
+    rows = [
+        (a, b, round(rng.random(), 4))
+        for a, b in {(rng.randrange(8), rng.randrange(8)) for _ in range(20)}
+        if a != b
+    ]
+    df = spark.createDataFrame(rows, "src bigint, dst bigint, w double")
+    full = {(r["src"], r["dst"]) for r in df.collect()}
+    for und in (True, False):
+        got = {
+            (r["src"], r["dst"])
+            for r in prune_edges_topk(
+                df, k=100, weight_col="w", undirected=und
+            ).collect()
+        }
+        assert got == full, und

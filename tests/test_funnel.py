@@ -134,3 +134,26 @@ def test_funnel_plan_no_user_arrays(spark, tmp_path):
     assert "collect_list" not in plan
     # the step predicate reaches the parquet scan
     assert "PushedFilters" in plan
+
+
+def test_funnel_reach_monotone_in_gap(spark):
+    """Law: widening the adjacent-gap bound never reduces any user's
+    steps_reached (first-touch greedy is monotone in the bound)."""
+    rng = random.Random(3)
+    types = ["view", "cart", "buy"]
+    rows = [
+        _ev(rng.randrange(5), rng.randrange(90), rng.choice(types))
+        for _ in range(50)
+    ]
+    df = _df(spark, rows)
+    reached = []
+    for gap in (300.0, 1200.0, None):  # 5 min, 20 min, unbounded
+        reached.append(
+            {
+                r["user"]: r["steps_reached"]
+                for r in funnel(df, types, within_sec=gap).collect()
+            }
+        )
+    for tighter, wider in zip(reached, reached[1:]):
+        for u, n in tighter.items():
+            assert wider.get(u, 0) >= n, u

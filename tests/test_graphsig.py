@@ -180,3 +180,21 @@ def test_wl_partitioning_invariance_and_plan(spark):
     rb = {(r["node"], r["wl_color"]) for r in b.collect()}
     assert ra == rb  # colors themselves are deterministic, not just the partition
     assert_plan_clean(a)
+
+
+def test_wl_refinement_is_monotone(spark):
+    """Law: 1-WL refinement only splits color classes — the distinct
+    color count is non-decreasing in rounds, and once two consecutive
+    rounds agree the partition is final (pinned by comparing against
+    a much deeper run)."""
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(15), rng.randrange(15)) for _ in range(35)})
+    e = _edges_df(spark, pairs)
+    counts = []
+    for r in range(0, 5):
+        part = _spark_partition(wl_signatures(e, rounds=r))
+        counts.append(len(part))
+    assert counts == sorted(counts)
+    assert _spark_partition(wl_signatures(e, rounds=4)) == _spark_partition(
+        wl_signatures(e, rounds=12)
+    )

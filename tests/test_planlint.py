@@ -278,3 +278,53 @@ def test_cyclic_core_and_topo_layers_round_lint_clean(spark):
         [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
     )
     assert_plan_clean(topo_layers(dag))
+
+
+def test_round4b_ops_lint_clean(spark):
+    """The session's new operators produce cartesian-free,
+    single-partition-free, Python-row-UDF-free plans (the alignment
+    JW scorer is Arrow-batched, which the linter allows)."""
+    import pyspark.sql.functions as F
+
+    from ontoma_spark.core.planlint import assert_plan_clean
+    from ontoma_spark.operators.aliases import alias_priors, prune_edges_topk
+    from ontoma_spark.operators.funnel import funnel
+    from ontoma_spark.operators.graph import (
+        betweenness_centrality,
+        harmonic_centrality,
+        ktruss,
+        shortest_paths,
+    )
+    from ontoma_spark.operators.graphsig import wl_signatures
+    from ontoma_spark.operators.motif import match_path, star_centers
+    from ontoma_spark.operators.rules import mine_rules
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src bigint, dst bigint"
+    )
+    we = e.withColumn("w", F.lit(1.0))
+    trip = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c")], "subj string, pred string, obj string"
+    )
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "view")],
+        "user_id long, ts_s string, event_type string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    src = spark.createDataFrame([(0,)], "s bigint")
+
+    for df in (
+        wl_signatures(e, rounds=2),
+        harmonic_centrality(e, k_landmarks=4),
+        betweenness_centrality(e, k_landmarks=4),
+        shortest_paths(we, src, weight_col="w"),
+        ktruss(e, k=3),
+        match_path(trip, ["p", "q"]),
+        star_centers(trip, ["p"]),
+        mine_rules(trip, min_support=1, min_confidence=0.0),
+        alias_priors(
+            spark.createDataFrame([("s", "e")], "surface string, entity_id string")
+        ),
+        prune_edges_topk(we, k=1, weight_col="w"),
+        funnel(ev, ["view", "click"]),
+    ):
+        assert_plan_clean(df)
