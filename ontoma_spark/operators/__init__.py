@@ -14,14 +14,34 @@ from ontoma_spark.operators.graph import (
     pagerank,
 )
 from ontoma_spark.operators.align import align_ontologies
+from ontoma_spark.operators.aliases import alias_priors, prune_edges_topk
 from ontoma_spark.operators.embed import (
     hash_project,
+    link_prediction_eval,
+    merge_embeddings,
     node_embeddings,
+    normalize_embeddings,
     ppmi_weights,
+    text_embeddings,
+)
+from ontoma_spark.operators.funnel import funnel, funnel_conversion
+from ontoma_spark.operators.graph import (
+    betweenness_centrality,
+    harmonic_centrality,
+    ktruss,
+    shortest_paths,
 )
 from ontoma_spark.operators.graphsig import wl_signatures
 from ontoma_spark.operators.joins import asof_join, range_join
-from ontoma_spark.operators.profile import profile_table, quantile_bins
+from ontoma_spark.operators.linkeval import blocking_metrics, score_calibration
+from ontoma_spark.operators.motif import match_path, star_centers
+from ontoma_spark.operators.profile import (
+    functional_deps,
+    inclusion_deps,
+    profile_table,
+    quantile_bins,
+)
+from ontoma_spark.operators.rules import mine_rules
 from ontoma_spark.operators.kgqa import kg_quality_report
 from ontoma_spark.operators.packing import pack_sequences, running_total
 from ontoma_spark.operators.sampling import hash_sample, hash_split
@@ -30,12 +50,31 @@ from ontoma_spark.operators.tfidf import corpus_tokens, tfidf_top_terms
 
 __all__ = [
     "align_ontologies",
+    "alias_priors",
     "asof_join",
+    "betweenness_centrality",
+    "blocking_metrics",
+    "funnel",
+    "funnel_conversion",
+    "functional_deps",
+    "harmonic_centrality",
     "hash_project",
+    "inclusion_deps",
+    "ktruss",
+    "link_prediction_eval",
+    "match_path",
+    "merge_embeddings",
+    "mine_rules",
     "node_embeddings",
+    "normalize_embeddings",
     "ppmi_weights",
     "profile_table",
+    "prune_edges_topk",
     "quantile_bins",
+    "score_calibration",
+    "shortest_paths",
+    "star_centers",
+    "text_embeddings",
     "wl_signatures",
     "clustering_coefficient",
     "jaccard_similarity",
