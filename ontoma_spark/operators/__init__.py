@@ -14,6 +14,16 @@ from ontoma_spark.operators.graph import (
     pagerank,
 )
 from ontoma_spark.operators.align import align_ontologies
+from ontoma_spark.operators.er import (
+    FellegiSunterModel,
+    fit_fellegi_sunter,
+    score_pairs,
+)
+from ontoma_spark.operators.ontosim import (
+    ancestor_closure,
+    semantic_similarity,
+    term_information_content,
+)
 from ontoma_spark.operators.aliases import alias_priors, prune_edges_topk
 from ontoma_spark.operators.embed import (
     hash_project,
@@ -49,7 +59,13 @@ from ontoma_spark.operators.semdedup import semantic_dedup
 from ontoma_spark.operators.tfidf import corpus_tokens, tfidf_top_terms
 
 __all__ = [
+    "FellegiSunterModel",
     "align_ontologies",
+    "ancestor_closure",
+    "fit_fellegi_sunter",
+    "score_pairs",
+    "semantic_similarity",
+    "term_information_content",
     "alias_priors",
     "asof_join",
     "betweenness_centrality",

@@ -1,0 +1,180 @@
+"""Information-content semantic similarity over an ontology.
+
+The north-star pipeline links mentions to EFO/MONDO/HP IRIs; a KG
+consumer's next question is "how SIMILAR are two linked terms" — for
+grouping diseases, scoring candidate xrefs, or collapsing near-
+synonymous annotations. The classical answer (Resnik 1995; Lin 1998;
+Jiang-Conrath 1997) is corpus-calibrated: a term's information content
+is ``IC(t) = -ln p(t)`` where ``p(t)`` is the probability that an
+annotation falls on ``t`` OR any of its descendants, and the
+similarity of two terms is driven by the IC of their Most Informative
+Common Ancestor (MICA). The reference (opentargets/OnToma) stops at
+per-string mappings (src/ontoma/ontoma.py:392-407) and has no
+similarity layer; this is added KG surface, like operators/graph.py.
+
+Scale notes
+-----------
+* The ontology (``is_a`` edges, |V| terms) is metadata-sized next to
+  the annotation corpus — the transitive closure and the IC table are
+  O(|V| * avg_ancestors) rows and are BROADCAST against corpus-sized
+  inputs; the corpus itself is touched by exactly one groupBy.
+* ``term_information_content``: annotations join the (broadcast)
+  descendant closure once, then ONE groupBy(ancestor) count — the
+  "propagate counts up the DAG" step is a join, not per-level
+  recursion, because the closure is precomputed by path doubling
+  (ceil(log2 depth) rounds, operators/graph.py::transitive_closure).
+* ``semantic_similarity``: the pairs table shuffles once per closure
+  join; the common-ancestor match and the IC lookup are broadcast hash
+  joins; the MICA max is one groupBy(pair). No all-pairs stage exists
+  anywhere — callers supply the candidate pairs (typically blocked,
+  e.g. from operators/align.py or operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.graph import transitive_closure
+
+
+def ancestor_closure(
+    is_a: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Reflexive transitive ancestor closure ``(term, ancestor)``.
+
+    Path doubling (log-depth rounds) plus the reflexive pairs —
+    IC semantics need every term to count as its own ancestor so a
+    term's annotation mass includes direct annotations.
+    """
+    edges = is_a.select(
+        F.col(child).alias("term"), F.col(parent).alias("ancestor")
+    )
+    closure = transitive_closure(
+        edges, src="term", dst="ancestor", max_iter=max_iter
+    )
+    terms = (
+        edges.select("term")
+        .union(edges.select(F.col("ancestor").alias("term")))
+        .distinct()
+    )
+    return closure.union(
+        terms.select("term", F.col("term").alias("ancestor"))
+    ).distinct()
+
+
+def term_information_content(
+    annotations: DataFrame,
+    closure: DataFrame,
+    term_col: str = "term",
+) -> DataFrame:
+    """Per-term IC table ``(term, n_annot, p, ic)``.
+
+    ``n_annot(t)`` counts annotation ROWS landing on ``t`` or any
+    descendant (the standard Resnik corpus calibration; pass a
+    pre-deduplicated annotation table for distinct-document
+    semantics). ``p = n_annot / N`` with ``N`` the total annotation
+    count, so any term that subsumes everything annotated gets
+    ``ic = 0`` and rarer terms get larger IC.
+
+    One broadcast join (annotation term -> its ancestors) + one
+    groupBy(ancestor). Terms in the closure with zero annotation mass
+    are OMITTED (their p would be 0 / ic infinite); similarity against
+    them is undefined and drops out of the pair join.
+    """
+    ann = annotations.select(F.col(term_col).alias("term"))
+    total = ann.count()
+    if total == 0:
+        raise ValueError("term_information_content: empty annotations")
+    mass = (
+        ann.join(F.broadcast(closure), "term")
+        .groupBy(F.col("ancestor").alias("term"))
+        .agg(F.count(F.lit(1)).alias("n_annot"))
+    )
+    return mass.select(
+        "term",
+        "n_annot",
+        (F.col("n_annot") / F.lit(float(total))).alias("p"),
+        # 0.0 - log(...) (not -log) so corpus-universal terms get +0.0,
+        # never IEEE -0.0 (which would survive into resnik/lin)
+        (F.lit(0.0) - F.log(F.col("n_annot") / F.lit(float(total)))).alias(
+            "ic"
+        ),
+    )
+
+
+def semantic_similarity(
+    pairs: DataFrame,
+    closure: DataFrame,
+    ic: DataFrame,
+    left: str = "a",
+    right: str = "b",
+) -> DataFrame:
+    """Resnik / Lin / Jiang-Conrath similarity for candidate pairs.
+
+    Output: ``(a, b, mica, resnik, lin, jc_dist)`` where ``mica`` is
+    the most informative (max-IC) common ancestor, ties broken by term
+    id for determinism; ``resnik = IC(mica)``;
+    ``lin = 2*IC(mica) / (IC(a) + IC(b))`` (0 when both terms carry
+    zero IC, i.e. both are corpus-universal);
+    ``jc_dist = IC(a) + IC(b) - 2*IC(mica)``.
+
+    Pairs whose terms share no common ancestor with annotation mass,
+    or whose terms have no annotation mass themselves, drop out —
+    similarity is undefined there and a silent 0 would be wrong.
+
+    Plan shape: pairs ⋈ closure (left term) ⋈ closure (right term) on
+    the shared ancestor, IC attached by broadcast joins, one
+    groupBy(pair) max-struct for the MICA. The quadratic object is the
+    per-pair common-ancestor list, bounded by ontology depth — never
+    by corpus size.
+    """
+    icb = F.broadcast(ic)
+    ca = closure.select(
+        F.col("term").alias("__a"), F.col("ancestor").alias("__common")
+    )
+    cb = closure.select(
+        F.col("term").alias("__b"), F.col("ancestor").alias("__common")
+    )
+    p = pairs.select(F.col(left).alias("__a"), F.col(right).alias("__b"))
+    common = p.join(F.broadcast(ca), "__a").join(
+        F.broadcast(cb), ["__b", "__common"]
+    )
+    mica = (
+        common.join(
+            icb.select(
+                F.col("term").alias("__common"), F.col("ic").alias("__cic")
+            ),
+            "__common",
+        )
+        .groupBy("__a", "__b")
+        .agg(
+            F.max(F.struct(F.col("__cic"), F.col("__common"))).alias("__m")
+        )
+        .select(
+            "__a",
+            "__b",
+            F.col("__m.__common").alias("mica"),
+            F.col("__m.__cic").alias("resnik"),
+        )
+    )
+    ic_a = icb.select(F.col("term").alias("__a"), F.col("ic").alias("__ica"))
+    ic_b = icb.select(F.col("term").alias("__b"), F.col("ic").alias("__icb"))
+    denom = F.col("__ica") + F.col("__icb")
+    return (
+        mica.join(ic_a, "__a")
+        .join(ic_b, "__b")
+        .select(
+            F.col("__a").alias(left),
+            F.col("__b").alias(right),
+            "mica",
+            "resnik",
+            F.when(denom > 0, 2.0 * F.col("resnik") / denom)
+            .otherwise(F.lit(0.0))
+            .alias("lin"),
+            (denom - 2.0 * F.col("resnik")).alias("jc_dist"),
+        )
+    )

@@ -1,0 +1,133 @@
+"""Fellegi-Sunter EM (operators/er.py) vs an independent numpy EM
+reference on the same pattern counts, plus recovery of planted m/u
+parameters from a synthetic two-class generator and closed-form weight
+checks."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from ontoma_spark.operators.er import (
+    FellegiSunterModel,
+    fit_fellegi_sunter,
+    score_pairs,
+)
+
+
+def _numpy_em(patterns, counts, k, max_iter=50, tol=1e-8,
+              init_m=0.9, init_u=0.1, init_lam=0.1):
+    g = np.array(patterns, dtype=float)          # (P, k)
+    c = np.array(counts, dtype=float)            # (P,)
+    m = np.full(k, init_m)
+    u = np.full(k, init_u)
+    lam = init_lam
+    eps = 1e-9
+    ll_prev = -np.inf
+    for _ in range(max_iter):
+        pm = lam * np.prod(np.where(g == 1, m, 1 - m), axis=1)
+        pu = (1 - lam) * np.prod(np.where(g == 1, u, 1 - u), axis=1)
+        denom = pm + pu
+        r = np.where(denom > 0, pm / np.maximum(denom, eps), 0.5)
+        ll = float(np.sum(c * np.log(np.maximum(denom, eps))))
+        wm = float(np.sum(r * c))
+        total = float(np.sum(c))
+        wu = total - wm
+        lam = min(max(wm / total, eps), 1 - eps)
+        for i in range(k):
+            am = float(np.sum(r * c * g[:, i]))
+            au = float(np.sum((1 - r) * c * g[:, i]))
+            m[i] = min(max(am / max(wm, eps), eps), 1 - eps)
+            u[i] = min(max(au / max(wu, eps), eps), 1 - eps)
+        if abs(ll - ll_prev) < tol:
+            break
+        ll_prev = ll
+    return m, u, lam
+
+
+def _synthetic_pairs(rng: random.Random, n: int, m_true, u_true, lam):
+    rows = []
+    k = len(m_true)
+    for _ in range(n):
+        is_match = rng.random() < lam
+        p = m_true if is_match else u_true
+        rows.append(tuple(int(rng.random() < p[i]) for i in range(k)))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_em_matches_numpy_reference(spark, seed):
+    rng = random.Random(seed)
+    m_true, u_true, lam_true = [0.95, 0.8, 0.7], [0.05, 0.2, 0.3], 0.25
+    rows = _synthetic_pairs(rng, 4000, m_true, u_true, lam_true)
+    cols = ["name_eq", "tok_jac", "len_cls"]
+    df = spark.createDataFrame(
+        rows, "name_eq int, tok_jac int, len_cls int"
+    )
+    model = fit_fellegi_sunter(df, cols)
+
+    # independent numpy EM on the same exact pattern counts
+    from collections import Counter
+
+    cnt = Counter(rows)
+    patterns = sorted(cnt)
+    counts = [cnt[p] for p in patterns]
+    m_np, u_np, lam_np = _numpy_em(patterns, counts, 3)
+    assert list(model.m) == pytest.approx(list(m_np), abs=1e-6)
+    assert list(model.u) == pytest.approx(list(u_np), abs=1e-6)
+    assert model.lam == pytest.approx(lam_np, abs=1e-6)
+
+    # and the fit recovers the planted generator (loose bounds)
+    assert model.lam == pytest.approx(lam_true, abs=0.08)
+    for got, want in zip(model.m, m_true):
+        assert got == pytest.approx(want, abs=0.1)
+    for got, want in zip(model.u, u_true):
+        assert got == pytest.approx(want, abs=0.1)
+
+
+def test_score_pairs_closed_form(spark):
+    model = FellegiSunterModel(
+        comparisons=("a", "b"),
+        m=(0.9, 0.8),
+        u=(0.1, 0.4),
+        lam=0.2,
+        n_iter=1,
+        log_likelihood=0.0,
+    )
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (0, 0), (None, 1)], "a int, b int"
+    )
+    got = {
+        (r["a"], r["b"]): (r["match_weight"], r["match_probability"])
+        for r in score_pairs(df, model).collect()
+    }
+
+    def w(ga, gb):
+        base = math.log2(0.2 / 0.8)
+        base += math.log2(0.9 / 0.1) if ga else math.log2(0.1 / 0.9)
+        base += math.log2(0.8 / 0.4) if gb else math.log2(0.2 / 0.6)
+        return base
+
+    for (ga, gb), key in [
+        ((1, 1), (1, 1)),
+        ((1, 0), (1, 0)),
+        ((0, 0), (0, 0)),
+        ((0, 1), (0, 1)),  # NULL coalesced to disagreement
+    ]:
+        weight, prob = got[key]
+        assert weight == pytest.approx(w(ga, gb), abs=1e-9)
+        assert prob == pytest.approx(
+            1.0 / (1.0 + 2.0 ** (-w(ga, gb))), abs=1e-9
+        )
+
+
+def test_fit_validates_inputs(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError, match="1..20"):
+        fit_fellegi_sunter(df, [])
+    empty = spark.createDataFrame([], "a int")
+    with pytest.raises(ValueError, match="empty"):
+        fit_fellegi_sunter(empty, ["a"])

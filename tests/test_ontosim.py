@@ -1,0 +1,177 @@
+"""Information-content ontology similarity (operators/ontosim.py) vs a
+brute-force Python reference: reflexive ancestor closure, Resnik IC
+calibration, and Resnik/Lin/Jiang-Conrath pair scores on seeded random
+DAGs plus a hand-built fixture with known values."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from ontoma_spark.operators.ontosim import (
+    ancestor_closure,
+    semantic_similarity,
+    term_information_content,
+)
+
+SEEDS = [7, 19]
+
+
+def _brute_ancestors(edges: list[tuple[str, str]]) -> dict[str, set[str]]:
+    parents: dict[str, set[str]] = {}
+    terms: set[str] = set()
+    for c, p in edges:
+        parents.setdefault(c, set()).add(p)
+        terms.update((c, p))
+    anc: dict[str, set[str]] = {}
+
+    def up(t: str) -> set[str]:
+        if t in anc:
+            return anc[t]
+        anc[t] = {t}
+        for p in parents.get(t, ()):  # DAG fixtures only
+            anc[t] |= up(p)
+        return anc[t]
+
+    for t in terms:
+        up(t)
+    return anc
+
+
+def _random_dag(rng: random.Random, n: int) -> list[tuple[str, str]]:
+    # edges always point to a lower index -> acyclic by construction
+    return sorted(
+        {
+            (f"T{i}", f"T{rng.randrange(i)}")
+            for i in range(1, n)
+            for _ in range(rng.randrange(1, 3))
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_closure_and_ic_match_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    edges = _random_dag(rng, 14)
+    anc = _brute_ancestors(edges)
+    terms = sorted(anc)
+    annots = [(rng.choice(terms),) for _ in range(120)]
+
+    is_a = spark.createDataFrame(edges, "child string, parent string")
+    closure = ancestor_closure(is_a)
+    got_anc: dict[str, set[str]] = {}
+    for r in closure.collect():
+        got_anc.setdefault(r["term"], set()).add(r["ancestor"])
+    assert got_anc == anc, seed
+
+    ann_df = spark.createDataFrame(annots, "term string")
+    ic = {
+        r["term"]: (r["n_annot"], r["ic"])
+        for r in term_information_content(ann_df, closure).collect()
+    }
+    total = len(annots)
+    exp_mass: dict[str, int] = {}
+    for (t,) in annots:
+        for a in anc[t]:
+            exp_mass[a] = exp_mass.get(a, 0) + 1
+    assert set(ic) == set(exp_mass), seed
+    for t, n in exp_mass.items():
+        assert ic[t][0] == n
+        assert ic[t][1] == pytest.approx(-math.log(n / total), abs=1e-9)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_similarity_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    edges = _random_dag(rng, 12)
+    anc = _brute_ancestors(edges)
+    terms = sorted(anc)
+    annots = [(rng.choice(terms),) for _ in range(100)]
+    pairs = sorted(
+        {
+            (rng.choice(terms), rng.choice(terms))
+            for _ in range(30)
+        }
+    )
+
+    is_a = spark.createDataFrame(edges, "child string, parent string")
+    closure = ancestor_closure(is_a)
+    ann_df = spark.createDataFrame(annots, "term string")
+    ic_df = term_information_content(ann_df, closure)
+    pairs_df = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r
+        for r in semantic_similarity(pairs_df, closure, ic_df).collect()
+    }
+
+    total = len(annots)
+    mass: dict[str, int] = {}
+    for (t,) in annots:
+        for a in anc[t]:
+            mass[a] = mass.get(a, 0) + 1
+    ic = {t: -math.log(n / total) for t, n in mass.items()}
+
+    for a, b in pairs:
+        commons = [
+            c for c in anc[a] & anc[b] if c in ic
+        ]
+        if not commons or a not in ic or b not in ic:
+            assert (a, b) not in got, (seed, a, b)
+            continue
+        # max IC, ties by term id (struct max compares ic then term)
+        best = max(commons, key=lambda c: (ic[c], c))
+        r = got[(a, b)]
+        assert r["mica"] == best, (seed, a, b)
+        assert r["resnik"] == pytest.approx(ic[best], abs=1e-9)
+        denom = ic[a] + ic[b]
+        exp_lin = 2 * ic[best] / denom if denom > 0 else 0.0
+        assert r["lin"] == pytest.approx(exp_lin, abs=1e-9)
+        assert r["jc_dist"] == pytest.approx(
+            denom - 2 * ic[best], abs=1e-9
+        )
+
+
+def test_known_values_hand_fixture(spark):
+    # root -> {disease}; disease -> {cancer, cardio}; cancer -> {lung}
+    edges = [
+        ("disease", "root"),
+        ("cancer", "disease"),
+        ("cardio", "disease"),
+        ("lung", "cancer"),
+    ]
+    is_a = spark.createDataFrame(edges, "child string, parent string")
+    closure = ancestor_closure(is_a)
+    # 4 annotations: 2 on lung, 1 on cardio, 1 on disease
+    ann = spark.createDataFrame(
+        [("lung",), ("lung",), ("cardio",), ("disease",)], "term string"
+    )
+    ic_df = term_information_content(ann, closure)
+    ic = {r["term"]: r["ic"] for r in ic_df.collect()}
+    assert ic["root"] == pytest.approx(0.0)
+    assert ic["disease"] == pytest.approx(0.0)  # subsumes all 4
+    assert ic["cancer"] == pytest.approx(-math.log(2 / 4))
+    assert ic["lung"] == pytest.approx(-math.log(2 / 4))
+    assert ic["cardio"] == pytest.approx(-math.log(1 / 4))
+
+    pairs = spark.createDataFrame(
+        [("lung", "cardio"), ("lung", "cancer")], "a string, b string"
+    )
+    got = {
+        (r["a"], r["b"]): r
+        for r in semantic_similarity(pairs, closure, ic_df).collect()
+    }
+    # lung vs cardio: common ancestors root/disease both ic 0 -> resnik
+    # 0, lin 0; the (ic, term) struct max tie-breaks to "root"
+    r = got[("lung", "cardio")]
+    assert r["mica"] == "root"
+    assert r["resnik"] == pytest.approx(0.0)
+    assert r["lin"] == pytest.approx(0.0)
+    assert r["jc_dist"] == pytest.approx(ic["lung"] + ic["cardio"])
+    # lung vs cancer: MICA is cancer itself -> lin = 2*ic(cancer)/(sum)
+    r = got[("lung", "cancer")]
+    assert r["mica"] == "cancer"
+    assert r["resnik"] == pytest.approx(ic["cancer"])
+    assert r["lin"] == pytest.approx(1.0)  # equal ICs, mica ic equal
+    assert r["jc_dist"] == pytest.approx(0.0)
