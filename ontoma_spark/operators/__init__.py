@@ -19,6 +19,8 @@ from ontoma_spark.operators.er import (
     fit_fellegi_sunter,
     score_pairs,
 )
+from ontoma_spark.operators.mis import luby_mis
+from ontoma_spark.operators.mst import boruvka_msf
 from ontoma_spark.operators.ontosim import (
     ancestor_closure,
     semantic_similarity,
@@ -62,7 +64,9 @@ __all__ = [
     "FellegiSunterModel",
     "align_ontologies",
     "ancestor_closure",
+    "boruvka_msf",
     "fit_fellegi_sunter",
+    "luby_mis",
     "score_pairs",
     "semantic_similarity",
     "term_information_content",

@@ -1,0 +1,120 @@
+"""Maximal independent set by Luby rounds with deterministic priorities.
+
+Training-data use: a near-dup similarity graph (MinHash/SimHash pairs
+from operators/dedup.py, embedding pairs from operators/semdedup.py)
+plus a maximal independent set IS diversity selection — keep a maximal
+subset of documents no two of which are near-duplicates, instead of
+the cluster-canonical policy (one survivor per connected component,
+which over-prunes loose chains). Also usable for conflict-free
+scheduling of co-located maintenance jobs. The reference
+(opentargets/OnToma) has no graph layer; added KG surface like
+operators/graph.py.
+
+Luby's algorithm with a FIXED priority order: every round, each active
+node whose priority beats all active neighbours joins the set; it and
+its neighbours deactivate, and actives left with no live neighbour
+join unconditionally. With static priorities this computes exactly the
+sequential greedy MIS over the priority order — but in O(log n)
+expected rounds instead of n, because md5 priorities make long
+monotone dependency chains vanishingly unlikely.
+
+Scale notes
+-----------
+* Per round: one groupBy(node) min over the live adjacency (priorities
+  are md5 Column expressions computed in the same stage — no |V|-table
+  join), plus left_semi/left_anti prunes of the live node and edge
+  tables. Both only ever shrink; no all-pairs or self-join stage.
+* Determinism: priority = (md5(salt || node), node) — a total order,
+  reproducible across runs and partitionings; no RNG state.
+* Convergence is VERIFIED: exhausting ``max_iter`` raises rather than
+  returning a non-maximal set (same stance as transitive_closure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def _prio(col) -> F.Column:  # (md5, node): total order, no collisions
+    return F.struct(
+        F.md5(F.concat(F.lit("mis"), F.col(col).cast("string"))).alias("h"),
+        F.col(col).cast("string").alias("n"),
+    )
+
+
+def luby_mis(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Maximal independent set of an undirected graph.
+
+    Output: one ``node`` column — a set S with no edge inside S and
+    every non-member adjacent to a member. Equals the greedy MIS over
+    the (md5("mis" || node), node) priority order.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = (
+        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    mis: DataFrame | None = None
+
+    def _add(cur: DataFrame | None, more: DataFrame) -> DataFrame:
+        return more if cur is None else cur.union(more)
+
+    for _ in range(max_iter):
+        # actives with no live neighbour join unconditionally
+        isolated = active.join(
+            adj.select(F.col("a").alias("node")), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        mis = _add(mis, isolated)
+        active = active.join(isolated, "node", "left_anti")
+        if active.limit(1).count() == 0:
+            break
+        # local priority minima over the live adjacency
+        winners = (
+            adj.groupBy("a")
+            .agg(F.min(_prio("b")).alias("__minn"))
+            .filter(_prio("a") < F.col("__minn"))
+            .select(F.col("a").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        mis = _add(mis, winners)
+        removed = winners.union(
+            adj.join(
+                winners.withColumnRenamed("node", "a"), "a", "left_semi"
+            ).select(F.col("b").alias("node"))
+        ).distinct()
+        active = active.join(removed, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        adj = (
+            adj.join(
+                removed.withColumnRenamed("node", "a"), "a", "left_anti"
+            )
+            .join(removed.withColumnRenamed("node", "b"), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"luby_mis: active nodes remain after {max_iter} rounds — "
+            "raise max_iter"
+        )
+    out_schema_src = edges.select(F.col(src).alias("node")).limit(0)
+    return (
+        out_schema_src if mis is None else mis.distinct()
+    )

@@ -1,0 +1,146 @@
+"""Minimum spanning forest by distributed Borůvka rounds.
+
+KG use: the entity-similarity graphs this engine builds (co-mention
+PMI edges, embedding kNN edges from operators/aliases.py::
+prune_edges_topk, fuzzy-link scores) are dense-ish and noisy; the
+minimum spanning forest is the standard backbone extraction — single-
+linkage clustering, ontology-layout scaffolds, and "cheapest
+connector" dedup-cluster canonicalisation all read off it. The
+reference (opentargets/OnToma) has no graph layer at all; this extends
+the graft's KG surface like operators/graph.py.
+
+Borůvka is THE MapReduce-friendly MST algorithm (vs Prim/Kruskal,
+which are inherently sequential): every round EACH component picks its
+minimum-weight outgoing edge, all picked edges join the forest, and
+the components contract — the component count at least halves per
+round, so ceil(log2 V) rounds regardless of weight distribution.
+
+Scale notes
+-----------
+* Per round: one groupBy(component) min-struct over the live cross-
+  component edges (map-side combined), one connected-components pass
+  over the PICKED edges only (at most one per component — a metadata-
+  sized graph next to |E|), and one broadcast-joined relabel of the
+  live edge table. The |E|-sized table is never self-joined.
+* Determinism: ties broken by the full (weight, src, dst) struct
+  order, so the forest is reproducible even with duplicate weights.
+* Convergence is VERIFIED: the loop ends when no cross-component edge
+  remains; exhausting ``max_iter`` raises instead of returning a
+  partial forest (same stance as graph.py::transitive_closure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.graph import connected_components_twostar
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Minimum spanning forest of an undirected weighted graph.
+
+    Input: one row per undirected edge (direction and duplicates are
+    normalised away; the cheapest copy of a multi-edge wins). Output:
+    ``(src, dst, weight)`` forest rows with src < dst — exactly
+    ``n_nodes - n_components`` of them.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+            F.col(weight).alias("w"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    # live: cross-component edges carrying their original endpoints
+    live = e.select(
+        F.col("u").alias("cu"),
+        F.col("v").alias("cv"),
+        "w",
+        F.col("u").alias("ou"),
+        F.col("v").alias("ov"),
+    )
+    forest: DataFrame | None = None
+    for _ in range(max_iter):
+        if live.limit(1).count() == 0:
+            break
+        # each component's minimum incident edge, ties by (w, ou, ov)
+        pick = F.struct("w", "ou", "ov", "cu", "cv").alias("__e")
+        chosen = (
+            live.select(F.col("cu").alias("c"), pick)
+            .union(live.select(F.col("cv").alias("c"), pick))
+            .groupBy("c")
+            .agg(F.min("__e").alias("__e"))
+            .select("__e.*")
+            .select("w", "ou", "ov", "cu", "cv")
+            .distinct()  # both endpoints may pick the same edge
+            .localCheckpoint(eager=True)
+        )
+        picked_edges = chosen.select(
+            F.least("ou", "ov").alias("src"),
+            F.greatest("ou", "ov").alias("dst"),
+            F.col("w").alias(weight),
+        )
+        forest = (
+            picked_edges
+            if forest is None
+            else forest.union(picked_edges)
+        )
+        # contract: CC over the picked component-graph gives the new
+        # label for every component touched this round
+        relabel = F.broadcast(
+            connected_components_twostar(
+                chosen.select("cu", "cv"), src="cu", dst="cv"
+            )
+            .distinct()
+            .withColumnRenamed("node", "__c")
+            .withColumnRenamed("component", "__nc")
+        )
+        live = (
+            live.join(
+                relabel.withColumnRenamed("__c", "cu").withColumnRenamed(
+                    "__nc", "__ncu"
+                ),
+                "cu",
+                "left",
+            )
+            .join(
+                relabel.withColumnRenamed("__c", "cv").withColumnRenamed(
+                    "__nc", "__ncv"
+                ),
+                "cv",
+                "left",
+            )
+            .select(
+                F.coalesce("__ncu", "cu").alias("cu"),
+                F.coalesce("__ncv", "cv").alias("cv"),
+                "w",
+                "ou",
+                "ov",
+            )
+            .filter(F.col("cu") != F.col("cv"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"boruvka_msf: cross-component edges remain after "
+            f"{max_iter} rounds — raise max_iter"
+        )
+    if forest is None:
+        return e.select(
+            F.col("u").alias(src), F.col("v").alias(dst),
+            F.col("w").alias(weight),
+        ).limit(0)
+    return forest.select(
+        F.col("src").alias(src), F.col("dst").alias(dst), weight
+    ).distinct()

@@ -1,0 +1,105 @@
+"""Luby MIS (operators/mis.py) vs the sequential greedy reference over
+the same md5 priority order (the two are provably equal for static
+priorities), plus independence/maximality property checks on seeded
+random graphs and structured fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+
+from ontoma_spark.operators.mis import luby_mis
+
+
+def _prio(n: str) -> tuple[str, str]:
+    return (hashlib.md5(("mis" + n).encode()).hexdigest(), n)
+
+
+def _greedy_mis(nodes, edge_set):
+    nbrs: dict[str, set[str]] = {n: set() for n in nodes}
+    for a, b in edge_set:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    mis: set[str] = set()
+    for n in sorted(nodes, key=_prio):
+        if not (nbrs[n] & mis):
+            mis.add(n)
+    return mis
+
+
+def _check_mis(nodes, edge_set, got: set):
+    for a, b in edge_set:
+        assert not (a in got and b in got), f"edge ({a},{b}) inside MIS"
+    nbrs: dict[str, set[str]] = {n: set() for n in nodes}
+    for a, b in edge_set:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    for n in nodes:
+        assert n in got or (nbrs[n] & got), f"{n} has no MIS neighbour"
+
+
+@pytest.mark.parametrize("seed", [3, 17, 31])
+def test_matches_greedy_reference(spark, seed):
+    rng = random.Random(seed)
+    nodes = [f"D{i:02d}" for i in range(22)]
+    edge_set = {
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)
+    }
+    df = spark.createDataFrame(
+        sorted(edge_set), "src string, dst string"
+    )
+    got = {r["node"] for r in luby_mis(df).collect()}
+    exp = _greedy_mis(nodes, edge_set)
+    # nodes not appearing in any edge are invisible to the operator
+    touched = {n for e in edge_set for n in e}
+    assert got == exp & touched, seed
+    _check_mis(touched, edge_set, got)
+
+
+def test_structured_fixtures(spark):
+    # star: either the hub alone or all leaves — greedy decides by md5
+    star = [("hub", f"leaf{i}") for i in range(6)]
+    df = spark.createDataFrame(star, "src string, dst string")
+    got = {r["node"] for r in luby_mis(df).collect()}
+    exp = _greedy_mis(
+        {n for e in star for n in e}, {tuple(sorted(e)) for e in star}
+    )
+    assert got == exp
+
+    # triangle: exactly one survivor
+    tri = [("x", "y"), ("y", "z"), ("z", "x")]
+    df = spark.createDataFrame(tri, "src string, dst string")
+    got = {r["node"] for r in luby_mis(df).collect()}
+    assert len(got) == 1
+
+    # self-loop-only node is isolated and always selected
+    df = spark.createDataFrame(
+        [("s", "s"), ("p", "q")], "src string, dst string"
+    )
+    got = {r["node"] for r in luby_mis(df).collect()}
+    assert "s" in got and len(got & {"p", "q"}) == 1
+
+
+def test_path_graph_maximality_after_neighbour_removal(spark):
+    # the exact failure mode of edge-only state: on a path, a node can
+    # lose its whole neighbourhood without being removed and must STILL
+    # join the set
+    path = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    df = spark.createDataFrame(path, "src string, dst string")
+    got = {r["node"] for r in luby_mis(df).collect()}
+    nodes = {n for e in path for n in e}
+    edge_set = {tuple(sorted(e)) for e in path}
+    _check_mis(nodes, edge_set, got)
+    assert got == _greedy_mis(nodes, edge_set)
+
+
+def test_deterministic_across_runs(spark):
+    rng = random.Random(7)
+    nodes = [f"Z{i}" for i in range(15)]
+    edge_set = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(25)})
+    df = spark.createDataFrame(edge_set, "src string, dst string")
+    a = {r["node"] for r in luby_mis(df).collect()}
+    b = {r["node"] for r in luby_mis(df.repartition(7)).collect()}
+    assert a == b

@@ -1,0 +1,122 @@
+"""Borůvka minimum spanning forest (operators/mst.py) vs a Python
+Kruskal reference: exact edge sets on distinct-weight random graphs
+(where the MSF is unique), total-weight + forest-validity checks under
+heavy weight ties, and multi-component / empty / multi-edge fixtures."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ontoma_spark.operators.mst import boruvka_msf
+
+
+def _kruskal(nodes, edges):
+    """edges: [(u, v, w)] -> (forest edge set normalised u<v, total w)."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = set()
+    total = 0.0
+    for u, v, w in sorted(edges, key=lambda e: (e[2], min(e[:2]), max(e[:2]))):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            forest.add((min(u, v), max(u, v), w))
+            total += w
+    return forest, total
+
+
+def _random_graph(rng, n_nodes, n_edges, distinct_weights):
+    nodes = [f"N{i:02d}" for i in range(n_nodes)]
+    seen = set()
+    edges = []
+    weights = rng.sample(range(1, 10 * n_edges), n_edges)
+    for i in range(n_edges):
+        u, v = rng.sample(nodes, 2)
+        key = (min(u, v), max(u, v))
+        if key in seen:
+            continue
+        seen.add(key)
+        w = float(weights[i]) if distinct_weights else float(
+            rng.randrange(1, 4)
+        )
+        edges.append((u, v, w))
+    return nodes, edges
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_unique_msf_matches_kruskal(spark, seed):
+    rng = random.Random(seed)
+    nodes, edges = _random_graph(rng, 24, 70, distinct_weights=True)
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {
+        (r["src"], r["dst"], r["weight"]) for r in boruvka_msf(df).collect()
+    }
+    exp, _ = _kruskal(nodes, edges)
+    assert got == exp, seed
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_tied_weights_valid_msf_same_total(spark, seed):
+    rng = random.Random(seed)
+    nodes, edges = _random_graph(rng, 20, 60, distinct_weights=False)
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = [(r["src"], r["dst"], r["weight"]) for r in boruvka_msf(df).collect()]
+    exp, exp_total = _kruskal(nodes, edges)
+    # same total weight (all MSFs agree), same edge count, and the
+    # result is a spanning forest: acyclic + connects what Kruskal does
+    assert sum(w for *_, w in got) == pytest.approx(exp_total)
+    assert len(got) == len(exp)
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edge_set = {(min(u, v), max(u, v)) for u, v, _ in edges}
+    for u, v, _ in got:
+        assert (u, v) in edge_set  # forest edges come from the input
+        assert find(u) != find(v), "cycle in Borůvka output"
+        parent[find(u)] = find(v)
+    # determinism: a second run returns the identical edge set
+    again = {
+        (r["src"], r["dst"], r["weight"]) for r in boruvka_msf(df).collect()
+    }
+    assert again == set(got)
+
+
+def test_multicomponent_multiedge_and_empty(spark):
+    edges = [
+        ("a", "b", 3.0), ("b", "a", 1.0),   # multi-edge: cheapest wins
+        ("b", "c", 2.0),
+        ("x", "y", 5.0),                    # separate component
+        ("z", "z", 0.5),                    # self-loop dropped
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {
+        (r["src"], r["dst"], r["weight"]) for r in boruvka_msf(df).collect()
+    }
+    assert got == {("a", "b", 1.0), ("b", "c", 2.0), ("x", "y", 5.0)}
+
+    empty = spark.createDataFrame([], "src string, dst string, weight double")
+    out = boruvka_msf(empty)
+    assert out.columns == ["src", "dst", "weight"]
+    assert out.count() == 0
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # a 33-node path needs ceil(log2(32)) = 5 Borůvka rounds; max_iter=7
+    # headroom proves per-round component contraction actually halves
+    edges = [(f"n{i}", f"n{i+1}", float(100 - i)) for i in range(32)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = boruvka_msf(df, max_iter=7).count()
+    assert got == 32  # every path edge is in the unique spanning tree
