@@ -19,7 +19,12 @@ from ontoma_spark.operators.er import (
     fit_fellegi_sunter,
     score_pairs,
 )
+from ontoma_spark.operators.intervals import (
+    coalesce_intervals,
+    covered_length,
+)
 from ontoma_spark.operators.mis import luby_mis
+from ontoma_spark.operators.skew import skew_report
 from ontoma_spark.operators.mst import boruvka_msf
 from ontoma_spark.operators.ontosim import (
     ancestor_closure,
@@ -65,8 +70,11 @@ __all__ = [
     "align_ontologies",
     "ancestor_closure",
     "boruvka_msf",
+    "coalesce_intervals",
+    "covered_length",
     "fit_fellegi_sunter",
     "luby_mis",
+    "skew_report",
     "score_pairs",
     "semantic_similarity",
     "term_information_content",

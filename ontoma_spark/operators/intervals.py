@@ -1,0 +1,102 @@
+"""Interval coalescing (gaps-and-islands) for temporal KG validity.
+
+A temporal KG carries (subj, pred, obj, valid_from, valid_to) rows —
+from SCD2 history (operators/scd.py), streaming upserts, or per-batch
+re-extraction — and the same fact often appears as many touching or
+overlapping validity slices. Coalescing them into maximal disjoint
+intervals is the classic gaps-and-islands problem; the same kernel
+serves session stitching and lineage-coverage audits.
+
+Scale notes
+-----------
+* Everything is windowed PER KEY (partitionBy the fact key) — there is
+  no global single-task window anywhere; a key's slice count is
+  bounded by its edit history, not by corpus size.
+* Two window passes inside one shuffle partitioning: a running max of
+  interval ends (rowsBetween preceding) marks island starts, a running
+  sum assigns island ids; one groupBy folds each island. Catalyst
+  executes both windows + the agg in a single Exchange on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    keys: list[str],
+    start: str = "valid_from",
+    end: str = "valid_to",
+    max_gap: float = 0,
+) -> DataFrame:
+    """Merge overlapping/adjacent intervals per key.
+
+    Intervals are inclusive of both ends; two intervals of the same key
+    merge when the next ``start`` <= previous covered ``end`` +
+    ``max_gap`` (so ``max_gap=0`` merges touching intervals, and e.g.
+    ``max_gap=3600`` stitches sessions up to an hour apart). Rows with
+    ``start > end`` or a NULL endpoint are rejected loudly — silent
+    drops would fake coverage.
+
+    Output: one row per maximal interval: keys + ``start``/``end`` (the
+    original column names) + ``n_merged`` (how many input rows folded
+    into it).
+    """
+    if not keys:
+        raise ValueError("coalesce_intervals: need at least one key column")
+    bad = df.filter(
+        F.col(start).isNull()
+        | F.col(end).isNull()
+        | (F.col(start) > F.col(end))
+    )
+    if bad.limit(1).count() > 0:
+        row = bad.limit(1).collect()[0]
+        raise ValueError(
+            f"coalesce_intervals: invalid interval row {row.asDict()} "
+            f"(NULL endpoint or {start} > {end})"
+        )
+    kcols = [F.col(k) for k in keys]
+    w = Window.partitionBy(*kcols).orderBy(F.col(start), F.col(end))
+    prev_max_end = F.max(F.col(end)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull()
+        | (F.col(start) > prev_max_end + F.lit(max_gap)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = df.select(
+        *kcols,
+        F.col(start).alias("__s"),
+        F.col(end).alias("__e"),
+        F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__island"),
+    )
+    return (
+        islands.groupBy(*[F.col(k) for k in keys], F.col("__island"))
+        .agg(
+            F.min("__s").alias(start),
+            F.max("__e").alias(end),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__island")
+    )
+
+
+def covered_length(
+    df: DataFrame,
+    keys: list[str],
+    start: str = "valid_from",
+    end: str = "valid_to",
+) -> DataFrame:
+    """Total covered length per key, overlaps counted once — the
+    coverage-audit companion (e.g. "how much of the commit history has
+    a validity interval"). One coalesce + one groupBy."""
+    merged = coalesce_intervals(df, keys, start, end)
+    return merged.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sum(F.col(end) - F.col(start)).alias("covered"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

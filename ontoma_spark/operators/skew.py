@@ -1,0 +1,91 @@
+"""Key-skew diagnostics: measure the hot keys BEFORE picking a remedy.
+
+The north-rule pipeline handles skew explicitly (salting in
+operators/joins.py::salted_join / salted_agg.py, AQE skew-join for the
+rest), but every remedy needs a number: how hot is the hottest key,
+and how many salts spread it to the target task size? This module
+turns that from folklore into a measured, testable report — the
+pre-flight companion to core/planlint.py (which inspects the PLAN;
+this inspects the DATA).
+
+Scale notes
+-----------
+* ONE groupBy over the key columns (map-side combined) produces the
+  per-key count table; everything else aggregates that n_keys-sized
+  table to scalars or TakeOrdered's the top-N — the input is touched
+  exactly once and never collected.
+* The report is a small plain dict (driver-side by design: it feeds a
+  config decision, not a dataflow).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    target_rows_per_task: int = 1_000_000,
+    topn: int = 10,
+) -> dict[str, Any]:
+    """Measure key-frequency skew of ``df`` grouped by ``keys``.
+
+    Returns a dict with exact ``n_rows``, ``n_keys``, ``max_rows``
+    (hottest key), ``mean_rows``, ``imbalance`` (max/mean — 1.0 is
+    perfectly uniform), ``hot_fraction`` (hottest key's share of all
+    rows), ``p50_rows``/``p99_rows`` (exact percentiles of the per-key
+    count distribution), ``top_keys`` (the ``topn`` hottest, with
+    counts), and ``recommended_salts`` — the salt count that brings
+    the hottest key down to ``target_rows_per_task`` rows per task
+    (1 means "no salting needed"), directly consumable by
+    ``joins.salted_join(n_salts=...)``.
+    """
+    if not keys:
+        raise ValueError("skew_report: need at least one key column")
+    counts = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    stats = counts.agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__n").alias("max_rows"),
+        F.expr("percentile(__n, 0.5)").alias("p50_rows"),
+        F.expr("percentile(__n, 0.99)").alias("p99_rows"),
+    ).collect()[0]
+    if stats["n_keys"] == 0:
+        return {
+            "n_rows": 0, "n_keys": 0, "max_rows": 0, "mean_rows": 0.0,
+            "imbalance": 1.0, "hot_fraction": 0.0, "p50_rows": 0.0,
+            "p99_rows": 0.0, "top_keys": [], "recommended_salts": 1,
+        }
+    top = (
+        counts.orderBy(F.desc("__n"), *[F.col(k) for k in keys])
+        .limit(topn)
+        .collect()
+    )
+    n_rows = int(stats["n_rows"])
+    n_keys = int(stats["n_keys"])
+    max_rows = int(stats["max_rows"])
+    mean = n_rows / n_keys
+    return {
+        "n_rows": n_rows,
+        "n_keys": n_keys,
+        "max_rows": max_rows,
+        "mean_rows": mean,
+        "imbalance": max_rows / mean,
+        "hot_fraction": max_rows / n_rows,
+        "p50_rows": float(stats["p50_rows"]),
+        "p99_rows": float(stats["p99_rows"]),
+        "top_keys": [
+            {"key": {k: r[k] for k in keys}, "rows": int(r["__n"])}
+            for r in top
+        ],
+        "recommended_salts": max(
+            1, math.ceil(max_rows / target_rows_per_task)
+        ),
+    }

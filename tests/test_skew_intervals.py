@@ -1,0 +1,140 @@
+"""skew_report (operators/skew.py) vs exact Counter arithmetic on
+zipf-ish synthetic keys, and coalesce_intervals/covered_length
+(operators/intervals.py) vs a brute-force Python interval merger on
+seeded random interval sets."""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+import pytest
+
+from ontoma_spark.operators.intervals import (
+    coalesce_intervals,
+    covered_length,
+)
+from ontoma_spark.operators.skew import skew_report
+
+
+@pytest.mark.parametrize("seed", [2, 44])
+def test_skew_report_exact(spark, seed):
+    rng = random.Random(seed)
+    # zipf-ish: key k drawn with weight 1/(k+1)
+    keys = [f"k{i}" for i in range(30)]
+    weights = [1.0 / (i + 1) for i in range(30)]
+    rows = [(rng.choices(keys, weights)[0],) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "term string")
+    rep = skew_report(df, ["term"], target_rows_per_task=100, topn=5)
+
+    cnt = Counter(r[0] for r in rows)
+    assert rep["n_rows"] == 3000
+    assert rep["n_keys"] == len(cnt)
+    mx = max(cnt.values())
+    assert rep["max_rows"] == mx
+    assert rep["mean_rows"] == pytest.approx(3000 / len(cnt))
+    assert rep["imbalance"] == pytest.approx(mx * len(cnt) / 3000)
+    assert rep["hot_fraction"] == pytest.approx(mx / 3000)
+    assert rep["recommended_salts"] == max(1, math.ceil(mx / 100))
+    # top keys: sorted by count desc then key asc — exact
+    exp_top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got_top = [(t["key"]["term"], t["rows"]) for t in rep["top_keys"]]
+    assert got_top == exp_top
+    # exact median of the per-key count distribution
+    counts_sorted = sorted(cnt.values())
+    n = len(counts_sorted)
+    if n % 2:
+        exp_p50 = float(counts_sorted[n // 2])
+    else:
+        exp_p50 = (counts_sorted[n // 2 - 1] + counts_sorted[n // 2]) / 2
+    assert rep["p50_rows"] == pytest.approx(exp_p50)
+
+
+def test_skew_report_empty_and_validation(spark):
+    empty = spark.createDataFrame([], "term string")
+    rep = skew_report(empty, ["term"])
+    assert rep["n_rows"] == 0 and rep["recommended_salts"] == 1
+    with pytest.raises(ValueError, match="at least one key"):
+        skew_report(empty, [])
+
+
+def _brute_merge(ivals, gap=0):
+    out = []
+    for s, e in sorted(ivals):
+        if out and s <= out[-1][1] + gap:
+            out[-1][1] = max(out[-1][1], e)
+            out[-1][2] += 1
+        else:
+            out.append([s, e, 1])
+    return [(s, e, n) for s, e, n in out]
+
+
+@pytest.mark.parametrize("seed", [9, 27])
+@pytest.mark.parametrize("gap", [0, 5])
+def test_coalesce_matches_bruteforce(spark, seed, gap):
+    rng = random.Random(seed)
+    rows = []
+    per_key = {}
+    for k in ["s1", "s2", "s3"]:
+        ivals = []
+        for _ in range(40):
+            s = rng.randrange(0, 300)
+            e = s + rng.randrange(0, 25)
+            ivals.append((float(s), float(e)))
+        per_key[k] = ivals
+        rows += [(k, s, e) for s, e in ivals]
+    df = spark.createDataFrame(
+        rows, "fact string, valid_from double, valid_to double"
+    ).repartition(7)
+    got = {
+        (r["fact"], r["valid_from"], r["valid_to"], r["n_merged"])
+        for r in coalesce_intervals(df, ["fact"], max_gap=gap).collect()
+    }
+    exp = {
+        (k, s, e, n)
+        for k, ivals in per_key.items()
+        for s, e, n in _brute_merge(ivals, gap)
+    }
+    assert got == exp, (seed, gap)
+
+    cov = {
+        r["fact"]: (r["covered"], r["n_intervals"])
+        for r in covered_length(df, ["fact"]).collect()
+    }
+    for k, ivals in per_key.items():
+        merged = _brute_merge(ivals, 0)
+        assert cov[k] == (
+            pytest.approx(sum(e - s for s, e, _ in merged)),
+            len(merged),
+        )
+
+
+def test_coalesce_rejects_invalid(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0, 3.0)], "fact string, valid_from double, valid_to double"
+    )
+    with pytest.raises(ValueError, match="invalid interval"):
+        coalesce_intervals(df, ["fact"])
+    df2 = spark.createDataFrame(
+        [("a", None, 3.0)], "fact string, valid_from double, valid_to double"
+    )
+    with pytest.raises(ValueError, match="invalid interval"):
+        coalesce_intervals(df2, ["fact"])
+
+
+def test_touching_and_gap_semantics(spark):
+    rows = [("f", 1.0, 3.0), ("f", 3.0, 5.0), ("f", 9.0, 10.0)]
+    df = spark.createDataFrame(
+        rows, "fact string, valid_from double, valid_to double"
+    )
+    got0 = sorted(
+        (r["valid_from"], r["valid_to"], r["n_merged"])
+        for r in coalesce_intervals(df, ["fact"]).collect()
+    )
+    assert got0 == [(1.0, 5.0, 2), (9.0, 10.0, 1)]
+    got4 = sorted(
+        (r["valid_from"], r["valid_to"], r["n_merged"])
+        for r in coalesce_intervals(df, ["fact"], max_gap=4).collect()
+    )
+    assert got4 == [(1.0, 10.0, 3)]
