@@ -82,6 +82,9 @@ def _em_on_patterns(
     init_u: float,
     init_lam: float,
 ) -> tuple[list[float], list[float], float, int, float]:
+    # convergence is checked on the PER-ROW average log-likelihood so
+    # the stopping iteration is invariant to count scale (replicating
+    # every pair k times must not change the fit)
     m = [init_m] * k
     u = [init_u] * k
     lam = init_lam
@@ -101,7 +104,7 @@ def _em_on_patterns(
                 pu *= u[i] if g[i] else (1.0 - u[i])
             denom = pm + pu
             resp.append(pm / denom if denom > 0 else 0.5)
-            ll += c * math.log(max(denom, eps))
+            ll += (c / total) * math.log(max(denom, eps))
         # M-step
         wm = sum(r * c for r, (_, c) in zip(resp, patterns))
         wu = total - wm

@@ -32,7 +32,9 @@ def _numpy_em(patterns, counts, k, max_iter=50, tol=1e-8,
         pu = (1 - lam) * np.prod(np.where(g == 1, u, 1 - u), axis=1)
         denom = pm + pu
         r = np.where(denom > 0, pm / np.maximum(denom, eps), 0.5)
-        ll = float(np.sum(c * np.log(np.maximum(denom, eps))))
+        ll = float(
+            np.sum(c * np.log(np.maximum(denom, eps))) / np.sum(c)
+        )
         wm = float(np.sum(r * c))
         total = float(np.sum(c))
         wu = total - wm
@@ -131,3 +133,18 @@ def test_fit_validates_inputs(spark):
     empty = spark.createDataFrame([], "a int")
     with pytest.raises(ValueError, match="empty"):
         fit_fellegi_sunter(empty, ["a"])
+
+
+def test_count_scale_invariance_law(spark):
+    """EM on pattern COUNTS: replicating every pair k times leaves the
+    fitted m/u/lambda unchanged (responsibilities depend on pattern,
+    not multiplicity scale)."""
+    rng = random.Random(3)
+    rows = _synthetic_pairs(rng, 800, [0.9, 0.7], [0.1, 0.3], 0.3)
+    df1 = spark.createDataFrame(rows, "a int, b int")
+    df3 = spark.createDataFrame(rows * 3, "a int, b int")
+    m1 = fit_fellegi_sunter(df1, ["a", "b"])
+    m3 = fit_fellegi_sunter(df3, ["a", "b"])
+    assert list(m1.m) == pytest.approx(list(m3.m), abs=1e-9)
+    assert list(m1.u) == pytest.approx(list(m3.u), abs=1e-9)
+    assert m1.lam == pytest.approx(m3.lam, abs=1e-9)

@@ -120,3 +120,25 @@ def test_long_chain_converges_in_log_rounds(spark):
     df = spark.createDataFrame(edges, "src string, dst string, weight double")
     got = boruvka_msf(df, max_iter=7).count()
     assert got == 32  # every path edge is in the unique spanning tree
+
+
+def test_direction_and_monotone_weight_invariance_laws(spark):
+    """The forest is invariant under (a) flipping every edge's
+    direction and (b) any strictly increasing weight transform
+    (here w -> 3w + 7) — MST depends only on weight ORDER."""
+    rng = random.Random(41)
+    nodes, edges = _random_graph(rng, 18, 50, distinct_weights=True)
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    base = {(r["src"], r["dst"]) for r in boruvka_msf(df).collect()}
+
+    flipped = spark.createDataFrame(
+        [(v, u, w) for u, v, w in edges],
+        "src string, dst string, weight double",
+    )
+    assert {(r["src"], r["dst"]) for r in boruvka_msf(flipped).collect()} == base
+
+    scaled = spark.createDataFrame(
+        [(u, v, 3.0 * w + 7.0) for u, v, w in edges],
+        "src string, dst string, weight double",
+    )
+    assert {(r["src"], r["dst"]) for r in boruvka_msf(scaled).collect()} == base

@@ -175,3 +175,47 @@ def test_known_values_hand_fixture(spark):
     assert r["resnik"] == pytest.approx(ic["cancer"])
     assert r["lin"] == pytest.approx(1.0)  # equal ICs, mica ic equal
     assert r["jc_dist"] == pytest.approx(0.0)
+
+
+def test_ic_monotone_up_the_ontology_law(spark):
+    """IC never increases walking up is_a: an ancestor subsumes at
+    least its descendant's annotation mass."""
+    rng = random.Random(5)
+    edges = _random_dag(rng, 15)
+    anc = _brute_ancestors(edges)
+    terms = sorted(anc)
+    ann = spark.createDataFrame(
+        [(rng.choice(terms),) for _ in range(150)], "term string"
+    )
+    is_a = spark.createDataFrame(edges, "child string, parent string")
+    closure = ancestor_closure(is_a)
+    ic = {
+        r["term"]: r["ic"]
+        for r in term_information_content(ann, closure).collect()
+    }
+    for c, p in edges:
+        if c in ic and p in ic:
+            assert ic[p] <= ic[c] + 1e-12, (c, p)
+
+
+def test_self_similarity_law(spark):
+    """resnik(a,a) = IC(a); lin(a,a) = 1 whenever IC(a) > 0."""
+    edges = [("b", "a"), ("c", "b"), ("d", "b")]
+    is_a = spark.createDataFrame(edges, "child string, parent string")
+    closure = ancestor_closure(is_a)
+    ann = spark.createDataFrame(
+        [("c",), ("c",), ("d",), ("a",)], "term string"
+    )
+    ic_df = term_information_content(ann, closure)
+    ic = {r["term"]: r["ic"] for r in ic_df.collect()}
+    pairs = spark.createDataFrame(
+        [(t, t) for t in ic], "a string, b string"
+    )
+    got = {
+        r["a"]: r for r in semantic_similarity(pairs, closure, ic_df).collect()
+    }
+    for t, v in ic.items():
+        assert got[t]["resnik"] == pytest.approx(v, abs=1e-12)
+        assert got[t]["jc_dist"] == pytest.approx(0.0, abs=1e-12)
+        if v > 0:
+            assert got[t]["lin"] == pytest.approx(1.0, abs=1e-12)

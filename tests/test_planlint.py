@@ -328,3 +328,57 @@ def test_round4b_ops_lint_clean(spark):
         funnel(ev, ["view", "click"]),
     ):
         assert_plan_clean(df)
+
+
+def test_round4c_ops_lint_clean(spark):
+    """The IC-similarity, Fellegi-Sunter scoring, MSF, MIS, skew and
+    interval operators produce cartesian-free, single-partition-free,
+    Python-row-UDF-free plans. The iterative operators (boruvka_msf,
+    luby_mis) are linted on their RESULT plan — per-round intermediates
+    are localCheckpoint'd, so the result plan IS what executes last."""
+    from ontoma_spark.core.planlint import assert_plan_clean
+    from ontoma_spark.operators.er import FellegiSunterModel, score_pairs
+    from ontoma_spark.operators.intervals import (
+        coalesce_intervals,
+        covered_length,
+    )
+    from ontoma_spark.operators.mis import luby_mis
+    from ontoma_spark.operators.mst import boruvka_msf
+    from ontoma_spark.operators.ontosim import (
+        ancestor_closure,
+        semantic_similarity,
+        term_information_content,
+    )
+
+    is_a = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "a")], "child string, parent string"
+    )
+    closure = ancestor_closure(is_a)
+    ann = spark.createDataFrame([("c",), ("d",)], "term string")
+    ic = term_information_content(ann, closure)
+    pairs = spark.createDataFrame([("c", "d")], "a string, b string")
+    model = FellegiSunterModel(
+        comparisons=("x",), m=(0.9,), u=(0.1,), lam=0.2,
+        n_iter=1, log_likelihood=0.0,
+    )
+    fs_pairs = spark.createDataFrame([(1,), (0,)], "x int")
+    we = spark.createDataFrame(
+        [("n1", "n2", 1.0), ("n2", "n3", 2.0)],
+        "src string, dst string, weight double",
+    )
+    iv = spark.createDataFrame(
+        [("f", 1.0, 3.0), ("f", 2.0, 5.0)],
+        "fact string, valid_from double, valid_to double",
+    )
+
+    for df in (
+        closure,
+        ic,
+        semantic_similarity(pairs, closure, ic),
+        score_pairs(fs_pairs, model),
+        boruvka_msf(we),
+        luby_mis(we),
+        coalesce_intervals(iv, ["fact"]),
+        covered_length(iv, ["fact"]),
+    ):
+        assert_plan_clean(df)

@@ -138,3 +138,41 @@ def test_touching_and_gap_semantics(spark):
         for r in coalesce_intervals(df, ["fact"], max_gap=4).collect()
     )
     assert got4 == [(1.0, 10.0, 3)]
+
+
+def test_coalesce_idempotence_and_split_invariance_laws(spark):
+    """coalesce(coalesce(x)) == coalesce(x) on (key, start, end); and
+    splitting any interval into touching halves changes nothing but
+    n_merged."""
+    rng = random.Random(21)
+    rows = []
+    for _ in range(60):
+        s = float(rng.randrange(0, 200))
+        rows.append(("k", s, s + rng.randrange(0, 20)))
+    df = spark.createDataFrame(
+        rows, "fact string, valid_from double, valid_to double"
+    )
+    once = coalesce_intervals(df, ["fact"])
+    twice = coalesce_intervals(
+        once.select("fact", "valid_from", "valid_to"), ["fact"]
+    )
+    key = lambda r: (r["fact"], r["valid_from"], r["valid_to"])  # noqa: E731
+    assert sorted(map(key, once.collect())) == sorted(
+        map(key, twice.collect())
+    )
+    assert all(r["n_merged"] == 1 for r in twice.collect())
+
+    split_rows = []
+    for k, s, e in rows:
+        if e - s >= 2:
+            mid = float(int((s + e) / 2))
+            split_rows += [(k, s, mid), (k, mid, e)]
+        else:
+            split_rows.append((k, s, e))
+    df_split = spark.createDataFrame(
+        split_rows, "fact string, valid_from double, valid_to double"
+    )
+    again = coalesce_intervals(df_split, ["fact"])
+    assert sorted(map(key, again.collect())) == sorted(
+        map(key, once.collect())
+    )
