@@ -14,6 +14,10 @@ from ontoma_spark.operators.graph import (
     pagerank,
 )
 from ontoma_spark.operators.align import align_ontologies
+from ontoma_spark.operators.anf import (
+    ball_registers,
+    neighborhood_function,
+)
 from ontoma_spark.operators.er import (
     FellegiSunterModel,
     fit_fellegi_sunter,
@@ -69,7 +73,9 @@ __all__ = [
     "FellegiSunterModel",
     "align_ontologies",
     "ancestor_closure",
+    "ball_registers",
     "boruvka_msf",
+    "neighborhood_function",
     "coalesce_intervals",
     "covered_length",
     "fit_fellegi_sunter",

@@ -1,0 +1,155 @@
+"""HyperANF: neighbourhood function + effective diameter by per-node
+HLL registers (Boldi, Rosa & Vigna, WWW 2011).
+
+"How far apart are entities in the KG" at web scale cannot be answered
+by all-pairs BFS (quadratic state). HyperANF keeps ONE mergeable HLL
+register set per node approximating its ball ``B(u, t)``; one relation
+pass per radius unions every node's registers into its neighbours',
+so after t rounds each node's sketch estimates |B(u, t)|. Summing
+estimates gives the neighbourhood function N(t) — the number of
+reachable pairs within distance t — whose saturation point is the
+effective diameter. The original ran on billion-edge web graphs; the
+DataFrame form here inherits that bound: state is <= 256 * |V| rows.
+
+Scale notes
+-----------
+* Per round: one equi-join (adjacency ⋈ registers on node id) + one
+  groupBy(node, bucket) max — both shuffle on node id with map-side
+  combine; register state is hard-bounded at m=256 rows per node
+  REGARDLESS of ball size (that is the entire point vs exact BFS ball
+  materialisation, whose state is sum_u |B(u,t)| — quadratic on small-
+  diameter graphs). ``localCheckpoint`` per round cuts lineage.
+* Convergence is EXACT, not estimated: registers are monotone, so a
+  round that changes no (node, bucket, max_rho) row is a fixpoint of
+  the whole iteration — checked with exceptAll, same stance as
+  graph.py::connected_components_twostar. Exhausting ``max_iter``
+  before the fixpoint raises.
+* Estimates reuse functions/sketches.py's deterministic md5 HLL
+  (mergeable, integer-exact harmonic arithmetic) — ``ball_registers``
+  output is bit-identical to building ``hll_registers_grouped`` over
+  the EXACT ball membership table, which is how the tests oracle it.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ontoma_spark.functions.sketches import (
+    hll_estimate_grouped,
+    hll_registers_grouped,
+)
+
+
+def _init_registers(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    return hll_registers_grouped(nodes, ("node",), "node")
+
+
+def _adjacency(
+    edges: DataFrame, src: str, dst: str, directed: bool
+) -> DataFrame:
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    if not directed:
+        e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return e.distinct()
+
+
+def _advance(regs: DataFrame, adj: DataFrame) -> DataFrame:
+    """B(u, t+1) = B(u, t) ∪ union of neighbours' B(v, t) — register
+    union is groupBy max."""
+    prop = adj.join(
+        regs.withColumnRenamed("node", "b"), "b"
+    ).select(F.col("a").alias("node"), "bucket", "max_rho")
+    return (
+        regs.union(prop)
+        .groupBy("node", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def ball_registers(
+    edges: DataFrame,
+    radius: int,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Per-node HLL registers of the radius-``radius`` ball
+    (node, bucket, max_rho) — bit-identical to sketching the exact
+    ball membership table. Exposed for composition (e.g. grouped
+    estimates of 2-hop audience sizes) and for the exactness oracle."""
+    regs = _init_registers(edges, src, dst).localCheckpoint(eager=True)
+    adj = _adjacency(edges, src, dst, directed).localCheckpoint(eager=True)
+    for _ in range(radius):
+        regs = _advance(regs, adj)
+    return regs
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    q: float = 0.9,
+    max_iter: int = 64,
+) -> dict[str, Any]:
+    """Neighbourhood function N(t) and the q-effective diameter.
+
+    Returns ``{"nf": [N(0), N(1), ...], "effective_diameter": float,
+    "radius_reached": int}``. N(t) = sum over nodes of the estimated
+    |B(u, t)| (so N(0) ~ |V| and N(inf) ~ reachable pairs); the
+    effective diameter is the standard linearly-interpolated smallest
+    t with N(t) >= q * N(final). Iteration stops at the EXACT register
+    fixpoint; exhausting ``max_iter`` first raises."""
+    if not 0 < q <= 1:
+        raise ValueError("neighborhood_function: q must be in (0, 1]")
+    regs = _init_registers(edges, src, dst).localCheckpoint(eager=True)
+    adj = _adjacency(edges, src, dst, directed).localCheckpoint(eager=True)
+
+    def _total(r: DataFrame) -> float:
+        return float(
+            hll_estimate_grouped(r, ("node",))
+            .agg(F.sum("estimate").alias("s"))
+            .collect()[0]["s"]
+        )
+
+    nf = [_total(regs)]
+    converged = False
+    for _ in range(max_iter):
+        new = _advance(regs, adj)
+        changed = new.exceptAll(regs).limit(1).count()
+        if changed == 0:
+            converged = True
+            break
+        regs = new
+        nf.append(_total(regs))
+    if not converged:
+        raise RuntimeError(
+            f"neighborhood_function: no register fixpoint within "
+            f"{max_iter} rounds — raise max_iter"
+        )
+    n_final = nf[-1]
+    target = q * n_final
+    eff = 0.0
+    for t, v in enumerate(nf):
+        if v >= target:
+            if t == 0 or nf[t] == nf[t - 1]:
+                eff = float(t)
+            else:
+                eff = (t - 1) + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
+            break
+    return {
+        "nf": nf,
+        "effective_diameter": eff,
+        "radius_reached": len(nf) - 1,
+    }

@@ -1,0 +1,126 @@
+"""HyperANF (operators/anf.py): ball_registers is BIT-IDENTICAL to
+sketching the exact BFS ball membership (the register-propagation
+identity), the neighbourhood function tracks exact pair counts within
+HLL tolerance on seeded graphs, and effective diameter hits known
+values on structured fixtures."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ontoma_spark.functions.sketches import hll_registers_grouped
+from ontoma_spark.operators.anf import (
+    ball_registers,
+    neighborhood_function,
+)
+
+
+def _balls(nodes, adj, radius):
+    """exact BFS balls: {node: set of nodes within <= radius}"""
+    out = {}
+    for s in nodes:
+        seen = {s}
+        frontier = {s}
+        for _ in range(radius):
+            frontier = {
+                w for v in frontier for w in adj.get(v, ())
+            } - seen
+            if not frontier:
+                break
+            seen |= frontier
+        out[s] = seen
+    return out
+
+
+def _graph(rng, n_nodes, n_edges, directed):
+    nodes = [f"v{i:02d}" for i in range(n_nodes)]
+    edges = sorted({
+        tuple(rng.sample(nodes, 2)) for _ in range(n_edges)
+    })
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    touched = sorted({n for e in edges for n in e})
+    return touched, edges, adj
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+@pytest.mark.parametrize("directed", [False, True])
+def test_ball_registers_exact_identity(spark, seed, directed):
+    """registers after t propagation rounds == registers of the exact
+    ball membership table, bit for bit."""
+    rng = random.Random(seed)
+    nodes, edges, adj = _graph(rng, 14, 22, directed)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for radius in (1, 2, 3):
+        got = {
+            (r["node"], r["bucket"]): r["max_rho"]
+            for r in ball_registers(
+                df, radius, directed=directed
+            ).collect()
+        }
+        members = [
+            (u, m)
+            for u, ball in _balls(nodes, adj, radius).items()
+            for m in ball
+        ]
+        mdf = spark.createDataFrame(members, "node string, member string")
+        exp = {
+            (r["node"], r["bucket"]): r["max_rho"]
+            for r in hll_registers_grouped(
+                mdf, ("node",), "member"
+            ).collect()
+        }
+        assert got == exp, (seed, directed, radius)
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_nf_tracks_exact_pair_counts(spark, seed):
+    rng = random.Random(seed)
+    nodes, edges, adj = _graph(rng, 16, 24, directed=False)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    res = neighborhood_function(df, max_iter=20)
+    nf = res["nf"]
+    # exact N(t) for every t up to the reached radius
+    for t, got in enumerate(nf):
+        exact = sum(len(b) for b in _balls(nodes, adj, t).values())
+        # HLL-256 on tiny sets sits in the linear-counting regime:
+        # generous 10% + 2 absolute tolerance
+        assert abs(got - exact) <= 0.1 * exact + 2, (t, got, exact)
+    # N is non-decreasing and the last value covers all reachable pairs
+    assert all(b >= a - 1e-9 for a, b in zip(nf, nf[1:]))
+
+
+def test_effective_diameter_structured(spark):
+    # star: every pair within distance 2 -> eff diameter <= 2
+    star = [("hub", f"l{i}") for i in range(8)]
+    df = spark.createDataFrame(star, "src string, dst string")
+    res = neighborhood_function(df)
+    assert res["radius_reached"] == 2
+    assert res["effective_diameter"] <= 2.0
+
+    # path of 9 nodes: diameter 8; q=1.0 saturates the full closure
+    path = [(f"p{i}", f"p{i+1}") for i in range(8)]
+    df = spark.createDataFrame(path, "src string, dst string")
+    res = neighborhood_function(df, q=1.0)
+    assert res["radius_reached"] == 8
+    assert res["effective_diameter"] == pytest.approx(8.0)
+    # q=0.5 is strictly smaller
+    res_half = neighborhood_function(df, q=0.5)
+    assert res_half["effective_diameter"] < 8.0
+
+
+def test_directed_reachability_and_max_iter(spark):
+    # directed chain: balls grow along edge direction only
+    chain = [("a", "b"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame(chain, "src string, dst string")
+    res = neighborhood_function(df, directed=True, q=1.0)
+    assert res["radius_reached"] == 3
+    # exact: N(inf) = 4+3+2+1 = 10; tiny sets -> near-exact estimates
+    assert res["nf"][-1] == pytest.approx(10, abs=1.5)
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        neighborhood_function(df, directed=True, max_iter=2)

@@ -382,3 +382,15 @@ def test_round4c_ops_lint_clean(spark):
         covered_length(iv, ["fact"]),
     ):
         assert_plan_clean(df)
+
+
+def test_anf_round_lints_clean(spark):
+    """One HyperANF propagation round (join + register max) is
+    cartesian-free, single-partition-free and UDF-free."""
+    from ontoma_spark.core.planlint import assert_plan_clean
+    from ontoma_spark.operators.anf import ball_registers
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    assert_plan_clean(ball_registers(e, radius=1))
