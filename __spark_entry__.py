@@ -3207,7 +3207,71 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_betweenness": q78_betweenness,
         "q79_shortest_paths": q79_shortest_paths,
         "q80_text_embeddings": q80_text_embeddings,
+        "q81_skew_report": q81_skew_report,
+        "q82_interval_coalesce": q82_interval_coalesce,
+        "q83_anf_balls": q83_anf_balls,
     }
+
+
+def q81_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (exact-Counter-oracled in tests/test_skew_intervals):
+    key-skew diagnostics over lineitem's supplier key — one map-side-
+    combined groupBy + scalar aggregation + top-N. Returned as a
+    1-row DataFrame of the report scalars so the bench's count() step
+    times the whole measurement."""
+    from ontoma_spark.operators.skew import skew_report
+
+    rep = skew_report(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_suppkey"],
+        target_rows_per_task=1000,
+    )
+    return spark.createDataFrame(
+        [(
+            rep["n_rows"], rep["n_keys"], rep["max_rows"],
+            float(rep["imbalance"]), float(rep["hot_fraction"]),
+            rep["recommended_salts"],
+        )],
+        "n_rows long, n_keys long, max_rows long, imbalance double, "
+        "hot_fraction double, recommended_salts int",
+    )
+
+
+def q82_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (brute-force-merger-oracled in
+    tests/test_skew_intervals): gaps-and-islands coalescing of per-user
+    activity intervals derived from events (start = event time, end =
+    start + value seconds) — two per-key window passes + one groupBy
+    inside a single Exchange."""
+    from ontoma_spark.operators.intervals import coalesce_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").cast("double").alias("valid_from"),
+        (
+            F.unix_timestamp("ts").cast("double")
+            + F.abs(F.col("value")) * 60.0
+        ).alias("valid_to"),
+    )
+    return coalesce_intervals(ev, ["user_id"])
+
+
+def q83_anf_balls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (bit-exact-oracled vs exact BFS ball sketches in
+    tests/test_anf.py): four HyperANF register-propagation rounds on
+    the 20k-node part hierarchy — per round one adjacency join + one
+    groupBy(node,bucket) max, state bounded at 256 rows/node."""
+    from ontoma_spark.operators.anf import ball_registers
+
+    edges = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") > 1)
+        .select(
+            F.col("p_partkey").alias("src"),
+            (F.col("p_partkey") / 2).cast("long").alias("dst"),
+        )
+    )
+    return ball_registers(edges, radius=4)
 
 
 def q80_text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -121,6 +121,9 @@ HEADLINE = [
     "q78_betweenness",
     "q79_shortest_paths",
     "q80_text_embeddings",
+    "q81_skew_report",
+    "q82_interval_coalesce",
+    "q83_anf_balls",
 ]
 
 T0 = time.time()
