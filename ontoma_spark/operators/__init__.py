@@ -30,6 +30,7 @@ from ontoma_spark.operators.intervals import (
 from ontoma_spark.operators.mis import luby_mis
 from ontoma_spark.operators.skew import skew_report
 from ontoma_spark.operators.mst import boruvka_msf
+from ontoma_spark.operators.overlap import overlap_matrix
 from ontoma_spark.operators.ontosim import (
     ancestor_closure,
     semantic_similarity,
@@ -76,6 +77,7 @@ __all__ = [
     "ball_registers",
     "boruvka_msf",
     "neighborhood_function",
+    "overlap_matrix",
     "coalesce_intervals",
     "covered_length",
     "fit_fellegi_sunter",

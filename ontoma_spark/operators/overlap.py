@@ -1,0 +1,113 @@
+"""Corpus-slice overlap matrix from bottom-k sketches (Cohen's
+k-minimum-values set operations).
+
+HLL answers "how many distinct", but a training-data pipeline also
+needs "how much do these sources SHARE" — URL overlap between crawl
+snapshots, document overlap between corpus mixes, entity overlap
+between KG builds — and HLL registers cannot intersect. Bottom-k
+sketches can: the k smallest md5 priorities of A ∪ B are exactly the
+k smallest among S_A ∪ S_B (the min-union property already tested on
+functions/sketches.py), and the fraction of that union sketch present
+in BOTH sketches is an unbiased Jaccard estimator (Cohen & Kaplan,
+"Summarizing data using bottom-k sketches", PODC 2007). Intersection
+size follows as jaccard * |A ∪ B|, with |A ∪ B| from the classic
+(k-1)/p_k estimator. Everything is EXACT whenever |A ∪ B| <= k.
+
+Scale notes
+-----------
+* The corpus is touched ONCE, by ``grouped_bottomk`` (one shuffle on
+  the group key, rows beyond rank k dropped in the window). The
+  overlap matrix is computed from the G*k-row sketch table alone:
+  one groupBy(key) membership fold, one broadcast join against the
+  G*(G-1)/2 pair list, one per-pair window. Document the G^2*k
+  intermediate: fine for source counts in the hundreds, and never a
+  function of corpus size.
+* Determinism: md5 priorities, (prio, key) tie-breaks — the matrix is
+  reproducible across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from ontoma_spark.functions.sketches import (
+    BOTTOMK_DEFAULT,
+    grouped_bottomk,
+)
+
+def _prio_fraction_col():
+    # first 15 hex digits = 60 bits, exactly representable in a double
+    return (
+        F.conv(F.substring(F.col("prio"), 1, 15), 16, 10).cast("double")
+        / float(1 << 60)
+    )
+
+
+def overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = BOTTOMK_DEFAULT,
+) -> DataFrame:
+    """Pairwise overlap estimates between every two groups.
+
+    Output: one row per unordered group pair (g1 < g2):
+    ``(g1, g2, jaccard, union_est, intersection_est, exact)`` —
+    ``exact`` is true when the pair's union sketch holds every
+    distinct key of both groups (|A ∪ B| <= k), in which case all
+    three numbers are exact, not estimates.
+    """
+    sketch = grouped_bottomk(
+        df.select(F.col(group_col).alias("__g"), F.col(key_col)),
+        ("__g",),
+        key_col,
+        k=k,
+        distinct_keys=True,
+    )
+    # one row per sketched key: which groups' sketches contain it
+    membership = sketch.groupBy(key_col, "prio").agg(
+        F.collect_set("__g").alias("__gs")
+    )
+    groups = sketch.select(F.col("__g")).distinct()
+    pairs = (
+        groups.alias("l")
+        .join(groups.alias("r"), F.col("l.__g") < F.col("r.__g"))
+        .select(F.col("l.__g").alias("g1"), F.col("r.__g").alias("g2"))
+    )
+    # every sketched key joins every pair involving one of its groups;
+    # the intermediate is <= G^2 * k rows — sketch-sized, not corpus-
+    # sized (documented trade; G is the number of sources)
+    cand = membership.join(
+        F.broadcast(pairs),
+        F.array_contains("__gs", F.col("g1"))
+        | F.array_contains("__gs", F.col("g2")),
+    ).select(
+        "g1",
+        "g2",
+        "prio",
+        F.array_contains("__gs", F.col("g1")).cast("int").alias("__in1"),
+        F.array_contains("__gs", F.col("g2")).cast("int").alias("__in2"),
+    )
+    w = Window.partitionBy("g1", "g2").orderBy(F.col("prio"), F.col("__in1"))
+    topk = cand.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    agg = topk.groupBy("g1", "g2").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__in1") * F.col("__in2")).alias("__both"),
+        F.max(_prio_fraction_col()).alias("__pk"),
+    )
+    exact = F.col("__n") < k
+    union_est = F.when(exact, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("__pk")
+    )
+    jaccard = F.col("__both").cast("double") / F.col("__n").cast("double")
+    return agg.select(
+        "g1",
+        "g2",
+        jaccard.alias("jaccard"),
+        union_est.alias("union_est"),
+        (jaccard * union_est).alias("intersection_est"),
+        exact.alias("exact"),
+    )

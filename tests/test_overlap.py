@@ -1,0 +1,101 @@
+"""Bottom-k overlap matrix (operators/overlap.py) vs exact set
+arithmetic: bit-exact in the |A ∪ B| < k regime, bounded-error
+estimates in the sketched regime, pairwise coverage, determinism."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ontoma_spark.operators.overlap import overlap_matrix
+
+
+def _mk_rows(per_group: dict[str, set[str]]):
+    rows = []
+    for g, keys in per_group.items():
+        for key in keys:
+            rows.append((g, key))
+            rows.append((g, key))  # duplicates must not matter
+    return rows
+
+
+@pytest.mark.parametrize("seed", [13, 42])
+def test_exact_regime_matches_set_arithmetic(spark, seed):
+    rng = random.Random(seed)
+    universe = [f"doc{i:03d}" for i in range(60)]
+    per_group = {
+        g: set(rng.sample(universe, rng.randrange(10, 40)))
+        for g in ("crawl_a", "crawl_b", "books", "code")
+    }
+    df = spark.createDataFrame(
+        _mk_rows(per_group), "source string, doc string"
+    ).repartition(5)
+    got = {
+        (r["g1"], r["g2"]): r
+        for r in overlap_matrix(df, "source", "doc", k=256).collect()
+    }
+    names = sorted(per_group)
+    assert set(got) == {
+        (a, b) for i, a in enumerate(names) for b in names[i + 1:]
+    }
+    for (a, b), r in got.items():
+        sa, sb = per_group[a], per_group[b]
+        assert r["exact"] is True
+        assert r["union_est"] == pytest.approx(len(sa | sb))
+        assert r["jaccard"] == pytest.approx(len(sa & sb) / len(sa | sb))
+        assert r["intersection_est"] == pytest.approx(len(sa & sb))
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_sketched_regime_bounded_error(spark, seed):
+    rng = random.Random(seed)
+    universe = [f"u{i:04d}" for i in range(4000)]
+    shared = set(rng.sample(universe, 1200))
+    only_a = set(rng.sample(sorted(set(universe) - shared), 900))
+    only_b = set(rng.sample(sorted(set(universe) - shared - only_a), 900))
+    per_group = {"a": shared | only_a, "b": shared | only_b}
+    df = spark.createDataFrame(
+        _mk_rows(per_group), "source string, doc string"
+    )
+    k = 256
+    r = overlap_matrix(df, "source", "doc", k=k).collect()[0]
+    true_union = len(per_group["a"] | per_group["b"])  # 3000
+    true_jac = len(shared) / true_union  # 0.4
+    assert r["exact"] is False
+    # k=256 -> sketch std err ~ 1/sqrt(k) ~ 6%; allow 4 sigma
+    assert r["union_est"] == pytest.approx(true_union, rel=0.25)
+    assert r["jaccard"] == pytest.approx(true_jac, abs=4 / (k ** 0.5))
+    assert r["intersection_est"] == pytest.approx(
+        len(shared), rel=0.35
+    )
+
+
+def test_disjoint_identical_and_determinism(spark):
+    per_group = {
+        "x": {f"k{i}" for i in range(30)},
+        "y": {f"k{i}" for i in range(30)},          # identical to x
+        "z": {f"m{i}" for i in range(20)},          # disjoint
+    }
+    df = spark.createDataFrame(
+        _mk_rows(per_group), "source string, doc string"
+    )
+    got = {
+        (r["g1"], r["g2"]): r
+        for r in overlap_matrix(df, "source", "doc", k=64).collect()
+    }
+    assert got[("x", "y")]["jaccard"] == pytest.approx(1.0)
+    assert got[("x", "y")]["intersection_est"] == pytest.approx(30)
+    assert got[("x", "z")]["jaccard"] == pytest.approx(0.0)
+    assert got[("x", "z")]["intersection_est"] == pytest.approx(0.0)
+    assert got[("y", "z")]["jaccard"] == pytest.approx(0.0)
+    # partitioning invariance
+    again = {
+        (r["g1"], r["g2"]): (r["jaccard"], r["union_est"])
+        for r in overlap_matrix(
+            df.repartition(11), "source", "doc", k=64
+        ).collect()
+    }
+    assert again == {
+        key: (r["jaccard"], r["union_est"]) for key, r in got.items()
+    }
