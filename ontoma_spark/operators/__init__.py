@@ -57,9 +57,11 @@ from ontoma_spark.operators.graphsig import wl_signatures
 from ontoma_spark.operators.joins import asof_join, range_join
 from ontoma_spark.operators.linkeval import blocking_metrics, score_calibration
 from ontoma_spark.operators.motif import match_path, star_centers
+from ontoma_spark.operators.kgqa import degree_powerlaw
 from ontoma_spark.operators.profile import (
     functional_deps,
     inclusion_deps,
+    mad_outliers,
     profile_table,
     quantile_bins,
 )
@@ -80,6 +82,8 @@ __all__ = [
     "overlap_matrix",
     "coalesce_intervals",
     "covered_length",
+    "degree_powerlaw",
+    "mad_outliers",
     "fit_fellegi_sunter",
     "luby_mis",
     "skew_report",

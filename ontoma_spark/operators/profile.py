@@ -272,3 +272,50 @@ def inclusion_deps(
         "left_col string, right_col string, n_left_distinct long, "
         "n_missing long, holds boolean",
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    z_threshold: float = 3.5,
+    relative_error: float = 0.0,
+    flag_col: str = "is_outlier",
+    score_col: str = "robust_z",
+) -> DataFrame:
+    """Flag rows whose ``value_col`` is a robust outlier — the
+    quality-gate companion to ``quantile_bins`` (gate documents on
+    token count, perplexity, repetition ratio ... without letting the
+    outliers themselves poison the threshold, which is exactly what a
+    mean/stddev z-score does on heavy-tailed corpus stats).
+
+    Standard median/MAD rule (Iglewicz-Hoaglin): robust_z =
+    0.6745 * (x - median) / MAD, flagged when \|robust_z\| exceeds
+    ``z_threshold`` (their recommended 3.5 default). A constant-valued
+    column (MAD = 0) flags nothing and scores 0 — any other choice
+    (divide-by-zero infinities) would flag EVERY deviation from a
+    degenerate majority, which callers must opt into by lowering the
+    threshold, not by luck.
+
+    Scale shape: two Greenwald-Khanna ``approxQuantile`` passes
+    (median of x, then median of \|x - median\|) — the driver receives
+    two floats, never rows — then the score/flag is a literal Column
+    expression in the scan's codegen stage. ``relative_error=0`` makes
+    both medians exact order statistics (GK documents the cost); no
+    window, no shuffle, no single-task stage.
+    """
+    med = df.approxQuantile(value_col, [0.5], relative_error)
+    if not med:
+        return df.withColumn(
+            score_col, F.lit(None).cast("double")
+        ).withColumn(flag_col, F.lit(False))
+    median = med[0]
+    mad = df.select(
+        F.abs(F.col(value_col) - F.lit(median)).alias("__d")
+    ).approxQuantile("__d", [0.5], relative_error)[0]
+    if mad == 0:
+        z = F.lit(0.0)
+    else:
+        z = 0.6745 * (F.col(value_col) - F.lit(median)) / F.lit(mad)
+    return df.withColumn(score_col, z.cast("double")).withColumn(
+        flag_col, F.abs(F.col(score_col)) > F.lit(z_threshold)
+    )

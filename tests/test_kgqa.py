@@ -138,3 +138,57 @@ def test_real_pipeline_triples_pass_dangling_gate(spark):
     for r in rep:
         assert r["n_dangling_obj"] == 0, r["pred"]
         assert r["skew"] >= 1.0, r["pred"]
+
+
+def test_degree_powerlaw_formula_exact(spark):
+    """alpha matches the CSN discrete MLE computed in Python from the
+    exact degree list, for several k_min values."""
+    import math
+    import random
+    from collections import Counter
+
+    from ontoma_spark.operators.kgqa import degree_powerlaw
+
+    rng = random.Random(11)
+    nodes = [f"v{i}" for i in range(40)]
+    # zipf-ish attachment: node i picked with weight 1/(i+1)
+    weights = [1.0 / (i + 1) for i in range(40)]
+    edges = []
+    seen = set()
+    while len(edges) < 120:
+        a, b = rng.choices(nodes, weights, k=2)
+        if a != b and (a, b) not in seen:
+            seen.add((a, b))
+            edges.append((a, b))
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    for k_min in (1, 2, 3):
+        row = degree_powerlaw(df, k_min=k_min).collect()[0]
+        ks = [k for k in deg.values() if k >= k_min]
+        lsum = sum(math.log(k / (k_min - 0.5)) for k in ks)
+        exp_alpha = 1.0 + len(ks) / lsum
+        assert row["alpha"] == pytest.approx(exp_alpha, abs=1e-9), k_min
+        assert row["n_nodes"] == len(deg)
+        assert row["n_tail"] == len(ks)
+        assert row["max_degree"] == max(deg.values())
+        assert row["mean_degree"] == pytest.approx(
+            sum(deg.values()) / len(deg)
+        )
+
+
+def test_degree_powerlaw_degenerate_and_validation(spark):
+    from ontoma_spark.operators.kgqa import degree_powerlaw
+
+    # two nodes, one edge: every degree == k_min == 1 -> lsum > 0?
+    # ln(1/0.5) > 0, so alpha is defined; but a SINGLE tail node is not
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    row = degree_powerlaw(df, k_min=2).collect()[0]
+    assert row["alpha"] is None  # no tail nodes at k_min=2
+    assert row["n_tail"] == 0
+
+    with pytest.raises(ValueError, match="k_min"):
+        degree_powerlaw(df, k_min=0)

@@ -239,3 +239,44 @@ def test_inclusion_deps_nulls_ignored(spark):
     right = spark.createDataFrame([("a",), ("b",)], "y string")
     r = inclusion_deps(left, right).collect()[0]
     assert (r["n_left_distinct"], r["n_missing"], r["holds"]) == (1, 0, True)
+
+
+def test_mad_outliers_matches_bruteforce(spark):
+    """robust_z and flags match the Iglewicz-Hoaglin rule computed in
+    Python with exact medians (relative_error=0)."""
+    import random
+    import statistics
+
+    from ontoma_spark.operators.profile import mad_outliers
+
+    rng = random.Random(8)
+    vals = [rng.gauss(100, 10) for _ in range(201)] + [500.0, -300.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["x"]: (r["robust_z"], r["is_outlier"])
+        for r in mad_outliers(df, "x").collect()
+    }
+    med = statistics.median(vals)
+    mad = statistics.median(abs(v - med) for v in vals)
+    for v in vals:
+        z = 0.6745 * (v - med) / mad
+        gz, flag = got[v]
+        assert gz == pytest.approx(z, abs=1e-9)
+        assert flag == (abs(z) > 3.5)
+    # the planted extremes are flagged, the bulk is not
+    assert got[500.0][1] and got[-300.0][1]
+    flagged = sum(1 for _, f in got.values() if f)
+    assert flagged <= 5
+
+
+def test_mad_outliers_constant_column_and_empty(spark):
+    from ontoma_spark.operators.profile import mad_outliers
+
+    const = spark.createDataFrame([(7.0,)] * 10, "x double")
+    rows = mad_outliers(const, "x").collect()
+    assert all(r["robust_z"] == 0.0 and not r["is_outlier"] for r in rows)
+
+    empty = spark.createDataFrame([], "x double")
+    out = mad_outliers(empty, "x")
+    assert out.count() == 0
+    assert "is_outlier" in out.columns and "robust_z" in out.columns
