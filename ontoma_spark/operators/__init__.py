@@ -62,6 +62,7 @@ from ontoma_spark.operators.profile import (
     functional_deps,
     inclusion_deps,
     mad_outliers,
+    mad_outliers_grouped,
     profile_table,
     quantile_bins,
 )
@@ -84,6 +85,7 @@ __all__ = [
     "covered_length",
     "degree_powerlaw",
     "mad_outliers",
+    "mad_outliers_grouped",
     "fit_fellegi_sunter",
     "luby_mis",
     "skew_report",

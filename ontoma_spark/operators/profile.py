@@ -319,3 +319,48 @@ def mad_outliers(
     return df.withColumn(score_col, z.cast("double")).withColumn(
         flag_col, F.abs(F.col(score_col)) > F.lit(z_threshold)
     )
+
+
+def mad_outliers_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    z_threshold: float = 3.5,
+    flag_col: str = "is_outlier",
+    score_col: str = "robust_z",
+) -> DataFrame:
+    """Per-group robust outlier gate — ``mad_outliers`` with the
+    median/MAD fitted WITHIN each group (per-language token-count
+    gates, per-source perplexity gates: a global threshold flags
+    whole well-behaved groups whose scale merely differs).
+
+    Scale shape: one groupBy(group) exact ``percentile`` for the
+    medians, one more for the MADs (both map-side combined; group
+    count is dimension-sized), then the group stats broadcast-join
+    back and the score/flag are plain Column arithmetic. No window —
+    the two-pass aggregate form keeps every stage full-width.
+    MAD = 0 groups score 0 and flag nothing (same documented choice
+    as ``mad_outliers``).
+    """
+    if not group_cols:
+        raise ValueError("mad_outliers_grouped: need group columns")
+    g = [F.col(c) for c in group_cols]
+    med = df.groupBy(*g).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    mad = (
+        df.join(F.broadcast(med), group_cols)
+        .select(*g, F.abs(F.col(value_col) - F.col("__med")).alias("__d"))
+        .groupBy(*g)
+        .agg(F.expr("percentile(__d, 0.5)").alias("__mad"))
+    )
+    stats = med.join(mad, group_cols)
+    z = F.when(F.col("__mad") == 0, F.lit(0.0)).otherwise(
+        0.6745 * (F.col(value_col) - F.col("__med")) / F.col("__mad")
+    )
+    return (
+        df.join(F.broadcast(stats), group_cols)
+        .withColumn(score_col, z.cast("double"))
+        .withColumn(flag_col, F.abs(F.col(score_col)) > F.lit(z_threshold))
+        .drop("__med", "__mad")
+    )

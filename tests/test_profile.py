@@ -280,3 +280,37 @@ def test_mad_outliers_constant_column_and_empty(spark):
     out = mad_outliers(empty, "x")
     assert out.count() == 0
     assert "is_outlier" in out.columns and "robust_z" in out.columns
+
+
+def test_mad_outliers_grouped_matches_bruteforce(spark):
+    """Per-group robust z equals the per-group Python computation;
+    groups with different scales are gated independently."""
+    import random
+    import statistics
+
+    from ontoma_spark.operators.profile import mad_outliers_grouped
+
+    rng = random.Random(15)
+    rows = []
+    per_group = {}
+    for gname, mu, sigma in [("en", 100, 10), ("de", 1000, 100)]:
+        vals = [rng.gauss(mu, sigma) for _ in range(151)]
+        vals.append(mu * 10.0)  # planted extreme per group
+        per_group[gname] = vals
+        rows += [(gname, v) for v in vals]
+    df = spark.createDataFrame(rows, "lang string, x double").repartition(6)
+    got = {
+        (r["lang"], r["x"]): (r["robust_z"], r["is_outlier"])
+        for r in mad_outliers_grouped(df, "x", ["lang"]).collect()
+    }
+    for gname, vals in per_group.items():
+        med = statistics.median(vals)
+        mad = statistics.median(abs(v - med) for v in vals)
+        for v in vals:
+            z = 0.6745 * (v - med) / mad
+            gz, flag = got[(gname, v)]
+            assert gz == pytest.approx(z, abs=1e-9), gname
+            assert flag == (abs(z) > 3.5)
+        assert got[(gname, (100 if gname == "en" else 1000) * 10.0)][1]
+    with pytest.raises(ValueError, match="group columns"):
+        mad_outliers_grouped(df, "x", [])
