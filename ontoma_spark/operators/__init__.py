@@ -18,6 +18,7 @@ from ontoma_spark.operators.anf import (
     ball_registers,
     neighborhood_function,
 )
+from ontoma_spark.operators.coverage import greedy_max_coverage
 from ontoma_spark.operators.er import (
     FellegiSunterModel,
     fit_fellegi_sunter,
@@ -87,6 +88,7 @@ __all__ = [
     "mad_outliers",
     "mad_outliers_grouped",
     "fit_fellegi_sunter",
+    "greedy_max_coverage",
     "luby_mis",
     "skew_report",
     "score_pairs",

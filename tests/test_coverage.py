@@ -1,0 +1,108 @@
+"""GreeDi max-coverage (operators/coverage.py): single-partition run
+EQUALS the sequential greedy; multi-partition runs meet the GreeDi
+bound vs brute-force optimum on small instances and are deterministic;
+the coverage curve (marginal gains) is exact."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+from ontoma_spark.operators.coverage import greedy_max_coverage
+
+
+def _seq_greedy(members, k):
+    covered = set()
+    picks = []
+    rem = dict(members)
+    for _ in range(min(k, len(rem))):
+        best, gain = None, -1
+        for sid in sorted(rem):
+            g = len(rem[sid] - covered)
+            if g > gain:
+                best, gain = sid, g
+        if best is None or gain <= 0:
+            break
+        covered |= rem.pop(best)
+        picks.append((best, gain))
+    return picks
+
+
+def _mk(rng, n_sets, universe, lo, hi):
+    return {
+        f"s{i:02d}": set(rng.sample(universe, rng.randrange(lo, hi)))
+        for i in range(n_sets)
+    }
+
+
+def _rows(members):
+    return [(sid, e) for sid, es in members.items() for e in es]
+
+
+@pytest.mark.parametrize("seed", [4, 18])
+def test_single_partition_equals_sequential_greedy(spark, seed):
+    rng = random.Random(seed)
+    universe = [f"w{i}" for i in range(80)]
+    members = _mk(rng, 20, universe, 3, 15)
+    df = spark.createDataFrame(_rows(members), "doc string, term string")
+    got = [
+        (r["set_id"], r["rank"], r["marginal_gain"])
+        for r in greedy_max_coverage(
+            df, "doc", "term", k=6, n_partitions=1
+        ).orderBy("rank").collect()
+    ]
+    exp = _seq_greedy(members, 6)
+    assert got == [(sid, i + 1, g) for i, (sid, g) in enumerate(exp)]
+
+
+@pytest.mark.parametrize("seed", [7, 25])
+def test_multipartition_meets_greedi_bound(spark, seed):
+    rng = random.Random(seed)
+    universe = [f"w{i}" for i in range(40)]
+    members = _mk(rng, 12, universe, 4, 12)
+    k = 3
+    df = spark.createDataFrame(_rows(members), "doc string, term string")
+    res = greedy_max_coverage(df, "doc", "term", k=k, n_partitions=4)
+    rows = res.collect()
+    got_cov = sum(r["marginal_gain"] for r in rows)
+    # exact coverage check: marginal gains sum to the true union size
+    chosen = [r["set_id"] for r in rows]
+    assert got_cov == len(set().union(*(members[s] for s in chosen)))
+    # brute-force optimum over all k-subsets
+    opt = max(
+        len(set().union(*(members[s] for s in combo)))
+        for combo in itertools.combinations(sorted(members), k)
+    )
+    bound = opt * (1 - 1 / 2.718281828) / min(k, 4)
+    assert got_cov >= bound, (seed, got_cov, opt)
+    # in practice GreeDi lands near greedy; sanity: at least 60% of opt
+    assert got_cov >= 0.6 * opt, (seed, got_cov, opt)
+
+
+def test_deterministic_and_validation(spark):
+    rng = random.Random(2)
+    universe = [f"e{i}" for i in range(50)]
+    members = _mk(rng, 15, universe, 3, 10)
+    df = spark.createDataFrame(_rows(members), "doc string, term string")
+    a = greedy_max_coverage(df, "doc", "term", k=4).collect()
+    b = greedy_max_coverage(
+        df.repartition(9), "doc", "term", k=4
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError, match="k must"):
+        greedy_max_coverage(df, "doc", "term", k=0)
+
+
+def test_stops_when_everything_covered(spark):
+    members = {"a": {"x", "y"}, "b": {"x"}, "c": {"z"}}
+    df = spark.createDataFrame(_rows(members), "doc string, term string")
+    rows = greedy_max_coverage(df, "doc", "term", k=10).orderBy(
+        "rank"
+    ).collect()
+    # greedy stops after covering {x,y,z}: picks a (gain 2) then c
+    # (gain 1); b adds nothing and is dropped
+    assert [(r["set_id"], r["marginal_gain"]) for r in rows] == [
+        ("a", 2), ("c", 1),
+    ]
