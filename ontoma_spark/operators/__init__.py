@@ -50,7 +50,9 @@ from ontoma_spark.operators.embed import (
 from ontoma_spark.operators.funnel import funnel, funnel_conversion
 from ontoma_spark.operators.graph import (
     betweenness_centrality,
+    connected_components_twostar,
     harmonic_centrality,
+    incremental_components,
     ktruss,
     shortest_paths,
 )
@@ -121,6 +123,8 @@ __all__ = [
     "text_embeddings",
     "wl_signatures",
     "clustering_coefficient",
+    "connected_components_twostar",
+    "incremental_components",
     "jaccard_similarity",
     "kg_quality_report",
     "semantic_dedup",

@@ -643,6 +643,99 @@ def connected_components_twostar(
     )
 
 
+def incremental_components(
+    cc: DataFrame,
+    delta_edges: DataFrame,
+    node: str = "node",
+    component: str = "component",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Merge a batch of NEW edges into an existing connected-components
+    labelling without recomputing over the full edge set.
+
+    ``cc`` is a correct (node, component) labelling of the current
+    graph under the min-node-label convention (the output of
+    ``connected_components_twostar``, or of a previous call of this
+    function); ``delta_edges`` is the batch of edges added since.
+    Added edges can only MERGE components (edge deletion is out of
+    scope), so the whole update reduces to connected components over
+    the COMPONENT GRAPH — one node per touched label or brand-new
+    node, one edge per delta edge that bridges two labels — which is
+    O(|delta|)-sized, followed by one relabelling pass over ``cc``.
+
+    Scale story (the reason this exists): a daily ingest adding 10^9
+    xref edges to a 100 TB graph must not re-run the O(|E| log^2 n)
+    two-star iteration over the full edge set. Here the iterative part
+    runs on a table bounded by the BATCH size, and the corpus-scale
+    work is two narrow passes over the node-count-sized ``cc`` table:
+    a broadcast left-semi probe to look up the touched labels, and a
+    broadcast-map relabel (both map-side; ``cc`` is never shuffled).
+    Equality with the full recompute over (old edges ∪ delta) is
+    test-pinned on seeded random graphs, as are idempotence and
+    chunked-vs-single-batch application (tests/test_incremental_cc.py).
+
+    Matches the full-recompute convention exactly: self-loop-only and
+    isolated nodes get no row; a new node whose id is smaller than an
+    old component's label becomes the merged component's label.
+    """
+    u, v = F.col("u"), F.col("v")
+    d = (
+        delta_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(u != v)
+        .distinct()
+    )
+    ends = (
+        d.select(u.alias(node)).union(d.select(v.alias(node))).distinct()
+    )
+    # Delta-sized by construction: the current labels of the touched
+    # nodes. The semi-join broadcasts `ends`, so this is a narrow probe
+    # of cc, not a shuffle of it.
+    touched = cc.join(F.broadcast(ends), node, "left_semi")
+    lab_u = touched.select(
+        F.col(node).alias("u"), F.col(component).alias("__cu")
+    )
+    lab_v = touched.select(
+        F.col(node).alias("v"), F.col(component).alias("__cv")
+    )
+    # Endpoints absent from cc are brand-new nodes: their current label
+    # is their own id (a fresh singleton — new ids cannot collide with
+    # existing labels, which are ids of already-present nodes).
+    comp_edges = (
+        d.join(F.broadcast(lab_u), "u", "left")
+        .join(F.broadcast(lab_v), "v", "left")
+        .select(
+            F.coalesce(F.col("__cu"), u).alias("cs"),
+            F.coalesce(F.col("__cv"), v).alias("cd"),
+        )
+        .filter(F.col("cs") != F.col("cd"))
+        .localCheckpoint(eager=True)
+    )
+    new_nodes = ends.join(cc, node, "left_anti").select(
+        F.col(node), F.col(node).alias(component)
+    )
+    if comp_edges.isEmpty():
+        # every delta edge is internal to an existing component; new
+        # nodes (if any) stay fresh singletons
+        return cc.unionByName(new_nodes)
+    merged = connected_components_twostar(comp_edges, "cs", "cd", max_iter)
+    ren = F.broadcast(
+        merged.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(component),
+            F.col("component").alias("__new"),
+        )
+    )
+
+    def _relabel(df: DataFrame) -> DataFrame:
+        return df.join(ren, component, "left").select(
+            F.col(node),
+            F.coalesce(F.col("__new"), F.col(component)).alias(component),
+        )
+
+    return _relabel(cc).unionByName(_relabel(new_nodes))
+
+
 def kcore(
     edges: DataFrame,
     k: int,

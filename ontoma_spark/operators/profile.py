@@ -289,7 +289,7 @@ def mad_outliers(
     mean/stddev z-score does on heavy-tailed corpus stats).
 
     Standard median/MAD rule (Iglewicz-Hoaglin): robust_z =
-    0.6745 * (x - median) / MAD, flagged when \|robust_z\| exceeds
+    0.6745 * (x - median) / MAD, flagged when abs(robust_z) exceeds
     ``z_threshold`` (their recommended 3.5 default). A constant-valued
     column (MAD = 0) flags nothing and scores 0 — any other choice
     (divide-by-zero infinities) would flag EVERY deviation from a
@@ -297,7 +297,7 @@ def mad_outliers(
     threshold, not by luck.
 
     Scale shape: two Greenwald-Khanna ``approxQuantile`` passes
-    (median of x, then median of \|x - median\|) — the driver receives
+    (median of x, then median of abs(x - median)) — the driver receives
     two floats, never rows — then the score/flag is a literal Column
     expression in the scan's codegen stage. ``relative_error=0`` makes
     both medians exact order statistics (GK documents the cost); no

@@ -1,0 +1,131 @@
+"""incremental_components vs full two-star recompute.
+
+The contract under test: applying a delta edge batch to a correct
+min-label component assignment yields EXACTLY the labelling a full
+recompute over (base ∪ delta) produces — on seeded random graphs,
+across chunked application, and at the edge cases (internal edges,
+brand-new nodes, new node becoming the component label, empty delta).
+"""
+
+import random
+
+import pyspark.sql.functions as F
+
+from ontoma_spark.core.planlint import plan_findings, plan_text
+from ontoma_spark.operators.graph import (
+    connected_components_twostar,
+    incremental_components,
+)
+from tests.test_graph_twostar import brute_components
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        [(a, b) for a, b in edges] or [("__x", "__x")], "src string, dst string"
+    ).filter(F.col("src") != "__x" if not edges else F.lit(True))
+
+
+def _cc_rows(df):
+    return {(r["node"], r["component"]) for r in df.collect()}
+
+
+def _rand_graph(seed, n_nodes, n_edges):
+    rng = random.Random(seed)
+    nodes = [f"n{i:03d}" for i in range(n_nodes)]
+    return [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(n_edges)
+    ]
+
+
+def test_matches_full_recompute_random(spark):
+    for seed in (1, 7, 42):
+        all_edges = _rand_graph(seed, 60, 90)
+        base, delta = all_edges[:60], all_edges[60:]
+        cc = connected_components_twostar(_edges_df(spark, base))
+        got = incremental_components(cc, _edges_df(spark, delta))
+        full = connected_components_twostar(_edges_df(spark, all_edges))
+        assert _cc_rows(got) == _cc_rows(full), f"seed {seed}"
+        # and against the pure-python union-find oracle
+        oracle = brute_components([e for e in all_edges if e[0] != e[1]])
+        assert dict(_cc_rows(got)) == oracle, f"seed {seed}"
+
+
+def test_chunked_equals_single_batch(spark):
+    all_edges = _rand_graph(99, 40, 60)
+    base, d1, d2 = all_edges[:30], all_edges[30:45], all_edges[45:]
+    cc = connected_components_twostar(_edges_df(spark, base))
+    two_step = incremental_components(
+        incremental_components(cc, _edges_df(spark, d1)),
+        _edges_df(spark, d2),
+    )
+    one_step = incremental_components(cc, _edges_df(spark, d1 + d2))
+    assert _cc_rows(two_step) == _cc_rows(one_step)
+
+
+def test_idempotent(spark):
+    base = [("a", "b"), ("c", "d")]
+    delta = [("b", "c"), ("e", "f")]
+    cc = connected_components_twostar(_edges_df(spark, base))
+    once = incremental_components(cc, _edges_df(spark, delta))
+    twice = incremental_components(once, _edges_df(spark, delta))
+    assert _cc_rows(once) == _cc_rows(twice)
+
+
+def test_internal_edges_change_nothing(spark):
+    base = [("a", "b"), ("b", "c"), ("x", "y")]
+    cc = connected_components_twostar(_edges_df(spark, base))
+    # both delta edges sit inside existing components; self-loop dropped
+    got = incremental_components(
+        cc, _edges_df(spark, [("a", "c"), ("y", "x"), ("a", "a")])
+    )
+    assert _cc_rows(got) == _cc_rows(cc)
+
+
+def test_new_node_becomes_label(spark):
+    # "a0" is smaller than every existing label: the merged component
+    # must relabel to it, exactly as a full recompute would
+    base = [("b", "c"), ("d", "e")]
+    cc = connected_components_twostar(_edges_df(spark, base))
+    got = incremental_components(
+        cc, _edges_df(spark, [("a0", "c"), ("a0", "d")])
+    )
+    assert dict(_cc_rows(got)) == {
+        "a0": "a0",
+        "b": "a0",
+        "c": "a0",
+        "d": "a0",
+        "e": "a0",
+    }
+
+
+def test_brand_new_component_and_bridge(spark):
+    base = [("a", "b")]
+    cc = connected_components_twostar(_edges_df(spark, base))
+    got = incremental_components(
+        cc, _edges_df(spark, [("p", "q"), ("b", "z")])
+    )
+    assert dict(_cc_rows(got)) == {
+        "a": "a",
+        "b": "a",
+        "z": "a",
+        "p": "p",
+        "q": "p",
+    }
+
+
+def test_plan_hygiene(spark):
+    """The relabel pass must be a broadcast map join over cc (no
+    shuffle of the assignment table) and the plan lint-clean."""
+    base = _rand_graph(5, 30, 40)
+    cc = connected_components_twostar(_edges_df(spark, base))
+    got = incremental_components(
+        cc, _edges_df(spark, [("n000", "zz1"), ("zz1", "zz2")])
+    )
+    plan = plan_text(got)
+    assert "BroadcastHashJoin" in plan
+    hazards = [
+        f
+        for f in plan_findings(got)
+        if f["code"] not in ("exchanges", "single_partition")
+    ]
+    assert not hazards, hazards
