@@ -3210,6 +3210,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_skew_report": q81_skew_report,
         "q82_interval_coalesce": q82_interval_coalesce,
         "q83_anf_balls": q83_anf_balls,
+        "q84_incremental_cc": q84_incremental_cc,
     }
 
 
@@ -3272,6 +3273,32 @@ def q83_anf_balls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ball_registers(edges, radius=4)
+
+
+def q84_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (full-recompute-equality-oracled in
+    tests/test_incremental_cc.py): delta-batch connected-components
+    merge. Base graph = customer chains split into 50-node halves
+    (two per 100-block, ~15k edges at sf0.1); delta = the ~150 bridge
+    edges reconnecting the halves. Times base two-star + the
+    incremental merge, whose ITERATIVE part runs only on the
+    150-row component graph — the increment over a base-only CC is
+    the cost of the delta merge, i.e. two broadcast map passes over
+    the assignment table. A regression here means the merge started
+    shuffling the corpus-scale cc table."""
+    from ontoma_spark.operators.graph import (
+        connected_components_twostar,
+        incremental_components,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (F.col("c_custkey") - 1).cast("long").alias("dst"),
+    )
+    mod = F.col("src") % 100
+    base = cust.filter((mod != 0) & (mod != 50))
+    delta = cust.filter(mod == 50)
+    return incremental_components(connected_components_twostar(base), delta)
 
 
 def q80_text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

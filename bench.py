@@ -124,6 +124,7 @@ HEADLINE = [
     "q81_skew_report",
     "q82_interval_coalesce",
     "q83_anf_balls",
+    "q84_incremental_cc",
 ]
 
 T0 = time.time()
