@@ -28,6 +28,7 @@ from ontoma_spark.operators.intervals import (
     coalesce_intervals,
     covered_length,
 )
+from ontoma_spark.operators.infer import rdfs_materialize
 from ontoma_spark.operators.mis import luby_mis
 from ontoma_spark.operators.skew import skew_report
 from ontoma_spark.operators.mst import boruvka_msf
@@ -125,6 +126,7 @@ __all__ = [
     "clustering_coefficient",
     "connected_components_twostar",
     "incremental_components",
+    "rdfs_materialize",
     "jaccard_similarity",
     "kg_quality_report",
     "semantic_dedup",

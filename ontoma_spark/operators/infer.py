@@ -1,0 +1,186 @@
+"""RDFS forward-chaining entailment materialization over (subj, pred,
+obj) triples — the ρdf fragment (Muñoz, Pérez & Gutierrez, "Minimal
+deductive systems for RDF", ESWC 2007): subPropertyOf, subClassOf,
+domain, range, type.
+
+KG-construction role: the pipeline emits asserted triples
+(mention—exactMatch→term, term—is_a→parent); a consumer asking "every
+disease mention, including via subsumption" needs the ENTAILED graph.
+``rules.py`` mines implications, ``graph.py::transitive_closure``
+closes one relation; this operator materialises the full standard RDFS
+consequence set in one pass. The reference (opentargets/OnToma) has no
+inference surface — graft-added capability like ``operators/motif.py``
+(its single hand-rolled rule, ``pipeline/kg.py::infer_broader``, is
+subsumed by rdfs9 here).
+
+Rules implemented (names per the W3C RDF Semantics spec):
+
+  rdfs5   sp(p,q) ∧ sp(q,r)      ⇒ sp(p,r)        (schema closure)
+  rdfs11  sc(C,D) ∧ sc(D,E)      ⇒ sc(C,E)        (schema closure)
+  rdfs7   t(s,p,o) ∧ sp(p,q)     ⇒ t(s,q,o)
+  rdfs2   t(s,p,o) ∧ dom(p,C)    ⇒ t(s,type,C)
+  rdfs3   t(s,p,o) ∧ rng(p,C)    ⇒ t(o,type,C)
+  rdfs9   t(s,type,C) ∧ sc(C,D)  ⇒ t(s,type,D)
+
+Why NO instance-side fixpoint is needed: with the two schema closures
+precomputed, applying the instance rules in stratified order
+(rdfs7 → rdfs2/3 → rdfs9) is already complete for ρdf — rdfs7 can
+enable rdfs2/3 (a subproperty inherits its superproperty's
+domain/range, and a subproperty OF ``type`` mints type triples), and
+rdfs2/3 can enable rdfs9, but nothing feeds back into rdfs7. The
+classic semi-naive loop over the whole KG collapses to four joins.
+The one thing that WOULD reopen the fixpoint is meta-level schema —
+a schema predicate (subClassOf / subPropertyOf / domain / range) as
+the OBJECT of a subPropertyOf statement (``sp(broader, subClassOf)``
+turns instance triples into NEW schema, invalidating the precomputed
+closures), any reserved predicate as a subPropertyOf SUBJECT, or a
+reserved predicate as a domain/range subject (``dom(type, C)`` would
+have to re-fire on derived type triples). ρdf excludes reserved
+vocabulary from those positions for exactly this reason; this
+operator enforces the exclusion and RAISES on violation rather than
+silently under-entailing. ``sp(instanceOf, type)`` IS allowed — the
+minted type triples feed rdfs9 within the stratification.
+
+Scale notes
+-----------
+* The TBox (sub-class/-property/domain/range statements) is
+  schema-sized — KBs, not TBs — at ANY corpus scale, so both closures
+  run on tiny inputs and every instance rule is a ``F.broadcast``
+  map-side join: **the ABox is never shuffled**. The only corpus-scale
+  shuffle is the final ``distinct`` (skippable with ``dedup=False``
+  when the consumer dedups anyway, e.g. before a groupBy).
+* Inferred cardinality is bounded by |ABox| × (closure fan-out), the
+  same bound every materialization engine carries; rdfs9's fan-out is
+  the class-hierarchy DEPTH, not size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.graph import transitive_closure
+
+RDF_TYPE = "rdf:type"
+RDFS_SUBCLASS = "rdfs:subClassOf"
+RDFS_SUBPROP = "rdfs:subPropertyOf"
+RDFS_DOMAIN = "rdfs:domain"
+RDFS_RANGE = "rdfs:range"
+
+
+def _strict_closure(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Transitive closure of a schema-sized edge set as (a, b) pairs,
+    a != b. Empty input short-circuits (transitive_closure would still
+    be correct, just wasteful)."""
+    if edges.isEmpty():
+        return edges.sparkSession.createDataFrame([], "a string, b string")
+    return transitive_closure(edges, "a", "b", max_iter=max_iter)
+
+
+def rdfs_materialize(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    type_pred: str = RDF_TYPE,
+    subclass_pred: str = RDFS_SUBCLASS,
+    subprop_pred: str = RDFS_SUBPROP,
+    domain_pred: str = RDFS_DOMAIN,
+    range_pred: str = RDFS_RANGE,
+    max_schema_depth_log2: int = 12,
+    dedup: bool = True,
+) -> DataFrame:
+    """Asserted ∪ entailed triples under ρdf RDFS semantics.
+
+    Input is ONE triple table holding both schema statements
+    (``subclass_pred``/``subprop_pred``/``domain_pred``/``range_pred``
+    rows) and instance data; output has the same three columns and
+    contains every input row plus every entailment, deduplicated
+    unless ``dedup=False``. Idempotent: materializing the output again
+    adds nothing (test-pinned).
+    """
+    s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
+
+    def _schema(pred: str) -> DataFrame:
+        return triples.filter(p == pred).select(
+            s.alias("a"), o.alias("b")
+        ).distinct()
+
+    sp_raw = _schema(subprop_pred)
+    dom = _schema(domain_pred)
+    rng = _schema(range_pred)
+
+    # Meta-level guard (see module docstring): reserved vocabulary in
+    # these positions would make instance triples mint new schema and
+    # reopen the fixpoint — raise instead of silently under-entailing.
+    # All probed tables are schema-sized, so limit(1) probes are cheap.
+    reserved = [
+        type_pred, subclass_pred, subprop_pred, domain_pred, range_pred
+    ]
+    # A superproperty that IS ``type_pred`` is safe (rdfs7 then mints
+    # type triples, which the rdfs9 stage consumes — stratification
+    # holds); the four schema predicates as sp objects, any reserved
+    # sp subject, and any reserved domain/range subject are not.
+    schema_preds = [subclass_pred, subprop_pred, domain_pred, range_pred]
+    bad = sp_raw.filter(
+        F.col("a").isin(reserved) | F.col("b").isin(schema_preds)
+    ).unionByName(
+        dom.unionByName(rng).filter(F.col("a").isin(reserved))
+    )
+    offender = bad.limit(1).collect()
+    if offender:
+        r = offender[0]
+        raise ValueError(
+            "rdfs_materialize: reserved predicate in a meta-level schema "
+            f"position ({r['a']!r} -> {r['b']!r}) — outside the ρdf "
+            "fragment; materialization would be incomplete"
+        )
+
+    sp = _strict_closure(sp_raw, max_schema_depth_log2)
+    sc = _strict_closure(_schema(subclass_pred), max_schema_depth_log2)
+
+    def _t(sv: F.Column, pv: F.Column, ov: F.Column) -> list[F.Column]:
+        return [sv.alias(subj_col), pv.alias(pred_col), ov.alias(obj_col)]
+
+    # rdfs5/11: the schema closures are themselves entailed triples.
+    schema_new = sp.select(
+        *_t(F.col("a"), F.lit(subprop_pred), F.col("b"))
+    ).unionByName(sc.select(*_t(F.col("a"), F.lit(subclass_pred), F.col("b"))))
+
+    # rdfs7: propagate every triple up the property hierarchy. Applied
+    # FIRST so inherited domain/range (and subproperties of rdf:type)
+    # are honoured by the later rules.
+    prop7 = (
+        triples.join(F.broadcast(sp), p == F.col("a"))
+        .select(*_t(s, F.col("b"), o))
+    )
+    base = triples.select(subj_col, pred_col, obj_col).unionByName(prop7)
+
+    # rdfs2/3: domain and range mint type triples from the
+    # subproperty-saturated set.
+    typed2 = base.join(
+        F.broadcast(dom), F.col(pred_col) == F.col("a")
+    ).select(*_t(F.col(subj_col), F.lit(type_pred), F.col("b")))
+    typed3 = base.join(
+        F.broadcast(rng), F.col(pred_col) == F.col("a")
+    ).select(*_t(F.col(obj_col), F.lit(type_pred), F.col("b")))
+
+    # rdfs9: inherit types up the class hierarchy, over EVERY type
+    # triple (asserted, via rdfs7, or minted by rdfs2/3).
+    all_types = (
+        base.filter(F.col(pred_col) == type_pred)
+        .select(subj_col, pred_col, obj_col)
+        .unionByName(typed2)
+        .unionByName(typed3)
+    )
+    typed9 = all_types.join(
+        F.broadcast(sc), F.col(obj_col) == F.col("a")
+    ).select(*_t(F.col(subj_col), F.lit(type_pred), F.col("b")))
+
+    out = (
+        base.unionByName(schema_new)
+        .unionByName(typed2)
+        .unionByName(typed3)
+        .unionByName(typed9)
+    )
+    return out.distinct() if dedup else out

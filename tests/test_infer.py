@@ -1,0 +1,181 @@
+"""rdfs_materialize vs a naive brute-force RDFS fixpoint.
+
+Oracle: apply the six ρdf rules (rdfs2/3/5/7/9/11) to the triple SET
+until nothing changes — the textbook semantics, no stratification
+tricks. The operator's one convention difference is pinned explicitly:
+DERIVED reflexive schema pairs (sp(p,p)/sc(C,C) arising from cycles)
+are dropped, matching transitive_closure's strict pairs (asserted
+self-loops pass through untouched — they are ordinary input rows).
+"""
+
+import random
+
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.core.planlint import plan_findings, plan_text
+from ontoma_spark.operators.infer import (
+    RDF_TYPE,
+    RDFS_DOMAIN,
+    RDFS_RANGE,
+    RDFS_SUBCLASS,
+    RDFS_SUBPROP,
+    rdfs_materialize,
+)
+
+T, SC, SP, DOM, RNG = RDF_TYPE, RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE
+
+
+def brute_rdfs(triples):
+    """Naive fixpoint over a set of (s, p, o), dropping derived
+    reflexive sp/sc pairs per the operator's strict-closure convention."""
+    kg = set(triples)
+    while True:
+        new = set()
+        sp = {(s, o) for s, p, o in kg if p == SP}
+        sc = {(s, o) for s, p, o in kg if p == SC}
+        dom = {(s, o) for s, p, o in kg if p == DOM}
+        rng = {(s, o) for s, p, o in kg if p == RNG}
+        for a, b in sp:  # rdfs5
+            for c, d in sp:
+                if b == c and a != d:
+                    new.add((a, SP, d))
+        for a, b in sc:  # rdfs11
+            for c, d in sc:
+                if b == c and a != d:
+                    new.add((a, SC, d))
+        for s, p, o in kg:
+            for a, b in sp:  # rdfs7
+                if p == a:
+                    new.add((s, b, o))
+            for a, b in dom:  # rdfs2
+                if p == a:
+                    new.add((s, T, b))
+            for a, b in rng:  # rdfs3
+                if p == a:
+                    new.add((o, T, b))
+            if p == T:  # rdfs9
+                for a, b in sc:
+                    if o == a:
+                        new.add((s, T, b))
+        if new <= kg:
+            return kg
+        kg |= new
+
+
+def _df(spark, triples):
+    return spark.createDataFrame(
+        list(triples), "subj string, pred string, obj string"
+    )
+
+
+def _rows(df):
+    return {(r["subj"], r["pred"], r["obj"]) for r in df.collect()}
+
+
+def _rand_kg(seed):
+    rng = random.Random(seed)
+    classes = [f"C{i}" for i in range(8)]
+    props = [f"p{i}" for i in range(6)]
+    inst = [f"x{i}" for i in range(12)]
+    kg = set()
+    for _ in range(6):  # class hierarchy (may contain cycles)
+        kg.add((rng.choice(classes), SC, rng.choice(classes)))
+    for _ in range(4):  # property hierarchy
+        kg.add((rng.choice(props), SP, rng.choice(props)))
+    for _ in range(3):
+        kg.add((rng.choice(props), DOM, rng.choice(classes)))
+    for _ in range(3):
+        kg.add((rng.choice(props), RNG, rng.choice(classes)))
+    for _ in range(5):
+        kg.add((rng.choice(inst), T, rng.choice(classes)))
+    for _ in range(15):  # instance edges
+        kg.add((rng.choice(inst), rng.choice(props), rng.choice(inst)))
+    # drop meta-level rows the operator (rightly) rejects
+    reserved = {T, SC, SP, DOM, RNG}
+    return {
+        (s, p, o)
+        for s, p, o in kg
+        if not (p == SP and (s in reserved or o in reserved))
+        and not (p in (DOM, RNG) and s in reserved)
+    }
+
+
+def test_matches_brute_fixpoint_random(spark):
+    for seed in (3, 11, 2026):
+        kg = _rand_kg(seed)
+        got = _rows(rdfs_materialize(_df(spark, kg)))
+        assert got == brute_rdfs(kg), f"seed {seed}"
+
+
+def test_textbook_chain(spark):
+    """subproperty -> inherited domain/range -> class inheritance."""
+    kg = {
+        ("hasSymptom", SP, "affects"),
+        ("affects", DOM, "Disease"),
+        ("affects", RNG, "Phenotype"),
+        ("Disease", SC, "Condition"),
+        ("Condition", SC, "Entity"),
+        ("flu", "hasSymptom", "fever"),
+    }
+    got = _rows(rdfs_materialize(_df(spark, kg)))
+    for t in [
+        ("flu", "affects", "fever"),  # rdfs7
+        ("flu", T, "Disease"),  # rdfs2 via inherited domain
+        ("flu", T, "Condition"),  # rdfs9
+        ("flu", T, "Entity"),  # rdfs9 via rdfs11 closure
+        ("fever", T, "Phenotype"),  # rdfs3 via inherited range
+        ("Disease", SC, "Entity"),  # rdfs11 as a triple
+    ]:
+        assert t in got, t
+    assert got == brute_rdfs(kg)
+
+
+def test_subproperty_of_type(spark):
+    """A subproperty OF rdf:type mints type triples that then inherit."""
+    kg = {
+        ("instanceOf", SP, T),
+        ("Cat", SC, "Animal"),
+        ("tom", "instanceOf", "Cat"),
+    }
+    got = _rows(rdfs_materialize(_df(spark, kg)))
+    assert ("tom", T, "Cat") in got
+    assert ("tom", T, "Animal") in got
+    assert got == brute_rdfs(kg)
+
+
+def test_idempotent(spark):
+    kg = _rand_kg(7)
+    once = rdfs_materialize(_df(spark, kg))
+    twice = rdfs_materialize(once)
+    assert _rows(once) == _rows(twice)
+
+
+def test_pure_abox_passthrough(spark):
+    kg = {("a", "likes", "b"), ("b", "likes", "c")}
+    assert _rows(rdfs_materialize(_df(spark, kg))) == kg
+
+
+def test_meta_level_raises(spark):
+    for bad in [
+        ("broader", SP, SC),  # reserved as sp object
+        (SC, SP, "broader"),  # reserved as sp subject
+        (T, DOM, "Entity"),  # reserved as domain subject
+    ]:
+        kg = {bad, ("x", "p", "y")}
+        with pytest.raises(ValueError, match="reserved predicate"):
+            rdfs_materialize(_df(spark, kg))
+
+
+def test_plan_broadcast_and_lint(spark):
+    kg = _rand_kg(42)
+    out = rdfs_materialize(_df(spark, kg))
+    plan = plan_text(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the ABox is never shuffled to join
+    hazards = [
+        f
+        for f in plan_findings(out)
+        if f["code"] not in ("exchanges", "single_partition")
+    ]
+    assert not hazards, hazards
