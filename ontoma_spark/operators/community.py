@@ -1,0 +1,283 @@
+"""Distributed Louvain community detection (Blondel et al. 2008) —
+parallel local moving with a deterministic parity gate, then graph
+contraction, repeated per level.
+
+KG role: ``label_propagation`` gives cheap communities but optimises
+nothing; ``modularity`` scores a partition but doesn't produce one.
+Louvain is the standard modularity-OPTIMISING detector — topic/cluster
+structure over co-mention graphs before corpus mixing or negative
+sampling. The reference (opentargets/OnToma) has no graph surface;
+graft-added capability like the rest of ``operators/graph.py``.
+
+Algorithm, Spark-shaped
+-----------------------
+Level = (local-moving rounds, then contraction). Each round:
+
+1. ``Σtot(c)`` (community degree mass) — one node-table agg.
+2. Per (node i, neighbour community c): ``w_i_in(c)`` — the symmetric
+   edge table joined to the assignment on the FAR endpoint, then a
+   (i, c) sum. These are the only corpus-scale shuffles, both keyed.
+3. Standard remove+insert modularity gain, all terms joined in:
+   ``ΔQ(i: ci→c) = (w_in(c) − w_in(ci))/m − k_i·(Σtot(c) − Σtot(ci)
+   + k_i)/(2m²)`` with pre-move Σtot. Best target per node = window
+   argmax (gain desc, then community id asc — fully deterministic).
+4. THE PARITY GATE: applying every locally-best move simultaneously
+   oscillates (two adjacent singletons swap labels forever — the
+   known failure of naive parallel Louvain). Only nodes with
+   ``xxhash64(node, round) % 2 == 0`` move each round; the class
+   reshuffles every round, so any pair of neighbours is split in
+   expectation within 2 rounds. Deterministic, seedless, and
+   partitioning-invariant.
+
+A level converges when a round produces zero move CANDIDATES
+(checked before the parity gate, so convergence detection never
+wastes a round on parity luck). Contraction: map both endpoints
+through the assignment, re-aggregate symmetric weights, fold
+intra-community mass into super-node self-loops (k gets 2·self, per
+the standard convention); the original→super mapping composes across
+levels. Stops when a level moves nothing or ``max_levels`` is hit.
+
+Scale notes
+-----------
+* Driver sees only scalars (2m, per-round move counts). Assignment,
+  Σtot, and gain tables are node-/community-sized; the edge table is
+  touched once per round by a keyed join. ``localCheckpoint`` per
+  round cuts iterative lineage, as in ``pagerank``.
+* Contraction shrinks the edge table geometrically in practice, so
+  later levels are nearly free; the first level dominates, and its
+  cost is O(rounds · |E|) with keyed shuffles — the same shape as a
+  pagerank iteration, no all-pairs or wedge terms anywhere.
+* Parallel batch moves use pre-round state, so a single round's Q is
+  not guaranteed monotone (true of every distributed Louvain); the
+  tests pin recovered structure and Q-vs-sequential-Louvain quality
+  on seeded graphs instead, plus exact determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+_TOL = 1e-12
+
+
+def _symmetrize(
+    edges: DataFrame, src: str, dst: str, weight: str | None
+) -> tuple[DataFrame, DataFrame]:
+    """(symmetric i≠j table with both directions, self-loop weights).
+
+    Parallel input edges are summed; an undirected pair appearing in
+    both directions is summed too (consistent: the input is read as a
+    multigraph's edge list)."""
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    base = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w")
+    )
+    loops = (
+        base.filter(F.col("u") == F.col("v"))
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum("w").alias("selfw"))
+    )
+    und = (
+        base.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+            "w",
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    return sym, loops
+
+
+def _degrees(sym: DataFrame, loops: DataFrame) -> DataFrame:
+    """k_i = Σ_{j≠i} w_ij + 2·selfw_i, as (node, k)."""
+    d = sym.groupBy(F.col("u").alias("node")).agg(F.sum("w").alias("k"))
+    return (
+        d.unionByName(
+            loops.select("node", (F.col("selfw") * 2).alias("k"))
+        )
+        .groupBy("node")
+        .agg(F.sum("k").alias("k"))
+    )
+
+
+def louvain(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    max_levels: int = 4,
+    max_rounds_per_level: int = 10,
+) -> DataFrame:
+    """(node, community) for every node incident to an edge.
+
+    Undirected (weighted if ``weight`` names a column) Louvain;
+    community labels are opaque ids (node ids of the super-node each
+    community collapsed to). Deterministic for a given input.
+    """
+    sym, loops = _symmetrize(edges, src, dst, weight)
+    sym = sym.localCheckpoint(eager=True)
+    loops = loops.localCheckpoint(eager=True)
+
+    # original node -> current super-node (composes across levels)
+    mapping = (
+        sym.select(F.col("u").alias("node"))
+        .unionByName(loops.select("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comm"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _level in range(max_levels):
+        deg = _degrees(sym, loops).localCheckpoint(eager=True)
+        two_m = deg.agg(F.sum("k")).collect()[0][0] or 0.0
+        if two_m <= 0:
+            break
+        m = two_m / 2.0
+
+        asg = deg.select("node", F.col("node").alias("comm"))
+        asg = asg.localCheckpoint(eager=True)
+        level_moves = 0
+        for rnd in range(max_rounds_per_level):
+            sigma = (
+                asg.join(deg, "node")
+                .groupBy("comm")
+                .agg(F.sum("k").alias("tot"))
+            )
+            # neighbour-community weight per node: far endpoint's label
+            nbr = (
+                sym.join(
+                    asg.select(
+                        F.col("node").alias("v"), F.col("comm").alias("cj")
+                    ),
+                    "v",
+                )
+                .groupBy(F.col("u").alias("node"), "cj")
+                .agg(F.sum("w").alias("w_in"))
+            )
+            cur = asg.select("node", F.col("comm").alias("ci"))
+            w_cur = (
+                nbr.join(cur, "node")
+                .filter(F.col("cj") == F.col("ci"))
+                .select("node", F.col("w_in").alias("w_in_cur"))
+            )
+            cand = (
+                nbr.join(cur, "node")
+                .filter(F.col("cj") != F.col("ci"))
+                .join(w_cur, "node", "left")
+                .na.fill({"w_in_cur": 0.0})
+                .join(deg, "node")
+                .join(
+                    sigma.select(
+                        F.col("comm").alias("cj"), F.col("tot").alias("tot_c")
+                    ),
+                    "cj",
+                )
+                .join(
+                    sigma.select(
+                        F.col("comm").alias("ci"),
+                        F.col("tot").alias("tot_ci"),
+                    ),
+                    "ci",
+                )
+                .withColumn(
+                    "gain",
+                    (F.col("w_in") - F.col("w_in_cur")) / F.lit(m)
+                    - F.col("k")
+                    * (F.col("tot_c") - F.col("tot_ci") + F.col("k"))
+                    / F.lit(2.0 * m * m),
+                )
+                .filter(F.col("gain") > F.lit(_TOL))
+            )
+            best_all = (
+                cand.withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy("node").orderBy(
+                            F.col("gain").desc(), F.col("cj").asc()
+                        )
+                    ),
+                )
+                .filter(F.col("__rn") == 1)
+                .select("node", F.col("cj").alias("__new"))
+                # EAGER matters here and for asg below: a lazy
+                # localCheckpoint leaves the logical plan in place, so
+                # per-round plans nest ~6x per iteration and Catalyst
+                # analysis goes exponential; eager swaps in a
+                # LogicalRDD scan and keeps every round's plan flat.
+                .localCheckpoint(eager=True)
+            )
+            # zero CANDIDATES (pre-parity) == local optimum: no node
+            # wants to move, so the level is done — one count per
+            # round, and no wasted parity-empty rounds.
+            wanted = best_all.count()
+            if wanted == 0:
+                break
+            level_moves += wanted
+            best = best_all.filter(
+                F.xxhash64(F.col("node"), F.lit(rnd)) % 2 == 0
+            )
+            asg = (
+                asg.join(best, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("__new"), F.col("comm")).alias("comm"),
+                )
+                .localCheckpoint(eager=True)
+            )
+
+        if level_moves == 0:
+            break
+        mapping = (
+            mapping.join(
+                asg.select(
+                    F.col("node").alias("comm"), F.col("comm").alias("__nc")
+                ),
+                "comm",
+            )
+            .select("node", F.col("__nc").alias("comm"))
+            .localCheckpoint(eager=True)
+        )
+        # contract: endpoints -> communities; intra mass becomes
+        # self-loops (symmetric table holds each pair twice => /2)
+        mapped = (
+            sym.join(
+                asg.select(F.col("node").alias("u"), F.col("comm").alias("cu")),
+                "u",
+            )
+            .join(
+                asg.select(F.col("node").alias("v"), F.col("comm").alias("cv")),
+                "v",
+            )
+            .select("cu", "cv", "w")
+        )
+        new_loops = (
+            mapped.filter(F.col("cu") == F.col("cv"))
+            .select(F.col("cu").alias("node"), (F.col("w") / 2).alias("selfw"))
+            .unionByName(
+                loops.join(
+                    asg.select(
+                        F.col("node"), F.col("comm").alias("__c")
+                    ),
+                    "node",
+                ).select(F.col("__c").alias("node"), "selfw")
+            )
+            .groupBy("node")
+            .agg(F.sum("selfw").alias("selfw"))
+        )
+        new_sym = (
+            mapped.filter(F.col("cu") != F.col("cv"))
+            .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .agg(F.sum("w").alias("w"))
+        )
+        sym = new_sym.localCheckpoint(eager=True)
+        loops = new_loops.localCheckpoint(eager=True)
+        if sym.isEmpty():
+            break
+
+    return mapping.select("node", F.col("comm").alias("community"))

@@ -1,0 +1,231 @@
+"""Distributed Louvain vs sequential reference Louvain.
+
+Parallel batch moving legitimately explores a different move order
+than the sequential algorithm, so the pin is NOT label equality on
+arbitrary graphs — it is (a) exact recovered structure on planted
+community graphs (disjoint cliques, bridged cliques, ring of cliques:
+the canonical Louvain fixtures), (b) achieved modularity within a
+small tolerance of the sequential reference on seeded random graphs,
+(c) exact determinism and partitioning invariance of the distributed
+run itself.
+"""
+
+import itertools
+import random
+
+import pyspark.sql.functions as F
+
+from ontoma_spark.core.planlint import plan_findings
+from ontoma_spark.operators.community import louvain
+from ontoma_spark.operators.graph import modularity
+
+
+def brute_louvain(edge_list):
+    """Sequential weighted Louvain, deterministic sweep order (sorted
+    node ids, tie-break smallest community id) — the textbook
+    reference implementation."""
+    adj = {}
+
+    def _add(u, v, w):
+        adj.setdefault(u, {})
+        adj[u][v] = adj[u].get(v, 0.0) + w
+
+    for u, v, w in edge_list:
+        if u == v:
+            _add(u, u, w)
+        else:
+            _add(u, v, w)
+            _add(v, u, w)
+
+    mapping = {n: n for n in adj}
+    while True:
+        nodes = sorted(adj)
+        k = {
+            i: sum(w for j, w in adj[i].items() if j != i)
+            + 2 * adj[i].get(i, 0.0)
+            for i in nodes
+        }
+        two_m = sum(k.values())
+        if two_m <= 0:
+            break
+        m = two_m / 2.0
+        comm = {n: n for n in nodes}
+        sigma = dict(k)
+        moved_level = False
+        while True:
+            moved = False
+            for i in nodes:
+                ci = comm[i]
+                w_in = {}
+                for j, w in adj[i].items():
+                    if j != i:
+                        cj = comm[j]
+                        w_in[cj] = w_in.get(cj, 0.0) + w
+                base_in = w_in.get(ci, 0.0)
+                best, best_gain = None, 1e-12
+                for c in sorted(w_in):
+                    if c == ci:
+                        continue
+                    gain = (w_in[c] - base_in) / m - k[i] * (
+                        sigma[c] - sigma[ci] + k[i]
+                    ) / (2 * m * m)
+                    if gain > best_gain + 1e-15:
+                        best, best_gain = c, gain
+                if best is not None:
+                    sigma[ci] -= k[i]
+                    sigma[best] += k[i]
+                    comm[i] = best
+                    moved = moved_level = True
+            if not moved:
+                break
+        if not moved_level:
+            break
+        mapping = {n: comm[c] for n, c in mapping.items()}
+        new_adj = {}
+        for i in nodes:
+            for j, w in adj[i].items():
+                ci, cj = comm[i], comm[j]
+                if i == j:
+                    new_adj.setdefault(ci, {})
+                    new_adj[ci][ci] = new_adj[ci].get(ci, 0.0) + w
+                elif i < j:
+                    new_adj.setdefault(ci, {})
+                    new_adj.setdefault(cj, {})
+                    if ci == cj:
+                        new_adj[ci][ci] = new_adj[ci].get(ci, 0.0) + w
+                    else:
+                        new_adj[ci][cj] = new_adj[ci].get(cj, 0.0) + w
+                        new_adj[cj][ci] = new_adj[cj].get(ci, 0.0) + w
+        adj = new_adj
+    return mapping
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(list(edges), "src string, dst string")
+
+
+def _partition(df):
+    """communities as a frozenset of frozensets (label-free)."""
+    groups = {}
+    for r in df.collect():
+        groups.setdefault(r["community"], set()).add(r["node"])
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+def _clique(prefix, n):
+    nodes = [f"{prefix}{i}" for i in range(n)]
+    return list(itertools.combinations(nodes, 2))
+
+
+def test_disjoint_cliques(spark):
+    edges = _clique("a", 5) + _clique("b", 5) + _clique("c", 4)
+    part = _partition(louvain(_df(spark, edges)))
+    assert part == frozenset(
+        frozenset(f"{p}{i}" for i in range(n))
+        for p, n in [("a", 5), ("b", 5), ("c", 4)]
+    )
+
+
+def test_bridged_cliques(spark):
+    edges = _clique("a", 6) + _clique("b", 6) + [("a0", "b0")]
+    part = _partition(louvain(_df(spark, edges)))
+    assert part == frozenset(
+        [
+            frozenset(f"a{i}" for i in range(6)),
+            frozenset(f"b{i}" for i in range(6)),
+        ]
+    )
+
+
+def test_ring_of_cliques(spark):
+    """The canonical fixture: 6 cliques of 5 in a ring; optimum = the
+    cliques."""
+    edges = []
+    for c in range(6):
+        edges += _clique(f"k{c}_", 5)
+    for c in range(6):
+        edges.append((f"k{c}_0", f"k{(c + 1) % 6}_1"))
+    part = _partition(louvain(_df(spark, edges)))
+    assert part == frozenset(
+        frozenset(f"k{c}_{i}" for i in range(5)) for c in range(6)
+    )
+
+
+def test_modularity_matches_sequential_reference(spark):
+    for seed in (2, 13, 77):
+        rng = random.Random(seed)
+        # planted partition: 4 groups of 8, p_in=0.7, p_out=0.04
+        nodes = [f"g{g}n{i}" for g in range(4) for i in range(8)]
+        edges = []
+        for a, b in itertools.combinations(nodes, 2):
+            p = 0.7 if a[:2] == b[:2] else 0.04
+            if rng.random() < p:
+                edges.append((a, b))
+        got = louvain(_df(spark, edges))
+        q_got = modularity(_df(spark, edges), got)
+        ref = brute_louvain([(u, v, 1.0) for u, v in edges])
+        ref_df = spark.createDataFrame(
+            list(ref.items()), "node string, community string"
+        )
+        q_ref = modularity(_df(spark, edges), ref_df)
+        assert q_got > 0.3, (seed, q_got)
+        assert q_got >= q_ref - 0.03, (seed, q_got, q_ref)
+
+
+def test_deterministic_and_partitioning_invariant(spark):
+    rng = random.Random(5)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+    ]
+    df = _df(spark, edges)
+    a = sorted(map(tuple, louvain(df).collect()))
+    b = sorted(map(tuple, louvain(df.repartition(17)).collect()))
+    assert a == b
+    assert a == sorted(map(tuple, louvain(df).collect()))
+
+
+def test_weighted_bridge_dominates(spark):
+    """With the bridge edge carrying almost all the mass, the optimum
+    merges the bridge endpoints instead of the triangles."""
+    edges = [
+        ("a1", "a2", 1.0),
+        ("a2", "a3", 1.0),
+        ("a1", "a3", 1.0),
+        ("b1", "b2", 1.0),
+        ("b2", "b3", 1.0),
+        ("b1", "b3", 1.0),
+        ("a1", "b1", 100.0),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    part = _partition(louvain(df, weight="w"))
+    bridged = next(g for g in part if "a1" in g)
+    assert "b1" in bridged
+    ref = brute_louvain(edges)
+    ref_part = {}
+    for n, c in ref.items():
+        ref_part.setdefault(c, set()).add(n)
+    assert part == frozenset(frozenset(g) for g in ref_part.values())
+
+
+def test_self_loops_and_isolated_selfloop_node(spark):
+    edges = [
+        ("a", "b", 1.0),
+        ("a", "a", 5.0),
+        ("z", "z", 2.0),  # only a self-loop: stays a singleton
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    out = {r["node"]: r["community"] for r in louvain(df, weight="w").collect()}
+    assert set(out) == {"a", "b", "z"}
+    assert out["z"] == "z"
+
+
+def test_plan_hygiene(spark):
+    edges = _clique("a", 5) + _clique("b", 5) + [("a0", "b0")]
+    out = louvain(_df(spark, edges))
+    hazards = [
+        f
+        for f in plan_findings(out)
+        if f["code"] not in ("exchanges", "single_partition")
+    ]
+    assert not hazards, hazards
