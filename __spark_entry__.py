@@ -3211,6 +3211,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_interval_coalesce": q82_interval_coalesce,
         "q83_anf_balls": q83_anf_balls,
         "q84_incremental_cc": q84_incremental_cc,
+        "q85_louvain": q85_louvain,
     }
 
 
@@ -3273,6 +3274,38 @@ def q83_anf_balls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ball_registers(edges, radius=4)
+
+
+def q85_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (structure/modularity/determinism-oracled in
+    tests/test_community.py): distributed Louvain on a planted-block
+    customer graph — blocks of 20 consecutive custkeys wired as
+    width-3 bands (within-block edges k->k+1..k+3) plus one bridge
+    per block boundary (capped at custkey <= 4000: ~200 blocks, ~12k
+    edges — louvain cost is round-count x fixed per-round overhead,
+    so the cap keeps the bench line flat and cheap without changing
+    what is exercised). Times the per-round keyed edge join + gain
+    argmax + parity-gated move loop and one contraction level;
+    max_rounds/max_levels bound the round budget deterministically."""
+    from ontoma_spark.operators.community import louvain
+
+    keys = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").cast("long").alias("k"))
+        .filter(F.col("k") <= 4000)
+    )
+    block = (F.col("k") / 20).cast("long")
+    band = keys.select(
+        F.col("k").alias("src"),
+        F.explode(
+            F.array(F.col("k") + 1, F.col("k") + 2, F.col("k") + 3)
+        ).alias("dst"),
+    ).filter((F.col("dst") / 20).cast("long") == (F.col("src") / 20).cast("long"))
+    bridges = keys.filter(F.col("k") % 20 == 0).select(
+        F.col("k").alias("src"), (F.col("k") - 1).alias("dst")
+    )
+    edges = band.unionByName(bridges)
+    return louvain(edges, max_levels=2, max_rounds_per_level=3)
 
 
 def q84_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:

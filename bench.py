@@ -125,6 +125,7 @@ HEADLINE = [
     "q82_interval_coalesce",
     "q83_anf_balls",
     "q84_incremental_cc",
+    "q85_louvain",
 ]
 
 T0 = time.time()

@@ -140,15 +140,14 @@ def louvain(
             break
         m = two_m / 2.0
 
-        asg = deg.select("node", F.col("node").alias("comm"))
+        # asg carries (node, k, comm): k rides along so neither sigma
+        # nor the gain table needs a separate node-keyed join against
+        # the degree table — two fewer per-round shuffles.
+        asg = deg.select("node", "k", F.col("node").alias("comm"))
         asg = asg.localCheckpoint(eager=True)
         level_moves = 0
         for rnd in range(max_rounds_per_level):
-            sigma = (
-                asg.join(deg, "node")
-                .groupBy("comm")
-                .agg(F.sum("k").alias("tot"))
-            )
+            sigma = asg.groupBy("comm").agg(F.sum("k").alias("tot"))
             # neighbour-community weight per node: far endpoint's label
             nbr = (
                 sym.join(
@@ -160,18 +159,21 @@ def louvain(
                 .groupBy(F.col("u").alias("node"), "cj")
                 .agg(F.sum("w").alias("w_in"))
             )
-            cur = asg.select("node", F.col("comm").alias("ci"))
-            w_cur = (
-                nbr.join(cur, "node")
-                .filter(F.col("cj") == F.col("ci"))
-                .select("node", F.col("w_in").alias("w_in_cur"))
+            cur = asg.select("node", "k", F.col("comm").alias("ci"))
+            # one node-keyed join; w_in toward the CURRENT community is
+            # folded in as a same-key window max instead of a second
+            # join (the window reuses the join's node partitioning).
+            scored = nbr.join(cur, "node").withColumn(
+                "w_in_cur",
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("cj") == F.col("ci"), F.col("w_in"))
+                    ).over(Window.partitionBy("node")),
+                    F.lit(0.0),
+                ),
             )
             cand = (
-                nbr.join(cur, "node")
-                .filter(F.col("cj") != F.col("ci"))
-                .join(w_cur, "node", "left")
-                .na.fill({"w_in_cur": 0.0})
-                .join(deg, "node")
+                scored.filter(F.col("cj") != F.col("ci"))
                 .join(
                     sigma.select(
                         F.col("comm").alias("cj"), F.col("tot").alias("tot_c")
@@ -226,6 +228,7 @@ def louvain(
                 asg.join(best, "node", "left")
                 .select(
                     "node",
+                    "k",
                     F.coalesce(F.col("__new"), F.col("comm")).alias("comm"),
                 )
                 .localCheckpoint(eager=True)
