@@ -18,7 +18,10 @@ from ontoma_spark.operators.anf import (
     ball_registers,
     neighborhood_function,
 )
-from ontoma_spark.operators.community import louvain
+from ontoma_spark.operators.community import (
+    community_conductance,
+    louvain,
+)
 from ontoma_spark.operators.coverage import greedy_max_coverage
 from ontoma_spark.operators.er import (
     FellegiSunterModel,

@@ -284,3 +284,88 @@ def louvain(
             break
 
     return mapping.select("node", F.col("comm").alias("community"))
+
+def community_conductance(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Per-community conductance phi(C) = cut(C) / min(vol(C),
+    2m - vol(C)) — the standard "is this community well-separated"
+    score next to the global ``modularity`` Q: a detector (louvain,
+    label_propagation) can post a high Q while individual communities
+    leak; conductance ranks WHICH ones leak before they are trusted
+    for corpus mixing or negative sampling.
+
+    Spec (the brute-force test mirrors it): weighted multigraph, same
+    conventions as ``louvain`` — parallel edges sum; self-loops add
+    2w to vol(C) and never to the cut; nodes absent from
+    ``communities`` form singleton communities labelled by node id.
+    phi is null for a community with vol 0 or vol == 2m (no
+    complement to leak into); size counts distinct member nodes that
+    appear in the graph.
+
+    Returns (community, size, volume, cut, conductance).
+
+    Dataflow: one symmetrise pass, two node-keyed label joins over
+    the edge table (the |V|-row assignment broadcasts under AQE),
+    then one community-keyed aggregation; 2m is the only scalar
+    collect. Each undirected cut edge appears once per direction in
+    the symmetric table, so grouping rows with cu != cv by cu counts
+    every leaving edge exactly once per side — no /2, no all-pairs.
+    """
+    sym, loops = _symmetrize(edges, src, dst, weight)
+    cm = communities.select(
+        F.col(communities.columns[0]).alias("node"),
+        F.col(communities.columns[1]).alias("__lab"),
+    ).distinct()
+
+    deg = _degrees(sym, loops)
+    lab = deg.join(cm, "node", "left").select(
+        "node",
+        "k",
+        F.coalesce(F.col("__lab"), F.col("node")).alias("community"),
+    )
+    two_m = lab.agg(F.sum("k")).collect()[0][0] or 0.0
+    if two_m <= 0:
+        return lab.select(
+            "community",
+            F.lit(0).alias("size"),
+            F.lit(0.0).alias("volume"),
+            F.lit(0.0).alias("cut"),
+            F.lit(None).cast("double").alias("conductance"),
+        ).limit(0)
+
+    vol = lab.groupBy("community").agg(
+        F.countDistinct("node").alias("size"),
+        F.sum("k").alias("volume"),
+    )
+    cut = (
+        sym.join(
+            lab.select(F.col("node").alias("u"), F.col("community").alias("cu")),
+            "u",
+        )
+        .join(
+            lab.select(F.col("node").alias("v"), F.col("community").alias("cv")),
+            "v",
+        )
+        .filter(F.col("cu") != F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.sum("w").alias("cut"))
+    )
+    denom = F.least(F.col("volume"), F.lit(float(two_m)) - F.col("volume"))
+    return (
+        vol.join(cut, "community", "left")
+        .na.fill({"cut": 0.0})
+        .select(
+            "community",
+            "size",
+            "volume",
+            "cut",
+            F.when(denom > 0, F.col("cut") / denom)
+            .otherwise(F.lit(None))
+            .alias("conductance"),
+        )
+    )

@@ -16,7 +16,10 @@ import random
 import pyspark.sql.functions as F
 
 from ontoma_spark.core.planlint import plan_findings
-from ontoma_spark.operators.community import louvain
+from ontoma_spark.operators.community import (
+    community_conductance,
+    louvain,
+)
 from ontoma_spark.operators.graph import modularity
 
 
@@ -235,3 +238,97 @@ def test_plan_hygiene(spark):
         if f["code"] not in ("exchanges", "single_partition")
     ]
     assert not hazards, hazards
+
+
+def brute_conductance(edge_list, comm):
+    """Dict oracle mirroring community_conductance's spec."""
+    deg, cutw, vol = {}, {}, {}
+    und = {}
+    loops = {}
+    for u, v, w in edge_list:
+        if u == v:
+            loops[u] = loops.get(u, 0.0) + w
+        else:
+            key = (min(u, v), max(u, v))
+            und[key] = und.get(key, 0.0) + w
+    nodes = set(loops)
+    for (u, v), w in und.items():
+        nodes |= {u, v}
+        deg[u] = deg.get(u, 0.0) + w
+        deg[v] = deg.get(v, 0.0) + w
+    for n, w in loops.items():
+        deg[n] = deg.get(n, 0.0) + 2 * w
+    lab = {n: comm.get(n, n) for n in nodes}
+    two_m = sum(deg.values())
+    size = {}
+    for n in nodes:
+        c = lab[n]
+        vol[c] = vol.get(c, 0.0) + deg.get(n, 0.0)
+        size[c] = size.get(c, 0) + 1
+    for (u, v), w in und.items():
+        if lab[u] != lab[v]:
+            cutw[lab[u]] = cutw.get(lab[u], 0.0) + w
+            cutw[lab[v]] = cutw.get(lab[v], 0.0) + w
+    out = {}
+    for c in vol:
+        denom = min(vol[c], two_m - vol[c])
+        phi = cutw.get(c, 0.0) / denom if denom > 0 else None
+        out[c] = (size[c], vol[c], cutw.get(c, 0.0), phi)
+    return out
+
+
+def test_conductance_matches_brute(spark):
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(20)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes), rng.choice([1.0, 2.5]))
+        for _ in range(50)
+    ]
+    comm = {n: f"c{int(n[1:]) % 3}" for n in nodes[:15]}  # n15-19 unassigned
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    cdf = spark.createDataFrame(
+        list(comm.items()), "node string, community string"
+    )
+    got = {
+        r["community"]: (
+            r["size"],
+            round(r["volume"], 9),
+            round(r["cut"], 9),
+            None if r["conductance"] is None else round(r["conductance"], 9),
+        )
+        for r in community_conductance(df, cdf, weight="w").collect()
+    }
+    ref = {
+        c: (s, round(v, 9), round(cw, 9), None if p is None else round(p, 9))
+        for c, (s, v, cw, p) in brute_conductance(edges, comm).items()
+    }
+    assert got == ref
+
+
+def test_conductance_separated_vs_leaky(spark):
+    # two cliques + one bridge: both near 0; random labels: near 1
+    edges = _clique("a", 5) + _clique("b", 5) + [("a0", "b0")]
+    df = _df(spark, edges)
+    good = spark.createDataFrame(
+        [(f"{p}{i}", p) for p in ("a", "b") for i in range(5)],
+        "node string, community string",
+    )
+    rows = community_conductance(df, good).collect()
+    assert all(r["conductance"] < 0.1 for r in rows)
+    bad = spark.createDataFrame(
+        [(f"{p}{i}", f"c{i % 2}") for p in ("a", "b") for i in range(5)],
+        "node string, community string",
+    )
+    leaky = community_conductance(df, bad).collect()
+    assert all(r["conductance"] > 0.5 for r in leaky)
+
+
+def test_conductance_whole_graph_null(spark):
+    edges = _clique("a", 4)
+    df = _df(spark, edges)
+    one = spark.createDataFrame(
+        [(f"a{i}", "all") for i in range(4)], "node string, community string"
+    )
+    rows = community_conductance(df, one).collect()
+    assert len(rows) == 1
+    assert rows[0]["conductance"] is None and rows[0]["cut"] == 0.0
