@@ -483,3 +483,147 @@ def hll_estimate_grouped(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return per_group.select(*group_cols, est.alias("estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable frequent-items summaries)
+# ---------------------------------------------------------------------------
+
+MG_DEFAULT = 256
+
+
+def _mg_reduce(counters: dict, k: int) -> int:
+    """Shrink a counter dict to at most k entries by subtracting the
+    (k+1)-st largest count from every counter and dropping the
+    non-positive ones — the mergeable-summaries reduction (Agarwal et
+    al., PODS 2012): one reduction subtracting v charges exactly v to
+    the summary's error budget. Returns the subtracted amount (0 when
+    no shrink was needed)."""
+    if len(counters) <= k:
+        return 0
+    vals = sorted(counters.values(), reverse=True)
+    sub = vals[k]  # (k+1)-st largest
+    for key in [key for key, c in counters.items() if c - sub <= 0]:
+        del counters[key]
+    for key in counters:
+        counters[key] -= sub
+    return sub
+
+
+def mg_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = MG_DEFAULT,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-partition Misra-Gries frequent-items summaries:
+    (pid, key, cnt, decr) with at most k keys per partition.
+
+    Scale story: the raw table is NEVER shuffled — each partition folds
+    its rows into k counters inside one Arrow-batched ``mapInPandas``
+    pass (pandas ``value_counts`` per batch, then the
+    mergeable-summaries reduction), and only O(k) rows per partition
+    leave the executor. At 100 TB that is the difference between a
+    full groupBy shuffle over every token and shipping 256 small rows
+    per partition.
+
+    Guarantee (classic MG): within a partition,
+    ``true_p - decr_p <= cnt <= true_p`` for summarised keys, and
+    ``true_p <= decr_p`` for keys absent from the summary. ``decr`` is
+    the partition's total subtracted amount, repeated on each of its
+    rows (consumed pid-distinct by ``mg_topk``).
+
+    ``weight_col`` switches from row counts to weight sums (weighted
+    MG — e.g. token_count per domain); weights are cast to long (the
+    bounds algebra is exact integer arithmetic). Nulls in ``key_col``
+    skipped.
+    """
+    import pandas as pd  # noqa: F401  (executor-side)
+
+    cols = [key_col] + ([weight_col] if weight_col else [])
+    src = df.select(*cols).filter(F.col(key_col).isNotNull())
+    if weight_col:
+        src = src.withColumn(weight_col, F.col(weight_col).cast("long"))
+
+    def fold(batches):
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        counters: dict = {}
+        decr = 0
+        for pdf in batches:
+            if weight_col:
+                batch = pdf.groupby(key_col, sort=False)[weight_col].sum()
+            else:
+                batch = pdf[key_col].value_counts(sort=False)
+            for key, c in batch.items():
+                counters[key] = counters.get(key, 0) + int(c)
+            decr += _mg_reduce(counters, k)
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "pid": pid,
+                    "key": list(counters.keys()),
+                    "cnt": list(counters.values()),
+                    "decr": decr,
+                }
+            )
+
+    out_schema = "pid int, key string, cnt long, decr long"
+    return src.withColumn(
+        key_col, F.col(key_col).cast("string")
+    ).mapInPandas(fold, out_schema)
+
+
+def mg_topk(
+    summaries: DataFrame, k: int = MG_DEFAULT, top: int = 20
+) -> DataFrame:
+    """Merge per-partition MG summaries into global heavy hitters with
+    DETERMINISTIC error bounds: (key, cnt_lower, cnt_upper), the `top`
+    keys by guaranteed-lower-bound count, ordered (cnt_lower desc, key).
+
+    Merge math: summed counters lower-bound the true count
+    (cnt_p >= true_p - decr_p, and a key absent from partition p has
+    true_p <= decr_p), so with D = sum of per-partition decrements,
+    ``cnt_lower <= true <= cnt_lower + D`` for EVERY key — including
+    keys no partition kept. The shuffle carries at most k rows per
+    input partition; D comes from one pid-distinct aggregation of the
+    same summary table (no second scan of the raw data).
+
+    A key is a certified phi-heavy-hitter when cnt_lower > phi*n; a key
+    with cnt_upper < phi*n is certified NOT one. D <= n/(k+1) per the
+    MG invariant, so bounds tighten linearly in k."""
+    d_total = (
+        summaries.select("pid", "decr")
+        .groupBy("pid")
+        .agg(F.first("decr").alias("decr"))
+        .agg(F.sum("decr").alias("d"))
+    )
+    merged = summaries.groupBy("key").agg(F.sum("cnt").alias("cnt_lower"))
+    return (
+        merged.crossJoin(F.broadcast(d_total))
+        .select(
+            "key",
+            "cnt_lower",
+            (F.col("cnt_lower") + F.col("d")).alias("cnt_upper"),
+        )
+        .orderBy(F.desc("cnt_lower"), "key")
+        .limit(top)
+    )
+
+
+def mg_merge(*summaries: DataFrame) -> DataFrame:
+    """Union MG summary tables from DIFFERENT datasets so ``mg_topk``
+    merges them as one: pids are disambiguated with a dataset ordinal
+    (pid -> pid * n_datasets + i) so per-partition decrements from
+    different datasets never collapse in the pid-distinct sum."""
+    n = len(summaries)
+    parts = [
+        s.withColumn("pid", F.col("pid") * n + i)
+        for i, s in enumerate(summaries)
+    ]
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -1,0 +1,136 @@
+"""Misra-Gries heavy-hitters sketch: bound validity against exact
+counts (for ANY partitioning), per-partition size cap, the n/(k+1)
+error invariant, cross-dataset merge, and the weighted variant.
+
+The reference (opentargets/OnToma) has no sketch surface; this backs
+the training-data-pipeline extension (frequent tokens/domains over a
+corpus without a full groupBy shuffle)."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from ontoma_spark.functions.sketches import mg_merge, mg_sketch, mg_topk
+
+
+def _zipf_rows(n: int, n_keys: int, seed: int) -> list:
+    """Deterministic skewed key stream: key i drawn ~ 1/(i+1)."""
+    rng = random.Random(seed)
+    weights = [1.0 / (i + 1) for i in range(n_keys)]
+    tot = sum(weights)
+    cum, acc = [], 0.0
+    for w in weights:
+        acc += w / tot
+        cum.append(acc)
+    rows = []
+    for _ in range(n):
+        r = rng.random()
+        for i, c in enumerate(cum):
+            if r <= c:
+                rows.append((f"k{i:03d}",))
+                break
+    return rows
+
+
+def _exact(spark, df):
+    return {
+        r["key"]: r["c"]
+        for r in df.groupBy(F.col("key")).agg(F.count("*").alias("c")).collect()
+    }
+
+
+def test_mg_bounds_contain_exact_counts(spark):
+    rows = _zipf_rows(5000, 120, seed=7)
+    df = spark.createDataFrame(rows, "key string").repartition(4)
+    k = 16
+    summ = mg_sketch(df, "key", k=k)
+    # per-partition size cap
+    per_pid = {
+        r["pid"]: r["c"]
+        for r in summ.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    }
+    assert per_pid and all(c <= k for c in per_pid.values())
+    exact = _exact(spark, df)
+    n = sum(exact.values())
+    top = mg_topk(summ, k=k, top=10).collect()
+    assert top, "skewed stream must yield hitters"
+    for r in top:
+        true = exact.get(r["key"], 0)
+        assert r["cnt_lower"] <= true <= r["cnt_upper"], (
+            r["key"], r["cnt_lower"], true, r["cnt_upper"])
+    # error width == D, and D <= n_partitions * n/(k+1) is loose; the
+    # tight MG bound is per-partition: D = sum_p decr_p <= n/(k+1)
+    # because each reduction subtracting v removes >= (k+1)*v mass.
+    d = top[0]["cnt_upper"] - top[0]["cnt_lower"]
+    assert all(r["cnt_upper"] - r["cnt_lower"] == d for r in top)
+    assert d <= n // (k + 1)
+    # the true #1 key (zipf head) must be reported
+    true_top = max(exact.items(), key=lambda kv: kv[1])[0]
+    assert any(r["key"] == true_top for r in top)
+
+
+def test_mg_bounds_hold_under_any_partitioning(spark):
+    rows = _zipf_rows(3000, 60, seed=11)
+    exact = None
+    for parts in (1, 3, 8):
+        df = spark.createDataFrame(rows, "key string").repartition(parts)
+        if exact is None:
+            exact = _exact(spark, df)
+        top = mg_topk(mg_sketch(df, "key", k=12), k=12, top=8).collect()
+        for r in top:
+            true = exact.get(r["key"], 0)
+            assert r["cnt_lower"] <= true <= r["cnt_upper"]
+
+
+def test_mg_merge_across_datasets(spark):
+    a_rows = _zipf_rows(2000, 50, seed=3)
+    b_rows = _zipf_rows(2000, 50, seed=4)
+    a = spark.createDataFrame(a_rows, "key string").repartition(3)
+    b = spark.createDataFrame(b_rows, "key string").repartition(2)
+    k = 16
+    merged = mg_merge(mg_sketch(a, "key", k=k), mg_sketch(b, "key", k=k))
+    # disambiguated pids: one decr row per (dataset, partition)
+    union_exact = _exact(spark, a.unionByName(b))
+    top = mg_topk(merged, k=k, top=10).collect()
+    for r in top:
+        true = union_exact.get(r["key"], 0)
+        assert r["cnt_lower"] <= true <= r["cnt_upper"]
+    true_top = max(union_exact.items(), key=lambda kv: kv[1])[0]
+    assert any(r["key"] == true_top for r in top)
+
+
+def test_mg_weighted(spark):
+    rows = [(f"d{i % 7}", (i % 5) + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "key string, w int").repartition(3)
+    exact = {
+        r["key"]: r["s"]
+        for r in df.groupBy("key").agg(F.sum("w").alias("s")).collect()
+    }
+    top = mg_topk(mg_sketch(df, "key", k=4, weight_col="w"), k=4, top=5)
+    got = top.collect()
+    assert got
+    for r in got:
+        assert r["cnt_lower"] <= exact.get(r["key"], 0) <= r["cnt_upper"]
+
+
+def test_mg_exact_when_k_exceeds_cardinality(spark):
+    rows = [(f"k{i % 5}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "key string").repartition(2)
+    exact = _exact(spark, df)
+    top = mg_topk(mg_sketch(df, "key", k=64), k=64, top=10).collect()
+    # no reduction ever ran -> D == 0 -> bounds are exact counts
+    assert {r["key"]: r["cnt_lower"] for r in top} == exact
+    assert all(r["cnt_lower"] == r["cnt_upper"] for r in top)
+
+
+def test_mg_nulls_skipped_and_empty_input(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,)], "key string"
+    )
+    top = mg_topk(mg_sketch(df, "key", k=8), k=8, top=5).collect()
+    assert [(r["key"], r["cnt_lower"]) for r in top] == [("a", 2)]
+    empty = spark.createDataFrame([], "key string")
+    assert mg_topk(mg_sketch(empty, "key", k=8), k=8, top=5).count() == 0
