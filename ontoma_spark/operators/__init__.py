@@ -53,6 +53,7 @@ from ontoma_spark.operators.embed import (
     text_embeddings,
 )
 from ontoma_spark.operators.funnel import funnel, funnel_conversion
+from ontoma_spark.operators.fusion import truth_discovery
 from ontoma_spark.operators.graph import (
     betweenness_centrality,
     connected_components_twostar,
@@ -107,6 +108,7 @@ __all__ = [
     "blocking_metrics",
     "funnel",
     "funnel_conversion",
+    "truth_discovery",
     "functional_deps",
     "harmonic_centrality",
     "hash_project",

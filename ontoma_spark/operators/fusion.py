@@ -1,0 +1,128 @@
+"""Truth discovery / source fusion for conflicting KG claims.
+
+A construction pipeline ingests the same (entity, attribute) fact from
+many extractors and source corpora, and they disagree — one source says
+a drug's target is HGNC:X, another says HGNC:Y. Majority vote treats a
+spam mirror and a curated registry as equals; the classical fix
+(TruthFinder, Yin et al. KDD'07; the Sums/investment family surveyed in
+Li et al. VLDB'12 "Truth Finding on the Deep Web"; Dong et al.'s
+Knowledge Vault fusion layer) iterates two coupled estimates:
+
+* claim confidence = trust-weighted support among the sources
+  asserting it, normalised within its (entity, attribute) question;
+* source trust = mean confidence of the claims the source asserts.
+
+The reference (opentargets/OnToma) has no fusion layer — it maps each
+string independently (src/ontoma/ontoma.py:329-425) and leaves
+conflicts to the caller; this is added KG surface like operators/er.py.
+
+Spark shape / scale notes
+-------------------------
+* The claims table is the only corpus-sized input. It is deduplicated
+  ONCE to assertions ``(entity, attr, value, source)`` and persisted;
+  every iteration reuses that cached table.
+* The trust table is one row per source — dimension-sized by
+  construction — so every per-iteration join is an explicit
+  ``F.broadcast``; the big side never shuffles for the join.
+* Per iteration the big side shuffles exactly twice: groupBy
+  (entity, attr, value) to sum support, then a window-free groupBy
+  (entity, attr) for the normaliser, joined back broadcast-free on the
+  same key (co-partitioned by AQE). The trust update groupBy(source)
+  collapses map-side into |sources| rows.
+* Trust is localCheckpoint()ed per iteration (rows = |sources|) so the
+  lineage does not grow with ``max_iter``.
+* Deterministic: fixed iteration count, no RNG; winner ties break on
+  the value string, so the output is partitioning-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def truth_discovery(
+    claims: DataFrame,
+    entity_col: str = "entity",
+    attr_col: str = "attr",
+    value_col: str = "value",
+    source_col: str = "source",
+    max_iter: int = 8,
+    prior_trust: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """Iterative source-trust / claim-confidence fusion.
+
+    Returns ``(resolved, trust)``:
+
+    * ``resolved`` — one row per (entity, attr): ``value`` (the
+      winning claim), ``confidence`` (its normalised support in
+      [0, 1]), ``n_values`` (how many distinct values competed).
+    * ``trust`` — one row per source: ``trust`` in [0, 1].
+
+    Semantics (the Sums/average-log family, normalised form):
+
+    ``conf(e,a,v) = sum_{s asserts (e,a,v)} trust(s)
+                    / sum_{s asserts (e,a,*)} trust(s)``
+    ``trust(s)   = mean_{(e,a,v) asserted by s} conf(e,a,v)``
+
+    All sources start at ``prior_trust``; ``max_iter`` fixed-point
+    rounds (typically converges in < 6). A source that keeps agreeing
+    with the weighted majority gains trust; a contrarian source decays
+    toward the share of questions it wins.
+    """
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    assertions = (
+        claims.select(
+            F.col(entity_col).alias("e"),
+            F.col(attr_col).alias("a"),
+            F.col(value_col).alias("v"),
+            F.col(source_col).alias("src"),
+        )
+        .distinct()
+        .persist()
+    )
+    trust = (
+        assertions.select("src")
+        .distinct()
+        .withColumn("trust", F.lit(float(prior_trust)))
+        .localCheckpoint(eager=True)
+    )
+
+    conf = None
+    for _ in range(max_iter):
+        support = (
+            assertions.join(F.broadcast(trust), "src")
+            .groupBy("e", "a", "v")
+            .agg(F.sum("trust").alias("__sup"))
+        )
+        total = support.groupBy("e", "a").agg(
+            F.sum("__sup").alias("__tot")
+        )
+        conf = support.join(total, ["e", "a"]).select(
+            "e", "a", "v", (F.col("__sup") / F.col("__tot")).alias("conf")
+        )
+        new_trust = (
+            assertions.join(conf, ["e", "a", "v"])
+            .groupBy("src")
+            .agg(F.avg("conf").alias("trust"))
+        )
+        trust = new_trust.localCheckpoint(eager=True)
+
+    # Winner per question: lexicographic max over (conf, v) — highest
+    # confidence, ties broken on the larger value string, so the result
+    # is deterministic under any partitioning.
+    winner = conf.groupBy("e", "a").agg(
+        F.max(F.struct(F.col("conf"), F.col("v"))).alias("__w"),
+        F.count("*").alias("n_values"),
+    )
+    resolved = winner.select(
+        F.col("e").alias(entity_col),
+        F.col("a").alias(attr_col),
+        F.col("__w.v").alias("value"),
+        F.col("__w.conf").alias("confidence"),
+        "n_values",
+    )
+    trust_out = trust.select(F.col("src").alias(source_col), "trust")
+    assertions.unpersist()
+    return resolved, trust_out

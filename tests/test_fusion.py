@@ -1,0 +1,127 @@
+"""truth_discovery (operators/fusion.py) vs an independent pandas/
+numpy implementation of the same fixed-point iteration, plus planted
+reliable-vs-noisy-source recovery and partitioning invariance."""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+
+import pytest
+
+from ontoma_spark.operators.fusion import truth_discovery
+
+
+def _brute(claims, max_iter=8, prior=0.8):
+    """claims: list of (e, a, v, src) tuples. Returns (resolved, trust)
+    dicts mirroring the operator's semantics exactly."""
+    assertions = sorted(set(claims))
+    sources = sorted({s for *_, s in assertions})
+    trust = {s: prior for s in sources}
+    conf = {}
+    for _ in range(max_iter):
+        sup = defaultdict(float)
+        tot = defaultdict(float)
+        for e, a, v, s in assertions:
+            sup[(e, a, v)] += trust[s]
+        for (e, a, v), x in sup.items():
+            tot[(e, a)] += x
+        conf = {k: x / tot[(k[0], k[1])] for k, x in sup.items()}
+        acc = defaultdict(list)
+        for e, a, v, s in assertions:
+            acc[s].append(conf[(e, a, v)])
+        trust = {s: sum(xs) / len(xs) for s, xs in acc.items()}
+    resolved = {}
+    for (e, a, v), c in conf.items():
+        key = (e, a)
+        cur = resolved.get(key)
+        # lexicographic max over (conf, v), matching the operator
+        if cur is None or (c, v) > (cur[1], cur[0]):
+            resolved[key] = (v, c)
+    n_values = defaultdict(int)
+    for (e, a, _v) in conf:
+        n_values[(e, a)] += 1
+    return (
+        {k: (v, c, n_values[k]) for k, (v, c) in resolved.items()},
+        trust,
+    )
+
+
+def _gen(rng, n_entities=40, n_sources=5, noisy=("s4",)):
+    """Planted world: each (entity, 'type') has one true value; clean
+    sources report truth 95% of the time, noisy sources 30%."""
+    rows = []
+    truths = {}
+    values = [f"V{i}" for i in range(6)]
+    for i in range(n_entities):
+        e = f"E{i}"
+        truths[e] = rng.choice(values)
+        for s in [f"s{j}" for j in range(n_sources)]:
+            p_true = 0.3 if s in noisy else 0.95
+            v = truths[e] if rng.random() < p_true else rng.choice(values)
+            rows.append((e, "type", v, s))
+    # duplicate restatements must not change anything (distinct() gate)
+    rows += rows[:25]
+    return rows, truths
+
+
+@pytest.fixture(scope="module")
+def planted():
+    return _gen(random.Random(7))
+
+
+def test_matches_brute_force(spark, planted):
+    rows, _ = planted
+    df = spark.createDataFrame(rows, ["entity", "attr", "value", "source"])
+    resolved, trust = truth_discovery(df, max_iter=6)
+    exp_res, exp_trust = _brute(rows, max_iter=6)
+    got_trust = {r["source"]: r["trust"] for r in trust.collect()}
+    assert set(got_trust) == set(exp_trust)
+    for s, t in exp_trust.items():
+        assert got_trust[s] == pytest.approx(t, abs=1e-9)
+    got = {
+        (r["entity"], r["attr"]): (r["value"], r["confidence"], r["n_values"])
+        for r in resolved.collect()
+    }
+    assert set(got) == set(exp_res)
+    for k, (v, c, n) in exp_res.items():
+        gv, gc, gn = got[k]
+        assert gv == v and gn == n
+        assert gc == pytest.approx(c, abs=1e-9)
+
+
+def test_recovers_planted_truth_and_demotes_noisy_source(spark, planted):
+    rows, truths = planted
+    df = spark.createDataFrame(rows, ["entity", "attr", "value", "source"])
+    resolved, trust = truth_discovery(df)
+    got = {r["entity"]: r["value"] for r in resolved.collect()}
+    acc = sum(got[e] == t for e, t in truths.items()) / len(truths)
+    assert acc >= 0.9
+    tr = {r["source"]: r["trust"] for r in trust.collect()}
+    assert tr["s4"] < min(tr[s] for s in ("s0", "s1", "s2", "s3"))
+
+
+def test_partitioning_invariance(spark, planted):
+    rows, _ = planted
+    df = spark.createDataFrame(rows, ["entity", "attr", "value", "source"])
+    r1, _ = truth_discovery(df.repartition(1), max_iter=4)
+    r2, _ = truth_discovery(df.repartition(16), max_iter=4)
+    a = sorted(map(tuple, r1.collect()))
+    b = sorted(map(tuple, r2.collect()))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        # discrete fields bit-exact; confidence is a distributed float
+        # sum, so partition order may differ in the last ULPs
+        assert x[:3] == y[:3] and x[4] == y[4]
+        assert x[3] == pytest.approx(y[3], abs=1e-12)
+
+
+def test_unanimous_claims_confidence_one(spark):
+    rows = [("E0", "type", "V1", f"s{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, ["entity", "attr", "value", "source"])
+    resolved, trust = truth_discovery(df, max_iter=3)
+    r = resolved.collect()
+    assert len(r) == 1
+    assert r[0]["value"] == "V1"
+    assert r[0]["confidence"] == pytest.approx(1.0)
+    assert all(t["trust"] == pytest.approx(1.0) for t in trust.collect())
