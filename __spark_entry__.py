@@ -3212,6 +3212,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_anf_balls": q83_anf_balls,
         "q84_incremental_cc": q84_incremental_cc,
         "q85_louvain": q85_louvain,
+        "q86_quality_suite": q86_quality_suite,
+        "q87_drift_report": q87_drift_report,
     }
 
 
@@ -3306,6 +3308,47 @@ def q85_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = band.unionByName(bridges)
     return louvain(edges, max_levels=2, max_rounds_per_level=3)
+
+
+def q86_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (brute-force- + DuckDB-oracled in
+    tests/test_quality.py): a 10-rule declarative constraint suite over
+    the documents corpus verified in ONE fused aggregation — the plan
+    contains exactly one corpus scan regardless of rule count
+    (plan-pinned in the tests). Times the single-pass metric agg incl.
+    an exact multi-distinct (Expand rewrite)."""
+    from ontoma_spark.operators import quality as Q
+
+    docs = _t(spark, sf_dir, "documents")
+    return Q.verify(
+        docs,
+        [
+            Q.size_between(1),
+            Q.completeness("doc_id"),
+            Q.completeness("text"),
+            Q.completeness("lang", 0.95),
+            Q.uniqueness("doc_id"),
+            Q.uniqueness("text", 0.5),
+            Q.in_range("n_chars", 1, 10_000_000, 0.99),
+            Q.matches("lang", "[a-z]{2}", 0.95),
+            Q.isin("source", [f"src{i}" for i in range(20)], 0.99),
+            Q.satisfies("length(text) >= 10", "min_text_len", 0.9),
+        ],
+    )
+
+
+def q87_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (numpy-brute-force-oracled in tests/test_drift.py):
+    PSI/JS drift of the odd-doc_id half of the corpus against the even
+    half across four columns — one approxQuantile pass + one stacked
+    single-scan histogram per side (two corpus scans total,
+    plan-pinned), drift arithmetic on the O(cols x bins) join."""
+    from ontoma_spark.operators.drift import drift_report
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    return drift_report(ref, cur, ["lang", "source", "n_chars", "doc_id"])
 
 
 def q84_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:

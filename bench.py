@@ -126,6 +126,8 @@ HEADLINE = [
     "q83_anf_balls",
     "q84_incremental_cc",
     "q85_louvain",
+    "q86_quality_suite",
+    "q87_drift_report",
 ]
 
 T0 = time.time()

@@ -81,6 +81,8 @@ from ontoma_spark.operators.packing import pack_sequences, running_total
 from ontoma_spark.operators.sampling import hash_sample, hash_split
 from ontoma_spark.operators.semdedup import semantic_dedup
 from ontoma_spark.operators.tfidf import corpus_tokens, tfidf_top_terms
+from ontoma_spark.operators.quality import suite_passed, verify
+from ontoma_spark.operators.drift import drift_report, drifted_columns
 
 __all__ = [
     "FellegiSunterModel",
@@ -152,4 +154,8 @@ __all__ = [
     "running_total",
     "simhash_candidates",
     "tfidf_top_terms",
+    "verify",
+    "suite_passed",
+    "drift_report",
+    "drifted_columns",
 ]

@@ -1,0 +1,210 @@
+"""Distribution drift between two corpus versions: PSI / JS divergence.
+
+A training-data pipeline re-ingests its corpus continuously; the
+question "did this week's crawl shift under me" has to be answered
+BEFORE a model trains on it. This module compares a reference
+DataFrame (the blessed corpus / last snapshot) against a current one,
+per column, and reports Population Stability Index and Jensen-Shannon
+divergence over a shared binning.
+
+Spark-first layout (what survives 100 TB):
+
+* Bin edges for every numeric column come from ONE
+  ``approxQuantile`` call on the reference (Greenwald-Khanna, single
+  pass, driver transfer = #cols x #edges doubles). Categorical
+  vocabularies come from one groupBy per table restricted to the
+  requested columns, TakeOrdered to top-k (everything else folds into
+  ``__other__`` — drift in the tail shows up as mass moving into the
+  other-bucket rather than as an unbounded vocabulary join).
+* Each table is then scanned exactly ONCE more: every column's bin
+  label is computed row-wise and ``stack``-ed to (column, bin) pairs,
+  so one map-side-combined groupBy(column, bin) histograms ALL columns
+  together — two scans per table total, independent of column count
+  (plan-asserted in tests).
+* The PSI/JS arithmetic happens on the joined histogram table —
+  O(#cols x #bins) rows.
+
+PSI convention: per-bin contributions (p - q) * ln(p / q) with add-k
+smoothing (k = 0.5 pseudo-count per bin) so empty bins never divide by
+zero; PSI > 0.25 is the conventional "major shift" flag, parameterised
+here not hard-coded. JS divergence uses log base 2 (bounded [0, 1]).
+
+The reference (opentargets/OnToma) has no monitoring surface; this
+backs the training-data-pipeline extension next to
+``operators/quality.py`` (expectations on ONE dataset; this module
+compares TWO).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import NumericType
+
+_OTHER = "__other__"
+_NULL = "__null__"
+
+
+def _numeric_cols(df: DataFrame, cols: list[str]) -> set[str]:
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    return {c for c in cols if isinstance(by_name[c], NumericType)}
+
+
+def _bin_label(col: str, edges: list[float]) -> F.Column:
+    """Bin index of a numeric value against reference quantile edges:
+    half-open [e_i, e_{i+1}) with the last bin closed above; values
+    outside the reference range land in the edge bins (0 / n-1), so
+    range drift is visible as edge-bin mass. NULL -> __null__."""
+    c = F.col(col)
+    expr = F.lit(len(edges) - 2)  # top bin
+    for i in range(len(edges) - 2, 0, -1):
+        expr = F.when(c < F.lit(edges[i]), F.lit(i - 1)).otherwise(expr)
+    return (
+        F.when(c.isNull(), F.lit(_NULL))
+        .otherwise(F.concat(F.lit("b"), F.format_string("%03d", expr)))
+    )
+
+
+def _cat_label(col: str, vocab: list[str]) -> F.Column:
+    c = F.col(col).cast("string")
+    return (
+        F.when(c.isNull(), F.lit(_NULL))
+        .when(c.isin(vocab), c)
+        .otherwise(F.lit(_OTHER))
+    )
+
+
+def _histogram(df: DataFrame, labels: dict[str, F.Column]) -> DataFrame:
+    """(column, bin, cnt): every column's bin label computed in one
+    projection, stacked long, ONE groupBy — a single scan for all
+    columns together."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("column"), lab.alias("bin"))
+            for c, lab in labels.items()
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.column").alias("column"), F.col("p.bin").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    bins: int = 10,
+    topk: int = 20,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-column drift of ``cur`` against ``ref``.
+
+    Returns (column, kind, n_bins, psi, js) — ``kind`` is "numeric"
+    (reference-quantile bins) or "categorical" (reference top-``topk``
+    vocabulary + __other__); NULLs occupy their own bin in both kinds,
+    so completeness drift is measured too. ``psi`` and ``js`` as per
+    the module docstring, with ``smoothing`` pseudo-counts per bin.
+
+    Cost: one approxQuantile pass + one histogram pass over each
+    table; all drift arithmetic runs on the O(#cols x #bins) histogram
+    join.
+    """
+    if not cols:
+        raise ValueError("drift_report: need at least one column")
+    missing = [c for c in cols if c not in ref.columns or c not in cur.columns]
+    if missing:
+        raise ValueError(f"drift_report: columns missing from input: {missing}")
+    numeric = _numeric_cols(ref, cols) & _numeric_cols(cur, cols)
+
+    labels_ref: dict[str, F.Column] = {}
+    labels_cur: dict[str, F.Column] = {}
+    num_list = sorted(numeric)
+    if num_list:
+        probs = [i / bins for i in range(bins + 1)]
+        edge_rows = ref.approxQuantile(num_list, probs, 0.001)
+        for c, edges in zip(num_list, edge_rows):
+            # Degenerate (constant / empty-ref) columns get one bin.
+            uniq = sorted(set(edges)) if edges else [0.0]
+            if len(uniq) < 2:
+                uniq = [uniq[0], uniq[0] + 1.0]
+            labels_ref[c] = _bin_label(c, uniq)
+            labels_cur[c] = _bin_label(c, uniq)
+    for c in cols:
+        if c in numeric:
+            continue
+        vocab = [
+            r["v"]
+            for r in (
+                ref.select(F.col(c).cast("string").alias("v"))
+                .filter(F.col("v").isNotNull())
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), F.asc("v"))
+                .limit(topk)
+                .collect()
+            )
+        ]
+        labels_ref[c] = _cat_label(c, vocab)
+        labels_cur[c] = _cat_label(c, vocab)
+
+    h_ref = _histogram(ref, labels_ref).withColumnRenamed("cnt", "cnt_ref")
+    h_cur = _histogram(cur, labels_cur).withColumnRenamed("cnt", "cnt_cur")
+    h = h_ref.join(h_cur, ["column", "bin"], "full_outer").fillna(
+        0, subset=["cnt_ref", "cnt_cur"]
+    )
+
+    # Smoothed probabilities: every (column, bin) present in EITHER
+    # table gets the pseudo-count, so p and q normalise over the same
+    # support and PSI is finite by construction. Per-column totals via
+    # a window over the histogram (O(#cols x #bins) rows) — a
+    # groupBy+re-join here would duplicate the histogram subtree and
+    # with it the corpus scans (the plan pin in tests caught exactly
+    # that).
+    from pyspark.sql import Window
+
+    w = F.col("column")
+    per_col = Window.partitionBy("column")
+    h = (
+        h.withColumn("tot_ref", F.sum("cnt_ref").over(per_col))
+        .withColumn("tot_cur", F.sum("cnt_cur").over(per_col))
+        .withColumn("n_bins", F.count(F.lit(1)).over(per_col))
+    )
+    k = F.lit(float(smoothing))
+    p = (F.col("cnt_ref") + k) / (F.col("tot_ref") + k * F.col("n_bins"))
+    q = (F.col("cnt_cur") + k) / (F.col("tot_cur") + k * F.col("n_bins"))
+    m = (p + q) / 2
+    ln2 = math.log(2.0)
+    psi_term = (q - p) * (F.log(q) - F.log(p))
+    js_term = (
+        q * (F.log(q) - F.log(m)) + p * (F.log(p) - F.log(m))
+    ) / (2 * ln2)
+    kind = F.when(
+        w.isin(sorted(numeric)) if numeric else F.lit(False),
+        F.lit("numeric"),
+    ).otherwise(F.lit("categorical"))
+    return (
+        h.groupBy("column")
+        .agg(
+            F.max("n_bins").alias("n_bins"),
+            F.round(F.sum(psi_term), 9).alias("psi"),
+            F.round(F.sum(js_term), 9).alias("js"),
+        )
+        .withColumn("kind", kind)
+        .select("column", "kind", "n_bins", "psi", "js")
+    )
+
+
+def drifted_columns(
+    report: DataFrame, psi_threshold: float = 0.25
+) -> list[str]:
+    """Column names whose PSI exceeds the threshold (0.25 = the
+    conventional 'major shift' flag), sorted worst-first. Collects the
+    report — O(#cols) rows by construction."""
+    rows = report.filter(F.col("psi") > psi_threshold).orderBy(
+        F.desc("psi")
+    ).collect()
+    return [r["column"] for r in rows]

@@ -1,0 +1,198 @@
+"""Declarative data-quality constraint suite, verified in ONE scan.
+
+A 100 TB training-data ingest cannot afford one job per quality rule:
+"content is never null", "sha256 is unique", "lang is in the allowed
+set", "doc length within bounds" each cost a full corpus pass if
+checked naively, and a 20-rule suite becomes 20 scans. This module
+takes the Deequ idea — declare constraints, fuse their metrics into a
+single aggregation — and keeps the whole thing a plain DataFrame plan:
+
+* every constraint compiles to one or more aggregate expressions over
+  the SAME ``df.agg(...)`` call, so the input is scanned exactly ONCE
+  (plan-asserted in tests) and the shuffle carries one partial-agg row
+  per partition, never data rows;
+* the verdict table is produced by ``stack``-ing the one-row aggregate
+  long — no driver collect anywhere in the dataflow (callers that want
+  a python bool use ``suite_passed``, which collects the report table:
+  O(#constraints) rows by construction);
+* exact distinct counts for uniqueness use Spark's multi-distinct
+  Expand rewrite (still one scan); pass ``approx=True`` to trade them
+  for single-pass HLL (``approx_count_distinct``) at 100 TB.
+
+The reference (opentargets/OnToma) has no data-quality surface; this
+backs the training-data-pipeline extension alongside
+``operators/profile.py`` (descriptive stats) and ``core/planlint.py``
+(plan hazards) — profile describes, planlint inspects the plan, this
+module GATES on declared expectations.
+
+Constraint constructors return plain dicts so a suite is serialisable
+(checked-in YAML/JSON expectation files work without this module).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+Check = dict[str, Any]
+
+
+def completeness(col: str, min_ratio: float = 1.0) -> Check:
+    """Fraction of rows with ``col`` non-null >= ``min_ratio``."""
+    return {"kind": "completeness", "column": col, "min_ratio": min_ratio}
+
+
+def uniqueness(col: str, min_ratio: float = 1.0) -> Check:
+    """distinct(col) / count(col non-null) >= ``min_ratio`` (1.0 means
+    the column is a key among its non-null rows)."""
+    return {"kind": "uniqueness", "column": col, "min_ratio": min_ratio}
+
+
+def in_range(
+    col: str, lo: float, hi: float, min_ratio: float = 1.0
+) -> Check:
+    """Fraction of NON-NULL values inside [lo, hi] >= ``min_ratio``
+    (nullness is completeness's job, not range's)."""
+    return {
+        "kind": "in_range", "column": col, "lo": lo, "hi": hi,
+        "min_ratio": min_ratio,
+    }
+
+
+def matches(col: str, pattern: str, min_ratio: float = 1.0) -> Check:
+    """Fraction of non-null values fully matching the RE2 ``pattern``
+    (anchored via rlike on ^...$) >= ``min_ratio``."""
+    return {
+        "kind": "matches", "column": col, "pattern": pattern,
+        "min_ratio": min_ratio,
+    }
+
+
+def isin(col: str, values: list, min_ratio: float = 1.0) -> Check:
+    """Fraction of non-null values in the allowed set >= ``min_ratio``."""
+    return {
+        "kind": "isin", "column": col, "values": list(values),
+        "min_ratio": min_ratio,
+    }
+
+
+def satisfies(predicate_sql: str, name: str, min_ratio: float = 1.0) -> Check:
+    """Fraction of ALL rows where the boolean SQL expression holds
+    >= ``min_ratio`` (NULL predicate counts as failing — SQL WHERE
+    semantics)."""
+    return {
+        "kind": "satisfies", "column": name, "predicate": predicate_sql,
+        "min_ratio": min_ratio,
+    }
+
+
+def size_between(lo: int, hi: int | None = None) -> Check:
+    """Total row count in [lo, hi] (hi=None means unbounded above)."""
+    return {"kind": "size_between", "column": "*", "lo": lo, "hi": hi}
+
+
+def _ratio(num, den):
+    """num/den as double with 0/0 -> 1.0 (an empty table vacuously
+    satisfies every ratio constraint; the size_between check is the
+    way to demand non-emptiness)."""
+    return F.when(den == 0, F.lit(1.0)).otherwise(
+        num.cast("double") / den.cast("double")
+    )
+
+
+def _metric_expr(c: Check, approx: bool):
+    """(metric Column, threshold-check builder) for one constraint.
+    The metric is a single aggregate expression; pass/fail is a plain
+    comparison applied AFTER the aggregation (in the stack projection),
+    so everything fuses into one agg."""
+    kind = c["kind"]
+    n_rows = F.count(F.lit(1))
+    if kind == "completeness":
+        return _ratio(F.count(F.col(c["column"])), n_rows)
+    if kind == "uniqueness":
+        col = F.col(c["column"])
+        nn = F.count(col)
+        ndv = (
+            F.approx_count_distinct(c["column"])
+            if approx
+            else F.count_distinct(col)
+        )
+        return _ratio(ndv, nn)
+    if kind == "in_range":
+        col = F.col(c["column"])
+        ok = F.count_if(col.isNotNull() & col.between(c["lo"], c["hi"]))
+        return _ratio(ok, F.count(col))
+    if kind == "matches":
+        col = F.col(c["column"])
+        pat = "^(?:" + c["pattern"] + ")$"
+        ok = F.count_if(col.isNotNull() & col.rlike(pat))
+        return _ratio(ok, F.count(col))
+    if kind == "isin":
+        col = F.col(c["column"])
+        ok = F.count_if(col.isin(c["values"]))
+        return _ratio(ok, F.count(col))
+    if kind == "satisfies":
+        ok = F.count_if(F.coalesce(F.expr(c["predicate"]), F.lit(False)))
+        return _ratio(ok, n_rows)
+    if kind == "size_between":
+        return n_rows.cast("double")
+    raise ValueError(f"unknown constraint kind: {kind!r}")
+
+
+def _threshold(c: Check) -> tuple[float, float | None]:
+    """(lo, hi) bounds the metric must fall within (hi None = +inf)."""
+    if c["kind"] == "size_between":
+        return float(c["lo"]), None if c["hi"] is None else float(c["hi"])
+    return float(c["min_ratio"]), None
+
+
+def verify(
+    df: DataFrame, checks: list[Check], approx: bool = False
+) -> DataFrame:
+    """Verify every constraint over ``df`` in one fused aggregation.
+
+    Returns a report DataFrame (check string, column string, metric
+    double, threshold double, passed boolean) with one row per
+    constraint, in suite order. The input is scanned exactly once:
+    all metrics are aggregate expressions of a single ``df.agg``; the
+    long-format report is a ``stack`` over that one aggregate row
+    (``tests/test_quality.py`` pins the single-scan plan). With
+    ``approx=True`` exact ``count_distinct`` (Expand-rewritten, still
+    one scan but width x #distinct-aggs) becomes single-pass HLL —
+    the 100 TB default when uniqueness tolerances exceed ~2%.
+    """
+    if not checks:
+        raise ValueError("verify: empty constraint suite")
+    metrics = [
+        _metric_expr(c, approx).alias(f"__m{i}")
+        for i, c in enumerate(checks)
+    ]
+    one = df.agg(*metrics)
+    rows = []
+    for i, c in enumerate(checks):
+        lo, hi = _threshold(c)
+        passed = F.col(f"__m{i}") >= F.lit(lo)
+        if hi is not None:
+            passed = passed & (F.col(f"__m{i}") <= F.lit(hi))
+        rows.append(
+            F.struct(
+                F.lit(c["kind"]).alias("check"),
+                F.lit(str(c["column"])).alias("column"),
+                F.round(F.col(f"__m{i}"), 9).alias("metric"),
+                F.lit(lo).alias("threshold"),
+                passed.alias("passed"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.check", "r.column", "r.metric", "r.threshold", "r.passed")
+    )
+
+
+def suite_passed(df: DataFrame, checks: list[Check], approx: bool = False) -> bool:
+    """True iff every constraint holds. Collects the report table —
+    O(#constraints) rows by construction, never data rows."""
+    report = verify(df, checks, approx=approx)
+    return all(r["passed"] for r in report.collect())

@@ -1,0 +1,93 @@
+"""Drift report: numpy brute-force PSI/JS oracles over the same
+binning spec, invariance properties (no drift on identical inputs,
+detectable drift on a planted shift), and the two-scans-per-table
+plan pin."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.drift import drift_report, drifted_columns
+
+
+def _brute_psi_js(ref_bins, cur_bins, smoothing=0.5):
+    """PSI and JS from two bin->count dicts over the union support."""
+    support = sorted(set(ref_bins) | set(cur_bins))
+    n = len(support)
+    tr = sum(ref_bins.values())
+    tc = sum(cur_bins.values())
+    psi = js = 0.0
+    for b in support:
+        p = (ref_bins.get(b, 0) + smoothing) / (tr + smoothing * n)
+        q = (cur_bins.get(b, 0) + smoothing) / (tc + smoothing * n)
+        m = (p + q) / 2
+        psi += (q - p) * math.log(q / p)
+        js += (q * math.log(q / m) + p * math.log(p / m)) / (2 * math.log(2))
+    return psi, js
+
+
+def test_identical_inputs_zero_drift(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = drift_report(docs, docs, ["lang", "doc_id"]).collect()
+    for r in rep:
+        assert abs(r["psi"]) < 1e-9, r
+        assert abs(r["js"]) < 1e-9, r
+    assert drifted_columns(drift_report(docs, docs, ["lang"])) == []
+
+
+def test_categorical_psi_matches_brute_force(spark):
+    ref = spark.createDataFrame(
+        [("en",)] * 60 + [("de",)] * 30 + [("fr",)] * 10, "lang string"
+    )
+    cur = spark.createDataFrame(
+        [("en",)] * 30 + [("de",)] * 30 + [("fr",)] * 30 + [(None,)] * 10,
+        "lang string",
+    )
+    r = {x["column"]: x for x in drift_report(ref, cur, ["lang"]).collect()}
+    exp_psi, exp_js = _brute_psi_js(
+        {"en": 60, "de": 30, "fr": 10},
+        {"en": 30, "de": 30, "fr": 30, "__null__": 10},
+    )
+    assert r["lang"]["kind"] == "categorical"
+    assert abs(r["lang"]["psi"] - exp_psi) < 1e-6
+    assert abs(r["lang"]["js"] - exp_js) < 1e-6
+
+
+def test_numeric_bins_from_reference_quantiles(spark):
+    # ref uniform 0..99 -> decile edges; cur shifted +50: mass piles
+    # into the top bins, PSI must flag it while ref-vs-ref stays 0.
+    ref = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    cur = spark.range(100).select((F.col("id") + 50.0).alias("x"))
+    rep = {r["column"]: r for r in drift_report(ref, cur, ["x"]).collect()}
+    assert rep["x"]["kind"] == "numeric"
+    assert rep["x"]["psi"] > 0.25
+    assert drifted_columns(drift_report(ref, cur, ["x"])) == ["x"]
+
+
+def test_rare_categories_fold_into_other(spark):
+    ref = spark.createDataFrame(
+        [(f"v{i}",) for i in range(50)] * 2, "c string"
+    )
+    cur = spark.createDataFrame([("v0",)] * 100, "c string")
+    rep = drift_report(ref, cur, ["c"], topk=5).collect()[0]
+    # vocabulary capped at topk+null+other, never 50 bins
+    assert rep["n_bins"] <= 7
+
+
+def test_mixed_columns_one_histogram_scan_each(spark):
+    """The histogram pass stacks ALL columns into one scan per table:
+    the executed plan must show exactly two parquet scans (ref + cur)
+    regardless of column count."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = drift_report(docs, docs, ["lang", "source", "doc_id", "n_chars"])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_null_bin_tracks_completeness_drift(spark):
+    ref = spark.createDataFrame([(1.0,)] * 100, "x double")
+    cur = spark.createDataFrame([(1.0,)] * 50 + [(None,)] * 50, "x double")
+    rep = drift_report(ref, cur, ["x"]).collect()[0]
+    assert rep["psi"] > 0.25

@@ -1,0 +1,139 @@
+"""Constraint-suite verifier: brute-force value oracles per constraint
+kind, suite semantics, and the single-scan plan pin that IS the point
+of the module (20 rules must not mean 20 corpus passes)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators import quality as Q
+
+
+def _df(spark):
+    rows = [
+        # (doc_id, lang, score, sha)
+        (1, "en", 0.9, "a1"),
+        (2, "en", 0.5, "b2"),
+        (3, "de", 1.5, "c3"),
+        (4, None, 0.2, "d4"),
+        (5, "fr", None, "d4"),  # duplicate sha
+        (6, "xx", 0.7, "e5"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, lang string, score double, sha string")
+
+
+def _report(spark, checks, approx=False):
+    rep = Q.verify(_df(spark), checks, approx=approx).collect()
+    return {(r["check"], r["column"]): r for r in rep}
+
+
+def test_completeness_exact_ratio(spark):
+    rep = _report(spark, [Q.completeness("lang", 0.9), Q.completeness("doc_id")])
+    r = rep[("completeness", "lang")]
+    assert abs(r["metric"] - 5 / 6) < 1e-9 and not r["passed"]
+    assert rep[("completeness", "doc_id")]["passed"]
+
+
+def test_uniqueness_counts_nonnull_rows_only(spark):
+    # sha: 6 non-null rows, 5 distinct -> 5/6; doc_id: 6/6
+    rep = _report(spark, [Q.uniqueness("sha"), Q.uniqueness("doc_id")])
+    assert abs(rep[("uniqueness", "sha")]["metric"] - 5 / 6) < 1e-9
+    assert not rep[("uniqueness", "sha")]["passed"]
+    assert rep[("uniqueness", "doc_id")]["passed"]
+
+
+def test_uniqueness_approx_single_pass(spark):
+    rep = _report(spark, [Q.uniqueness("doc_id", 0.9)], approx=True)
+    assert rep[("uniqueness", "doc_id")]["passed"]
+
+
+def test_in_range_ignores_nulls(spark):
+    # score non-null: 5 values, within [0,1]: 4 (1.5 fails) -> 0.8
+    rep = _report(spark, [Q.in_range("score", 0.0, 1.0, min_ratio=0.8)])
+    r = rep[("in_range", "score")]
+    assert abs(r["metric"] - 0.8) < 1e-9 and r["passed"]
+
+
+def test_matches_is_anchored(spark):
+    # "en","de","fr","xx" match [a-z]{2}; anchoring means "en " would not
+    rep = _report(spark, [Q.matches("lang", "[a-z]{2}")])
+    assert rep[("matches", "lang")]["metric"] == 1.0
+
+
+def test_isin_and_satisfies_null_semantics(spark):
+    rep = _report(
+        spark,
+        [
+            Q.isin("lang", ["en", "de", "fr"], min_ratio=0.8),
+            # NULL score -> predicate NULL -> counts as failing (1 row);
+            # score <= 0.9 holds for 4 of 6 rows
+            Q.satisfies("score <= 0.9", "score_cap", min_ratio=0.5),
+        ],
+    )
+    r = rep[("isin", "lang")]
+    assert abs(r["metric"] - 4 / 5) < 1e-9 and r["passed"]
+    s = rep[("satisfies", "score_cap")]
+    assert abs(s["metric"] - 4 / 6) < 1e-9 and s["passed"]
+
+
+def test_size_between_and_suite_passed(spark):
+    df = _df(spark)
+    assert Q.suite_passed(df, [Q.size_between(6, 6), Q.completeness("doc_id")])
+    assert not Q.suite_passed(df, [Q.size_between(7)])
+
+
+def test_empty_table_ratio_vacuous_size_gate_not(spark):
+    empty = _df(spark).filter(F.lit(False))
+    rep = Q.verify(
+        empty, [Q.completeness("lang"), Q.size_between(1)]
+    ).collect()
+    by = {r["check"]: r for r in rep}
+    assert by["completeness"]["passed"]  # vacuous on empty input
+    assert not by["size_between"]["passed"]  # the non-emptiness gate
+
+
+def test_single_scan_plan_pin(spark):
+    """The suite's reason to exist: N constraints, ONE scan. The
+    optimized plan must contain exactly one scan of the parquet
+    relation however many checks are declared."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    checks = [
+        Q.completeness("text"),
+        Q.completeness("lang"),
+        Q.uniqueness("doc_id"),
+        Q.in_range("doc_id", 0, 10**9),
+        Q.matches("lang", "[a-z]{2}"),
+        Q.isin("lang", ["en", "de", "fr", "es"], 0.1),
+        Q.satisfies("length(text) > 0", "nonempty_text", 0.5),
+        Q.size_between(1),
+    ]
+    plan = Q.verify(docs, checks)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_report_matches_duckdb_oracle(spark):
+    """Cross-engine value oracle for the fused metrics on real data."""
+    import duckdb
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = Q.verify(
+        docs,
+        [
+            Q.completeness("lang"),
+            Q.uniqueness("text"),
+            Q.satisfies("length(text) >= 20", "len20", 0.5),
+        ],
+    ).collect()
+    got = {(r["check"], r["column"]): r["metric"] for r in rep}
+    con = duckdb.connect()
+    exp_complete, exp_uniq, exp_len = con.execute(
+        """
+        SELECT count(lang)::DOUBLE / count(*),
+               count(DISTINCT text)::DOUBLE / count(text),
+               count_if(length(text) >= 20)::DOUBLE / count(*)
+        FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+        """
+    ).fetchone()
+    assert abs(got[("completeness", "lang")] - exp_complete) < 1e-8
+    assert abs(got[("uniqueness", "text")] - exp_uniq) < 1e-8
+    assert abs(got[("satisfies", "len20")] - exp_len) < 1e-8
