@@ -1,0 +1,250 @@
+"""Multi-table transactional catalog over snapshot tables.
+
+The north rule materialises the KG into Iceberg GRAPH TABLES — plural:
+nodes, edges/triples, lineage, stats. A pipeline that commits them one
+at a time exposes readers to torn graphs (new edges referencing nodes
+whose table hasn't committed yet, a triple count that disagrees with
+its lineage row). Iceberg solves the single-table half with an atomic
+metadata pointer; the cross-table half is the CATALOG's job — this
+module provides it on the same minimal commit model as
+``core/snapshots.py``:
+
+    <root>/tables/<name>/...      one SnapshotTable per name
+    <root>/_catalog/tx-N.json     transaction: {table: snapshot_version}
+    <root>/_catalog/current       the only mutable file (atomic replace)
+
+Transaction protocol:
+1. stage writes (``tx.append/overwrite/merge/delete_where``) — nothing
+   runs yet, the staging order is preserved;
+2. on ``commit()`` (or clean ``with`` exit) each staged write executes
+   through its SnapshotTable — every one is individually atomic and
+   individually INVISIBLE to catalog readers;
+3. one ``tx-N.json`` is created with O_EXCL recording the full
+   consistent {table: version} map (written tables at their new
+   versions, untouched tables carried forward from the parent tx), and
+   ``current`` is atomically replaced.
+
+Crash anywhere before step 3 leaves catalog readers on the previous
+transaction — committed-but-unpublished table snapshots are simply
+newer versions the catalog doesn't point at (readable via explicit
+time travel, reclaimable via each table's expire/GC). Two concurrent
+transactions race on the same tx number and exactly one wins
+(``CommitConflict``; the loser re-stages and retries), the same
+optimistic concurrency as the table layer.
+
+Readers: ``catalog.read(name)`` resolves through the current
+transaction — a multi-table read plan built from one ``tx_versions()``
+call sees ONE consistent graph, however long the job runs afterwards.
+``read(name, tx=K)`` / ``tx_versions(K)`` time-travel the WHOLE graph
+to transaction K, not one table at a time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ontoma_spark.core.snapshots import CommitConflict, SnapshotTable
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        self._cat = os.path.join(root, "_catalog")
+        self._tables_root = os.path.join(root, "tables")
+        os.makedirs(self._cat, exist_ok=True)
+        os.makedirs(self._tables_root, exist_ok=True)
+        self._tables: dict[str, SnapshotTable] = {}
+
+    # ------------------------------------------------------------ tables
+
+    def table(self, name: str) -> SnapshotTable:
+        """The named SnapshotTable (created on first use). Direct use
+        bypasses transactional publication — fine for single-table
+        work, but graph consistency requires going through
+        ``transaction()`` / ``read()``."""
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"invalid table name: {name!r}")
+        if name not in self._tables:
+            self._tables[name] = SnapshotTable(
+                self.spark, os.path.join(self._tables_root, name)
+            )
+        return self._tables[name]
+
+    def table_names(self) -> list[str]:
+        """Tables known to the CURRENT transaction (the published,
+        consistent set — on-disk directories that no transaction
+        references yet are not listed)."""
+        return sorted(self.tx_versions())
+
+    # ----------------------------------------------------------- metadata
+
+    def _tx_path(self, tx: int) -> str:
+        return os.path.join(self._cat, f"tx-{tx:06d}.json")
+
+    def current_tx(self) -> int | None:
+        cur = os.path.join(self._cat, "current")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return int(f.read().strip())
+
+    def tx_versions(self, tx: int | None = None) -> dict[str, int]:
+        """The consistent {table: snapshot_version} map as of
+        transaction ``tx`` (default: current). Empty dict before the
+        first commit."""
+        t = self.current_tx() if tx is None else tx
+        if t is None:
+            return {}
+        with open(self._tx_path(t)) as f:
+            return json.load(f)["tables"]
+
+    def history(self) -> list[dict]:
+        """All committed transactions, oldest first."""
+        out = []
+        for name in sorted(os.listdir(self._cat)):
+            if name.startswith("tx-") and name.endswith(".json"):
+                with open(os.path.join(self._cat, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    # ------------------------------------------------------------- reads
+
+    def read(self, name: str, tx: int | None = None, **read_kwargs) -> DataFrame:
+        """Scan ``name`` at the snapshot the (current or given)
+        transaction published — never a half-committed newer version.
+        ``read_kwargs`` pass through to ``SnapshotTable.read``
+        (``where=`` pruning, ``merge_schema=``)."""
+        versions = self.tx_versions(tx)
+        if name not in versions:
+            raise ValueError(
+                f"table {name!r} not in transaction "
+                f"{tx if tx is not None else self.current_tx()}"
+            )
+        return self.table(name).read(version=versions[name], **read_kwargs)
+
+    # -------------------------------------------------------- transactions
+
+    def transaction(self) -> "Transaction":
+        return Transaction(self)
+
+    def _changed_tables(self, tx: int) -> set[str]:
+        """Tables whose version the given transaction moved relative to
+        its parent. The winner creates its tx file with O_EXCL and then
+        writes the body, so a racing reader can observe the file before
+        its content — retry briefly on a torn read."""
+        for _ in range(100):
+            try:
+                with open(self._tx_path(tx)) as f:
+                    doc = json.load(f)
+                break
+            except (json.JSONDecodeError, ValueError):
+                time.sleep(0.01)
+        else:
+            raise CommitConflict(f"transaction {tx} file unreadable")
+        parent_map = (
+            self.tx_versions(doc["parent"]) if doc["parent"] is not None else {}
+        )
+        return {
+            t for t, v in doc["tables"].items() if parent_map.get(t) != v
+        }
+
+    def _publish(self, new_versions: dict[str, int]) -> int:
+        """CAS-publish the transaction. A losing race against a
+        DISJOINT transaction (no shared tables) is resolved by
+        rebasing onto the winner and retrying — Iceberg's
+        non-overlapping-commit rule; a shared table raises
+        ``CommitConflict`` (the winner may have invalidated what this
+        transaction read)."""
+        while True:
+            parent = self.current_tx()
+            tables = dict(self.tx_versions(parent)) if parent is not None else {}
+            tables.update(new_versions)
+            tx = 1 if parent is None else parent + 1
+            doc = {"tx": tx, "parent": parent, "tables": tables}
+            try:
+                fd = os.open(
+                    self._tx_path(tx), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+            except FileExistsError:
+                winners = self._changed_tables(tx)
+                overlap = winners & set(new_versions)
+                if overlap:
+                    raise CommitConflict(
+                        f"transaction {tx} already committed and touches "
+                        f"{sorted(overlap)} — re-stage against the new state"
+                    ) from None
+                # disjoint writer won the number: rebase, retry (the
+                # winner may not have swapped `current` yet — yield)
+                time.sleep(0.01)
+                continue
+            with os.fdopen(fd, "w") as f:
+                json.dump(doc, f)
+            tmp = os.path.join(self._cat, f".current.tmp.{tx}")
+            with open(tmp, "w") as f:
+                f.write(str(tx))
+            os.replace(tmp, os.path.join(self._cat, "current"))
+            return tx
+
+
+class Transaction:
+    """Stage writes across tables; publish them atomically. Use as a
+    context manager (clean exit commits, an exception abandons — any
+    data already written stays invisible orphan files) or call
+    ``commit()`` explicitly."""
+
+    def __init__(self, catalog: Catalog) -> None:
+        self._catalog = catalog
+        self._staged: list[tuple[str, Callable[[SnapshotTable], int]]] = []
+        self._done: int | None = None
+
+    # Each staging method closes over its arguments; DataFrames are
+    # lazy plans, so nothing materialises until commit() runs them.
+
+    def append(self, name: str, df: DataFrame, **kw) -> "Transaction":
+        self._staged.append((name, lambda t: t.append(df, **kw)))
+        return self
+
+    def overwrite(self, name: str, df: DataFrame, **kw) -> "Transaction":
+        self._staged.append((name, lambda t: t.overwrite(df, **kw)))
+        return self
+
+    def merge(
+        self, name: str, source: DataFrame, keys: list[str], **kw
+    ) -> "Transaction":
+        self._staged.append((name, lambda t: t.merge(source, keys, **kw)))
+        return self
+
+    def delete_where(self, name: str, predicate, **kw) -> "Transaction":
+        self._staged.append(
+            (name, lambda t: t.delete_where(predicate, **kw))
+        )
+        return self
+
+    def commit(self) -> int:
+        """Execute staged writes in staging order, then publish the new
+        {table: version} map as one catalog transaction. Returns the
+        transaction number. Raises ``CommitConflict`` if another
+        transaction published first (no partial catalog state either
+        way; re-stage on a fresh transaction to retry)."""
+        if self._done is not None:
+            raise RuntimeError("transaction already committed")
+        if not self._staged:
+            raise ValueError("empty transaction: nothing staged")
+        new_versions: dict[str, int] = {}
+        for name, run in self._staged:
+            new_versions[name] = run(self._catalog.table(name))
+        self._done = self._catalog._publish(new_versions)
+        return self._done
+
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None and self._done is None:
+            self.commit()

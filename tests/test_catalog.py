@@ -1,0 +1,181 @@
+"""Transactional catalog: cross-table atomicity, whole-graph time
+travel, crash invisibility, and Iceberg-style conflict resolution
+(disjoint transactions both land, overlapping ones raise)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.core.catalog import Catalog
+from ontoma_spark.core.snapshots import CommitConflict
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i, f"n{i}") for i in ids], "id long, label string")
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_two_tables_publish_atomically(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    with cat.transaction() as tx:
+        tx.append("nodes", _nodes(spark, [1, 2, 3]))
+        tx.append("edges", _edges(spark, [(1, 2), (2, 3)]))
+    assert cat.current_tx() == 1
+    assert cat.table_names() == ["edges", "nodes"]
+    assert cat.read("nodes").count() == 3
+    assert cat.read("edges").count() == 2
+
+
+def test_crash_mid_transaction_leaves_catalog_unchanged(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    with cat.transaction() as tx:
+        tx.append("nodes", _nodes(spark, [1]))
+        tx.append("edges", _edges(spark, [(1, 1)]))
+    with pytest.raises(RuntimeError, match="boom"):
+        with cat.transaction() as tx:
+            tx.append("nodes", _nodes(spark, [2]))
+            raise RuntimeError("boom")
+    # the abandoned transaction staged lazily: nothing ran, nothing
+    # published — readers still see tx 1's graph
+    assert cat.current_tx() == 1
+    assert cat.read("nodes").count() == 1
+
+
+def test_table_committed_but_unpublished_stays_invisible(spark, tmp_path):
+    """Simulate a crash BETWEEN the table-level commit and the catalog
+    publish: the table's own log has the newer snapshot, but catalog
+    readers stay on the published consistent pair."""
+    cat = Catalog(spark, str(tmp_path))
+    with cat.transaction() as tx:
+        tx.append("nodes", _nodes(spark, [1, 2]))
+        tx.append("edges", _edges(spark, [(1, 2)]))
+    # direct (non-transactional) table write = the post-crash state
+    cat.table("edges").append(_edges(spark, [(2, 9)]))
+    assert cat.table("edges").read().count() == 2  # table sees it
+    assert cat.read("edges").count() == 1  # catalog does NOT
+    # a later transaction on the OTHER table must not accidentally
+    # publish the orphan edge snapshot
+    with cat.transaction() as tx:
+        tx.append("nodes", _nodes(spark, [3]))
+    assert cat.read("edges", tx=cat.current_tx()).count() == 1
+    assert cat.read("nodes").count() == 3
+
+
+def test_whole_graph_time_travel(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    with cat.transaction() as tx:
+        tx.append("nodes", _nodes(spark, [1, 2]))
+        tx.append("edges", _edges(spark, [(1, 2)]))
+    with cat.transaction() as tx:
+        tx.append("nodes", _nodes(spark, [3]))
+        tx.append("edges", _edges(spark, [(2, 3), (3, 1)]))
+    # at tx 1 the graph is consistently small on BOTH tables
+    assert cat.read("nodes", tx=1).count() == 2
+    assert cat.read("edges", tx=1).count() == 1
+    assert cat.read("nodes", tx=2).count() == 3
+    assert cat.read("edges", tx=2).count() == 3
+    hist = cat.history()
+    assert [h["tx"] for h in hist] == [1, 2]
+    assert hist[1]["parent"] == 1
+
+
+def test_untouched_tables_carry_forward(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    with cat.transaction() as tx:
+        tx.append("nodes", _nodes(spark, [1]))
+        tx.append("edges", _edges(spark, [(1, 1)]))
+    with cat.transaction() as tx:
+        tx.overwrite("nodes", _nodes(spark, [1, 2, 3, 4]))
+    v = cat.tx_versions()
+    assert set(v) == {"nodes", "edges"}
+    assert cat.read("edges").count() == 1
+    assert cat.read("nodes").count() == 4
+
+
+def test_merge_and_delete_through_transaction(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    with cat.transaction() as tx:
+        tx.append("nodes", _nodes(spark, [1, 2, 3]))
+    upd = spark.createDataFrame([(2, "renamed"), (9, "new")], "id long, label string")
+    with cat.transaction() as tx:
+        tx.merge("nodes", upd, keys=["id"])
+        tx.delete_where("nodes", F.col("id") == 1)
+    got = {
+        (r["id"], r["label"]) for r in cat.read("nodes").collect()
+    }
+    assert got == {(2, "renamed"), (3, "n3"), (9, "new")}
+    # tx 1 still reads the pre-merge graph
+    assert cat.read("nodes", tx=1).count() == 3
+
+
+def test_disjoint_concurrent_transactions_both_land(spark, tmp_path):
+    """Two transactions prepared against the same parent but touching
+    different tables: the loser of the tx-number race rebases and
+    publishes instead of failing (Iceberg's non-overlapping rule)."""
+    cat = Catalog(spark, str(tmp_path))
+    with cat.transaction() as tx:
+        tx.append("nodes", _nodes(spark, [1]))
+        tx.append("edges", _edges(spark, [(1, 1)]))
+    # interleave manually: stage both, run table writes, then publish
+    # in an order that forces the second publish to rebase
+    t_nodes = cat.transaction().append("nodes", _nodes(spark, [2]))
+    t_edges = cat.transaction().append("edges", _edges(spark, [(2, 2)]))
+    v_nodes = t_nodes._staged[0][1](cat.table("nodes"))
+    v_edges = t_edges._staged[0][1](cat.table("edges"))
+    cat._publish({"nodes": v_nodes})
+    cat._publish({"edges": v_edges})  # must rebase, not raise
+    assert cat.read("nodes").count() == 2
+    assert cat.read("edges").count() == 2
+
+
+def test_overlapping_concurrent_transactions_conflict(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    with cat.transaction() as tx:
+        tx.append("nodes", _nodes(spark, [1]))
+    v_a = cat.table("nodes").append(_nodes(spark, [2]))
+    v_b = cat.table("nodes").append(_nodes(spark, [3]))
+    # simulate two racers that both derived tx 2 from parent 1: publish
+    # A at tx 2, then force B to collide on the same number
+    cat._publish({"nodes": v_a})
+    with pytest.raises(CommitConflict, match="nodes"):
+        # collide deliberately: recreate the race by pointing current
+        # back at tx 1 so B computes the taken number
+        cur = os.path.join(str(tmp_path), "_catalog", "current")
+        with open(cur, "w") as f:
+            f.write("1")
+        cat._publish({"nodes": v_b})
+
+
+def test_empty_and_double_commit_rejected(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="empty"):
+        cat.transaction().commit()
+    tx = cat.transaction().append("nodes", _nodes(spark, [1]))
+    tx.commit()
+    with pytest.raises(RuntimeError, match="already"):
+        tx.commit()
+    with pytest.raises(ValueError, match="not in transaction"):
+        cat.read("edges")
+
+
+def test_kg_triples_and_lineage_commit_together(spark, tmp_path):
+    """The motivating use: triples + their lineage/stats row must never
+    be readable out of step."""
+    cat = Catalog(spark, str(tmp_path))
+    triples = spark.createDataFrame(
+        [("m1", "exactMatch", "EFO:1"), ("m2", "relatedMatch", "EFO:2")],
+        "subj string, pred string, obj string",
+    )
+    stats = triples.groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+    with cat.transaction() as tx:
+        tx.append("triples", triples)
+        tx.append("triple_stats", stats)
+    n_triples = cat.read("triples").count()
+    n_stats = cat.read("triple_stats").agg(F.sum("n")).collect()[0][0]
+    assert n_triples == n_stats == 2
