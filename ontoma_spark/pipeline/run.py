@@ -86,6 +86,14 @@ def main(argv: list[str] | None = None) -> dict:
         "versions stay time-travel readable",
     )
     ap.add_argument(
+        "--catalog",
+        help="publish the finished triples, their per-predicate stats, "
+        "and the lineage manifest as ONE atomic transaction of this "
+        "multi-table catalog (core/catalog.py) — consumers resolving "
+        "through the catalog never see triples whose stats or lineage "
+        "haven't landed; the whole graph time-travels together",
+    )
+    ap.add_argument(
         "--no-lint",
         action="store_true",
         help="skip the pre-flight plan lint (core/planlint.py); by "
@@ -154,6 +162,27 @@ def main(argv: list[str] | None = None) -> dict:
                 "bucket"
             )
         )
+    if args.catalog:
+        import os
+
+        from pyspark.sql import functions as F
+
+        from ontoma_spark.core.catalog import Catalog
+        from ontoma_spark.pipeline.lineage import TRIPLES_DIR, read_lineage
+
+        triples = spark.read.parquet(
+            os.path.join(args.out, TRIPLES_DIR)
+        ).drop("bucket")
+        stats = triples.groupBy("pred").agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.approx_count_distinct("obj").alias("approx_entities"),
+        )
+        cat = Catalog(spark, args.catalog)
+        with cat.transaction() as tx:
+            tx.overwrite("triples", triples)
+            tx.overwrite("triple_stats", stats)
+            tx.overwrite("lineage", read_lineage(spark, args.out))
+        summary["catalog_tx"] = cat.current_tx()
     print(json.dumps(summary))
     return summary
 

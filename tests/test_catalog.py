@@ -179,3 +179,38 @@ def test_kg_triples_and_lineage_commit_together(spark, tmp_path):
     n_triples = cat.read("triples").count()
     n_stats = cat.read("triple_stats").agg(F.sum("n")).collect()[0][0]
     assert n_triples == n_stats == 2
+
+
+def test_pipeline_publishes_atomic_graph_transaction(spark, tmp_path):
+    """--catalog: the pipeline lands triples + per-predicate stats +
+    lineage as ONE transaction; the counts agree with each other and a
+    second run produces tx 2 with tx 1 still consistently readable."""
+    from ontoma_spark.pipeline import run as runmod
+
+    cat_root = str(tmp_path / "graph_catalog")
+    for i in (1, 2):
+        summary = runmod.main(
+            [
+                "--synthetic-rows", "200",
+                "--out", str(tmp_path / f"out{i}"),
+                "--n-buckets", "4",
+                "--buckets-per-job", "4",
+                "--no-fuzzy",
+                "--catalog", cat_root,
+            ]
+        )
+        assert summary["catalog_tx"] == i
+
+    cat = Catalog(spark, cat_root)
+    assert cat.table_names() == ["lineage", "triple_stats", "triples"]
+    for tx in (1, 2):
+        n_triples = cat.read("triples", tx=tx).count()
+        n_stats = (
+            cat.read("triple_stats", tx=tx)
+            .agg(F.sum("n_triples"))
+            .collect()[0][0]
+        )
+        n_lineage = (
+            cat.read("lineage", tx=tx).agg(F.sum("n_triples")).collect()[0][0]
+        )
+        assert n_triples == n_stats == n_lineage > 0
