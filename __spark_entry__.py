@@ -3214,6 +3214,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_louvain": q85_louvain,
         "q86_quality_suite": q86_quality_suite,
         "q87_drift_report": q87_drift_report,
+        "q88_pq_ann": q88_pq_ann,
     }
 
 
@@ -3349,6 +3350,28 @@ def q87_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter(F.col("doc_id") % 2 == 0)
     cur = docs.filter(F.col("doc_id") % 2 == 1)
     return drift_report(ref, cur, ["lang", "source", "n_chars", "doc_id"])
+
+
+def q88_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (numpy bit-level ADC oracle in tests/test_pq.py):
+    product-quantized ANN over the embeddings table — md5-deterministic
+    codebooks (m=8 subspaces, k=16 centroids), corpus compressed to
+    8 codes/row in one narrow projection, 20 broadcast queries scored
+    by LUT lookups, per-query top-10 window. Times the encode + ADC
+    scan at 64-float dim."""
+    from ontoma_spark.operators.pq import (
+        deterministic_pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    books = deterministic_pq_codebooks(64, m=8, k=16)
+    enc = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).limit(20)
+    return pq_topk(enc, queries, books, k=10)
 
 
 def q84_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:

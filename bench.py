@@ -128,6 +128,7 @@ HEADLINE = [
     "q85_louvain",
     "q86_quality_suite",
     "q87_drift_report",
+    "q88_pq_ann",
 ]
 
 T0 = time.time()

@@ -83,6 +83,13 @@ from ontoma_spark.operators.semdedup import semantic_dedup
 from ontoma_spark.operators.tfidf import corpus_tokens, tfidf_top_terms
 from ontoma_spark.operators.quality import suite_passed, verify
 from ontoma_spark.operators.drift import drift_report, drifted_columns
+from ontoma_spark.operators.pq import (
+    deterministic_pq_codebooks,
+    pq_encode,
+    pq_reconstruction_mse,
+    pq_topk,
+    train_pq_codebooks,
+)
 
 __all__ = [
     "FellegiSunterModel",
@@ -158,4 +165,9 @@ __all__ = [
     "suite_passed",
     "drift_report",
     "drifted_columns",
+    "deterministic_pq_codebooks",
+    "train_pq_codebooks",
+    "pq_encode",
+    "pq_topk",
+    "pq_reconstruction_mse",
 ]

@@ -1,0 +1,249 @@
+"""Product quantization: compressed embeddings + asymmetric-distance ANN.
+
+At 100 TB an `array<float>` embedding column is the biggest thing in
+the corpus: 768 floats = 3 KB/row. IVF (operators/similarity.py)
+bounds how much of the corpus a query SCANS; product quantization
+(Jégou et al., TPAMI 2011) bounds how many BYTES each scanned row
+costs: the vector is split into ``m`` subspaces, each subvector
+replaced by the id of its nearest per-subspace centroid — ``m`` small
+ints (codes) per row, a 32-384x compression that decodes to an
+approximate distance without ever reconstructing the vector.
+
+Spark-first layout:
+
+* Codebooks are plain Python ``m x k x (dim/m)`` lists — fitted with
+  seeded pyspark.ml KMeans per subspace (``train_pq_codebooks``) or
+  md5-derived for cross-engine reproducibility
+  (``deterministic_pq_codebooks``). They enter every plan as LITERALS,
+  so encoding and scoring are pure Column algebra: narrow, shuffle-free,
+  whole-stage-codegen, no UDF.
+* ``pq_encode`` maps each row to ``codes array<int>`` (argmin over
+  centroid-literal distances per subspace via array_min on
+  (dist, idx) structs — deterministic index tie-break).
+* ``pq_topk`` is asymmetric distance computation (ADC): each QUERY
+  precomputes its ``m x k`` lookup table of exact subvector-to-centroid
+  squared distances (a projection on the tiny query side), the query
+  set is broadcast, and each corpus row's approximate distance is
+  ``sum_j lut[j][codes[j]]`` — ``zip_with`` + ``element_at`` +
+  ``aggregate``, one table-lookup add per subspace instead of a
+  ``dim``-wide dot product. The only shuffle is the per-query top-k
+  window, exactly like the exact/IVF paths it drops into.
+
+The reference (opentargets/OnToma) has no vector surface; this backs
+the training-data-pipeline extension (embedding near-dup, semantic
+dedup, ANN retrieval) as the memory-bound scale path next to IVF's
+compute-bound one. Compose them: IVF picks cells, PQ scores inside.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def _check_geometry(dim: int, m: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"pq: dim={dim} must divide into m={m} equal subspaces"
+        )
+    return dim // m
+
+
+def deterministic_pq_codebooks(
+    dim: int, m: int = 8, k: int = 16
+) -> list[list[list[float]]]:
+    """md5-derived codebooks in [-1, 1) — a pure function of
+    (dim, m, k), reproducible in any engine (the tests' numpy oracle
+    regenerates them bit-identically). For codebooks fitted to the
+    data distribution use ``train_pq_codebooks``."""
+    sub = _check_geometry(dim, m)
+    books = []
+    for j in range(m):
+        book = []
+        for c in range(k):
+            row = []
+            for i in range(sub):
+                h = hashlib.md5(f"pq:{j}:{c}:{i}".encode()).digest()
+                row.append(round(int.from_bytes(h[:4], "big") / 2**31 - 1.0, 6))
+            book.append(row)
+        books.append(book)
+    return books
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Fit per-subspace codebooks with seeded pyspark.ml KMeans.
+
+    ONE corpus projection explodes each vector into its m subvectors
+    (tagged by subspace); each subspace's KMeans then fits on its
+    slice. Returns plain nested lists so every downstream plan stays
+    literal-driven Column algebra."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    dim = len(corpus.select(vec_col).first()[0])
+    sub = _check_geometry(dim, m)
+    books = []
+    for j in range(m):
+        feat = corpus.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), j * sub + 1, sub).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feat)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def _book_literal(book: list[list[float]]) -> F.Column:
+    """One codebook as an array<array<double>> literal. Array literals
+    + higher-order functions keep the generated code SIZE-CONSTANT in
+    (k, dim) — an unrolled per-centroid expression tree blows past the
+    JVM's 64 KB method limit around dim 64 and drops the whole stage
+    out of codegen."""
+    return F.array(*[F.lit([float(x) for x in c]) for c in book])
+
+
+def _sub_dists(vec_col: F.Column, offset: int, sub: int, book_lit: F.Column) -> F.Column:
+    """array<double>: squared L2 distance of the subvector at
+    0-based ``offset`` to EVERY centroid of one codebook —
+    transform over the codebook literal, zip_with+aggregate inside."""
+    subv = F.slice(vec_col, offset + 1, sub)
+    return F.transform(
+        book_lit,
+        lambda c: F.aggregate(
+            F.zip_with(subv, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+    )
+
+
+def _argmin_code(dists: F.Column) -> F.Column:
+    """0-based index of the smallest distance; array_position finds the
+    FIRST occurrence (array_min returns an element of the array, so the
+    equality probe is byte-exact) — deterministic smallest-index
+    tie-break."""
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """(key, codes array<int>): each row's vector replaced by its m
+    per-subspace nearest-centroid ids. Pure narrow projection — the
+    compressed table is what ships/persists at scale (m bytes/row at
+    k<=256 in parquet's dictionary encoding vs 4*dim for floats)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col)
+    codes = F.array(
+        *[
+            _argmin_code(_sub_dists(v, j * sub, sub, _book_literal(codebooks[j])))
+            for j in range(m)
+        ]
+    )
+    return df.select(F.col(key_col), codes.alias("codes"))
+
+
+def _query_luts(vec_col: F.Column, codebooks: list[list[list[float]]]) -> F.Column:
+    """array<array<double>>: lut[j][c] = exact squared distance of the
+    query's j-th subvector to codebook j's centroid c. Computed on the
+    QUERY side only — m*k entries per query."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    return F.array(
+        *[
+            _sub_dists(vec_col, j * sub, sub, _book_literal(codebooks[j]))
+            for j in range(m)
+        ]
+    )
+
+
+def pq_adc_score(codes_col: F.Column, luts_col: F.Column) -> F.Column:
+    """Approximate squared L2 distance: sum over subspaces of the
+    query's precomputed table entry for the row's code. element_at is
+    1-based; codes are 0-based centroid ids."""
+    return F.aggregate(
+        F.zip_with(
+            luts_col,
+            codes_col,
+            lambda lut, c: F.element_at(lut, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, adc_dist, rank) — smallest
+    approximate distance first, deterministic neighbour-id tie-break,
+    self-matches excluded.
+
+    The query side (tiny) precomputes LUTs and is broadcast; the
+    corpus side reads only (key, codes) — the compressed table — and
+    never shuffles before the per-query ranking window."""
+    q = F.broadcast(
+        queries.select(
+            F.col(key_col).alias("query_id"),
+            _query_luts(F.col(vec_col), codebooks).alias("luts"),
+        )
+    )
+    scored = (
+        corpus_codes.select(
+            F.col(key_col).alias("neighbor_id"), "codes"
+        )
+        .join(q, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pq_adc_score(F.col("codes"), F.col("luts")).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_reconstruction_mse(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> float:
+    """Mean squared reconstruction error of the quantizer on this
+    corpus — the quality dial for choosing (m, k). One narrow pass:
+    encode and measure in the same projection, aggregate to a scalar."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col)
+    err = F.lit(0.0)
+    for j in range(m):
+        # distance to the CHOSEN centroid = min over the codebook
+        err = err + F.array_min(
+            _sub_dists(v, j * sub, sub, _book_literal(codebooks[j]))
+        )
+    row = df.select(err.alias("e")).agg(F.avg("e")).collect()[0]
+    return float(row[0])

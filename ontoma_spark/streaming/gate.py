@@ -1,0 +1,93 @@
+"""Streaming quality gate: per-micro-batch constraint verification.
+
+A continuous ingest must not let one bad crawl batch poison the
+corpus: schema-valid rows can still violate expectations (null
+content, duplicate ids, out-of-range stats). This gate runs the
+single-scan constraint suite (``operators/quality.py``) on every
+micro-batch inside ``foreachBatch`` and routes the WHOLE batch by the
+verdict — good batches to the main sink, failing batches to a
+quarantine sink with their verdict report attached — so downstream
+consumers only ever read batches that passed their declared
+expectations, and failures stay inspectable instead of dropped.
+
+Batch-granular (not row-granular) routing is deliberate: the suite's
+metrics are batch-level aggregates (uniqueness, completeness ratios);
+a per-row filter cannot express "this batch's id column is 4%
+duplicated". Row-level cleaning belongs upstream (functions/redact.py,
+quality predicates as filters); this gate is the admission control.
+
+Both sinks use the ``batchId=<id>`` dynamic-partition-overwrite commit
+(``write_batch_idempotent``), so foreachBatch's at-least-once retries
+replace their partition instead of duplicating — the same exactly-once
+story as the other sinks in ``streaming/incremental.py``. The
+quarantine sink is rooted one level down (``<quarantine>/data`` and
+``<quarantine>/report``) so the O(#constraints)-row verdict report
+lives beside the batch without colliding with its partition layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.quality import Check, verify
+from ontoma_spark.streaming.incremental import write_batch_idempotent
+
+
+def gate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    checks: list[Check],
+    good_dir: str,
+    quarantine_dir: str,
+    approx: bool = False,
+) -> bool:
+    """Verify one micro-batch and commit it to the proper sink.
+    Returns True when the batch passed. This is the ``foreachBatch``
+    body, exposed directly so batch jobs (and tests) reuse the exact
+    streaming semantics — the batch-twin pattern."""
+    report = verify(batch_df, checks, approx=approx).collect()
+    passed = all(r["passed"] for r in report)
+    if passed:
+        write_batch_idempotent(batch_df, batch_id, good_dir)
+        return True
+    write_batch_idempotent(
+        batch_df, batch_id, os.path.join(quarantine_dir, "data")
+    )
+    spark = batch_df.sparkSession
+    report_df = spark.createDataFrame(report)
+    write_batch_idempotent(
+        report_df, batch_id, os.path.join(quarantine_dir, "report")
+    )
+    return False
+
+
+def stream_quality_gated(
+    stream: DataFrame,
+    checks: list[Check],
+    good_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    approx: bool = False,
+    query_name: str = "quality_gate",
+):
+    """Attach the gate to a streaming DataFrame. Returns the started
+    StreamingQuery; stop it via ``.stop()``. Failing batches land in
+    ``quarantine_dir`` (with their verdict under ``report/``), passing
+    ones in ``good_dir``; a crashed-and-retried batch overwrites its
+    own partition in whichever sink it routes to."""
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        gate_batch(
+            batch_df, batch_id, checks, good_dir, quarantine_dir,
+            approx=approx,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

@@ -1,0 +1,158 @@
+"""Product quantization: numpy bit-level oracles for encoding and ADC
+scoring against the same md5-derived codebooks, recall on planted
+clusters with trained codebooks, and the compressed-corpus plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.pq import (
+    deterministic_pq_codebooks,
+    pq_encode,
+    pq_reconstruction_mse,
+    pq_topk,
+    train_pq_codebooks,
+)
+
+DIM, M, K = 16, 4, 8
+
+
+def _np_books():
+    books = np.zeros((M, K, DIM // M))
+    for j in range(M):
+        for c in range(K):
+            for i in range(DIM // M):
+                h = hashlib.md5(f"pq:{j}:{c}:{i}".encode()).digest()
+                books[j, c, i] = round(int.from_bytes(h[:4], "big") / 2**31 - 1.0, 6)
+    return books
+
+
+def _vectors(n, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.uniform(-1, 1, size=(n, DIM)).round(6)
+
+
+def _df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _np_encode(vecs, books):
+    sub = DIM // M
+    codes = np.zeros((len(vecs), M), dtype=int)
+    for j in range(M):
+        sl = vecs[:, j * sub:(j + 1) * sub]
+        d = ((sl[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1)  # argmin takes smallest index on ties
+    return codes
+
+
+def test_codebooks_match_numpy_regeneration():
+    books = deterministic_pq_codebooks(DIM, M, K)
+    assert np.allclose(np.array(books), _np_books())
+
+
+def test_encode_matches_numpy_argmin(spark):
+    vecs = _vectors(200)
+    books = deterministic_pq_codebooks(DIM, M, K)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(_df(spark, vecs), books).collect()
+    }
+    exp = _np_encode(vecs, _np_books())
+    for i in range(len(vecs)):
+        assert got[i] == list(exp[i]), i
+
+
+def test_adc_topk_matches_numpy_oracle(spark):
+    vecs = _vectors(120, seed=1)
+    books = deterministic_pq_codebooks(DIM, M, K)
+    nb = _np_books()
+    codes = _np_encode(vecs, nb)
+    df = _df(spark, vecs)
+    enc = pq_encode(df, books)
+    queries = df.filter(F.col("vec_id") < 5)
+    got = {}
+    for r in pq_topk(enc, queries, books, k=3).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["adc_dist"])
+        )
+    sub = DIM // M
+    for qid in range(5):
+        # numpy ADC: lut[j][c] = ||q_j - books[j][c]||^2
+        lut = np.array(
+            [
+                ((vecs[qid, j * sub:(j + 1) * sub] - nb[j]) ** 2).sum(axis=1)
+                for j in range(M)
+            ]
+        )
+        dists = np.array(
+            [lut[np.arange(M), codes[i]].sum() for i in range(len(vecs))]
+        )
+        order = sorted(
+            (d, i) for i, d in enumerate(dists) if i != qid
+        )[:3]
+        exp = [(rk + 1, i) for rk, (d, i) in enumerate(order)]
+        got_q = sorted(got[qid])
+        assert [(rk, nid) for rk, nid, _ in got_q] == exp
+        for rk, _nid, d in got_q:
+            assert abs(d - order[rk - 1][0]) < 1e-9
+
+
+def test_trained_codebooks_recall_on_planted_clusters(spark):
+    """10 tight clusters; PQ with trained codebooks must put same-
+    cluster points at the top: recall@5 >= 0.9 over 20 queries."""
+    rng = np.random.RandomState(3)
+    centers = rng.uniform(-1, 1, size=(10, DIM))
+    vecs = np.vstack(
+        [c + rng.normal(0, 0.02, size=(20, DIM)) for c in centers]
+    ).round(6)
+    df = _df(spark, vecs)
+    books = train_pq_codebooks(df, m=M, k=8, max_iter=10)
+    enc = pq_encode(df, books)
+    queries = df.filter(F.col("vec_id") % 20 == 0)  # one per cluster
+    rows = pq_topk(enc, queries, books, k=5).collect()
+    hits = total = 0
+    for r in rows:
+        total += 1
+        hits += r["neighbor_id"] // 20 == r["query_id"] // 20
+    assert total == 10 * 5
+    assert hits / total >= 0.9, hits / total
+
+
+def test_reconstruction_mse_improves_with_k(spark):
+    vecs = _vectors(300, seed=2)
+    df = _df(spark, vecs)
+    mse_small = pq_reconstruction_mse(df, deterministic_pq_codebooks(DIM, M, 4))
+    mse_big = pq_reconstruction_mse(df, deterministic_pq_codebooks(DIM, M, 32))
+    assert mse_big < mse_small
+    trained = train_pq_codebooks(df, m=M, k=8, max_iter=10)
+    assert pq_reconstruction_mse(df, trained) < pq_reconstruction_mse(
+        df, deterministic_pq_codebooks(DIM, M, 8)
+    )
+
+
+def test_geometry_validation():
+    with pytest.raises(ValueError, match="subspaces"):
+        deterministic_pq_codebooks(10, 3)
+
+
+def test_corpus_side_no_shuffle_before_window(spark):
+    """The compressed corpus must reach the scorer without an Exchange
+    below the ranking window: plan shows the broadcast join feeding the
+    single per-query window shuffle."""
+    vecs = _vectors(50)
+    books = deterministic_pq_codebooks(DIM, M, K)
+    df = _df(spark, vecs)
+    enc = pq_encode(df, books)
+    out = pq_topk(enc, df.limit(2), books, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # exactly one hash Exchange: the window's partitionBy(query_id)
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -1,0 +1,100 @@
+"""Streaming quality gate: batch routing by verdict, quarantine report
+contents, idempotent retry, and the live-stream path over a file
+source with one good and one bad wave."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators import quality as Q
+from ontoma_spark.streaming.gate import gate_batch, stream_quality_gated
+
+CHECKS = [
+    Q.completeness("text"),
+    Q.uniqueness("doc_id"),
+    Q.satisfies("length(text) >= 5", "min_len", 1.0),
+]
+
+
+def _good(spark, start=0, n=20):
+    return spark.createDataFrame(
+        [(start + i, f"document number {start + i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def _bad(spark):
+    # duplicate ids AND a null text: fails uniqueness + completeness
+    return spark.createDataFrame(
+        [(1, "valid text here"), (1, "valid text here"), (2, None)],
+        "doc_id long, text string",
+    )
+
+
+def test_gate_batch_routes_by_verdict(spark, tmp_path):
+    good_dir = str(tmp_path / "good")
+    quar_dir = str(tmp_path / "quar")
+    assert gate_batch(_good(spark), 0, CHECKS, good_dir, quar_dir)
+    assert not gate_batch(_bad(spark), 1, CHECKS, good_dir, quar_dir)
+    assert spark.read.parquet(good_dir).count() == 20
+    quar = spark.read.parquet(os.path.join(quar_dir, "data"))
+    assert quar.count() == 3
+    report = spark.read.parquet(os.path.join(quar_dir, "report"))
+    by = {r["check"]: r["passed"] for r in report.collect()}
+    assert by == {"completeness": False, "uniqueness": False, "satisfies": False}
+
+
+def test_gate_retry_overwrites_not_duplicates(spark, tmp_path):
+    good_dir = str(tmp_path / "good")
+    quar_dir = str(tmp_path / "quar")
+    for _ in range(3):  # at-least-once redelivery of the same batch id
+        gate_batch(_good(spark), 7, CHECKS, good_dir, quar_dir)
+        gate_batch(_bad(spark), 8, CHECKS, good_dir, quar_dir)
+    assert spark.read.parquet(good_dir).count() == 20
+    assert spark.read.parquet(os.path.join(quar_dir, "data")).count() == 3
+    report = spark.read.parquet(os.path.join(quar_dir, "report"))
+    assert report.count() == len(CHECKS)
+
+
+def test_stream_gates_waves_independently(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    good_dir = str(tmp_path / "good")
+    quar_dir = str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    _good(spark, start=0).coalesce(1).write.mode("append").parquet(input_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = stream_quality_gated(
+        stream, CHECKS, good_dir, quar_dir, ckpt,
+        query_name="gate_test",
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(good_dir).count() == 20
+        assert not os.path.exists(quar_dir)
+
+        _bad(spark).coalesce(1).write.mode("append").parquet(input_dir)
+        _good(spark, start=100).coalesce(1).write.mode("append").parquet(
+            input_dir
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # both good waves admitted, the bad wave quarantined whole
+    good = spark.read.parquet(good_dir)
+    assert good.count() == 40
+    assert good.filter(F.col("text").isNull()).count() == 0
+    assert spark.read.parquet(os.path.join(quar_dir, "data")).count() == 3
+    assert (
+        spark.read.parquet(os.path.join(quar_dir, "report"))
+        .filter(~F.col("passed"))
+        .count()
+        > 0
+    )
