@@ -159,6 +159,42 @@ def cms_point_estimate(
     )
 
 
+def cms_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    depth: int = CMS_DEPTH,
+) -> float:
+    """Equi-join cardinality estimate from two CMS tables over the
+    join key: min over the depth rows of the cell-wise inner product
+    Σ_c a[r][c]·b[r][c] (Cormode & Muthukrishnan 2005, §4.2). The true
+    join size is Σ_k f_a(k)·f_b(k); every hash row's inner product
+    adds only non-negative collision mass, so the estimate NEVER
+    undershoots, and min-over-rows keeps the overshoot within
+    ε·N_a·N_b (ε = e/width) with high probability.
+
+    This is the join planner's missing number: ``skew_report`` says how
+    hot one table's keys are, this says how big A ⋈ B will be — from
+    two depth×width sketch tables, never touching either corpus again
+    (sketches merge cell-wise, so per-partition/per-day sketches
+    compose before estimating). The arithmetic joins two ≤depth×width
+    tables and collects ≤depth rows."""
+    prod = (
+        sketch_a.select("row", "col", F.col("cnt").alias("ca"))
+        .join(
+            sketch_b.select("row", "col", F.col("cnt").alias("cb")),
+            ["row", "col"],
+        )
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .collect()
+    )
+    by_row = {r["row"]: r["ip"] for r in prod}
+    # a depth row with no overlapping cells has inner product 0 —
+    # min() must see it (small disjoint sketches estimate exactly 0;
+    # saturated ones estimate their collision mass, within the bound)
+    return float(min(by_row.get(r, 0) for r in range(depth)))
+
+
 BLOOM_K = 4
 BLOOM_M = 4096  # 12-bit positions = first 3 hex chars of the salted md5
 

@@ -438,3 +438,53 @@ def test_bottomk_merge_canonicalises_cross_sketch_payloads(spark):
         a.unionByName(b), "k", k=32, payload_cols=("v",), distinct_keys=True
     ).collect()
     assert sorted(map(tuple, merged)) == sorted(map(tuple, direct))
+
+
+def test_cms_join_size_estimate_bounds(spark):
+    """Inner-product join-size estimate: never undershoots the exact
+    equi-join cardinality, overshoot within the CMS epsilon bound, and
+    exact 0 for disjoint key sets."""
+    import random
+
+    from ontoma_spark.functions.sketches import cms_join_size, cms_table
+
+    rng = random.Random(11)
+    a_keys = [rng.randint(0, 400) for _ in range(3000)]
+    b_keys = [rng.randint(200, 600) for _ in range(2000)]
+    a = spark.createDataFrame([(k,) for k in a_keys], "k int")
+    b = spark.createDataFrame([(k,) for k in b_keys], "k int")
+    est = cms_join_size(cms_table(a, "k"), cms_table(b, "k"))
+
+    from collections import Counter
+
+    ca, cb = Counter(a_keys), Counter(b_keys)
+    exact = sum(ca[k] * cb[k] for k in ca)
+    assert est >= exact
+    # epsilon bound: overshoot <= e/width * Na * Nb w.h.p. (min over 4 rows)
+    assert est <= exact + 2.72 / 256 * len(a_keys) * len(b_keys)
+
+    # disjoint key sets: the true join is empty; the estimate is pure
+    # collision mass, still within the epsilon bound (it is NOT exactly
+    # 0 once the sketch is saturated — 401 distinct keys > 256 cells)
+    disjoint = spark.createDataFrame([(k,) for k in range(1000, 1100)], "k int")
+    d_est = cms_join_size(cms_table(a, "k"), cms_table(disjoint, "k"))
+    assert 0.0 <= d_est <= 2.72 / 256 * len(a_keys) * 100
+
+
+def test_cms_join_size_composes_with_merge(spark):
+    """Sketch per shard, merge cell-wise, THEN estimate — equals the
+    estimate from one whole-table sketch (the 100 TB usage)."""
+    from ontoma_spark.functions.sketches import cms_join_size, cms_table
+
+    a = spark.createDataFrame([(k % 50,) for k in range(2000)], "k int")
+    b = spark.createDataFrame([(k % 70,) for k in range(1500)], "k int")
+    a1, a2 = a.filter("k < 25"), a.filter("k >= 25")
+    merged = (
+        cms_table(a1, "k")
+        .unionByName(cms_table(a2, "k"))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_table(a, "k")
+    sb = cms_table(b, "k")
+    assert cms_join_size(merged, sb) == cms_join_size(whole, sb)
