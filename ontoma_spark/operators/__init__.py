@@ -85,6 +85,7 @@ from ontoma_spark.operators.quality import suite_passed, verify
 from ontoma_spark.operators.drift import drift_report, drifted_columns
 from ontoma_spark.operators.pq import (
     deterministic_pq_codebooks,
+    ivfpq_topk,
     pq_encode,
     pq_reconstruction_mse,
     pq_topk,
@@ -166,6 +167,7 @@ __all__ = [
     "drift_report",
     "drifted_columns",
     "deterministic_pq_codebooks",
+    "ivfpq_topk",
     "train_pq_codebooks",
     "pq_encode",
     "pq_topk",

@@ -227,6 +227,81 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]] | None = None,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF × PQ — the two bounds composed, as in FAISS's IVFPQ index:
+    the coarse quantizer bounds how many rows a query SCANS
+    (``n_probe`` of ``n_cells`` cells), product quantization bounds
+    what each scanned row COSTS (m table lookups on m-byte codes, no
+    float vectors in the scored table at all).
+
+    Plan shape: one narrow corpus pass assigns (cell, codes) — this is
+    the compressed index one would persist; queries (tiny) explode to
+    their probe cells with their ADC LUT attached and broadcast; the
+    equi-join on cell replaces pq_topk's cross product; the only
+    shuffle is the per-query ranking window. Returns (query_id,
+    neighbor_id, adc_dist, rank), ascending approximate distance,
+    deterministic neighbour-id tie-break, self excluded.
+    """
+    from ontoma_spark.operators.similarity import (
+        ivf_cell_expr,
+        ivf_probe_cells_expr,
+        train_centroids,
+    )
+
+    if centroids is None:
+        centroids = train_centroids(corpus, n_cells, vec_col=vec_col)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col)
+    c = corpus.select(
+        F.col(key_col).alias("neighbor_id"),
+        ivf_cell_expr(vec_col, centroids).alias("cell"),
+        F.array(
+            *[
+                _argmin_code(
+                    _sub_dists(v, j * sub, sub, _book_literal(codebooks[j]))
+                )
+                for j in range(m)
+            ]
+        ).alias("codes"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(key_col).alias("query_id"),
+            _query_luts(F.col(vec_col), codebooks).alias("luts"),
+            F.explode(
+                ivf_probe_cells_expr(vec_col, centroids, n_probe)
+            ).alias("cell"),
+        )
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pq_adc_score(F.col("codes"), F.col("luts")).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_reconstruction_mse(
     df: DataFrame,
     codebooks: list[list[list[float]]],

@@ -156,3 +156,45 @@ def test_corpus_side_no_shuffle_before_window(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     # exactly one hash Exchange: the window's partitionBy(query_id)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ivfpq_equals_pq_within_probed_cells(spark):
+    """IVFPQ's result is exactly pq_topk restricted to the query's
+    probed cells: rebuild that restriction brute-force in numpy over
+    the same deterministic centroids + codebooks."""
+    from ontoma_spark.operators.pq import ivfpq_topk
+    from ontoma_spark.operators.similarity import deterministic_centroids
+
+    vecs = _vectors(150, seed=5)
+    books = deterministic_pq_codebooks(DIM, M, K)
+    cents = np.array(deterministic_centroids(DIM, 4))
+    df = _df(spark, vecs)
+    out = ivfpq_topk(
+        df, df.filter(F.col("vec_id") < 4), books,
+        centroids=[list(c) for c in cents], k=3, n_cells=4, n_probe=2,
+    ).collect()
+
+    nb = _np_books()
+    codes = _np_encode(vecs, nb)
+    # cell assignment: nearest centroid by squared L2 (smallest index ties)
+    d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cells = d2.argmin(axis=1)
+    sub = DIM // M
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in range(4):
+        probe = np.argsort(d2[qid], kind="stable")[:2]
+        lut = np.array(
+            [
+                ((vecs[qid, j * sub:(j + 1) * sub] - nb[j]) ** 2).sum(axis=1)
+                for j in range(M)
+            ]
+        )
+        cand = [
+            (lut[np.arange(M), codes[i]].sum(), i)
+            for i in range(len(vecs))
+            if i != qid and cells[i] in probe
+        ]
+        exp = [(rk + 1, i) for rk, (_, i) in enumerate(sorted(cand)[:3])]
+        assert sorted(got[qid]) == exp, qid
