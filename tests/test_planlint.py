@@ -394,3 +394,56 @@ def test_anf_round_lints_clean(spark):
         [("a", "b"), ("b", "c")], "src string, dst string"
     )
     assert_plan_clean(ball_registers(e, radius=1))
+
+
+def test_round4d_ops_lint_clean(spark):
+    """Quality suite, drift report, PQ encode, and ADC/IVFPQ scoring
+    plans are single-partition-free and Python-row-UDF-free. pq_topk's
+    broadcast cross product is the documented brute-ADC design, so
+    'cartesian' is allowed for the two scorers only; drift's windows
+    run per-column (never a global single-task window)."""
+    from ontoma_spark.core.planlint import assert_plan_clean
+    from ontoma_spark.operators import quality as Q
+    from ontoma_spark.operators.drift import drift_report
+    from ontoma_spark.operators.pq import (
+        deterministic_pq_codebooks,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+    )
+    from ontoma_spark.operators.similarity import deterministic_centroids
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    rep = Q.verify(
+        docs, [Q.completeness("text"), Q.uniqueness("doc_id")]
+    )
+    drift = drift_report(
+        docs.filter("doc_id % 2 = 0"),
+        docs.filter("doc_id % 2 = 1"),
+        ["lang", "n_chars"],
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0, 0.5] * 4) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    books = deterministic_pq_codebooks(16, 4, 8)
+    enc = pq_encode(emb, books)
+    # the suite's fused global agg funnels ONE partial row per
+    # partition into a single task — the sanctioned side-table case
+    assert_plan_clean(
+        rep, allow=("exchanges", "pushdown_miss", "single_partition")
+    )
+    assert_plan_clean(drift, allow=("exchanges", "pushdown_miss"))
+    assert_plan_clean(enc, allow=("exchanges",))
+    qs = emb.filter("vec_id < 2")
+    assert_plan_clean(
+        pq_topk(enc, qs, books, k=3),
+        allow=("exchanges", "cartesian"),
+    )
+    assert_plan_clean(
+        ivfpq_topk(
+            emb, qs, books,
+            centroids=deterministic_centroids(16, 4), n_cells=4,
+        ),
+        allow=("exchanges", "cartesian"),
+    )
