@@ -888,7 +888,7 @@ def q25_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity), TWO formulations
+    """Gap-based sessionization (30-min inactivity), THREE formulations
     value-checked against one oracle and tagged by ``kind``:
 
     * ``window`` — lag + running sum, the classic analytic-window
@@ -897,7 +897,15 @@ def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
       Arrow-grouped pandas fold that backs the streaming
       ``applyInPandasWithState`` sessionizer
       (streaming/sessions.py::sessionize_batch), so the stateful
-      kernel family is driver-value-checked, not just pytest-checked.
+      kernel family is driver-value-checked, not just pytest-checked;
+    * ``native_session_window`` — Spark's built-in
+      ``F.session_window`` merge-on-overlap aggregation. Boundary
+      alignment: the analytic spec keeps a gap of EXACTLY 1800 s in
+      the same session (``gap_us > 1800e6`` splits), while the native
+      window is half-open and splits at gap >= gapDuration — so the
+      native gap is 1800 s + 1 µs, which is the identical predicate
+      for integer-microsecond timestamps (verified exceptAll-equal
+      both directions at sf0.001/0.01 before wiring in).
 
     All timestamp arithmetic is exact integer MICROSECONDS
     (unix_micros / datetime64[us] here, epoch_us in the oracle): no
@@ -961,7 +969,30 @@ def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("duration_sec"),
     )
-    return win.unionByName(twin)
+    sw = F.session_window(
+        F.col("ts").cast("timestamp"), "1800 seconds 1 microseconds"
+    )
+    nat_agg = e.groupBy("user_id", sw.alias("sw")).agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.floor((F.max(us) - F.min(us)) / F.lit(1_000_000))
+        .cast("long")
+        .alias("duration_sec"),
+    )
+    w_nat = Window.partitionBy("user_id").orderBy(F.col("sw.start"))
+    native = nat_agg.withColumn(
+        "session_seq", F.row_number().over(w_nat).cast("long")
+    ).select(
+        F.lit("native_session_window").alias("kind"),
+        "user_id",
+        "session_seq",
+        "n_events",
+        "session_start",
+        "duration_sec",
+    )
+    return win.unionByName(twin).unionByName(native)
 
 
 _Q27_MATCH_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -4039,10 +4070,13 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS duration_sec
               FROM s GROUP BY 1, 2
             )
-            -- both engine formulations (pure-window and the grouped-
-            -- pandas stateful twin) must reproduce the SAME session set
+            -- all three engine formulations (pure-window, the grouped-
+            -- pandas stateful twin, and native session_window with the
+            -- +1us boundary-aligned gap) must reproduce the SAME
+            -- session set
             SELECT k.kind, sess.* FROM sess
-            CROSS JOIN (VALUES ('window'), ('stateful_twin')) AS k(kind)
+            CROSS JOIN (VALUES ('window'), ('stateful_twin'),
+                               ('native_session_window')) AS k(kind)
         """,
         "q24_simhash_candidates": f"""
             WITH docs AS ({_DOCS_NEARDUP_SQL}),
