@@ -128,6 +128,43 @@ class Catalog:
             )
         return self.table(name).read(version=versions[name], **read_kwargs)
 
+    # ------------------------------------------------------- maintenance
+
+    def expire_transactions(self, keep_last: int = 1) -> dict:
+        """Whole-graph retention: drop all but the newest ``keep_last``
+        transactions, then expire every table snapshot no retained
+        transaction references (cascading to data-file GC via
+        ``SnapshotTable.expire_keeping``). Whole-graph time travel to
+        expired transactions stops working — atomically with the table
+        versions they pointed at, so a kept transaction can always
+        still read its full consistent graph. Each table's own current
+        version survives regardless (direct table writes outside the
+        catalog are never GC'd out from under their pointer).
+
+        Driver-side metadata + filesystem work, O(#txs + #files) —
+        never a Spark job. Returns per-table expiry reports plus the
+        dropped transaction numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        txs = self.history()
+        if len(txs) <= keep_last:
+            return {"expired_txs": [], "tables": {}}
+        kept, dropped = txs[-keep_last:], txs[:-keep_last]
+        referenced: dict[str, set[int]] = {}
+        for doc in kept:
+            for name, v in doc["tables"].items():
+                referenced.setdefault(name, set()).add(v)
+        for doc in dropped:
+            os.remove(self._tx_path(doc["tx"]))
+        reports = {
+            name: self.table(name).expire_keeping(vers)
+            for name, vers in sorted(referenced.items())
+        }
+        return {
+            "expired_txs": [d["tx"] for d in dropped],
+            "tables": reports,
+        }
+
     # -------------------------------------------------------- transactions
 
     def transaction(self) -> "Transaction":

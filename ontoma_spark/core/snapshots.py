@@ -628,15 +628,32 @@ class SnapshotTable:
         job; cost is O(#snapshots + #files), the same economics as
         Iceberg's own maintenance actions.
         """
-        import shutil
-
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         snaps = self.history()
         if len(snaps) <= keep_last:
             return {"expired_versions": [], "deleted_entries": []}
-        retained = snaps[-keep_last:]
-        expired = snaps[:-keep_last]
+        return self.expire_keeping(
+            {s["version"] for s in snaps[-keep_last:]}
+        )
+
+    def expire_keeping(self, keep_versions: set[int]) -> dict:
+        """Expire every snapshot NOT in ``keep_versions`` (the
+        set-valued twin of ``expire_snapshots``, for callers — like the
+        transactional catalog — whose retention is 'the versions my
+        transactions still reference', not 'the newest N'). The current
+        version is always retained regardless, so a table can never be
+        expired out from under its own pointer."""
+        import shutil
+
+        cur = self.current_version()
+        if cur is not None:
+            keep_versions = set(keep_versions) | {cur}
+        snaps = self.history()
+        retained = [s for s in snaps if s["version"] in keep_versions]
+        expired = [s for s in snaps if s["version"] not in keep_versions]
+        if not expired:
+            return {"expired_versions": [], "deleted_entries": []}
         keep_files: set[str] = set()
         for s in retained:
             for entry in s["manifest"]:

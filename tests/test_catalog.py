@@ -214,3 +214,45 @@ def test_pipeline_publishes_atomic_graph_transaction(spark, tmp_path):
             cat.read("lineage", tx=tx).agg(F.sum("n_triples")).collect()[0][0]
         )
         assert n_triples == n_stats == n_lineage > 0
+
+
+def test_expire_transactions_cascades_to_table_gc(spark, tmp_path):
+    """Catalog GC drops old transactions and the table snapshots only
+    they referenced (data files gone), keeps every version a retained
+    transaction needs, and never touches a table's own current
+    pointer."""
+    cat = Catalog(spark, str(tmp_path))
+    for i in range(3):
+        with cat.transaction() as tx:
+            tx.overwrite("nodes", _nodes(spark, list(range(i + 1))).coalesce(1))
+            tx.overwrite("edges", _edges(spark, [(0, j) for j in range(i + 1)]).coalesce(1))
+    report = cat.expire_transactions(keep_last=2)
+    assert report["expired_txs"] == [1]
+    assert report["tables"]["nodes"]["expired_versions"] == [1]
+    # kept transactions still read their full consistent graphs
+    for tx in (2, 3):
+        assert cat.read("nodes", tx=tx).count() == tx
+        assert cat.read("edges", tx=tx).count() == tx
+    # the expired whole-graph view is gone at the table layer
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        cat.table("nodes").read(version=1).count()
+    # noop below the threshold
+    assert cat.expire_transactions(keep_last=5) == {
+        "expired_txs": [], "tables": {},
+    }
+
+
+def test_expire_keeps_direct_table_current(spark, tmp_path):
+    """A direct (non-transactional) table write past the last published
+    tx survives catalog GC."""
+    cat = Catalog(spark, str(tmp_path))
+    with cat.transaction() as tx:
+        tx.overwrite("nodes", _nodes(spark, [1]).coalesce(1))
+    with cat.transaction() as tx:
+        tx.overwrite("nodes", _nodes(spark, [1, 2]).coalesce(1))
+    direct_v = cat.table("nodes").append(_nodes(spark, [3]).coalesce(1))
+    cat.expire_transactions(keep_last=1)
+    assert cat.table("nodes").read(version=direct_v).count() == 3
+    assert cat.read("nodes").count() == 2  # published view unchanged
