@@ -1,0 +1,157 @@
+"""Spark-4 ``transformWithStateInPandas`` operators.
+
+``streaming/sessions.py`` carries the long-lived
+``applyInPandasWithState`` sessionizer; this module adds the successor
+API (SPARK-49564, GA in 4.0): typed state variables created in
+``init``, Arrow-batched ``handleInputRows`` per key, optional state
+TTL. The first operator is running per-key statistics — the stateful
+enrichment every ingest dashboard needs ("events / value-sum / max
+seen so far per user"), emitted once per key per micro-batch:
+
+* state is ONE fixed-width row per key (count, sum, max) in a
+  ``ValueState`` — bounded regardless of stream length, TTL-evictable
+  for keys that go quiet;
+* output is Update-mode: only keys touched by the micro-batch emit,
+  so downstream sinks see per-batch deltas, not a full table scan;
+* ``running_stats_batch`` is the exact batch twin (one groupBy), and
+  the cross-batch test pins streamed-final == batch-over-union — the
+  same batch-twin discipline as every other streaming operator here.
+
+Environment gate: the transformWithState Python worker speaks protobuf
+to the JVM state server, so the streaming path requires
+``google.protobuf`` at runtime (Spark ships the .proto, not the
+library). ``stream_running_stats`` raises a clear RuntimeError where
+it is absent (this sandbox); the processor logic and the batch twin
+are testable everywhere, and the live-stream tests run wherever
+protobuf exists.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+OUTPUT_SCHEMA = (
+    "user_id string, n_events long, value_sum double, value_max double"
+)
+_STATE_SCHEMA = "n long, s double, m double"
+
+
+def make_processor():
+    """Per-key running (count, sum, max) StatefulProcessor. Built
+    lazily against the abstract base so importing this module never
+    pulls the streaming-state client stack."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", _STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key: Any, rows: Iterator["pd.DataFrame"], timerValues
+        ) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+
+            n, s, m = 0, 0.0, float("-inf")
+            if self._state.exists():
+                n, s, m = self._state.get()
+            for batch in rows:
+                v = batch["value"].astype("float64")
+                n += int(len(v))
+                s += float(v.sum())
+                if len(v):
+                    m = max(m, float(v.max()))
+            self._state.update((n, s, m))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [s],
+                    "value_max": [m],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _RunningStats()
+
+
+def stream_running_stats(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    query_name: str = "running_stats",
+):
+    """Attach the stateful processor to a stream of
+    (``key_col``, value) rows; per-batch updated stats append to
+    ``out_dir`` tagged by batch (idempotent overwrite per batchId).
+    The LAST row per key across the output is its running total.
+
+    Requires ``google.protobuf`` (see module docstring) and the
+    RocksDB state store provider; raises RuntimeError up front when
+    the worker-side dependency is missing rather than crashing the
+    stream mid-batch."""
+    import importlib.util
+
+    try:
+        missing = importlib.util.find_spec("google.protobuf") is None
+    except ModuleNotFoundError:
+        missing = True
+    if missing:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the google.protobuf "
+            "package in the Python workers (the state-server protocol "
+            "is protobuf); install protobuf or use the "
+            "applyInPandasWithState sessionizer / running_stats_batch "
+            "twin instead"
+        )
+    from ontoma_spark.streaming.incremental import write_batch_idempotent
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("user_id"),
+        F.col("value").cast("double").alias("value"),
+    )
+    updates = keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(batch_df, batch_id, out_dir)
+
+    return (
+        updates.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def running_stats_batch(
+    df: DataFrame, key_col: str = "user_id"
+) -> DataFrame:
+    """The batch twin: one groupBy over everything seen so far."""
+    return (
+        df.select(
+            F.col(key_col).cast("string").alias("user_id"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+            F.max("value").alias("value_max"),
+        )
+    )

@@ -1,0 +1,189 @@
+"""transformWithStateInPandas running stats: cross-micro-batch state
+accumulation equals the batch twin over the union, update-mode emits
+only touched keys, and restart resumes from checkpointed state.
+
+The live-stream tests need google.protobuf in the Python workers (the
+transformWithState state-server protocol) and skip where it is absent;
+the processor kernel, batch twin, and the capability gate are tested
+unconditionally."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.streaming.stateful import (
+    make_processor,
+    running_stats_batch,
+    stream_running_stats,
+)
+
+def _has_protobuf() -> bool:
+    try:  # find_spec raises when even the parent package is absent
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+_HAS_PROTOBUF = _has_protobuf()
+needs_protobuf = pytest.mark.skipif(
+    not _HAS_PROTOBUF, reason="transformWithState needs google.protobuf"
+)
+
+
+def test_processor_kernel_folds_batches():
+    """The handleInputRows fold itself, driven directly: two pandas
+    batches accumulate into one emitted stats row via a fake state."""
+    import pandas as pd
+
+    proc = make_processor()
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+        def exists(self):
+            return self._v is not None
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+
+    proc._state = _FakeState()
+    out1 = list(
+        proc.handleInputRows(
+            ("u1",), iter([pd.DataFrame({"value": [1.0, 5.0]})]), None
+        )
+    )[0]
+    assert (
+        out1.loc[0, "n_events"],
+        out1.loc[0, "value_sum"],
+        out1.loc[0, "value_max"],
+    ) == (2, 6.0, 5.0)
+    out2 = list(
+        proc.handleInputRows(
+            ("u1",), iter([pd.DataFrame({"value": [3.0]})]), None
+        )
+    )[0]
+    assert (
+        out2.loc[0, "n_events"],
+        out2.loc[0, "value_sum"],
+        out2.loc[0, "value_max"],
+    ) == (3, 9.0, 5.0)
+
+
+def test_missing_protobuf_raises_clearly(spark, tmp_path):
+    if _HAS_PROTOBUF:
+        pytest.skip("protobuf present: the gate does not fire")
+    stream = spark.readStream.format("rate").load().select(
+        F.lit("u").alias("user_id"), F.col("value").cast("double")
+    )
+    with pytest.raises(RuntimeError, match="protobuf"):
+        stream_running_stats(
+            stream, str(tmp_path / "o"), str(tmp_path / "c")
+        )
+
+
+def test_batch_twin_matches_brute_force(spark):
+    df = _wave(
+        spark, [("u1", 1.0), ("u1", 5.0), ("u2", 2.0), ("u1", 3.0)]
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["value_sum"], r["value_max"])
+        for r in running_stats_batch(df).collect()
+    }
+    assert got == {"u1": (3, 9.0, 5.0), "u2": (1, 2.0, 2.0)}
+
+
+def _wave(spark, rows):
+    return spark.createDataFrame(rows, "user_id string, value double")
+
+
+def _final_per_key(spark, out_dir):
+    """Last emitted row per key = the running total."""
+    out = spark.read.parquet(out_dir)
+    latest = out.groupBy("user_id").agg(F.max("batchId").alias("batchId"))
+    return out.join(latest, ["user_id", "batchId"]).select(
+        "user_id", "n_events", "value_sum", "value_max"
+    )
+
+
+@needs_protobuf
+def test_state_accumulates_across_batches(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    w1 = [("u1", 1.0), ("u1", 5.0), ("u2", 2.0)]
+    w2 = [("u1", 3.0), ("u3", 7.0)]
+    _wave(spark, w1).coalesce(1).write.mode("append").parquet(input_dir)
+    stream = (
+        spark.readStream.schema("user_id string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = stream_running_stats(stream, out_dir, ckpt, query_name="rs1")
+    try:
+        q.processAllAvailable()
+        _wave(spark, w2).coalesce(1).write.mode("append").parquet(input_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["user_id"]: (r["n_events"], r["value_sum"], r["value_max"])
+        for r in _final_per_key(spark, out_dir).collect()
+    }
+    exp = {
+        r["user_id"]: (r["n_events"], r["value_sum"], r["value_max"])
+        for r in running_stats_batch(_wave(spark, w1 + w2)).collect()
+    }
+    assert got == exp
+    # update mode: batch 2 emitted only its touched keys (u1, u3)
+    out = spark.read.parquet(out_dir)
+    b2 = {r["user_id"] for r in out.filter("batchId = 1").collect()}
+    assert b2 == {"u1", "u3"}
+
+
+@needs_protobuf
+def test_restart_resumes_from_checkpoint(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    _wave(spark, [("u1", 10.0)]).coalesce(1).write.mode("append").parquet(
+        input_dir
+    )
+
+    def _start():
+        stream = (
+            spark.readStream.schema("user_id string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        return stream_running_stats(stream, out_dir, ckpt, query_name="rs2")
+
+    q = _start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # second wave arrives while the query is DOWN; the restarted query
+    # must fold it onto the checkpointed state, not restart from zero
+    _wave(spark, [("u1", 4.0)]).coalesce(1).write.mode("append").parquet(
+        input_dir
+    )
+    q = _start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {
+        r["user_id"]: (r["n_events"], r["value_sum"], r["value_max"])
+        for r in _final_per_key(spark, out_dir).collect()
+    }
+    assert final == {"u1": (2, 14.0, 10.0)}
