@@ -98,3 +98,109 @@ def sample_to_token_budget(
             ).otherwise(share_expr)
         keep = F.col("source_cum_tokens") <= share_expr
     return d.filter(keep).drop("__src", "__ord", "__cum", "__soff")
+
+
+def mix_with_epochs(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    weights: dict[str, float],
+    key_cols: tuple[str, ...] = ("doc_id",),
+    source_col: str = "source",
+    max_epochs: int = 10,
+) -> DataFrame:
+    """Token-budget mixing WITH upsampling: when a source's share
+    exceeds its total tokens, the source is repeated ("epochs"), the
+    standard recipe for scarce high-value sources. Emits the selected
+    rows with an ``epoch`` column (0-based repetition index) and
+    ``source_cum_tokens`` (the partial epoch's inclusive prefix count,
+    NULL on full-epoch rows).
+
+    Spec (the brute-force oracle implements exactly this): source s
+    with total tokens T_s and share S_s = budget·w_s/Σw gets
+    ``full = min(floor(S_s/T_s), max_epochs)`` complete copies (epochs
+    0..full-1, every doc), plus — only when ``full < max_epochs`` — a
+    partial epoch ``full`` holding the hash-ordered prefix with
+    inclusive cumulative tokens ≤ S_s − full·T_s (same strict-budget
+    prefix rule as ``sample_to_token_budget``). A source capped at
+    ``max_epochs`` deliberately under-fills its share rather than
+    looping forever on a tiny source. Sources absent from ``weights``
+    are excluded; empty sources contribute nothing.
+
+    Scale shape: the tiny per-source plan (totals → shares → epoch
+    counts) is ONE aggregation broadcast back; full epochs are an
+    ``explode(sequence(...))`` — pure row amplification, no shuffle;
+    the partial epoch reuses the one global range-partitioned prefix
+    sum. Downstream shard writers treat (``epoch``, *key_cols) as the
+    replica identity.
+    """
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    key_expr = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in key_cols])
+    d = (
+        df.filter(F.col(token_col) > 0)
+        .withColumn("__src", F.col(source_col).cast("string"))
+        .filter(F.col("__src").isin(*weights.keys()))
+        .withColumn("mix_rank", F.md5(key_expr))
+    )
+    total_w = float(sum(weights.values()))
+    share_expr = F.lit(None).cast("double")
+    for s, w in weights.items():
+        share_expr = F.when(
+            F.col("__src") == s, F.lit(budget * (w / total_w))
+        ).otherwise(share_expr)
+    plan = (
+        d.groupBy("__src")
+        .agg(F.sum(token_col).cast("double").alias("__stot"))
+        .withColumn("__share", share_expr)
+        .withColumn(
+            "__full",
+            F.least(
+                F.floor(F.col("__share") / F.col("__stot")),
+                F.lit(max_epochs),
+            ).cast("int"),
+        )
+        .withColumn(
+            "__rem",
+            F.when(F.col("__full") >= max_epochs, F.lit(0.0)).otherwise(
+                F.col("__share") - F.col("__full") * F.col("__stot")
+            ),
+        )
+        .select("__src", "__full", "__rem")
+    )
+    d = d.join(F.broadcast(plan), "__src")
+    full_rows = (
+        d.filter(F.col("__full") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0), F.col("__full") - 1)),
+        )
+        .withColumn("source_cum_tokens", F.lit(None).cast("long"))
+    )
+    # partial epoch: strict-budget hash-prefix within the remainder
+    part = d.withColumn(
+        "__ord", F.concat_ws(_SEP, F.col("__src"), F.col("mix_rank"), key_expr)
+    )
+    part = running_total(part, "__ord", token_col, out_col="__cum")
+    w_src = Window.orderBy("__src").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("__src")
+        .agg(F.sum(token_col).alias("__t"))
+        .withColumn("__soff", F.coalesce(F.sum("__t").over(w_src), F.lit(0)))
+        .select("__src", "__soff")
+    )
+    part_rows = (
+        part.join(F.broadcast(offsets), "__src")
+        .withColumn(
+            "source_cum_tokens", (F.col("__cum") - F.col("__soff")).cast("long")
+        )
+        .filter(F.col("source_cum_tokens") <= F.col("__rem"))
+        .withColumn("epoch", F.col("__full"))
+        .drop("__ord", "__cum", "__soff")
+    )
+    out_cols = [*df.columns, "mix_rank", "epoch", "source_cum_tokens"]
+    return full_rows.select(*out_cols).unionByName(
+        part_rows.select(*out_cols)
+    )

@@ -109,3 +109,88 @@ def test_budget_monotonicity_prefix_law(spark):
         }
     assert picked[2_000] <= picked[6_000] <= picked[12_000]
     assert len(picked[12_000]) > len(picked[2_000])
+
+
+def _brute_epochs(rows, budget, weights, max_epochs=10):
+    """rows: (doc_id, source, tokens) -> {(doc_id, epoch)} selected."""
+    total_w = sum(weights.values())
+    out = set()
+    for s in sorted(weights):
+        docs = sorted(
+            (hashlib.md5(d.encode()).hexdigest(), d, t)
+            for d, s2, t in rows
+            if s2 == s and t > 0
+        )
+        T = sum(t for _, _, t in docs)
+        if T == 0:
+            continue
+        share = budget * weights[s] / total_w
+        full = min(int(share // T), max_epochs)
+        for e in range(full):
+            out.update((d, e) for _, d, _ in docs)
+        if full < max_epochs:
+            rem = share - full * T
+            cum = 0
+            for _, d, t in docs:
+                cum += t
+                if cum <= rem:
+                    out.add((d, full))
+    return out
+
+
+def test_epochs_upsample_scarce_source(spark):
+    """A tiny high-weight source repeats; an abundant one downsamples —
+    exact match with the brute-force spec incl. the partial-epoch
+    prefix, and replica identity (doc, epoch) is unique."""
+    from ontoma_spark.operators.mixing import mix_with_epochs
+
+    rows = [(f"a{i}", "small", 10) for i in range(5)] + [
+        (f"b{i}", "big", 50) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, tokens long")
+    got_df = mix_with_epochs(
+        df, "tokens", budget=1000, weights={"small": 1.0, "big": 1.0},
+        source_col="source",
+    )
+    got = {(r["doc_id"], r["epoch"]) for r in got_df.collect()}
+    exp = _brute_epochs(rows, 1000, {"small": 1.0, "big": 1.0})
+    assert got == exp
+    # the scarce source ran multiple full epochs
+    assert max(e for d, e in got if d.startswith("a")) >= 5
+    assert got_df.count() == got_df.select("doc_id", "epoch").distinct().count()
+
+
+def test_epoch_cap_underfills_instead_of_looping(spark):
+    from ontoma_spark.operators.mixing import mix_with_epochs
+
+    rows = [("a0", "s", 1)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, tokens long")
+    out = mix_with_epochs(
+        df, "tokens", budget=10**6, weights={"s": 1.0},
+        source_col="source", max_epochs=3,
+    ).collect()
+    assert {(r["doc_id"], r["epoch"]) for r in out} == {
+        ("a0", 0), ("a0", 1), ("a0", 2)
+    }
+    assert all(r["source_cum_tokens"] is None for r in out)
+
+
+def test_epochs_degenerate_to_plain_prefix_when_downsampling(spark):
+    """With shares below every source total, epoch 0 selection equals
+    sample_to_token_budget's kept set."""
+    from ontoma_spark.operators.mixing import mix_with_epochs
+
+    rows = [(f"d{i}", "x" if i % 2 else "y", 5 + i % 7) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, tokens long")
+    w = {"x": 1.0, "y": 2.0}
+    plain = {
+        r["doc_id"]
+        for r in sample_to_token_budget(
+            df, "tokens", budget=300, source_col="source", weights=w
+        ).collect()
+    }
+    epoched = mix_with_epochs(
+        df, "tokens", budget=300, weights=w, source_col="source"
+    ).collect()
+    assert {r["doc_id"] for r in epoched} == plain
+    assert all(r["epoch"] == 0 for r in epoched)
