@@ -82,6 +82,10 @@ from ontoma_spark.operators.sampling import hash_sample, hash_split
 from ontoma_spark.operators.semdedup import semantic_dedup
 from ontoma_spark.operators.tfidf import corpus_tokens, tfidf_top_terms
 from ontoma_spark.operators.quality import suite_passed, verify
+from ontoma_spark.operators.resample import (
+    match_distribution,
+    reference_proportions,
+)
 from ontoma_spark.operators.drift import drift_report, drifted_columns
 from ontoma_spark.operators.pq import (
     deterministic_pq_codebooks,
@@ -166,6 +170,8 @@ __all__ = [
     "suite_passed",
     "drift_report",
     "drifted_columns",
+    "match_distribution",
+    "reference_proportions",
     "deterministic_pq_codebooks",
     "ivfpq_topk",
     "train_pq_codebooks",

@@ -1,0 +1,112 @@
+"""Distribution-matching resampling: the correction for detected drift.
+
+``operators/drift.py`` says a corpus slice's category mix (language,
+source, domain) has drifted from the blessed reference;
+this module FIXES it: deterministically thin over-represented
+categories so the kept corpus matches the reference proportions while
+keeping as many documents as possible.
+
+The rule (classic maximal rejection sampling): with current category
+shares q_s and target shares r_s, the binding category is
+``b = argmin_s q_s / r_s`` — it is kept whole, and every other
+category keeps the fraction ``a_s = (r_s / q_s) · (q_b / r_b) ≤ 1``.
+The kept corpus then has exact mixture r (in expectation over the
+hash) at the maximum achievable total size. Acceptance is a
+deterministic md5-threshold on the document key — bit-reproducible,
+partitioning-independent, and the same device as every sampler in
+``operators/sampling.py``, so the brute-force oracle reproduces the
+EXACT kept set, not just its distribution.
+
+Scale shape: one tiny groupBy for current shares (collected —
+#categories rows), acceptance thresholds enter the plan as a literal
+CASE map, and the keep decision is one md5 comparison per row inside
+the scan's codegen stage. No joins, no shuffle, no second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+_SEP = "\x00"
+
+
+def reference_proportions(ref: DataFrame, col: str) -> dict[str, float]:
+    """Category shares of the reference corpus (driver dict,
+    #categories-sized). NULLs are excluded — decide completeness with
+    the quality suite, not the resampler."""
+    rows = (
+        ref.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(r["n"] for r in rows)
+    if total == 0:
+        raise ValueError("reference_proportions: empty reference")
+    return {r["v"]: r["n"] / total for r in rows}
+
+
+def match_distribution(
+    df: DataFrame,
+    target: dict[str, float],
+    col: str,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    salt: str = "resample",
+) -> DataFrame:
+    """Keep a deterministic maximal subset of ``df`` whose ``col``
+    mixture matches ``target`` (shares need not sum to 1 — they are
+    normalised). Categories absent from ``target`` are dropped;
+    target categories absent from ``df`` are ignored (their mass is
+    renormalised away — the maximal-subset rule cannot invent rows).
+
+    Returns the kept rows plus ``accept_frac`` (the category's
+    acceptance fraction) — ``accept_frac == 1.0`` marks the binding
+    category. Change ``salt`` to draw an independent resample.
+    """
+    if not target:
+        raise ValueError("match_distribution: empty target")
+    bad = [k for k, v in target.items() if v <= 0]
+    if bad:
+        raise ValueError(f"match_distribution: non-positive shares: {bad}")
+    cur = (
+        df.filter(F.col(col).isNotNull())
+        .filter(F.col(col).cast("string").isin(*target.keys()))
+        .groupBy(F.col(col).cast("string").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {r["v"]: r["n"] for r in cur}
+    if not counts:
+        return df.filter(F.lit(False)).withColumn(
+            "accept_frac", F.lit(1.0)
+        )
+    present = {k: target[k] for k in counts}
+    tot_r = sum(present.values())
+    tot_n = sum(counts.values())
+    q = {k: counts[k] / tot_n for k in counts}
+    r = {k: present[k] / tot_r for k in present}
+    # binding category: smallest headroom q_s / r_s
+    b = min(q, key=lambda s: (q[s] / r[s], s))
+    scale = q[b] / r[b]
+    accept = {s: min(1.0, (r[s] / q[s]) * scale) for s in q}
+
+    frac_expr = F.lit(None).cast("double")
+    for s, a in accept.items():
+        frac_expr = F.when(
+            F.col(col).cast("string") == s, F.lit(float(a))
+        ).otherwise(frac_expr)
+    key_expr = F.concat_ws(
+        _SEP, F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+    )
+    # md5 hex[0:15] as a fraction of the 60-bit hash space — the same
+    # uniform-priority device as sampling.hash_draw / bottom-k
+    draw = F.conv(F.substring(F.md5(key_expr), 1, 15), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .withColumn("accept_frac", frac_expr)
+        .filter(F.col("accept_frac").isNotNull())
+        .filter(draw < F.col("accept_frac"))
+    )

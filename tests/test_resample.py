@@ -1,0 +1,107 @@
+"""Distribution-matching resampler: exact kept-set oracle (same md5
+threshold arithmetic in Python), binding-category maximality, mixture
+convergence on real data, and composition with drift_report."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.resample import (
+    match_distribution,
+    reference_proportions,
+)
+
+_SEP = "\x00"
+
+
+def _accepts(doc_id, frac, salt="resample"):
+    h = hashlib.md5(f"{salt}{_SEP}{doc_id}".encode()).hexdigest()
+    return int(h[:15], 16) / float(1 << 60) < frac
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, lang string")
+
+
+def test_exact_kept_set_matches_python_oracle(spark):
+    rows = [(f"d{i}", "en" if i % 4 else "de") for i in range(400)]
+    df = _df(spark, rows)
+    target = {"en": 0.5, "de": 0.5}
+    out = match_distribution(df, target, "lang").collect()
+    # q_en = 0.75, q_de = 0.25 -> binding = de (q/r = .5 vs 1.5);
+    # accept: de = 1.0, en = (0.5/0.75)*(0.25/0.5) = 1/3
+    fr = {r["lang"]: r["accept_frac"] for r in out}
+    assert fr["de"] == 1.0
+    assert abs(fr["en"] - 1 / 3) < 1e-12
+    got = {r["doc_id"] for r in out}
+    exp = {
+        d
+        for d, lang in rows
+        if _accepts(d, 1.0 if lang == "de" else 1 / 3)
+    }
+    assert got == exp
+
+
+def test_binding_category_kept_whole_and_salt_varies(spark):
+    rows = [(f"d{i}", ["a", "a", "a", "b"][i % 4]) for i in range(200)]
+    df = _df(spark, rows)
+    out = match_distribution(df, {"a": 1.0, "b": 1.0}, "lang")
+    kept_b = out.filter("lang = 'b'").count()
+    assert kept_b == 50  # binding category never thinned
+    alt = match_distribution(df, {"a": 1.0, "b": 1.0}, "lang", salt="v2")
+    assert {r["doc_id"] for r in out.collect()} != {
+        r["doc_id"] for r in alt.collect()
+    }
+
+
+def test_mixture_converges_on_real_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # skew the corpus 4:1 toward src0..4 vs src5..9, then match back to
+    # the UNskewed reference proportions
+    skewed = docs.filter(
+        (F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 5)
+        | (F.col("doc_id") % 4 == 0)
+    )
+    target = reference_proportions(docs, "source")
+    out = match_distribution(skewed, target, "source")
+    got = reference_proportions(out, "source")
+    for s, p in got.items():
+        assert abs(p - target[s]) < 0.08, (s, p, target[s])
+
+
+def test_absent_target_category_dropped_and_validation(spark):
+    df = _df(spark, [("d1", "en"), ("d2", "xx"), ("d3", "en")])
+    out = match_distribution(df, {"en": 1.0}, "lang").collect()
+    assert {r["lang"] for r in out} <= {"en"}
+    with pytest.raises(ValueError, match="empty target"):
+        match_distribution(df, {}, "lang")
+    with pytest.raises(ValueError, match="non-positive"):
+        match_distribution(df, {"en": 0.0}, "lang")
+    with pytest.raises(ValueError, match="empty reference"):
+        reference_proportions(df.filter(F.lit(False)), "lang")
+
+
+def test_detect_then_correct_closes_the_loop(spark):
+    """drift_report flags the planted shift; after match_distribution
+    the same report drops below the major-shift threshold."""
+    from ontoma_spark.operators.drift import drift_report
+
+    ref = _df(spark, [(f"r{i}", ["en", "de", "fr", "es"][i % 4]) for i in range(400)])
+    # every category present but heavily skewed toward en
+    cur = _df(
+        spark,
+        [
+            (f"c{i}", ["en", "en", "en", "en", "en", "de", "fr", "es"][i % 8])
+            for i in range(800)
+        ],
+    )
+    before = drift_report(ref, cur, ["lang"]).collect()[0]["psi"]
+    fixed = match_distribution(
+        cur, reference_proportions(ref, "lang"), "lang"
+    )
+    after = drift_report(ref, fixed, ["lang"]).collect()[0]["psi"]
+    assert before > 0.25
+    assert after < 0.05
