@@ -110,3 +110,36 @@ def match_distribution(
         .filter(F.col("accept_frac").isNotNull())
         .filter(draw < F.col("accept_frac"))
     )
+
+
+def match_numeric_distribution(
+    cur: DataFrame,
+    ref: DataFrame,
+    col: str,
+    bins: int = 10,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    salt: str = "resample",
+) -> DataFrame:
+    """Numeric twin: match ``cur``'s distribution of a numeric column
+    (doc length, quality score, perplexity) to the reference's, by
+    binning BOTH sides on the reference's quantile edges — the same
+    edges ``drift_report`` measures with, so correcting here moves
+    exactly the statistic the report flagged — and then running the
+    categorical matcher over the bin labels. The bin column is
+    internal; output rows keep their original schema + accept_frac."""
+    from ontoma_spark.operators.drift import _bin_label
+
+    probs = [i / bins for i in range(bins + 1)]
+    edges = ref.approxQuantile(col, probs, 0.001)
+    uniq = sorted(set(edges)) if edges else [0.0]
+    if len(uniq) < 2:
+        uniq = [uniq[0], uniq[0] + 1.0]
+    lab = _bin_label(col, uniq)
+    target = reference_proportions(
+        ref.withColumn("__bin", lab), "__bin"
+    )
+    out = match_distribution(
+        cur.withColumn("__bin", lab), target, "__bin",
+        key_cols=key_cols, salt=salt,
+    )
+    return out.drop("__bin")

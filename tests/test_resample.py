@@ -105,3 +105,30 @@ def test_detect_then_correct_closes_the_loop(spark):
     after = drift_report(ref, fixed, ["lang"]).collect()[0]["psi"]
     assert before > 0.25
     assert after < 0.05
+
+
+def test_numeric_matching_corrects_length_drift(spark):
+    """Planted long-document skew: numeric matching on the same
+    reference-quantile bins drift_report uses brings PSI below the
+    major-shift flag."""
+    from ontoma_spark.operators.drift import drift_report
+    from ontoma_spark.operators.resample import match_numeric_distribution
+
+    ref = spark.createDataFrame(
+        [(f"r{i}", float(i % 100)) for i in range(1000)],
+        "doc_id string, n double",
+    )
+    # current over-represents long docs 4:1 but covers the full range
+    cur = spark.createDataFrame(
+        [
+            (f"c{i}", float(i % 100 if i % 5 == 0 else 50 + (i % 50)))
+            for i in range(2000)
+        ],
+        "doc_id string, n double",
+    )
+    before = drift_report(ref, cur, ["n"]).collect()[0]["psi"]
+    fixed = match_numeric_distribution(cur, ref, "n")
+    after = drift_report(ref, fixed, ["n"]).collect()[0]["psi"]
+    assert before > 0.25
+    assert after < 0.1, (before, after)
+    assert fixed.columns == ["doc_id", "n", "accept_frac"]
