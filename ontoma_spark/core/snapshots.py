@@ -186,6 +186,7 @@ class SnapshotTable:
         df: DataFrame,
         version_hint: int,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> tuple[str, int, dict]:
         rel = f"snap-{version_hint:06d}"
         path = os.path.join(self._data, rel)
@@ -194,6 +195,10 @@ class SnapshotTable:
         stats: dict[str, dict] = {}
         if stats_cols:
             stats = self._collect_file_stats(path, stats_cols)
+        if bloom_cols:
+            blooms = self._collect_file_blooms(path, bloom_cols)
+            for f, per_col in blooms.items():
+                stats.setdefault(f, {})["__bloom__"] = per_col
         return rel, n, stats
 
     def _collect_file_stats(
@@ -219,6 +224,71 @@ class SnapshotTable:
                 c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
             }
         return out
+
+    def _collect_file_blooms(
+        self, path: str, bloom_cols: list[str]
+    ) -> dict[str, dict[str, str]]:
+        """Per-FILE Bloom filters for high-cardinality point-lookup
+        columns — the puffin-style secondary index Iceberg attaches to
+        data files, minimally: 4096 bits (k=4 salted md5, the exact
+        ``functions/sketches.bloom_bits`` hashing, so any engine with
+        md5 reproduces the probe), stored as a 1024-hex-char bitmap per
+        (file, column) in the manifest. ONE extra scan computes every
+        column's bitmaps together (tagged explode, map-side-combined
+        groupBy); the collect is #files x #cols x <=m bits — metadata.
+        Size note: ~0.5 KB per file-column of manifest JSON — right for
+        tables whose file counts are thousands-to-millions, which is
+        what compaction is for."""
+        from ontoma_spark.functions.sketches import BLOOM_K, _bloom_bit
+
+        pairs = []
+        for c in bloom_cols:
+            v = F.col(c)
+            for i in range(BLOOM_K):
+                pairs.append(
+                    F.when(
+                        v.isNotNull(),
+                        F.struct(
+                            F.lit(c).alias("col"),
+                            _bloom_bit(v, i).alias("bit"),
+                        ),
+                    )
+                )
+        rows = (
+            self.spark.read.parquet(path)
+            .select(
+                F.input_file_name().alias("_file"),
+                F.explode(
+                    F.filter(F.array(*pairs), lambda x: x.isNotNull())
+                ).alias("p"),
+            )
+            .groupBy("_file", F.col("p.col").alias("col"))
+            .agg(F.collect_set("p.bit").alias("bits"))
+            .collect()
+        )
+        out: dict[str, dict[str, str]] = {}
+        for r in rows:
+            bitmap = 0
+            for b in r["bits"]:
+                bitmap |= 1 << b
+            out.setdefault(self._rel_from_uri(r["_file"]), {})[
+                r["col"]
+            ] = f"{bitmap:01024x}"
+        return out
+
+    @staticmethod
+    def _bloom_positions(value: object) -> list[int]:
+        """Driver-side twin of sketches._bloom_bit for probe values."""
+        import hashlib
+
+        from ontoma_spark.functions.sketches import BLOOM_K
+
+        return [
+            int(
+                hashlib.md5(f"bf{i}:{value}".encode()).hexdigest()[:3], 16
+            )
+            for i in range(BLOOM_K)
+        ]
 
     def _rel_from_uri(self, uri: str) -> str:
         """Map an ``input_file_name()`` URI back to a data-root-relative
@@ -262,12 +332,16 @@ class SnapshotTable:
         stats_cols: list[str] | None = None,
         zorder: list[str] | None = None,
         zorder_files: int | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """New snapshot = parent's manifest + one new data dir.
 
         ``stats_cols`` records per-file min/max in the snapshot (enables
         ``read(where=...)`` file pruning); ``zorder`` range-clusters the
-        rows on an interleaved-bit key first so those stats are tight.
+        rows on an interleaved-bit key first so those stats are tight;
+        ``bloom_cols`` attaches per-file Bloom bitmaps for point-lookup
+        pruning (``read(where_eq=...)``) on columns min/max can't help
+        with (unsorted high-cardinality keys).
         """
         parent = self.current_version()
         base: list[str] = []
@@ -281,7 +355,9 @@ class SnapshotTable:
         if zorder:
             df = cluster_by_zorder(df, zorder, zorder_files)
             stats_cols = sorted(set(stats_cols or []) | set(zorder))
-        rel, n, new_stats = self._write_data(df, (parent or 0) + 1, stats_cols)
+        rel, n, new_stats = self._write_data(
+            df, (parent or 0) + 1, stats_cols, bloom_cols
+        )
         stats.update(new_stats)
         return self._commit([*base, rel], "append", base_rows + n, stats)
 
@@ -291,6 +367,7 @@ class SnapshotTable:
         stats_cols: list[str] | None = None,
         zorder: list[str] | None = None,
         zorder_files: int | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """New snapshot referencing ONLY the new data dir; prior data
         dirs stay on disk so older snapshots remain readable."""
@@ -298,7 +375,9 @@ class SnapshotTable:
         if zorder:
             df = cluster_by_zorder(df, zorder, zorder_files)
             stats_cols = sorted(set(stats_cols or []) | set(zorder))
-        rel, n, stats = self._write_data(df, (parent or 0) + 1, stats_cols)
+        rel, n, stats = self._write_data(
+            df, (parent or 0) + 1, stats_cols, bloom_cols
+        )
         return self._commit([rel], "overwrite", n, stats)
 
     # ----------------------------------------------------- row-level ops
@@ -521,6 +600,7 @@ class SnapshotTable:
         version: int | None = None,
         where: list[tuple[str, object, object]] | None = None,
         merge_schema: bool = False,
+        where_eq: list[tuple[str, object]] | None = None,
     ) -> DataFrame:
         """Scan the table as of ``version`` (default: current).
 
@@ -546,10 +626,10 @@ class SnapshotTable:
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        if not where:
+        if not where and not where_eq:
             paths = [os.path.join(self._data, rel) for rel in manifest]
             return reader.parquet(*paths)
-        files = self.scan_files(v, where)
+        files = self.scan_files(v, where, where_eq)
         if files:
             df = reader.parquet(
                 *[os.path.join(self._data, f) for f in files]
@@ -561,17 +641,24 @@ class SnapshotTable:
                 os.path.join(self._data, any_file)
             ).schema
             df = self.spark.createDataFrame([], schema)
-        for c, lo, hi in where:
+        for c, lo, hi in where or []:
             df = df.filter(F.col(c).between(F.lit(lo), F.lit(hi)))
+        for c, val in where_eq or []:
+            df = df.filter(F.col(c) == F.lit(val))
         return df
 
     def scan_files(
         self,
         version: int,
         where: list[tuple[str, object, object]] | None = None,
+        where_eq: list[tuple[str, object]] | None = None,
     ) -> list[str]:
-        """The physical files a ``read(version, where)`` would scan,
-        after stats-based pruning. Exposed for plan inspection/tests."""
+        """The physical files a ``read(version, where, where_eq)``
+        would scan, after stats-based pruning. ``where`` prunes on
+        per-file min/max ranges; ``where_eq`` additionally prunes on
+        per-file Bloom bitmaps (a file is skipped when ANY of the probe
+        value's k bit positions is unset — definitely-absent, so the
+        result is exact). Exposed for plan inspection/tests."""
         snap = self.snapshot(version)
         stats = snap.get("file_stats", {})
         out = []
@@ -585,6 +672,22 @@ class SnapshotTable:
                 if fmin is None or fmax is None:
                     continue
                 if fmax < lo or fmin > hi:
+                    keep = False
+                    break
+            for c, v in (where_eq or []) if keep else []:
+                if fs is not None and c in fs and None not in fs[c]:
+                    fmin, fmax = fs[c]
+                    if v < fmin or v > fmax:
+                        keep = False
+                        break
+                bloom = (fs or {}).get("__bloom__", {}).get(c)
+                if bloom is None:
+                    continue  # no bloom -> cannot prune further
+                bitmap = int(bloom, 16)
+                if any(
+                    not (bitmap >> b) & 1
+                    for b in self._bloom_positions(v)
+                ):
                     keep = False
                     break
             if keep:

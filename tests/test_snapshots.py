@@ -340,3 +340,65 @@ def test_zorder_null_handling(spark, tmp_path):
     t.overwrite(some_null, zorder=["x", "y"], zorder_files=2)
     rows = {(r["x"], r["y"]) for r in t.read().collect()}
     assert rows == {(None, 1), (5, 2), (9, 3)}
+
+
+def test_bloom_point_lookup_prunes_files_exactly(spark, tmp_path):
+    """Per-file Bloom bitmaps: a point lookup skips files that
+    definitely lack the key, never drops a row (result equals the
+    unpruned filter), and coexists with min/max range pruning."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # 8 files, high-cardinality unsorted string key: min/max is useless
+    # for equality here (every file spans the hash range), bloom isn't
+    import hashlib as _h
+
+    rows = [
+        (f"k{_h.md5(str(i).encode()).hexdigest()[:8]}", i)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string, x long").repartition(8)
+    t.append(df, stats_cols=["x"], bloom_cols=["k"])
+    nfiles = len(t.scan_files(1))
+    assert nfiles == 8
+
+    probe = rows[37][0]
+    pruned = t.scan_files(1, where_eq=[("k", probe)])
+    assert len(pruned) < nfiles  # definitely-absent files skipped
+    got = t.read(where_eq=[("k", probe)]).collect()
+    exp = [r for r in rows if r[0] == probe]
+    assert [(r["k"], r["x"]) for r in got] == exp
+
+    # absent key: typically every file pruned, always zero rows
+    assert t.read(where_eq=[("k", "nope")]).count() == 0
+
+    # combined: eq + range prune compose
+    both = t.read(where=[("x", 0, 50)], where_eq=[("k", probe)])
+    assert both.count() == (1 if rows[37][1] <= 50 else 0)
+
+
+def test_bloom_probe_matches_spark_hashing(spark):
+    """The driver-side probe positions equal the Spark-side
+    bloom_bits positions for the same values."""
+    from ontoma_spark.functions.sketches import bloom_bits
+
+    vals = ["alpha", "42", "k9f86d081"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    spark_bits = {r["bit"] for r in bloom_bits(df, "v").collect()}
+    py_bits = set()
+    for v in vals:
+        py_bits.update(SnapshotTable._bloom_positions(v))
+    assert py_bits == spark_bits
+
+
+def test_bloom_survives_append_carryover(spark, tmp_path):
+    """Files carried by reference keep their bloom stats; new files
+    get fresh ones; pruning works across both."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    a = spark.createDataFrame([("a1", 1), ("a2", 2)], "k string, x long")
+    b = spark.createDataFrame([("b1", 3), ("b2", 4)], "k string, x long")
+    t.append(a.coalesce(1), bloom_cols=["k"])
+    t.append(b.coalesce(1), bloom_cols=["k"])
+    files_a1 = t.scan_files(2, where_eq=[("k", "a1")])
+    files_b2 = t.scan_files(2, where_eq=[("k", "b2")])
+    assert len(files_a1) == 1 and len(files_b2) == 1
+    assert files_a1 != files_b2
+    assert t.read(where_eq=[("k", "a1")]).count() == 1
