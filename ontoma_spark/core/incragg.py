@@ -79,10 +79,24 @@ def materialize_agg(
     ``_rows`` column is what lets a later refresh retire groups whose
     rows all disappeared."""
     _check_measures(measures)
+    _check_no_mor_deletes(table, version)
     files = table._manifest_files(version)
     return _agg_files(
         table, files, group_cols, measures, table.read(version)
     )
+
+
+def _check_no_mor_deletes(table: SnapshotTable, version: int) -> None:
+    """The file-delta algebra assumes a file's contribution is a pure
+    function of its bytes; pending merge-on-read delete vectors break
+    that (a carried file's live rows changed without the file
+    changing). Materialize them (compact) before maintaining aggs."""
+    if table.snapshot(version).get("delete_files"):
+        raise ValueError(
+            "incremental aggregates cannot span merge-on-read delete "
+            f"vectors (version {version} has pending delete files); "
+            "compact() the table first"
+        )
 
 
 def incremental_agg_refresh(
@@ -105,6 +119,8 @@ def incremental_agg_refresh(
     unchanged (zero files scanned).
     """
     _check_measures(measures)
+    _check_no_mor_deletes(table, v_old)
+    _check_no_mor_deletes(table, v_new)
     old_files = set(table._manifest_files(v_old))
     new_files = set(table._manifest_files(v_new))
     added = sorted(new_files - old_files)

@@ -148,6 +148,7 @@ class SnapshotTable:
         rows: int,
         file_stats: dict | None = None,
         properties: dict | None = None,
+        delete_files: list[str] | None = None,
     ) -> int:
         while True:
             parent = self.current_version()
@@ -160,6 +161,7 @@ class SnapshotTable:
                 "row_count": rows,
                 "file_stats": file_stats or {},
                 "properties": properties or {},
+                "delete_files": delete_files or [],
             }
             try:
                 fd = os.open(
@@ -347,11 +349,15 @@ class SnapshotTable:
         base: list[str] = []
         stats: dict = {}
         base_rows = 0
+        dels: list[str] = []
         if parent is not None:
             psnap = self.snapshot(parent)
             base = psnap["manifest"]
             base_rows = psnap["row_count"]
             stats = dict(psnap.get("file_stats", {}))
+            # pending MoR delete vectors target carried files only —
+            # the new data dir is untouched by them, so carry them
+            dels = list(psnap.get("delete_files", []))
         if zorder:
             df = cluster_by_zorder(df, zorder, zorder_files)
             stats_cols = sorted(set(stats_cols or []) | set(zorder))
@@ -359,7 +365,9 @@ class SnapshotTable:
             df, (parent or 0) + 1, stats_cols, bloom_cols
         )
         stats.update(new_stats)
-        return self._commit([*base, rel], "append", base_rows + n, stats)
+        return self._commit(
+            [*base, rel], "append", base_rows + n, stats, delete_files=dels
+        )
 
     def overwrite(
         self,
@@ -407,6 +415,7 @@ class SnapshotTable:
             rel, n, stats = self._write_data(source, 1, stats_cols)
             return self._commit([rel], "merge", n, stats, properties)
         psnap = self.snapshot(parent)
+        self._require_no_pending_deletes(psnap, "merge")
         cur = self.read(parent).withColumn("_file", F.input_file_name())
         key_df = source.select(*keys).distinct()
         touched_uris = [
@@ -446,6 +455,85 @@ class SnapshotTable:
             properties,
         )
 
+    def _rel_path_expr(self, uri_col: Column) -> Column:
+        """``_metadata.file_path`` URI -> data-root-relative path, in
+        the plan (the Column twin of ``_rel_from_uri``)."""
+        prefix = self._data.rstrip("/") + "/"
+        start = F.locate(prefix, uri_col) + len(prefix)
+        return uri_col.substr(start, F.lit(1 << 20))
+
+    def delete_where_mor(self, condition: Column) -> int:
+        """Merge-on-read row-level DELETE (Iceberg v2 position
+        deletes): instead of rewriting any data file, record the
+        (file, row position) of every matching LIVE row in a delete
+        file; ``read`` anti-joins the positions back out. The commit
+        writes only the deleted positions — at 100 TB a delete of a few
+        rows costs a few rows, not a file rewrite; the read-side cost
+        is one anti-join against the (usually tiny) position table.
+        ``compact`` materializes pending deletes and clears them;
+        copy-on-write ``merge``/``delete_where`` refuse to run while
+        positions are pending (their file-carry logic would need
+        per-file vector rewrites — compact first)."""
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError(f"{self.root}: no committed snapshot")
+        psnap = self.snapshot(parent)
+        # positions of matching rows among rows still LIVE at parent
+        # (read applies prior delete vectors, so a re-delete of an
+        # already-deleted row adds nothing and the row_count stays
+        # exact)
+        live = self._read_with_positions(parent)
+        new_del = (
+            live.filter(condition)
+            .select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
+        )
+        version = parent + 1
+        rel = f"deletes-{version:06d}"
+        path = os.path.join(self._data, rel)
+        new_del.write.mode("error").parquet(path)
+        n_del = self.spark.read.parquet(path).count()
+        return self._commit(
+            psnap["manifest"],
+            "delete-mor",
+            psnap["row_count"] - n_del,
+            dict(psnap.get("file_stats", {})),
+            delete_files=[*psnap.get("delete_files", []), rel],
+        )
+
+    def _read_with_positions(self, version: int) -> DataFrame:
+        """The live rows of ``version`` plus (__file, __pos) identity
+        columns — parquet ``_metadata`` row index, relativized."""
+        snap = self.snapshot(version)
+        paths = [os.path.join(self._data, f) for f in self._manifest_files(version)]
+        df = (
+            self.spark.read.parquet(*paths)
+            .withColumn(
+                "__file", self._rel_path_expr(F.col("_metadata.file_path"))
+            )
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        return self._anti_join_deletes(df, snap)
+
+    def _anti_join_deletes(self, df: DataFrame, snap: dict) -> DataFrame:
+        """Filter out rows whose (__file, __pos) appears in the
+        snapshot's delete files; no-op when none are pending."""
+        dels = snap.get("delete_files") or []
+        if not dels:
+            return df
+        del_df = self.spark.read.parquet(
+            *[os.path.join(self._data, d) for d in dels]
+        ).select(F.col("file").alias("__file"), F.col("pos").alias("__pos"))
+        return df.join(del_df, ["__file", "__pos"], "left_anti")
+
+    def _require_no_pending_deletes(self, snap: dict, op: str) -> None:
+        if snap.get("delete_files"):
+            raise ValueError(
+                f"{op}: merge-on-read delete vectors are pending on "
+                "this table; run compact() to materialize them before "
+                "a copy-on-write operation (its file-carry logic would "
+                "otherwise resurrect deleted rows in carried files)"
+            )
+
     def delete_where(
         self, condition: Column, stats_cols: list[str] | None = None
     ) -> int:
@@ -455,6 +543,7 @@ class SnapshotTable:
         parent = self.current_version()
         if parent is None:
             raise ValueError(f"{self.root}: no committed snapshot")
+        self._require_no_pending_deletes(self.snapshot(parent), "delete_where")
         psnap = self.snapshot(parent)
         cur = self.read(parent).withColumn("_file", F.input_file_name())
         touched_uris = [
@@ -591,6 +680,7 @@ class SnapshotTable:
             "rollback",
             old["row_count"],
             old.get("file_stats", {}),
+            delete_files=list(old.get("delete_files", [])),
         )
 
     # -------------------------------------------------------------- reads
@@ -626,7 +716,8 @@ class SnapshotTable:
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        if not where and not where_eq:
+        has_dels = bool(snap.get("delete_files"))
+        if not where and not where_eq and not has_dels:
             paths = [os.path.join(self._data, rel) for rel in manifest]
             return reader.parquet(*paths)
         files = self.scan_files(v, where, where_eq)
@@ -634,6 +725,17 @@ class SnapshotTable:
             df = reader.parquet(
                 *[os.path.join(self._data, f) for f in files]
             )
+            if has_dels:
+                df = (
+                    self._anti_join_deletes(
+                        df.withColumn(
+                            "__file",
+                            self._rel_path_expr(F.col("_metadata.file_path")),
+                        ).withColumn("__pos", F.col("_metadata.row_index")),
+                        snap,
+                    )
+                    .drop("__file", "__pos")
+                )
         else:
             # every file pruned: empty frame with the table schema
             any_file = self._manifest_files(v)[0]
@@ -761,6 +863,9 @@ class SnapshotTable:
         for s in retained:
             for entry in s["manifest"]:
                 keep_files.update(self._entry_files(entry))
+            # retained MoR delete vectors are live data too
+            for entry in s.get("delete_files", []):
+                keep_files.update(self._entry_files(entry))
         expired_versions = []
         for s in expired:
             os.remove(self._snap_path(s["version"]))
@@ -792,7 +897,10 @@ class SnapshotTable:
         safe to delete."""
         referenced: set[str] = set()
         for snap in self.history():
-            for entry in snap["manifest"]:
+            for entry in [
+                *snap["manifest"],
+                *snap.get("delete_files", []),
+            ]:
                 # an entry may be a dir or a single retained file; the
                 # top-level dir is live if ANY entry lives under it
                 referenced.add(entry.split("/", 1)[0])

@@ -11,6 +11,7 @@ import json
 import os
 
 import pytest
+import pyspark.sql.functions as F
 
 from ontoma_spark.core.snapshots import CommitConflict, SnapshotTable
 
@@ -402,3 +403,85 @@ def test_bloom_survives_append_carryover(spark, tmp_path):
     assert len(files_a1) == 1 and len(files_b2) == 1
     assert files_a1 != files_b2
     assert t.read(where_eq=[("k", "a1")]).count() == 1
+
+
+def test_mor_delete_no_rewrite_and_exact_read(spark, tmp_path):
+    """Merge-on-read delete: no data file rewritten, reads exclude the
+    positions exactly (incl. time travel and where-pruned reads), a
+    re-delete is a no-op for row_count, and compact materializes."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    rows = [(i, f"v{i}") for i in range(100)]
+    t.append(
+        spark.createDataFrame(rows, "k long, v string").repartition(4),
+        stats_cols=["k"],
+    )
+    files_before = set(t._manifest_files(1))
+
+    v2 = t.delete_where_mor(F.col("k") % 10 == 0)
+    assert set(t._manifest_files(v2)) == files_before  # zero rewrites
+    assert t.read().count() == 90
+    assert t.read(v2).filter("k % 10 = 0").count() == 0
+    assert t.snapshot(v2)["row_count"] == 90
+    # time travel BEFORE the delete still sees everything
+    assert t.read(1).count() == 100
+    # pruned read path applies the vectors too
+    assert t.read(where=[("k", 0, 49)]).count() == 45
+
+    # deleting already-deleted rows adds nothing
+    v3 = t.delete_where_mor(F.col("k") < 20)
+    assert t.snapshot(v3)["row_count"] == 100 - 10 - 18
+    assert t.read().count() == 72
+
+    # append carries vectors; new rows unaffected
+    t.append(spark.createDataFrame([(1000, "x")], "k long, v string").coalesce(1))
+    assert t.read().count() == 73
+
+    # compact materializes and clears
+    v5 = t.compact(num_files=2)
+    assert t.snapshot(v5)["delete_files"] == []
+    assert t.read().count() == 73
+    assert t.read().filter("k % 10 = 0 and k < 1000").count() == 0
+
+
+def test_mor_blocks_cow_until_compacted(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i, i) for i in range(10)], "k long, x long").coalesce(1)
+    )
+    t.delete_where_mor(F.col("k") == 3)
+    with pytest.raises(ValueError, match="compact"):
+        t.delete_where(F.col("k") == 4)
+    with pytest.raises(ValueError, match="compact"):
+        t.merge(
+            spark.createDataFrame([(4, 40)], "k long, x long"), keys=["k"]
+        )
+    t.compact(num_files=1)
+    t.delete_where(F.col("k") == 4)  # now fine
+    assert t.read().count() == 8
+
+
+def test_mor_vectors_survive_expiry_and_rollback(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i, i) for i in range(20)], "k long, x long").coalesce(1)
+    )
+    v2 = t.delete_where_mor(F.col("k") >= 15)
+    t.append(spark.createDataFrame([(100, 100)], "k long, x long").coalesce(1))
+    report = t.expire_snapshots(keep_last=2)  # drops v1
+    assert report["expired_versions"] == [1]
+    assert t.read().count() == 16  # vectors still applied
+    v4 = t.rollback(v2)
+    assert t.snapshot(v4)["delete_files"] == t.snapshot(v2)["delete_files"]
+    assert t.read().count() == 15
+
+
+def test_mor_blocks_incremental_aggs(spark, tmp_path):
+    from ontoma_spark.core.incragg import materialize_agg
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "a")], "k long, s string").coalesce(1)
+    )
+    v2 = t.delete_where_mor(F.col("k") == 99)  # empty vector still pends
+    with pytest.raises(ValueError, match="delete"):
+        materialize_agg(t, v2, ["s"], {"n": F.count(F.lit(1))})
