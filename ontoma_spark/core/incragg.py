@@ -91,7 +91,8 @@ def _check_no_mor_deletes(table: SnapshotTable, version: int) -> None:
     function of its bytes; pending merge-on-read delete vectors break
     that (a carried file's live rows changed without the file
     changing). Materialize them (compact) before maintaining aggs."""
-    if table.snapshot(version).get("delete_files"):
+    snap = table.snapshot(version)
+    if snap.get("delete_files") or snap.get("eq_delete_files"):
         raise ValueError(
             "incremental aggregates cannot span merge-on-read delete "
             f"vectors (version {version} has pending delete files); "

@@ -149,6 +149,7 @@ class SnapshotTable:
         file_stats: dict | None = None,
         properties: dict | None = None,
         delete_files: list[str] | None = None,
+        eq_delete_files: dict[str, list[str]] | None = None,
     ) -> int:
         while True:
             parent = self.current_version()
@@ -162,6 +163,7 @@ class SnapshotTable:
                 "file_stats": file_stats or {},
                 "properties": properties or {},
                 "delete_files": delete_files or [],
+                "eq_delete_files": eq_delete_files or {},
             }
             try:
                 fd = os.open(
@@ -350,14 +352,22 @@ class SnapshotTable:
         stats: dict = {}
         base_rows = 0
         dels: list[str] = []
+        eq: dict[str, list[str]] = {}
+        props: dict = {}
         if parent is not None:
             psnap = self.snapshot(parent)
             base = psnap["manifest"]
             base_rows = psnap["row_count"]
             stats = dict(psnap.get("file_stats", {}))
             # pending MoR delete vectors target carried files only —
-            # the new data dir is untouched by them, so carry them
+            # the new data dir is untouched by them, so carry them.
+            # CAVEAT carried with them: pending EQUALITY deletes also
+            # suppress matching rows in the NEW data (key semantics
+            # are table-wide) — same as Iceberg sequence-number rules
+            # applied coarsely; compact() to draw a clean line first.
             dels = list(psnap.get("delete_files", []))
+            eq = dict(psnap.get("eq_delete_files", {}))
+            props = dict(psnap.get("properties", {}))
         if zorder:
             df = cluster_by_zorder(df, zorder, zorder_files)
             stats_cols = sorted(set(stats_cols or []) | set(zorder))
@@ -366,7 +376,8 @@ class SnapshotTable:
         )
         stats.update(new_stats)
         return self._commit(
-            [*base, rel], "append", base_rows + n, stats, delete_files=dels
+            [*base, rel], "append", base_rows + n, stats,
+            properties=props, delete_files=dels, eq_delete_files=eq,
         )
 
     def overwrite(
@@ -497,7 +508,46 @@ class SnapshotTable:
             "delete-mor",
             psnap["row_count"] - n_del,
             dict(psnap.get("file_stats", {})),
+            properties=dict(psnap.get("properties", {})),
             delete_files=[*psnap.get("delete_files", []), rel],
+            eq_delete_files=dict(psnap.get("eq_delete_files", {})),
+        )
+
+    def delete_keys_mor(self, keys_df: DataFrame, key_cols: list[str]) -> int:
+        """Merge-on-read EQUALITY delete (Iceberg v2's other delete
+        mode): record the KEY TUPLES to remove; every current-or-
+        carried row matching a tuple disappears from reads. Unlike
+        ``delete_where_mor`` this touches NO table data at delete time
+        — not even a scan — which is why streaming upsert/retract sinks
+        use equality deletes: the commit costs exactly the key rows.
+
+        Trade-off (same as Iceberg's): the snapshot's ``row_count``
+        becomes an upper bound (property ``row_count_exact: false``)
+        until ``compact`` materializes; the read-side anti-join is on
+        the key columns instead of (file, pos)."""
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError(f"{self.root}: no committed snapshot")
+        if not key_cols:
+            raise ValueError("delete_keys_mor: need key columns")
+        psnap = self.snapshot(parent)
+        version = parent + 1
+        rel = f"eqdeletes-{version:06d}"
+        keys_df.select(*key_cols).distinct().write.mode("error").parquet(
+            os.path.join(self._data, rel)
+        )
+        props = dict(psnap.get("properties", {}))
+        props["row_count_exact"] = False
+        eq = dict(psnap.get("eq_delete_files", {}))
+        eq[rel] = list(key_cols)
+        return self._commit(
+            psnap["manifest"],
+            "delete-mor-eq",
+            psnap["row_count"],
+            dict(psnap.get("file_stats", {})),
+            properties=props,
+            delete_files=list(psnap.get("delete_files", [])),
+            eq_delete_files=eq,
         )
 
     def _read_with_positions(self, version: int) -> DataFrame:
@@ -512,7 +562,9 @@ class SnapshotTable:
             )
             .withColumn("__pos", F.col("_metadata.row_index"))
         )
-        return self._anti_join_deletes(df, snap)
+        return self._anti_join_eq_deletes(
+            self._anti_join_deletes(df, snap), snap
+        )
 
     def _anti_join_deletes(self, df: DataFrame, snap: dict) -> DataFrame:
         """Filter out rows whose (__file, __pos) appears in the
@@ -525,8 +577,25 @@ class SnapshotTable:
         ).select(F.col("file").alias("__file"), F.col("pos").alias("__pos"))
         return df.join(del_df, ["__file", "__pos"], "left_anti")
 
+    def _anti_join_eq_deletes(self, df: DataFrame, snap: dict) -> DataFrame:
+        """Filter out rows matching any pending equality-delete key
+        tuple; one anti-join per distinct key-column list (usually
+        one). No-op when none are pending."""
+        eq = snap.get("eq_delete_files") or {}
+        if not eq:
+            return df
+        by_keys: dict[tuple, list[str]] = {}
+        for rel, keys in eq.items():
+            by_keys.setdefault(tuple(keys), []).append(rel)
+        for keys, rels in sorted(by_keys.items()):
+            keys_df = self.spark.read.parquet(
+                *[os.path.join(self._data, r) for r in sorted(rels)]
+            ).select(*keys).distinct()
+            df = df.join(keys_df, list(keys), "left_anti")
+        return df
+
     def _require_no_pending_deletes(self, snap: dict, op: str) -> None:
-        if snap.get("delete_files"):
+        if snap.get("delete_files") or snap.get("eq_delete_files"):
             raise ValueError(
                 f"{op}: merge-on-read delete vectors are pending on "
                 "this table; run compact() to materialize them before "
@@ -680,7 +749,9 @@ class SnapshotTable:
             "rollback",
             old["row_count"],
             old.get("file_stats", {}),
+            properties=dict(old.get("properties", {})),
             delete_files=list(old.get("delete_files", [])),
+            eq_delete_files=dict(old.get("eq_delete_files", {})),
         )
 
     # -------------------------------------------------------------- reads
@@ -716,8 +787,9 @@ class SnapshotTable:
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        has_dels = bool(snap.get("delete_files"))
-        if not where and not where_eq and not has_dels:
+        has_pos = bool(snap.get("delete_files"))
+        has_eq = bool(snap.get("eq_delete_files"))
+        if not where and not where_eq and not has_pos and not has_eq:
             paths = [os.path.join(self._data, rel) for rel in manifest]
             return reader.parquet(*paths)
         files = self.scan_files(v, where, where_eq)
@@ -725,7 +797,7 @@ class SnapshotTable:
             df = reader.parquet(
                 *[os.path.join(self._data, f) for f in files]
             )
-            if has_dels:
+            if has_pos:
                 df = (
                     self._anti_join_deletes(
                         df.withColumn(
@@ -736,6 +808,8 @@ class SnapshotTable:
                     )
                     .drop("__file", "__pos")
                 )
+            if has_eq:
+                df = self._anti_join_eq_deletes(df, snap)
         else:
             # every file pruned: empty frame with the table schema
             any_file = self._manifest_files(v)[0]
@@ -863,8 +937,11 @@ class SnapshotTable:
         for s in retained:
             for entry in s["manifest"]:
                 keep_files.update(self._entry_files(entry))
-            # retained MoR delete vectors are live data too
+            # retained MoR delete vectors (position AND equality) are
+            # live data too
             for entry in s.get("delete_files", []):
+                keep_files.update(self._entry_files(entry))
+            for entry in s.get("eq_delete_files", {}):
                 keep_files.update(self._entry_files(entry))
         expired_versions = []
         for s in expired:
@@ -900,6 +977,7 @@ class SnapshotTable:
             for entry in [
                 *snap["manifest"],
                 *snap.get("delete_files", []),
+                *snap.get("eq_delete_files", {}),
             ]:
                 # an entry may be a dir or a single retained file; the
                 # top-level dir is live if ANY entry lives under it

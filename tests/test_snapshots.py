@@ -485,3 +485,56 @@ def test_mor_blocks_incremental_aggs(spark, tmp_path):
     v2 = t.delete_where_mor(F.col("k") == 99)  # empty vector still pends
     with pytest.raises(ValueError, match="delete"):
         materialize_agg(t, v2, ["s"], {"n": F.count(F.lit(1))})
+
+
+def test_eq_delete_zero_scan_and_semantics(spark, tmp_path):
+    """Equality deletes: the delete itself scans no table data, reads
+    drop all rows matching the key tuples (including rows in LATER
+    appends — table-wide key semantics, documented), row_count is
+    flagged inexact, and compact restores an exact table."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"u{i % 5}", i) for i in range(50)],
+            "id long, user string, x long",
+        ).repartition(3)
+    )
+    keys = spark.createDataFrame([("u1",), ("u3",)], "user string")
+    v2 = t.delete_keys_mor(keys, ["user"])
+    assert set(t._manifest_files(v2)) == set(t._manifest_files(1))
+    assert t.read().filter("user in ('u1','u3')").count() == 0
+    assert t.read().count() == 30
+    assert t.snapshot(v2)["properties"]["row_count_exact"] is False
+    assert t.read(1).count() == 50  # time travel unaffected
+
+    # a later append of a matching key is ALSO suppressed (documented)
+    t.append(
+        spark.createDataFrame([(100, "u1", 1)], "id long, user string, x long").coalesce(1)
+    )
+    assert t.read().count() == 30
+
+    # position + equality deletes compose
+    t.delete_where_mor(F.col("id") == 0)
+    assert t.read().count() == 29
+
+    v5 = t.compact(num_files=1)
+    snap = t.snapshot(v5)
+    assert snap["delete_files"] == [] and snap["eq_delete_files"] == {}
+    assert snap["row_count"] == 29
+    assert t.read().count() == 29
+    # CoW unblocked after compaction
+    t.delete_where(F.col("user") == "u0")
+    assert t.read().filter("user = 'u0'").count() == 0
+
+
+def test_eq_delete_blocks_cow_and_survives_expiry(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1)
+    )
+    t.delete_keys_mor(spark.createDataFrame([(1,)], "k long"), ["k"])
+    with pytest.raises(ValueError, match="compact"):
+        t.merge(spark.createDataFrame([(2, "B")], "k long, v string"), keys=["k"])
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string").coalesce(1))
+    t.expire_snapshots(keep_last=2)
+    assert {r["k"] for r in t.read().collect()} == {2, 3}
