@@ -13,15 +13,20 @@ Layout under the table root:
 
     data/snap-<version>/...      parquet written ONCE, never mutated
     metadata/snap-<version>.json snapshot: manifest of data dirs + stats
-    metadata/current             the only mutable file (atomic replace)
+    metadata/current             the ``main`` ref (atomic replace)
+    metadata/refs/branch-<name>  branch head pointers (WAP staging)
+    metadata/refs/tag-<name>     immutable version pins (run tags)
 
 Commit protocol (writer side):
 1. write the new data directory (crash here leaves an orphan dir that no
    snapshot references — invisible to readers, GC-able);
-2. create ``snap-N.json`` with O_EXCL — two concurrent committers race
-   on the same N and exactly one wins (optimistic concurrency, the loser
-   retries on a fresh N), matching Iceberg's CAS-on-metadata model;
-3. atomically replace ``current``.
+2. claim a globally-unique snapshot id with O_EXCL ``snap-N.json``
+   (branches share one id space; a taken id is re-tried, not an error);
+3. compare-and-swap the handle's ref (``main`` or a branch) from the
+   version the manifest was derived from to N, under the table's ref
+   lock — if the ref moved during the data write, ``CommitConflict``
+   is raised and the orphan id reclaimed (optimistic concurrency,
+   Iceberg's CAS-on-metadata model, lost updates impossible).
 
 Readers resolve ``current`` (or an explicit version) to a manifest and
 union-scan exactly those directories — a half-finished write is never
@@ -34,9 +39,13 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+_UNSET = object()
 
 
 class CommitConflict(Exception):
@@ -106,25 +115,49 @@ def cluster_by_zorder(
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(self, spark: SparkSession, root: str, ref: str = "main") -> None:
         self.spark = spark
         self.root = root
+        self.ref = ref
         self._meta = os.path.join(root, "metadata")
         self._data = os.path.join(root, "data")
         os.makedirs(self._meta, exist_ok=True)
         os.makedirs(self._data, exist_ok=True)
+        os.makedirs(os.path.join(self._meta, "refs"), exist_ok=True)
 
     # ------------------------------------------------------------ metadata
 
     def _snap_path(self, version: int) -> str:
         return os.path.join(self._meta, f"snap-{version:06d}.json")
 
-    def current_version(self) -> int | None:
-        cur = os.path.join(self._meta, "current")
-        if not os.path.exists(cur):
+    # ------------------------------------------------------------ refs
+    #
+    # Iceberg-style named refs: ``main`` is the legacy ``metadata/current``
+    # pointer; branches and tags live under ``metadata/refs/`` as
+    # ``branch-<name>`` / ``tag-<name>`` files holding a version int
+    # (0 encodes "forked from an empty table"). Every write path commits
+    # against the table handle's ``self.ref``, so ``table.branch("x")``
+    # returns a handle whose append/merge/delete/compact all advance
+    # branch ``x`` while ``main`` readers see nothing — the
+    # write-audit-publish staging pattern.
+
+    def _ref_path(self, ref: str) -> str:
+        if ref == "main":
+            return os.path.join(self._meta, "current")
+        return os.path.join(self._meta, "refs", f"branch-{ref}")
+
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self._meta, "refs", f"tag-{name}")
+
+    def _read_pointer(self, path: str) -> int | None:
+        if not os.path.exists(path):
             return None
-        with open(cur) as f:
-            return int(f.read().strip())
+        with open(path) as f:
+            v = int(f.read().strip())
+        return v if v > 0 else None
+
+    def current_version(self) -> int | None:
+        return self._read_pointer(self._ref_path(self.ref))
 
     def snapshot(self, version: int) -> dict:
         with open(self._snap_path(version)) as f:
@@ -150,13 +183,33 @@ class SnapshotTable:
         properties: dict | None = None,
         delete_files: list[str] | None = None,
         eq_delete_files: dict[str, list[str]] | None = None,
+        expected_parent: object = _UNSET,
     ) -> int:
-        while True:
+        ref_path = self._ref_path(self.ref)
+        if self.ref != "main" and not os.path.exists(ref_path):
+            raise ValueError(
+                f"branch {self.ref!r} does not exist — create_branch first"
+            )
+        # the version this commit's manifest was DERIVED from: passed by
+        # every caller whose manifest carries parent files, so a commit
+        # landing during the (long) data write is caught by the ref CAS
+        # instead of silently losing its files
+        if expected_parent is _UNSET:
             parent = self.current_version()
-            version = 1 if parent is None else parent + 1
+        else:
+            parent = expected_parent  # type: ignore[assignment]
+        # snapshot ids are allocated GLOBALLY (branches share one id
+        # space, like Iceberg snapshot-ids): claim the next free id via
+        # O_EXCL; a taken id just means another branch committed — not
+        # a conflict — so re-scan and retry.
+        while True:
+            version = 1 + max(
+                (s["version"] for s in self.history()), default=0
+            )
             snap = {
                 "version": version,
                 "parent": parent,
+                "ref": self.ref,
                 "operation": operation,
                 "manifest": manifest,
                 "row_count": rows,
@@ -170,20 +223,48 @@ class SnapshotTable:
                     self._snap_path(version),
                     os.O_CREAT | os.O_EXCL | os.O_WRONLY,
                 )
-            except FileExistsError as e:
-                # a concurrent committer took this version; if OUR
-                # manifest was derived from the now-stale parent the
-                # caller must rebuild it -> surface the conflict
-                raise CommitConflict(
-                    f"snapshot {version} already committed"
-                ) from e
+            except FileExistsError:
+                continue
             with os.fdopen(fd, "w") as f:
                 json.dump(snap, f)
-            tmp = os.path.join(self._meta, f".current.tmp.{version}")
+            break
+        # staleness is judged by the REF, not the id: advance the ref
+        # only if it still points at the parent this manifest was
+        # derived from (compare-and-swap under the table's ref lock).
+        try:
+            self._cas_ref(ref_path, expected=parent, new=version)
+        except CommitConflict:
+            os.remove(self._snap_path(version))  # orphan id, reclaim
+            raise
+        return version
+
+    def _cas_ref(
+        self, ref_path: str, expected: int | None, new: int
+    ) -> None:
+        lock = os.path.join(self._meta, ".refs.lock")
+        deadline = time.time() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.time() > deadline:  # pragma: no cover - stuck lock
+                    raise CommitConflict(f"ref lock {lock} is stuck")
+                time.sleep(0.01)
+        try:
+            head = self._read_pointer(ref_path)
+            if head != expected:
+                raise CommitConflict(
+                    f"ref {os.path.basename(ref_path)} moved to "
+                    f"{head} (expected {expected}) — rebase and retry"
+                )
+            tmp = f"{ref_path}.tmp.{new}"
             with open(tmp, "w") as f:
-                f.write(str(version))
-            os.replace(tmp, os.path.join(self._meta, "current"))
-            return version
+                f.write(str(new))
+            os.replace(tmp, ref_path)
+        finally:
+            os.close(fd)
+            os.remove(lock)
 
     def _write_data(
         self,
@@ -192,7 +273,14 @@ class SnapshotTable:
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
     ) -> tuple[str, int, dict]:
+        # data-dir names need only be unique, not equal to the final
+        # snapshot id (branches share the id space, so hint collisions
+        # are legal): probe for a free name
         rel = f"snap-{version_hint:06d}"
+        k = 0
+        while os.path.exists(os.path.join(self._data, rel)):
+            k += 1
+            rel = f"snap-{version_hint:06d}-{k}"
         path = os.path.join(self._data, rel)
         df.write.mode("error").parquet(path)
         n = self.spark.read.parquet(path).count()
@@ -378,6 +466,7 @@ class SnapshotTable:
         return self._commit(
             [*base, rel], "append", base_rows + n, stats,
             properties=props, delete_files=dels, eq_delete_files=eq,
+            expected_parent=parent,
         )
 
     def overwrite(
@@ -397,7 +486,9 @@ class SnapshotTable:
         rel, n, stats = self._write_data(
             df, (parent or 0) + 1, stats_cols, bloom_cols
         )
-        return self._commit([rel], "overwrite", n, stats)
+        return self._commit(
+            [rel], "overwrite", n, stats, expected_parent=parent
+        )
 
     # ----------------------------------------------------- row-level ops
 
@@ -424,7 +515,10 @@ class SnapshotTable:
         parent = self.current_version()
         if parent is None:
             rel, n, stats = self._write_data(source, 1, stats_cols)
-            return self._commit([rel], "merge", n, stats, properties)
+            return self._commit(
+                [rel], "merge", n, stats, properties,
+                expected_parent=parent,
+            )
         psnap = self.snapshot(parent)
         self._require_no_pending_deletes(psnap, "merge")
         cur = self.read(parent).withColumn("_file", F.input_file_name())
@@ -464,6 +558,7 @@ class SnapshotTable:
             psnap["row_count"] - touched_rows + n,
             stats,
             properties,
+            expected_parent=parent,
         )
 
     def _rel_path_expr(self, uri_col: Column) -> Column:
@@ -511,6 +606,7 @@ class SnapshotTable:
             properties=dict(psnap.get("properties", {})),
             delete_files=[*psnap.get("delete_files", []), rel],
             eq_delete_files=dict(psnap.get("eq_delete_files", {})),
+            expected_parent=parent,
         )
 
     def delete_keys_mor(self, keys_df: DataFrame, key_cols: list[str]) -> int:
@@ -548,6 +644,7 @@ class SnapshotTable:
             properties=props,
             delete_files=list(psnap.get("delete_files", [])),
             eq_delete_files=eq,
+            expected_parent=parent,
         )
 
     def _read_with_positions(self, version: int) -> DataFrame:
@@ -632,7 +729,8 @@ class SnapshotTable:
         stats = {f: old_stats[f] for f in untouched if f in old_stats}
         if not touched_uris:
             return self._commit(
-                untouched, "delete", psnap["row_count"], stats
+                untouched, "delete", psnap["row_count"], stats,
+                expected_parent=parent,
             )
         touched_df = cur.filter(F.col("_file").isin(touched_uris))
         touched_rows = touched_df.count()
@@ -651,6 +749,7 @@ class SnapshotTable:
             "delete",
             psnap["row_count"] - touched_rows + n,
             stats,
+            expected_parent=parent,
         )
 
     def delete_matching(
@@ -690,7 +789,8 @@ class SnapshotTable:
         stats = {f: old_stats[f] for f in untouched if f in old_stats}
         if not touched_uris:
             return self._commit(
-                untouched, "delete", psnap["row_count"], stats
+                untouched, "delete", psnap["row_count"], stats,
+                expected_parent=parent,
             )
         touched_df = cur.filter(F.col("_file").isin(touched_uris))
         touched_rows = touched_df.count()
@@ -706,6 +806,7 @@ class SnapshotTable:
             "delete",
             psnap["row_count"] - touched_rows + n,
             stats,
+            expected_parent=parent,
         )
 
     def diff(
@@ -753,6 +854,128 @@ class SnapshotTable:
             delete_files=list(old.get("delete_files", [])),
             eq_delete_files=dict(old.get("eq_delete_files", {})),
         )
+
+    # --------------------------------------------- branches / tags / WAP
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """A handle onto the same table whose writes advance branch
+        ``name`` (create it first). Reads see the branch head."""
+        return SnapshotTable(self.spark, self.root, ref=name)
+
+    def create_branch(self, name: str, at: int | None = None) -> int:
+        """Fork a branch at ``at`` (default: this handle's head).
+        O(1) metadata — no data is copied; the branch shares every
+        file with its fork point (Iceberg branch semantics)."""
+        if name == "main" or "/" in name:
+            raise ValueError(f"invalid branch name {name!r}")
+        at = self.current_version() if at is None else at
+        if at is not None and not os.path.exists(self._snap_path(at)):
+            raise ValueError(f"version {at} does not exist")
+        path = self._ref_path(name)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise ValueError(f"branch {name!r} already exists") from e
+        with os.fdopen(fd, "w") as f:
+            f.write(str(at or 0))
+        return at or 0
+
+    def drop_branch(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop main")
+        os.remove(self._ref_path(name))
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Immutable named pointer (reproducible-run pin: a training
+        job reading ``tag_version('run-2026-08')`` sees byte-identical
+        data forever — ``expire_snapshots`` retains tagged versions)."""
+        version = self.current_version() if version is None else version
+        if version is None or not os.path.exists(self._snap_path(version)):
+            raise ValueError(f"version {version} does not exist")
+        path = self._tag_path(name)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise ValueError(f"tag {name!r} already exists") from e
+        with os.fdopen(fd, "w") as f:
+            f.write(str(version))
+        return version
+
+    def tag_version(self, name: str) -> int:
+        v = self._read_pointer(self._tag_path(name))
+        if v is None:
+            raise ValueError(f"tag {name!r} does not exist")
+        return v
+
+    def refs(self) -> dict[str, int | None]:
+        """Every named ref -> head version (``main``, ``branch:*``,
+        ``tag:*``)."""
+        out: dict[str, int | None] = {"main": self._read_pointer(
+            self._ref_path("main")
+        )}
+        refs_dir = os.path.join(self._meta, "refs")
+        for fn in sorted(os.listdir(refs_dir)):
+            if fn.startswith("branch-"):
+                out[f"branch:{fn[7:]}"] = self._read_pointer(
+                    os.path.join(refs_dir, fn)
+                )
+            elif fn.startswith("tag-"):
+                out[f"tag:{fn[4:]}"] = self._read_pointer(
+                    os.path.join(refs_dir, fn)
+                )
+        return out
+
+    def _is_ancestor(self, anc: int | None, desc: int | None) -> bool:
+        """Is ``anc`` on ``desc``'s parent chain (None = empty table is
+        everyone's ancestor)? Driver-side metadata walk, O(#snapshots)."""
+        v = desc
+        while v is not None:
+            if v == anc:
+                return True
+            v = self.snapshot(v).get("parent")
+        return anc is None
+
+    def publish_branch(
+        self,
+        name: str,
+        audit=None,
+        drop: bool = True,
+    ) -> int:
+        """Write-audit-publish: atomically fast-forward THIS handle's
+        ref (normally ``main``) to branch ``name``'s head.
+
+        The staging flow: ``b = t.branch("audit"); t.create_branch(
+        "audit")`` → ETL commits to ``b`` (appends, MoR deletes,
+        compaction — invisible to main readers) → ``t.publish_branch(
+        "audit", audit=lambda df: quality.suite_passed(df, checks))``.
+        The audit callable sees the branch-head read; returning falsy
+        (or raising) vetoes the publish and main is untouched. The
+        fast-forward requires this ref's head to be an ancestor of the
+        branch head — a concurrent main commit since the fork raises
+        ``CommitConflict`` instead of silently dropping it. O(1)
+        metadata CAS; no data is rewritten.
+        """
+        head = self._read_pointer(self._ref_path(name))
+        if head is None:
+            raise ValueError(f"branch {name!r} is empty or missing")
+        base = self.current_version()
+        if base == head:
+            return head
+        if not self._is_ancestor(base, head):
+            raise CommitConflict(
+                f"ref {self.ref!r} at {base} is not an ancestor of "
+                f"branch {name!r} head {head} — rebase the branch"
+            )
+        if audit is not None:
+            verdict = audit(self.read(version=head))
+            if verdict is not None and not verdict:
+                raise ValueError(
+                    f"audit vetoed publish of branch {name!r} at {head}"
+                )
+        self._cas_ref(self._ref_path(self.ref), expected=base, new=head)
+        if drop:
+            self.drop_branch(name)
+        return head
 
     # -------------------------------------------------------------- reads
 
@@ -894,7 +1117,9 @@ class SnapshotTable:
             df = df.repartition(num_files)
         parent = self.current_version()
         rel, n, stats = self._write_data(df, (parent or 0) + 1, stats_cols)
-        return self._commit([rel], "compact", n, stats)
+        return self._commit(
+            [rel], "compact", n, stats, expected_parent=parent
+        )
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Iceberg's expire-snapshots maintenance: drop all but the
@@ -928,6 +1153,12 @@ class SnapshotTable:
         cur = self.current_version()
         if cur is not None:
             keep_versions = set(keep_versions) | {cur}
+        # every named ref head (branches AND tags) is always live:
+        # expiring a tagged training-run pin or a staged branch head
+        # out from under its pointer would corrupt the ref
+        keep_versions = set(keep_versions) | {
+            v for v in self.refs().values() if v is not None
+        }
         snaps = self.history()
         retained = [s for s in snaps if s["version"] in keep_versions]
         expired = [s for s in snaps if s["version"] not in keep_versions]

@@ -98,3 +98,236 @@ def star_centers(
     for s in slices[1:]:
         out = out.join(s, "center", "left_semi")
     return out
+
+
+# --------------------------------------------------------------------------
+# SPARQL 1.1 property paths
+# --------------------------------------------------------------------------
+#
+# Grammar (the useful W3C subset, standard precedence):
+#
+#   path     := alt
+#   alt      := seq ('|' seq)*           -- alternation, lowest
+#   seq      := post ('/' post)*         -- sequence
+#   post     := prim ('+' | '*' | '?')*  -- closures, tightest postfix
+#   prim     := '^' prim | '(' path ')' | IRI
+#   IRI      := any run of chars not in  ^ / | + * ? ( ) or whitespace
+#
+# Compilation targets pure DataFrame algebra: a predicate atom is a
+# predicate-FILTERED scan (the filter lands in PushedFilters, so every
+# leaf reads a per-predicate slice, never the whole triple table);
+# '^' swaps the endpoint columns (zero-cost projection); '/' is an
+# equi-join on the meeting node; '|' is unionByName+distinct; '+' runs
+# the log-depth path-doubling ``transitive_closure`` over the compiled
+# pair set (ceil(log2 depth) self-joins, localCheckpoint per round);
+# '*' and '?' union the zero-length path, which SPARQL defines over
+# every term of the graph — here the node universe of ``triples``
+# (distinct subjects ∪ objects), computed once per query.
+
+
+class _PathSyntaxError(ValueError):
+    pass
+
+
+def _tokenize_path(expr: str) -> list[str]:
+    toks: list[str] = []
+    buf: list[str] = []
+    for ch in expr:
+        if ch in "^/|+*?()":
+            if buf:
+                toks.append("".join(buf))
+                buf = []
+            toks.append(ch)
+        elif ch.isspace():
+            if buf:
+                toks.append("".join(buf))
+                buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        toks.append("".join(buf))
+    return toks
+
+
+def _parse_path(toks: list[str]):
+    """Recursive-descent parse to a nested-tuple AST:
+    ('pred', iri) | ('inv', t) | ('seq', l, r) | ('alt', l, r) |
+    ('plus', t) | ('star', t) | ('opt', t)."""
+    pos = 0
+
+    def peek() -> str | None:
+        return toks[pos] if pos < len(toks) else None
+
+    def take() -> str:
+        nonlocal pos
+        tok = toks[pos]
+        pos += 1
+        return tok
+
+    def prim():
+        tok = peek()
+        if tok is None:
+            raise _PathSyntaxError("path ended where a predicate was expected")
+        if tok == "^":
+            take()
+            return ("inv", prim_post())
+        if tok == "(":
+            take()
+            inner = alt()
+            if peek() != ")":
+                raise _PathSyntaxError("unbalanced '(' in property path")
+            take()
+            return inner
+        if tok in "/|+*?)":
+            raise _PathSyntaxError(f"unexpected '{tok}' in property path")
+        return ("pred", take())
+
+    def prim_post():
+        node = prim()
+        while peek() in ("+", "*", "?"):
+            node = ({"+": "plus", "*": "star", "?": "opt"}[take()], node)
+        return node
+
+    def seq():
+        node = prim_post()
+        while peek() == "/":
+            take()
+            node = ("seq", node, prim_post())
+        return node
+
+    def alt():
+        node = seq()
+        while peek() == "|":
+            take()
+            node = ("alt", node, seq())
+        return node
+
+    tree = alt()
+    if pos != len(toks):
+        raise _PathSyntaxError(f"trailing '{toks[pos]}' in property path")
+    return tree
+
+
+def match_property_path(
+    triples: DataFrame,
+    path: str,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Distinct (subj, obj) endpoint pairs connected by a SPARQL-1.1
+    property path over a (subj, pred, obj) triple table.
+
+    Supported: sequence ``a/b``, alternation ``a|b``, inverse ``^a``,
+    closures ``a+`` / ``a*`` / ``a?``, grouping — e.g. the ontology
+    roll-up ``exactMatch/is_a+`` or the undirected-ish
+    ``(xref|^xref)*``. Per W3C semantics ``p+`` includes a cyclic
+    (x, x) pair when x can return to itself, and the zero-length path
+    of ``*``/``?`` ranges over the graph's node universe.
+
+    Scale: every atom is a predicate-pushed slice scan; sequence
+    joins shuffle on the meeting node only; ``+`` is the log-depth
+    doubling closure (never per-hop recursion), so a depth-d ontology
+    costs ceil(log2 d) joins. No driver-side row movement anywhere —
+    the result is a lazy DataFrame.
+    """
+    from ontoma_spark.operators.graph import transitive_closure
+
+    tree = _parse_path(_tokenize_path(path))
+    if not isinstance(tree, tuple):  # pragma: no cover - parser invariant
+        raise _PathSyntaxError("empty property path")
+
+    nodes = None
+
+    def node_universe() -> DataFrame:
+        nonlocal nodes
+        if nodes is None:
+            nodes = (
+                triples.select(F.col(subj_col).alias("__n"))
+                .union(triples.select(F.col(obj_col).alias("__n")))
+                .distinct()
+            )
+        return nodes
+
+    def identity_pairs() -> DataFrame:
+        u = node_universe()
+        return u.select(F.col("__n").alias("__s"), F.col("__n").alias("__d"))
+
+    def plus(pairs: DataFrame) -> DataFrame:
+        # transitive_closure computes reachability between DISTINCT
+        # nodes; recover SPARQL's cyclic (x, x) membership: x ∈ p+ as
+        # (x, x) iff some first step (x, y) has y == x (self-loop) or
+        # y reaches back to x.
+        closure = transitive_closure(pairs, "__s", "__d", max_iter=max_iter)
+        self_loops = pairs.filter(F.col("__s") == F.col("__d")).select("__s")
+        returners = (
+            pairs.alias("e")
+            .join(
+                closure.alias("c"),
+                (F.col("e.__d") == F.col("c.__s"))
+                & (F.col("c.__d") == F.col("e.__s")),
+                "left_semi",
+            )
+            .select("__s")
+        )
+        cyc = (
+            self_loops.union(returners)
+            .distinct()
+            .select(F.col("__s"), F.col("__s").alias("__d"))
+        )
+        return closure.unionByName(cyc).distinct()
+
+    def compile_node(node) -> DataFrame:
+        kind = node[0]
+        if kind == "pred":
+            return (
+                triples.filter(F.col(pred_col) == node[1])
+                .select(
+                    F.col(subj_col).alias("__s"), F.col(obj_col).alias("__d")
+                )
+                .distinct()
+            )
+        if kind == "inv":
+            inner = compile_node(node[1])
+            return inner.select(
+                F.col("__d").alias("__s"), F.col("__s").alias("__d")
+            )
+        if kind == "seq":
+            left, right = compile_node(node[1]), compile_node(node[2])
+            return (
+                left.alias("l")
+                .join(
+                    right.alias("r"), F.col("l.__d") == F.col("r.__s")
+                )
+                .select(
+                    F.col("l.__s").alias("__s"), F.col("r.__d").alias("__d")
+                )
+                .distinct()
+            )
+        if kind == "alt":
+            return (
+                compile_node(node[1])
+                .unionByName(compile_node(node[2]))
+                .distinct()
+            )
+        if kind == "plus":
+            return plus(compile_node(node[1]))
+        if kind == "star":
+            return (
+                plus(compile_node(node[1]))
+                .unionByName(identity_pairs())
+                .distinct()
+            )
+        if kind == "opt":
+            return (
+                compile_node(node[1])
+                .unionByName(identity_pairs())
+                .distinct()
+            )
+        raise _PathSyntaxError(f"unknown path node {kind!r}")  # pragma: no cover
+
+    out = compile_node(tree)
+    return out.select(
+        F.col("__s").alias(subj_col), F.col("__d").alias(obj_col)
+    )

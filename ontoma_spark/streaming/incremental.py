@@ -287,15 +287,16 @@ def _stream_batch_already_committed(table, batch_id: int) -> bool:
     later ones committed is impossible within one stream (foreachBatch
     ids are monotone per checkpoint), which is what makes the single
     high-water-mark check sufficient."""
-    current = table.current_version()
-    if current is None:
-        return False
-    for v in range(current, 0, -1):
-        seen = table.snapshot(v).get("properties", {}).get(
-            "stream_batch_id"
-        )
+    v = table.current_version()
+    while v is not None:
+        snap = table.snapshot(v)
+        seen = snap.get("properties", {}).get("stream_batch_id")
         if seen is not None:
             return int(seen) >= batch_id
+        # follow the ref's parent chain (NOT dense version ids: ids
+        # are allocated globally across branches, so this ref's
+        # history may skip ids)
+        v = snap.get("parent")
     return False
 
 

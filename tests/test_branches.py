@@ -1,0 +1,191 @@
+"""Branches, tags, and write-audit-publish on SnapshotTable.
+
+Iceberg ref semantics: branches are named mutable pointers sharing the
+table's snapshot id space and data files (zero-copy fork); tags are
+immutable pins; publish is an audited O(1) fast-forward CAS of main.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.core.snapshots import CommitConflict, SnapshotTable
+from ontoma_spark.operators import quality
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "v")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "t"))
+
+
+def test_branch_writes_are_invisible_to_main(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.create_branch("stage")
+    b = table.branch("stage")
+    b.append(_df(spark, 10, 30))
+    # main readers see the fork point; branch readers see the staged rows
+    assert table.read().count() == 10
+    assert b.read().count() == 30
+    # zero-copy fork: the branch commit carried main's files, no rewrite
+    assert set(table.snapshot(table.current_version())["manifest"]) <= set(
+        b.snapshot(b.current_version())["manifest"]
+    )
+
+
+def test_branch_requires_create(spark, table):
+    table.append(_df(spark, 0, 5))
+    with pytest.raises(ValueError, match="create_branch"):
+        table.branch("nope").append(_df(spark, 5, 9))
+
+
+def test_publish_fast_forwards_main(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.create_branch("stage")
+    b = table.branch("stage")
+    b.append(_df(spark, 10, 30))
+    b.delete_where(F.col("v") < 5)
+    head = table.publish_branch("stage")
+    assert table.current_version() == head
+    assert sorted(r["v"] for r in table.read().collect()) == list(range(5, 30))
+    # the branch ref is consumed by default
+    assert "branch:stage" not in table.refs()
+
+
+def test_publish_audit_veto_leaves_main_untouched(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.create_branch("stage")
+    b = table.branch("stage")
+    b.append(spark.createDataFrame([(None,)], "v long"))  # a NULL sneaks in
+    checks = [quality.completeness("v")]
+    base = table.current_version()
+    with pytest.raises(ValueError, match="audit vetoed"):
+        table.publish_branch(
+            "stage", audit=lambda df: quality.suite_passed(df, checks)
+        )
+    assert table.current_version() == base
+    assert "branch:stage" in table.refs()  # still staged, fixable
+    # after repairing the branch, the same audit passes and publish lands
+    b.delete_where(F.col("v").isNull())
+    head = table.publish_branch(
+        "stage", audit=lambda df: quality.suite_passed(df, checks)
+    )
+    assert table.current_version() == head
+    assert table.read().filter(F.col("v").isNull()).count() == 0
+
+
+def test_publish_conflicts_when_main_diverged(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.create_branch("stage")
+    b = table.branch("stage")
+    b.append(_df(spark, 10, 20))
+    table.append(_df(spark, 90, 95))  # main moves independently
+    with pytest.raises(CommitConflict, match="not an ancestor"):
+        table.publish_branch("stage")
+    # main kept its own commit
+    assert table.read().count() == 15
+
+
+def test_branch_from_empty_table(spark, table):
+    table.create_branch("boot")
+    b = table.branch("boot")
+    b.append(_df(spark, 0, 7))
+    assert table.current_version() is None
+    head = table.publish_branch("boot")
+    assert table.current_version() == head
+    assert table.read().count() == 7
+
+
+def test_tags_pin_versions_and_survive_gc(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.create_tag("run-1")
+    table.overwrite(_df(spark, 100, 400))
+    table.overwrite(_df(spark, 400, 410))
+    gone = table.expire_snapshots(keep_last=1)
+    # the tagged version survived expiry; the untagged middle one died
+    assert table.tag_version("run-1") == 1
+    assert table.read(version=1).count() == 10
+    assert 2 in gone["expired_versions"]
+    with pytest.raises(FileNotFoundError):
+        table.snapshot(2)
+
+
+def test_branch_heads_survive_gc(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.create_branch("stage")
+    b = table.branch("stage")
+    b.append(_df(spark, 10, 20))
+    table.overwrite(_df(spark, 50, 60))
+    table.expire_snapshots(keep_last=1)
+    assert b.read().count() == 20  # staged work not collected
+
+
+def test_tag_and_branch_name_collisions(spark, table):
+    table.append(_df(spark, 0, 5))
+    table.create_branch("x")
+    table.create_tag("t")
+    with pytest.raises(ValueError):
+        table.create_branch("x")
+    with pytest.raises(ValueError):
+        table.create_tag("t")
+    with pytest.raises(ValueError):
+        table.create_tag("missing-version", version=99)
+    with pytest.raises(ValueError):
+        table.create_branch("main")
+
+
+def test_refs_listing(spark, table):
+    table.append(_df(spark, 0, 5))
+    table.create_branch("dev")
+    table.create_tag("v1")
+    refs = table.refs()
+    assert refs["main"] == 1
+    assert refs["branch:dev"] == 1
+    assert refs["tag:v1"] == 1
+
+
+def test_concurrent_branches_do_not_conflict(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.create_branch("a")
+    table.create_branch("b")
+    ta, tb = table.branch("a"), table.branch("b")
+    va = ta.append(_df(spark, 10, 12))
+    vb = tb.append(_df(spark, 12, 15))
+    assert va != vb  # global id space, no collision, no conflict
+    assert ta.read().count() == 12
+    assert tb.read().count() == 13
+    assert table.read().count() == 10
+
+
+def test_wap_full_cycle_with_mor_and_compact(spark, table):
+    """The staging flow a 100TB ingest would run: fork, append + MoR
+    delete + compact on the branch, audit, publish."""
+    table.append(_df(spark, 0, 100))
+    table.create_branch("ingest")
+    b = table.branch("ingest")
+    b.append(_df(spark, 100, 200))
+    b.delete_keys_mor(
+        spark.createDataFrame([(7,), (8,)], "v long"), ["v"]
+    )
+    b.compact(num_files=2)
+    checks = [quality.completeness("v"), quality.uniqueness("v")]
+    table.publish_branch(
+        "ingest", audit=lambda df: quality.suite_passed(df, checks)
+    )
+    got = sorted(r["v"] for r in table.read().collect())
+    assert got == [v for v in range(200) if v not in (7, 8)]
+
+
+def test_time_travel_on_branch(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.create_branch("s")
+    b = table.branch("s")
+    v = b.append(_df(spark, 10, 20))
+    assert b.read(version=v).count() == 20
+    assert b.read(version=table.current_version()).count() == 10

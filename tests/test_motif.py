@@ -116,3 +116,107 @@ def test_match_path_pushdown_and_plan(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the per-hop predicate filter reaches the parquet scan
     assert "PushedFilters" in plan and "is_a" in plan
+
+
+# ------------------------------------------------------------------ paths
+
+from ontoma_spark.operators.motif import (  # noqa: E402
+    _parse_path,
+    _tokenize_path,
+    match_property_path,
+)
+
+
+def _py_property_path(triples, tree, universe):
+    """Brute-force SPARQL 1.1 path semantics over a small graph."""
+    kind = tree[0]
+    if kind == "pred":
+        return {(s, o) for s, p, o in triples if p == tree[1]}
+    if kind == "inv":
+        return {(o, s) for s, o in _py_property_path(triples, tree[1], universe)}
+    if kind == "seq":
+        left = _py_property_path(triples, tree[1], universe)
+        right = _py_property_path(triples, tree[2], universe)
+        return {(s, o2) for s, o in left for s2, o2 in right if o == s2}
+    if kind == "alt":
+        return _py_property_path(triples, tree[1], universe) | _py_property_path(
+            triples, tree[2], universe
+        )
+    if kind in ("plus", "star", "opt"):
+        base = _py_property_path(triples, tree[1], universe)
+        if kind == "opt":
+            return base | {(n, n) for n in universe}
+        # closure of length >= 1 (includes cyclic self-pairs)
+        out = set(base)
+        while True:
+            nxt = out | {(s, o2) for s, o in out for s2, o2 in base if o == s2}
+            if nxt == out:
+                break
+            out = nxt
+        if kind == "star":
+            out |= {(n, n) for n in universe}
+        return out
+    raise AssertionError(kind)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize(
+    "expr",
+    [
+        "is_a",
+        "^is_a",
+        "exactMatch/is_a",
+        "exactMatch|seeAlso",
+        "is_a+",
+        "is_a*",
+        "seeAlso?",
+        "exactMatch/is_a+",
+        "(exactMatch|^exactMatch)/is_a",
+        "^(exactMatch/is_a)",
+        "(is_a|^is_a)+",
+    ],
+)
+def test_property_path_bruteforce(spark, seed, expr):
+    rng = random.Random(100 + seed)
+    nodes = [f"e{i}" for i in range(7)]
+    preds = ["exactMatch", "is_a", "seeAlso"]
+    triples = sorted(
+        {
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(18)
+        }
+    )
+    universe = {s for s, _, _ in triples} | {o for _, _, o in triples}
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    got = {tuple(r) for r in match_property_path(df, expr).collect()}
+    want = _py_property_path(triples, _parse_path(_tokenize_path(expr)), universe)
+    assert got == want, expr
+
+
+def test_property_path_cyclic_plus(spark):
+    # cycle a->b->a: per W3C, p+ contains (a,a) and (b,b); self-loop c.
+    triples = [
+        ("a", "p", "b"),
+        ("b", "p", "a"),
+        ("c", "p", "c"),
+        ("c", "q", "d"),
+    ]
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    got = {tuple(r) for r in match_property_path(df, "p+").collect()}
+    assert got == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b"), ("c", "c")}
+
+
+def test_property_path_deep_chain_log_depth(spark):
+    # depth-20 is_a chain closes well inside max_iter=12 doublings
+    triples = [(f"n{i}", "is_a", f"n{i+1}") for i in range(20)]
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    got = {tuple(r) for r in match_property_path(df, "is_a+").collect()}
+    want = {(f"n{i}", f"n{j}") for i in range(21) for j in range(i + 1, 21)}
+    assert got == want
+
+
+def test_property_path_syntax_errors(spark):
+    df = spark.createDataFrame([("a", "p", "b")], TRIPLES_SCHEMA)
+    for bad in ["", "a/", "|a", "a||b", "(a", "a)", "^", "a b"]:
+        with pytest.raises(ValueError):
+            match_property_path(df, bad).collect()

@@ -66,11 +66,24 @@ def test_crashed_write_is_invisible(spark, table):
 
 def test_commit_conflict_raises(spark, table):
     table.append(_df(spark, 0, 5))
-    # another writer steals version 2 between manifest build and commit
+    # a commit whose manifest was derived from a ref head that has since
+    # moved (here: derived from the empty table, but main is at v1) must
+    # surface the lost update instead of silently dropping v1's files
+    with pytest.raises(CommitConflict):
+        table._commit([], "append", 0, expected_parent=None)
+    # and the orphaned snapshot id is reclaimed
+    assert [s["version"] for s in table.history()] == [1]
+
+
+def test_foreign_snapshot_id_is_skipped_not_conflict(spark, table):
+    table.append(_df(spark, 0, 5))
+    # a crashed writer left a snap json but never advanced any ref:
+    # ids are allocated globally, so the next commit skips it
     with open(table._snap_path(2), "w") as f:
         json.dump({"version": 2, "manifest": [], "row_count": 0}, f)
-    with pytest.raises(CommitConflict):
-        table.append(_df(spark, 5, 8))
+    v = table.append(_df(spark, 5, 8))
+    assert v == 3
+    assert table.read().count() == 8
 
 
 def test_row_count_stat_tracked(spark, table):
