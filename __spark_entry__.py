@@ -3246,6 +3246,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_quality_suite": q86_quality_suite,
         "q87_drift_report": q87_drift_report,
         "q88_pq_ann": q88_pq_ann,
+        "q89_property_paths": q89_property_paths,
     }
 
 
@@ -3403,6 +3404,34 @@ def q88_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") % 100 == 0).limit(20)
     return pq_topk(enc, queries, books, k=10)
+
+
+def q89_property_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (brute-force W3C-semantics oracle in
+    tests/test_motif.py): SPARQL 1.1 property path ``exactMatch/is_a+``
+    over a ~40k-triple table — ``is_a`` is q67's 20k-node binary
+    hierarchy (depth ~14), ``exactMatch`` one mention->term edge per
+    node. Times parse -> compile -> run: two predicate-pushed slice
+    scans, one meeting-node join, and the log-depth doubling closure
+    (~4 rounds). A regression here means a leaf stopped pushing its
+    predicate filter or the closure lost its log-depth shape."""
+    from ontoma_spark.operators.motif import match_property_path
+
+    part = _t(spark, sf_dir, "part")
+    is_a = (
+        part.filter(F.col("p_partkey") > 1)
+        .select(
+            F.col("p_partkey").cast("string").alias("subj"),
+            F.lit("is_a").alias("pred"),
+            (F.col("p_partkey") / 2).cast("long").cast("string").alias("obj"),
+        )
+    )
+    exact = part.select(
+        F.concat(F.lit("m"), F.col("p_partkey")).alias("subj"),
+        F.lit("exactMatch").alias("pred"),
+        F.col("p_partkey").cast("string").alias("obj"),
+    )
+    return match_property_path(is_a.unionByName(exact), "exactMatch/is_a+")
 
 
 def q84_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -129,6 +129,7 @@ HEADLINE = [
     "q86_quality_suite",
     "q87_drift_report",
     "q88_pq_ann",
+    "q89_property_paths",
 ]
 
 T0 = time.time()
