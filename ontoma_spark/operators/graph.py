@@ -1830,3 +1830,55 @@ def shortest_paths(
         f"shortest_paths: still improving after {max_iter} rounds — "
         "raise max_iter"
     )
+
+
+def subtree_rollup(
+    edges: DataFrame,
+    values: DataFrame,
+    measures: dict[str, Column],
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    include_self: bool = True,
+    max_iter: int = 12,
+) -> DataFrame:
+    """Aggregate per-node measures up an is_a/broader DAG: for every
+    term, the total over its descendant subtree — "how many mentions
+    fall under EFO:cancer, counting every subtype" — the ontology
+    twin of a hypertable rollup.
+
+    ``edges`` is child -> parent (``src`` -> ``dst``); ``values`` holds
+    one row per ``node_col`` with the leaf measures; ``measures`` maps
+    output name -> aggregate over ``values``' columns (e.g. ``{"n":
+    F.sum("cnt")}``). DAG multi-parent diamonds are handled by
+    REACHABILITY, not path counts: the closure is a distinct pair set,
+    so a descendant with two routes to an ancestor contributes once —
+    the semantics a consumer means by "under".
+
+    Scale: one log-depth path-doubling closure (ceil(log2 depth)
+    self-joins), one join of the closure against the values table on
+    the descendant, one groupBy the ancestor with map-side combine.
+    Nothing driver-side; no per-node recursion anywhere.
+    """
+    closure = transitive_closure(edges, src, dst, max_iter=max_iter).select(
+        F.col(src).alias("__desc"), F.col(dst).alias("__anc")
+    )
+    if include_self:
+        nodes = (
+            edges.select(F.col(src).alias("__n"))
+            .union(edges.select(F.col(dst).alias("__n")))
+            .union(values.select(F.col(node_col).alias("__n")))
+            .distinct()
+        )
+        closure = closure.unionByName(
+            nodes.select(
+                F.col("__n").alias("__desc"), F.col("__n").alias("__anc")
+            )
+        )
+    joined = closure.join(
+        values.withColumnRenamed(node_col, "__desc"), "__desc"
+    )
+    return (
+        joined.groupBy(F.col("__anc").alias(node_col))
+        .agg(*[expr.alias(name) for name, expr in measures.items()])
+    )

@@ -100,3 +100,71 @@ def covered_length(
         F.sum(F.col(end) - F.col(start)).alias("covered"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+def align_intervals(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    start: str = "valid_from",
+    end: str = "valid_to",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Temporal (validity-interval) inner join: for each key, one row
+    per overlapping (left-interval, right-interval) pair, carrying both
+    sides' attributes and the INTERSECTED validity window — the
+    temporal-database join primitive ("what did entity X's metadata and
+    curation state look like, jointly, over time") over SCD2-style
+    histories.
+
+    Interval semantics match ``coalesce_intervals``: ``start``/``end``
+    inclusive; a NULL ``end`` means open/current (+infinity), so two
+    open rows intersect into an open row (Spark's ``least`` skips
+    NULLs, which IS the +inf algebra). NULL ``start`` is rejected.
+
+    Output: keys + ``start``/``end`` (the intersection) + every
+    non-key, non-interval column from each side (suffixed on name
+    collisions only).
+
+    Scale: ONE equi-join shuffling both sides on the key with the
+    overlap predicate applied as a join condition — per-key interval
+    counts are bounded by edit history, not corpus size, so the join
+    fan-out is (versions_l x versions_r) per key, and a hot key is a
+    data-model smell this surfaces rather than hides. No windows, no
+    driver-side work.
+    """
+    if not keys:
+        raise ValueError("align_intervals: need at least one key column")
+    for side, df in (("left", left), ("right", right)):
+        if df.filter(F.col(start).isNull()).limit(1).count() > 0:
+            raise ValueError(
+                f"align_intervals: NULL {start} on the {side} side"
+            )
+
+    def prep(df: DataFrame, suffix: str, other_cols: set[str]) -> DataFrame:
+        out = df
+        for c in df.columns:
+            if c in keys or c in (start, end):
+                continue
+            if c in other_cols:
+                out = out.withColumnRenamed(c, c + suffix)
+        return (
+            out.withColumnRenamed(start, f"__s{suffix}")
+            .withColumnRenamed(end, f"__e{suffix}")
+        )
+
+    lcols = {c for c in left.columns if c not in keys and c not in (start, end)}
+    rcols = {c for c in right.columns if c not in keys and c not in (start, end)}
+    shared = lcols & rcols
+    lf = prep(left, suffixes[0], shared)
+    rf = prep(right, suffixes[1], shared)
+    sl, el = F.col(f"__s{suffixes[0]}"), F.col(f"__e{suffixes[0]}")
+    sr, er = F.col(f"__s{suffixes[1]}"), F.col(f"__e{suffixes[1]}")
+    overlap = (el.isNull() | (sr <= el)) & (er.isNull() | (sl <= er))
+    out = lf.join(rf, on=keys, how="inner").filter(overlap)
+    return (
+        out.withColumn(start, F.greatest(sl, sr))
+        .withColumn(end, F.least(el, er))
+        .drop(f"__s{suffixes[0]}", f"__e{suffixes[0]}",
+              f"__s{suffixes[1]}", f"__e{suffixes[1]}")
+    )

@@ -140,3 +140,17 @@ def scd2_merge(
         history = table.read()
     plan = scd2_plan(history, updates, keys, ts_col, attr_cols)
     return table.merge(plan, keys=[*keys, VALID_FROM])
+
+
+def scd2_asof(history: DataFrame, ts) -> DataFrame:
+    """Point-in-time view of an SCD2 history: the one version of each
+    key that was valid at ``ts`` (half-open intervals, so
+    ``_valid_from <= ts < _valid_to``; a NULL ``_valid_to`` is the
+    open current row). Pure filter — pushes to the parquet scan, no
+    shuffle, no window; pair with a snapshot-table tag for a fully
+    reproducible "as the training run saw it" read."""
+    t = F.lit(ts)
+    return history.filter(
+        (F.col(VALID_FROM) <= t)
+        & (F.col(VALID_TO).isNull() | (F.col(VALID_TO) > t))
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 import random
 
 import pytest
+import pyspark.sql.functions as F
 
 from ontoma_spark.operators.graph import (
     comention_edges,
@@ -1011,3 +1012,87 @@ def test_scc_two_cycles_and_bridge(spark):
     }
     assert got == {"a": "a", "b": "a", "p": "p",
                    "c": "c", "d": "c", "e": "c"}
+
+
+# -------------------------------------------------------- subtree_rollup
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_subtree_rollup_vs_bruteforce_dag(spark, seed):
+    from ontoma_spark.operators.graph import subtree_rollup
+
+    rng = random.Random(seed)
+    n = 12
+    # random DAG: edges only child(i) -> parent(j) with j < i (multi-parent)
+    edges = sorted(
+        {
+            (f"n{i}", f"n{rng.randrange(0, i)}")
+            for i in range(1, n)
+            for _ in range(rng.randrange(1, 3))
+        }
+    )
+    counts = {f"n{i}": rng.randrange(0, 10) for i in range(n)}
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    vdf = spark.createDataFrame(
+        list(counts.items()), "node string, cnt long"
+    )
+    got = {
+        (r["node"], r["n"])
+        for r in subtree_rollup(
+            edf, vdf, {"n": F.sum("cnt")}
+        ).collect()
+    }
+    # brute force: reach-up sets
+    parents = {}
+    for c, p in edges:
+        parents.setdefault(c, set()).add(p)
+
+    def ancestors(x):
+        out, stack = set(), [x]
+        while stack:
+            y = stack.pop()
+            for p in parents.get(y, ()):
+                if p not in out:
+                    out.add(p)
+                    stack.append(p)
+        return out
+
+    want = {}
+    for x, c in counts.items():
+        for a in ancestors(x) | {x}:
+            want[a] = want.get(a, 0) + c
+    assert got == {(k, v) for k, v in want.items()}
+
+
+def test_subtree_rollup_diamond_counts_once(spark):
+    from ontoma_spark.operators.graph import subtree_rollup
+
+    # d -> b -> a, d -> c -> a: d's count must reach a ONCE
+    edges = spark.createDataFrame(
+        [("d", "b"), ("d", "c"), ("b", "a"), ("c", "a")],
+        "src string, dst string",
+    )
+    vals = spark.createDataFrame(
+        [("d", 5), ("a", 1)], "node string, cnt long"
+    )
+    got = {
+        (r["node"], r["n"])
+        for r in subtree_rollup(edges, vals, {"n": F.sum("cnt")}).collect()
+    }
+    assert got == {("a", 6), ("b", 5), ("c", 5), ("d", 5)}
+
+
+def test_subtree_rollup_exclude_self(spark):
+    from ontoma_spark.operators.graph import subtree_rollup
+
+    edges = spark.createDataFrame([("b", "a")], "src string, dst string")
+    vals = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "node string, cnt long"
+    )
+    got = {
+        (r["node"], r["n"])
+        for r in subtree_rollup(
+            edges, vals, {"n": F.sum("cnt")}, include_self=False
+        ).collect()
+    }
+    assert got == {("a", 2)}

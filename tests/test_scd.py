@@ -147,3 +147,27 @@ def test_scd2_as_of_read(spark, tmp_path):
         & (F.col("_valid_to").isNull() | (F.col("_valid_to") > 3))
     )
     assert [(r["k"], r["a"]) for r in asof3.collect()] == [("k", "x")]
+
+
+def test_scd2_asof_point_in_time(spark):
+    from ontoma_spark.operators.scd import scd2_asof
+
+    hist = spark.createDataFrame(
+        [
+            ("e1", 0, 10, "a", False),
+            ("e1", 10, 20, "b", False),
+            ("e1", 20, None, "c", True),
+            ("e2", 5, None, "x", True),
+        ],
+        "k string, _valid_from long, _valid_to long, v string, _is_current boolean",
+    )
+    def at(ts):
+        return {
+            (r["k"], r["v"]) for r in scd2_asof(hist, ts).collect()
+        }
+
+    assert at(0) == {("e1", "a")}
+    assert at(10) == {("e1", "b"), ("e2", "x")}  # half-open boundary
+    assert at(19) == {("e1", "b"), ("e2", "x")}
+    assert at(99) == {("e1", "c"), ("e2", "x")}
+    assert at(-1) == set()

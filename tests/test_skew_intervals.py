@@ -176,3 +176,86 @@ def test_coalesce_idempotence_and_split_invariance_laws(spark):
     assert sorted(map(key, again.collect())) == sorted(
         map(key, once.collect())
     )
+
+
+# ------------------------------------------------------- align_intervals
+
+from ontoma_spark.operators.intervals import align_intervals  # noqa: E402
+
+ALIGN_L = "k string, valid_from long, valid_to long, state string"
+ALIGN_R = "k string, valid_from long, valid_to long, owner string"
+
+
+def _brute_align(lrows, rrows):
+    INF = float("inf")
+    out = set()
+    for lk, ls, le, lv in lrows:
+        for rk, rs, re_, rv in rrows:
+            if lk != rk:
+                continue
+            le_, re2 = INF if le is None else le, INF if re_ is None else re_
+            s, e = max(ls, rs), min(le_, re2)
+            if s <= e:
+                out.add((lk, lv, rv, s, None if e == INF else e))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_align_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+
+    def mk(n, attr):
+        rows = []
+        for i in range(n):
+            s = rng.randrange(0, 50)
+            e = None if rng.random() < 0.15 else s + rng.randrange(0, 20)
+            rows.append((f"k{rng.randrange(4)}", s, e, f"{attr}{i}"))
+        return rows
+
+    lrows, rrows = mk(25, "s"), mk(25, "o")
+    ldf = spark.createDataFrame(lrows, ALIGN_L)
+    rdf = spark.createDataFrame(rrows, ALIGN_R)
+    got = {
+        (r["k"], r["state"], r["owner"], r["valid_from"], r["valid_to"])
+        for r in align_intervals(ldf, rdf, ["k"]).collect()
+    }
+    assert got == _brute_align(lrows, rrows)
+
+
+def test_align_open_intervals_and_columns(spark):
+    ldf = spark.createDataFrame([("a", 0, None, "s1")], ALIGN_L)
+    rdf = spark.createDataFrame(
+        [("a", 5, None, "o1"), ("a", 2, 3, "o2"), ("b", 0, None, "o3")],
+        ALIGN_R,
+    )
+    rows = {
+        tuple(r)
+        for r in align_intervals(ldf, rdf, ["k"])
+        .select("k", "state", "owner", "valid_from", "valid_to")
+        .collect()
+    }
+    # open x open -> open; open x closed -> closed; key b never joins
+    assert rows == {("a", "s1", "o1", 5, None), ("a", "s1", "o2", 2, 3)}
+
+
+def test_align_collision_suffixes_and_validation(spark):
+    ldf = spark.createDataFrame(
+        [("a", 0, 9, "x")], "k string, valid_from long, valid_to long, v string"
+    )
+    rdf = spark.createDataFrame(
+        [("a", 1, 5, "y")], "k string, valid_from long, valid_to long, v string"
+    )
+    out = align_intervals(ldf, rdf, ["k"])
+    assert {"v_l", "v_r"} <= set(out.columns)
+    assert out.count() == 1
+    with pytest.raises(ValueError, match="NULL valid_from"):
+        align_intervals(
+            spark.createDataFrame(
+                [("a", None, 9, "x")],
+                "k string, valid_from long, valid_to long, v string",
+            ),
+            rdf,
+            ["k"],
+        ).collect()
+    with pytest.raises(ValueError, match="key column"):
+        align_intervals(ldf, rdf, [])
