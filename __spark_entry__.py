@@ -3247,6 +3247,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_drift_report": q87_drift_report,
         "q88_pq_ann": q88_pq_ann,
         "q89_property_paths": q89_property_paths,
+        "q90_subtree_rollup": q90_subtree_rollup,
     }
 
 
@@ -3432,6 +3433,32 @@ def q89_property_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").cast("string").alias("obj"),
     )
     return match_property_path(is_a.unionByName(exact), "exactMatch/is_a+")
+
+
+def q90_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (brute-force ancestor-set oracle in
+    tests/test_graph.py): ontology subtree rollup over q67's 20k-node
+    part hierarchy with per-part lineitem revenue as the leaf measure —
+    "total revenue under every ancestor part-family". Times the
+    log-depth closure + one values join + one map-side-combined
+    groupBy; the leaf measure itself is a 600k-row lineitem agg, so a
+    regression in either half is visible."""
+    from ontoma_spark.operators.graph import subtree_rollup
+
+    edges = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") > 1)
+        .select(
+            F.col("p_partkey").alias("src"),
+            (F.col("p_partkey") / 2).cast("long").alias("dst"),
+        )
+    )
+    leaf = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("node"))
+        .agg(F.sum(F.col("l_extendedprice")).alias("rev"))
+    )
+    return subtree_rollup(edges, leaf, {"revenue": F.sum("rev")})
 
 
 def q84_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -130,6 +130,7 @@ HEADLINE = [
     "q87_drift_report",
     "q88_pq_ann",
     "q89_property_paths",
+    "q90_subtree_rollup",
 ]
 
 T0 = time.time()
