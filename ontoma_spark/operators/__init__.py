@@ -29,6 +29,7 @@ from ontoma_spark.operators.er import (
     score_pairs,
 )
 from ontoma_spark.operators.intervals import (
+    align_intervals,
     coalesce_intervals,
     covered_length,
 )
@@ -61,11 +62,16 @@ from ontoma_spark.operators.graph import (
     incremental_components,
     ktruss,
     shortest_paths,
+    subtree_rollup,
 )
 from ontoma_spark.operators.graphsig import wl_signatures
 from ontoma_spark.operators.joins import asof_join, range_join
 from ontoma_spark.operators.linkeval import blocking_metrics, score_calibration
-from ontoma_spark.operators.motif import match_path, star_centers
+from ontoma_spark.operators.motif import (
+    match_path,
+    match_property_path,
+    star_centers,
+)
 from ontoma_spark.operators.kgqa import degree_powerlaw
 from ontoma_spark.operators.profile import (
     functional_deps,
@@ -104,6 +110,7 @@ __all__ = [
     "boruvka_msf",
     "neighborhood_function",
     "overlap_matrix",
+    "align_intervals",
     "coalesce_intervals",
     "covered_length",
     "degree_powerlaw",
@@ -130,6 +137,7 @@ __all__ = [
     "ktruss",
     "link_prediction_eval",
     "match_path",
+    "match_property_path",
     "merge_embeddings",
     "mine_rules",
     "node_embeddings",
@@ -141,6 +149,7 @@ __all__ = [
     "score_calibration",
     "shortest_paths",
     "star_centers",
+    "subtree_rollup",
     "text_embeddings",
     "wl_signatures",
     "clustering_coefficient",

@@ -164,3 +164,56 @@ def test_heavy_hitters_single_corpus_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     gplan = _plan(heavy_hitters(df, "v", phi=0.001, group_cols=("g",)))
     assert "BroadcastHashJoin" in gplan, gplan
+
+
+def test_property_path_leaves_push_predicate_filters(spark, tmp_path):
+    from ontoma_spark.operators.motif import match_property_path
+
+    p = str(tmp_path / "triples")
+    spark.createDataFrame(
+        [("a", "exactMatch", "b"), ("b", "is_a", "c")],
+        "subj string, pred string, obj string",
+    ).write.parquet(p)
+    triples = spark.read.parquet(p)
+    plan = _plan(match_property_path(triples, "exactMatch/is_a"))
+    # each path atom is a per-predicate SLICE SCAN: the equality filter
+    # must reach parquet, or at 100 TB every leaf reads the whole table
+    assert "EqualTo(pred,exactMatch)" in plan, plan
+    assert "EqualTo(pred,is_a)" in plan, plan
+
+
+def test_align_intervals_is_equi_join_not_nlj(spark):
+    from ontoma_spark.core.planlint import plan_findings
+    from ontoma_spark.operators.intervals import align_intervals
+
+    l = spark.createDataFrame(
+        [("a", 0, 9, "x")],
+        "k string, valid_from long, valid_to long, state string",
+    )
+    r = spark.createDataFrame(
+        [("a", 1, 5, "y")],
+        "k string, valid_from long, valid_to long, owner string",
+    )
+    out = align_intervals(l, r, ["k"])
+    plan = _plan(out)
+    # the overlap predicate must ride the KEY equi-join as a post-join
+    # condition — a BroadcastNestedLoopJoin/cartesian here would be the
+    # all-pairs disaster at corpus scale
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    errors = [f for f in plan_findings(out) if f["severity"] == "error"]
+    assert not errors, errors
+
+
+def test_subtree_rollup_final_agg_map_side_combined(spark):
+    from ontoma_spark.operators.graph import subtree_rollup
+
+    edges = spark.createDataFrame(
+        [(i, i // 2) for i in range(2, 64)], "src long, dst long"
+    )
+    vals = spark.createDataFrame(
+        [(i, 1) for i in range(1, 64)], "node long, cnt long"
+    )
+    out = subtree_rollup(edges, vals, {"n": F.sum("cnt")})
+    plan = _plan(out)
+    # the ancestor aggregation must partial-combine before its exchange
+    assert "partial_sum" in plan, plan
