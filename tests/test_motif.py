@@ -220,3 +220,30 @@ def test_property_path_syntax_errors(spark):
     for bad in ["", "a/", "|a", "a||b", "(a", "a)", "^", "a b"]:
         with pytest.raises(ValueError):
             match_property_path(df, bad).collect()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_property_path_algebraic_laws(spark, seed):
+    """Kleene-algebra laws the compiler must respect on any graph:
+    p|p == p, ^^p == p, (p+)+ == p+, p* == p? composed over p+'s
+    domain — violations mean the AST compilation diverged from the
+    path semantics rather than one operator being wrong."""
+    rng = random.Random(300 + seed)
+    nodes = [f"e{i}" for i in range(6)]
+    triples = sorted(
+        {
+            (rng.choice(nodes), rng.choice(["p", "q"]), rng.choice(nodes))
+            for _ in range(14)
+        }
+    )
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+
+    def run(expr):
+        return {tuple(r) for r in match_property_path(df, expr).collect()}
+
+    assert run("p|p") == run("p")
+    assert run("^^p") == run("p")
+    assert run("(p+)+") == run("p+")
+    assert run("^(p|q)") == run("^p|^q")
+    universe = {s for s, _, _ in triples} | {o for _, _, o in triples}
+    assert run("p*") == run("p+") | {(n, n) for n in universe}
