@@ -66,7 +66,11 @@ from ontoma_spark.operators.graph import (
 )
 from ontoma_spark.operators.graphsig import wl_signatures
 from ontoma_spark.operators.joins import asof_join, range_join
-from ontoma_spark.operators.linkeval import blocking_metrics, score_calibration
+from ontoma_spark.operators.linkeval import (
+    blocking_metrics,
+    hierarchical_pr,
+    score_calibration,
+)
 from ontoma_spark.operators.motif import (
     match_path,
     match_property_path,
@@ -127,6 +131,7 @@ __all__ = [
     "asof_join",
     "betweenness_centrality",
     "blocking_metrics",
+    "hierarchical_pr",
     "funnel",
     "funnel_conversion",
     "truth_discovery",

@@ -131,3 +131,79 @@ def blocking_metrics(
         "n_candidates long, n_gold long, n_gold_covered long, "
         "reduction_ratio double, pair_completeness double",
     )
+
+
+def hierarchical_pr(
+    pred: DataFrame,
+    gold: DataFrame,
+    edges: DataFrame,
+    mention_col: str = "mention_id",
+    id_col: str = "entity_id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Ontology-aware linking evaluation (hierarchical micro P/R,
+    Kiritchenko-style): a prediction that lands on an ancestor or
+    descendant of the gold term is a NEAR-miss, not a zero — both
+    sides' label sets are augmented with all their ancestors over the
+    is_a DAG (``edges`` child -> parent) before micro-averaged
+    precision/recall, so "melanoma" predicted as "skin cancer" earns
+    the shared-ancestor overlap instead of nothing. Flat exact micro
+    P/R is reported alongside for contrast.
+
+    ``pred``/``gold``: one row per (mention, entity id); multi-mapping
+    allowed on both sides. Returns ONE row: n_mentions, exact_p/r/f1,
+    hier_p/r/f1.
+
+    Scale: one log-depth doubling closure over the ontology (ontology-
+    sized, not corpus-sized), two closure joins shuffling on the
+    entity id, one (mention, ancestor)-keyed intersection join, and
+    counting aggs with map-side combine. No driver-side set math.
+    """
+    from ontoma_spark.operators.graph import transitive_closure
+
+    m, e = F.col(mention_col), F.col(id_col)
+    p = pred.select(m.alias("__m"), e.alias("__e")).distinct()
+    g = gold.select(m.alias("__m"), e.alias("__e")).distinct()
+
+    closure = transitive_closure(edges, src, dst, max_iter=max_iter).select(
+        F.col(src).alias("__e"), F.col(dst).alias("__a")
+    )
+
+    def augment(df: DataFrame) -> DataFrame:
+        up = df.join(closure, "__e").select("__m", "__a")
+        return df.select(
+            "__m", F.col("__e").alias("__a")
+        ).unionByName(up).distinct()
+
+    pa, ga = augment(p), augment(g)
+    n_m = p.select("__m").distinct().count()
+    np_, ng = p.count(), g.count()
+    n_exact = p.join(g, ["__m", "__e"], "left_semi").count()
+    npa, nga = pa.count(), ga.count()
+    n_hier = pa.join(ga, ["__m", "__a"], "left_semi").count()
+
+    def f1(prec: float, rec: float) -> float:
+        return 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+
+    ep = n_exact / np_ if np_ else 0.0
+    er = n_exact / ng if ng else 0.0
+    hp = n_hier / npa if npa else 0.0
+    hr = n_hier / nga if nga else 0.0
+    spark = pred.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_m,
+                float(ep),
+                float(er),
+                float(f1(ep, er)),
+                float(hp),
+                float(hr),
+                float(f1(hp, hr)),
+            )
+        ],
+        "n_mentions long, exact_p double, exact_r double, exact_f1 double, "
+        "hier_p double, hier_r double, hier_f1 double",
+    )

@@ -116,3 +116,85 @@ def test_end_to_end_over_alignment_candidates(spark):
     # the unique alphaN token blocks exactly the true pairs
     assert r["pair_completeness"] == pytest.approx(1.0)
     assert r["reduction_ratio"] > 0.8
+
+
+# --------------------------------------------------------- hierarchical
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_hierarchical_pr_vs_bruteforce(spark, seed):
+    from ontoma_spark.operators.linkeval import hierarchical_pr
+
+    rng = random.Random(seed)
+    n = 10
+    edges = sorted(
+        {(f"t{i}", f"t{rng.randrange(0, i)}") for i in range(1, n)}
+    )
+    terms = [f"t{i}" for i in range(n)]
+    pred = sorted(
+        {
+            (f"m{rng.randrange(6)}", rng.choice(terms))
+            for _ in range(12)
+        }
+    )
+    gold = sorted(
+        {
+            (f"m{rng.randrange(6)}", rng.choice(terms))
+            for _ in range(12)
+        }
+    )
+    row = hierarchical_pr(
+        spark.createDataFrame(pred, "mention_id string, entity_id string"),
+        spark.createDataFrame(gold, "mention_id string, entity_id string"),
+        spark.createDataFrame(edges, "src string, dst string"),
+    ).collect()[0]
+
+    parents = {}
+    for c, pr in edges:
+        parents.setdefault(c, set()).add(pr)
+
+    def anc(x):
+        out, stack = set(), [x]
+        while stack:
+            y = stack.pop()
+            for z in parents.get(y, ()):
+                if z not in out:
+                    out.add(z)
+                    stack.append(z)
+        return out | {x}
+
+    def aug(pairs):
+        return {(m, a) for m, t in pairs for a in anc(t)}
+
+    P, G = set(pred), set(gold)
+    PA, GA = aug(P), aug(G)
+    ep = len(P & G) / len(P)
+    er = len(P & G) / len(G)
+    hp = len(PA & GA) / len(PA)
+    hr = len(PA & GA) / len(GA)
+    assert row["exact_p"] == pytest.approx(ep)
+    assert row["exact_r"] == pytest.approx(er)
+    assert row["hier_p"] == pytest.approx(hp)
+    assert row["hier_r"] == pytest.approx(hr)
+    assert row["n_mentions"] == len({m for m, _ in pred})
+
+
+def test_hierarchical_pr_near_miss_gets_credit(spark):
+    from ontoma_spark.operators.linkeval import hierarchical_pr
+
+    # gold = melanoma; prediction = its parent skin_cancer: exact 0,
+    # hierarchical overlap = {skin_cancer, cancer} of gold's 3-chain
+    edges = spark.createDataFrame(
+        [("melanoma", "skin_cancer"), ("skin_cancer", "cancer")],
+        "src string, dst string",
+    )
+    pred = spark.createDataFrame(
+        [("m1", "skin_cancer")], "mention_id string, entity_id string"
+    )
+    gold = spark.createDataFrame(
+        [("m1", "melanoma")], "mention_id string, entity_id string"
+    )
+    row = hierarchical_pr(pred, gold, edges).collect()[0]
+    assert row["exact_f1"] == 0.0
+    assert row["hier_p"] == pytest.approx(1.0)  # both preds in gold's closure
+    assert row["hier_r"] == pytest.approx(2 / 3)
