@@ -130,6 +130,45 @@ class Catalog:
 
     # ------------------------------------------------------- maintenance
 
+    # ------------------------------------------------------------- tags
+
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self._cat, f"tag-{name}")
+
+    def create_tag(self, name: str, tx: int | None = None) -> int:
+        """Immutable WHOLE-GRAPH pin: a named pointer to one
+        transaction, i.e. one consistent {table: version} map. A
+        training run reading through ``tag_tx("run-2026-08")`` sees
+        every graph table exactly as the run cut them, forever —
+        ``expire_transactions`` retains tagged transactions and
+        (cascading) every table version they reference."""
+        tx = self.current_tx() if tx is None else tx
+        if tx is None or not os.path.exists(self._tx_path(tx)):
+            raise ValueError(f"transaction {tx} does not exist")
+        try:
+            fd = os.open(
+                self._tag_path(name), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError as e:
+            raise ValueError(f"catalog tag {name!r} already exists") from e
+        with os.fdopen(fd, "w") as f:
+            f.write(str(tx))
+        return tx
+
+    def tag_tx(self, name: str) -> int:
+        path = self._tag_path(name)
+        if not os.path.exists(path):
+            raise ValueError(f"catalog tag {name!r} does not exist")
+        with open(path) as f:
+            return int(f.read().strip())
+
+    def tags(self) -> dict[str, int]:
+        return {
+            fn[4:]: int(open(os.path.join(self._cat, fn)).read().strip())
+            for fn in sorted(os.listdir(self._cat))
+            if fn.startswith("tag-")
+        }
+
     def expire_transactions(self, keep_last: int = 1) -> dict:
         """Whole-graph retention: drop all but the newest ``keep_last``
         transactions, then expire every table snapshot no retained
@@ -147,9 +186,15 @@ class Catalog:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         txs = self.history()
-        if len(txs) <= keep_last:
+        tagged = set(self.tags().values())
+        kept = [
+            d
+            for i, d in enumerate(txs)
+            if i >= len(txs) - keep_last or d["tx"] in tagged
+        ]
+        dropped = [d for d in txs if d not in kept]
+        if not dropped:
             return {"expired_txs": [], "tables": {}}
-        kept, dropped = txs[-keep_last:], txs[:-keep_last]
         referenced: dict[str, set[int]] = {}
         for doc in kept:
             for name, v in doc["tables"].items():

@@ -72,6 +72,7 @@ from ontoma_spark.operators.linkeval import (
     score_calibration,
 )
 from ontoma_spark.operators.motif import (
+    match_bgp,
     match_path,
     match_property_path,
     star_centers,
@@ -141,6 +142,7 @@ __all__ = [
     "inclusion_deps",
     "ktruss",
     "link_prediction_eval",
+    "match_bgp",
     "match_path",
     "match_property_path",
     "merge_embeddings",

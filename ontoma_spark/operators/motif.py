@@ -331,3 +331,102 @@ def match_property_path(
     return out.select(
         F.col("__s").alias(subj_col), F.col("__d").alias(obj_col)
     )
+
+
+def match_bgp(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    distinct: bool = True,
+    allow_product: bool = False,
+) -> DataFrame:
+    """Conjunctive basic-graph-pattern (SPARQL BGP) matching: bindings
+    of the variables shared across a list of (s, p, o) triple
+    patterns. A term starting with ``?`` is a variable (column in the
+    output, named without the ``?``); anything else is a constant.
+
+    E.g. the "mentions linked to a term that sits under cancer" query::
+
+        match_bgp(t, [("?m", "exactMatch", "?t"),
+                      ("?t", "is_a", "EFO:cancer")])   # -> (m, t)
+
+    Compilation: each pattern is a constant-FILTERED slice scan (the
+    filters land in PushedFilters; a repeated variable within one
+    pattern becomes an equality filter), then patterns join pairwise
+    on their shared variables. Join ORDER is selectivity-greedy: start
+    from the most-constant pattern, and always pick next a pattern
+    sharing a variable with the bound set — so no intermediate product
+    is ever formed; a disconnected pattern group raises unless
+    ``allow_product=True`` (deliberate cross products only). AQE
+    broadcasts whichever slice turns out small.
+    """
+    if not patterns:
+        raise ValueError("match_bgp: need at least one pattern")
+
+    def is_var(t: str) -> bool:
+        return isinstance(t, str) and t.startswith("?")
+
+    def compile_pattern(pat: tuple[str, str, str]) -> tuple[DataFrame, set]:
+        s, p, o = pat
+        df = triples
+        for term, col in ((s, subj_col), (p, pred_col), (o, obj_col)):
+            if not is_var(term):
+                df = df.filter(F.col(col) == term)
+        # repeated variables inside one pattern = equality constraints
+        terms = [(s, subj_col), (p, pred_col), (o, obj_col)]
+        seen: dict[str, str] = {}
+        for term, col in terms:
+            if is_var(term):
+                if term in seen:
+                    df = df.filter(F.col(seen[term]) == F.col(col))
+                else:
+                    seen[term] = col
+        out_vars = {v[1:] for v in seen}
+        df = df.select(
+            *[F.col(col).alias(var[1:]) for var, col in seen.items()]
+        )
+        if not out_vars:
+            # fully-constant pattern: an existence gate on the rest
+            df = df.limit(1).select(F.lit(1).alias("__exists"))
+            return df, set()
+        return df, out_vars
+
+    compiled = [compile_pattern(p) for p in patterns]
+    gates = [df for df, vs in compiled if not vs]
+    varpats = [(df, vs) for df, vs in compiled if vs]
+    if not varpats:
+        # pure-ASK: one (__exists) row iff every constant pattern matched
+        out = gates[0]
+        for g in gates[1:]:
+            out = out.crossJoin(g.select(F.col("__exists").alias("__e2"))).drop(
+                "__e2"
+            )
+        return out
+    # most constants (fewest variables) first = smallest starting slice
+    remaining = sorted(
+        range(len(varpats)), key=lambda i: (len(varpats[i][1]), i)
+    )
+    first = remaining.pop(0)
+    out, bound = varpats[first]
+    while remaining:
+        pick = next((i for i in remaining if varpats[i][1] & bound), None)
+        if pick is None:
+            if not allow_product:
+                raise ValueError(
+                    "match_bgp: disconnected pattern groups form a "
+                    "cross product — pass allow_product=True if meant"
+                )
+            pick = remaining[0]
+        remaining.remove(pick)
+        df, vs = varpats[pick]
+        shared = sorted(vs & bound)
+        if shared:
+            out = out.join(df, on=shared, how="inner")
+        else:
+            out = out.crossJoin(df)
+        bound |= vs
+    for gate in gates:
+        out = out.crossJoin(gate).drop("__exists")
+    return out.distinct() if distinct else out

@@ -256,3 +256,39 @@ def test_expire_keeps_direct_table_current(spark, tmp_path):
     cat.expire_transactions(keep_last=1)
     assert cat.table("nodes").read(version=direct_v).count() == 3
     assert cat.read("nodes").count() == 2  # published view unchanged
+
+
+# ------------------------------------------------------------- tags
+
+
+def test_catalog_tag_pins_whole_graph_across_gc(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    with cat.transaction() as tx:
+        tx.append("nodes", _nodes(spark, [1, 2]))
+        tx.append("edges", _edges(spark, [(1, 2)]))
+    cat.create_tag("run-a")  # pins tx 1
+    with cat.transaction() as tx:
+        tx.overwrite("nodes", _nodes(spark, [7, 8, 9]))
+    with cat.transaction() as tx:
+        tx.overwrite("edges", _edges(spark, [(7, 8), (8, 9), (7, 9)]))
+    gone = cat.expire_transactions(keep_last=1)
+    # tagged tx 1 survives; untagged middle tx 2 is collected
+    assert 2 in gone["expired_txs"] and 1 not in gone["expired_txs"]
+    pinned = cat.tag_tx("run-a")
+    assert cat.read("nodes", tx=pinned).count() == 2
+    assert cat.read("edges", tx=pinned).count() == 1
+    assert cat.read("nodes").count() == 3
+    assert cat.tags() == {"run-a": 1}
+
+
+def test_catalog_tag_validation(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.create_tag("empty")
+    with cat.transaction() as tx:
+        tx.append("nodes", _nodes(spark, [1]))
+    cat.create_tag("t")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_tag("t")
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.tag_tx("missing")

@@ -247,3 +247,92 @@ def test_property_path_algebraic_laws(spark, seed):
     assert run("^(p|q)") == run("^p|^q")
     universe = {s for s, _, _ in triples} | {o for _, _, o in triples}
     assert run("p*") == run("p+") | {(n, n) for n in universe}
+
+
+# ---------------------------------------------------------------- BGP
+
+from ontoma_spark.operators.motif import match_bgp  # noqa: E402
+
+
+def _py_bgp(triples, patterns):
+    """Brute-force conjunctive matching: all consistent bindings."""
+    def unify(binding, pat, triple):
+        b = dict(binding)
+        for term, val in zip(pat, triple):
+            if term.startswith("?"):
+                v = term[1:]
+                if b.get(v, val) != val:
+                    return None
+                b[v] = val
+            elif term != val:
+                return None
+        return b
+
+    bindings = [{}]
+    for pat in patterns:
+        nxt = []
+        for b in bindings:
+            for t in triples:
+                u = unify(b, pat, t)
+                if u is not None:
+                    nxt.append(u)
+        bindings = nxt
+    vars_ = sorted({t[1:] for p in patterns for t in p if t.startswith("?")})
+    return {tuple(b[v] for v in vars_) for b in bindings}, vars_
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bgp_matches_bruteforce(spark, seed):
+    rng = random.Random(400 + seed)
+    nodes = [f"e{i}" for i in range(6)]
+    preds = ["exactMatch", "is_a", "xref"]
+    triples = sorted(
+        {
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(20)
+        }
+    )
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    cases = [
+        [("?m", "exactMatch", "?t"), ("?t", "is_a", "?a")],
+        [("?m", "exactMatch", "?t"), ("?t", "is_a", "e0")],
+        [("?x", "is_a", "?y"), ("?y", "is_a", "?z"), ("?x", "xref", "?w")],
+        [("?x", "?p", "?x")],  # self-loops, any predicate
+        [("?x", "is_a", "?y"), ("?y", "xref", "?x")],
+    ]
+    for patterns in cases:
+        want, vars_ = _py_bgp(triples, patterns)
+        got_df = match_bgp(df, patterns)
+        assert sorted(got_df.columns) == vars_
+        got = {
+            tuple(r[v] for v in vars_) for r in got_df.collect()
+        }
+        assert got == want, patterns
+
+
+def test_bgp_constant_gate_and_ask(spark):
+    triples = [("a", "is_a", "b"), ("x", "xref", "y")]
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    # gate true: bindings pass through; gate false: empty result
+    hit = match_bgp(df, [("?s", "is_a", "?o"), ("x", "xref", "y")])
+    assert hit.count() == 1
+    miss = match_bgp(df, [("?s", "is_a", "?o"), ("x", "xref", "z")])
+    assert miss.count() == 0
+    # pure ASK
+    assert match_bgp(df, [("a", "is_a", "b")]).count() == 1
+    assert match_bgp(df, [("a", "is_a", "z")]).count() == 0
+    assert match_bgp(df, [("a", "is_a", "b"), ("x", "xref", "y")]).count() == 1
+
+
+def test_bgp_disconnected_raises_unless_allowed(spark):
+    df = spark.createDataFrame(
+        [("a", "p", "b"), ("c", "q", "d")], TRIPLES_SCHEMA
+    )
+    with pytest.raises(ValueError, match="disconnected"):
+        match_bgp(df, [("?x", "p", "?y"), ("?u", "q", "?v")])
+    out = match_bgp(
+        df, [("?x", "p", "?y"), ("?u", "q", "?v")], allow_product=True
+    )
+    assert out.count() == 1  # 1x1 product
+    with pytest.raises(ValueError, match="at least one pattern"):
+        match_bgp(df, [])
