@@ -23,6 +23,11 @@ from ontoma_spark.operators.community import (
     louvain,
 )
 from ontoma_spark.operators.coverage import greedy_max_coverage
+from ontoma_spark.operators.dictenc import (
+    build_term_dict,
+    decode_terms,
+    encode_terms,
+)
 from ontoma_spark.operators.er import (
     FellegiSunterModel,
     fit_fellegi_sunter,
@@ -117,6 +122,8 @@ __all__ = [
     "overlap_matrix",
     "align_intervals",
     "coalesce_intervals",
+    "decode_terms",
+    "encode_terms",
     "covered_length",
     "degree_powerlaw",
     "mad_outliers",
@@ -132,6 +139,7 @@ __all__ = [
     "asof_join",
     "betweenness_centrality",
     "blocking_metrics",
+    "build_term_dict",
     "hierarchical_pr",
     "funnel",
     "funnel_conversion",

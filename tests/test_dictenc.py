@@ -1,0 +1,101 @@
+"""Dictionary encoding: deterministic injective term ids with a
+verified collision-resolution path (weak-hash injection)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+import pyspark.sql.functions as F
+
+from ontoma_spark.operators.dictenc import (
+    build_term_dict,
+    decode_terms,
+    encode_terms,
+)
+
+
+def _terms_df(spark, terms):
+    return spark.createDataFrame([(t,) for t in terms], "term_col string")
+
+
+def test_dict_is_injective_and_deterministic(spark):
+    terms = [f"EFO:{i:07d}" for i in range(500)] + ["cancer", "melanoma"]
+    df = _terms_df(spark, terms)
+    d1 = build_term_dict(df, "term_col")
+    assert d1.count() == len(set(terms))
+    assert d1.select("id").distinct().count() == len(set(terms))
+    # stable across independent builds (the property that lets two
+    # tables be encoded separately and still join)
+    d2 = build_term_dict(_terms_df(spark, list(reversed(terms))), "term_col")
+    assert d1.exceptAll(d2).count() == 0 and d2.exceptAll(d1).count() == 0
+
+
+def test_weak_hash_collisions_are_resolved(spark):
+    # crc32 % 64: 64 slots for 40 terms — heavy initial collisions
+    # that the re-salt loop must resolve into 40 distinct ids,
+    # deterministically
+    terms = [f"t{i}" for i in range(40)]
+    weak = lambda c: (F.crc32(c) % 64).cast("long")  # noqa: E731
+    d = build_term_dict(_terms_df(spark, terms), "term_col", hash_fn=weak)
+    assert d.count() == 40
+    assert d.select("id").distinct().count() == 40
+    d2 = build_term_dict(_terms_df(spark, terms), "term_col", hash_fn=weak)
+    assert d.exceptAll(d2).count() == 0
+
+
+def test_degenerate_hash_raises(spark):
+    const = lambda c: F.lit(7).cast("long")  # noqa: E731
+    with pytest.raises(RuntimeError, match="degenerate"):
+        build_term_dict(
+            _terms_df(spark, ["a", "b", "c"]), "term_col", hash_fn=const
+        )
+
+
+def test_encode_decode_roundtrip_on_triples(spark):
+    rng = random.Random(0)
+    nodes = [f"EFO:{i}" for i in range(30)]
+    triples = [
+        (rng.choice(nodes), "is_a", rng.choice(nodes)) for _ in range(100)
+    ]
+    df = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    vocab = df.select(F.col("subj").alias("t")).union(
+        df.select(F.col("obj").alias("t"))
+    )
+    d = build_term_dict(vocab, "t")
+    enc = encode_terms(df, ["subj", "obj"], d)
+    assert dict(enc.dtypes)["subj"] == "bigint"
+    assert dict(enc.dtypes)["obj"] == "bigint"
+    assert enc.filter(F.col("subj").isNull()).count() == 0
+    dec = decode_terms(enc, ["subj", "obj"], d)
+    assert dec.columns == df.columns
+    assert sorted(map(tuple, dec.collect())) == sorted(triples)
+
+
+def test_encode_unknown_terms_null_and_null_terms_skipped(spark):
+    d = build_term_dict(_terms_df(spark, ["a", "b", None]), "term_col")
+    assert d.count() == 2  # NULL terms never enter the dict
+    enc = encode_terms(
+        spark.createDataFrame([("a",), ("zzz",)], "x string"), ["x"], d
+    )
+    vals = {r["x"] for r in enc.collect()}
+    assert None in vals and len(vals) == 2
+
+
+def test_encoded_graph_ops_agree_with_string_graph(spark):
+    from ontoma_spark.operators.graph import transitive_closure
+
+    edges = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    vocab = df.select(F.col("src").alias("t")).union(
+        df.select(F.col("dst").alias("t"))
+    )
+    d = build_term_dict(vocab, "t")
+    enc = encode_terms(df, ["src", "dst"], d)
+    got = decode_terms(
+        transitive_closure(enc, "src", "dst"), ["src", "dst"], d
+    )
+    want = transitive_closure(df, "src", "dst")
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
