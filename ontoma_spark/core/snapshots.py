@@ -880,6 +880,9 @@ class SnapshotTable:
             f.write(str(at or 0))
         return at or 0
 
+    def has_branch(self, name: str) -> bool:
+        return os.path.exists(self._ref_path(name))
+
     def drop_branch(self, name: str) -> None:
         if name == "main":
             raise ValueError("cannot drop main")

@@ -94,6 +94,26 @@ def main(argv: list[str] | None = None) -> dict:
         "haven't landed; the whole graph time-travels together",
     )
     ap.add_argument(
+        "--snapshot-branch",
+        help="with --snapshot-table: stage the publish on this BRANCH "
+        "(write-audit-publish) instead of committing straight to main "
+        "— main readers see nothing until the audited fast-forward",
+    )
+    ap.add_argument(
+        "--audit",
+        action="store_true",
+        help="with --snapshot-branch: gate the publish on the triple "
+        "quality suite (non-null subj/pred/obj, non-empty set); an "
+        "audit failure leaves main untouched and the branch staged "
+        "for inspection",
+    )
+    ap.add_argument(
+        "--tag",
+        help="pin the published result under this immutable name — a "
+        "snapshot tag with --snapshot-table, a whole-graph catalog "
+        "tag with --catalog; expire/GC retains tagged versions",
+    )
+    ap.add_argument(
         "--no-lint",
         action="store_true",
         help="skip the pre-flight plan lint (core/planlint.py); by "
@@ -157,11 +177,33 @@ def main(argv: list[str] | None = None) -> dict:
         from ontoma_spark.pipeline.lineage import TRIPLES_DIR
 
         table = SnapshotTable(spark, args.snapshot_table)
-        summary["snapshot_version"] = table.overwrite(
-            spark.read.parquet(os.path.join(args.out, TRIPLES_DIR)).drop(
-                "bucket"
+        published = spark.read.parquet(
+            os.path.join(args.out, TRIPLES_DIR)
+        ).drop("bucket")
+        if args.snapshot_branch:
+            name = args.snapshot_branch
+            if not table.has_branch(name):
+                table.create_branch(name)
+            table.branch(name).overwrite(published)
+            audit = None
+            if args.audit:
+                from ontoma_spark.operators import quality
+
+                checks = [
+                    quality.completeness("subj"),
+                    quality.completeness("pred"),
+                    quality.completeness("obj"),
+                    quality.size_between(1),
+                ]
+                audit = lambda d: quality.suite_passed(d, checks)  # noqa: E731
+            summary["snapshot_version"] = table.publish_branch(
+                name, audit=audit
             )
-        )
+        else:
+            summary["snapshot_version"] = table.overwrite(published)
+        if args.tag:
+            table.create_tag(args.tag, summary["snapshot_version"])
+            summary["tag"] = args.tag
     if args.catalog:
         import os
 

@@ -189,3 +189,50 @@ def test_time_travel_on_branch(spark, table):
     v = b.append(_df(spark, 10, 20))
     assert b.read(version=v).count() == 20
     assert b.read(version=table.current_version()).count() == 10
+
+
+def test_pipeline_wap_publish_with_tag(spark, tmp_path):
+    """End-to-end CLI: --snapshot-branch stages the triple publish,
+    --audit gates it, --tag pins it; main lands only the audited
+    fast-forward."""
+    from ontoma_spark.pipeline import run as runmod
+
+    snap_root = str(tmp_path / "graph_table")
+    summary = runmod.main(
+        [
+            "--synthetic-rows", "200",
+            "--out", str(tmp_path / "out1"),
+            "--n-buckets", "4",
+            "--buckets-per-job", "4",
+            "--no-fuzzy",
+            "--snapshot-table", snap_root,
+            "--snapshot-branch", "stage",
+            "--audit",
+            "--tag", "run-1",
+        ]
+    )
+    t = SnapshotTable(spark, snap_root)
+    assert t.current_version() == summary["snapshot_version"]
+    assert t.read().count() == t.snapshot(t.current_version())["row_count"] > 0
+    assert t.tag_version("run-1") == summary["snapshot_version"]
+    # the staging branch was consumed by the publish
+    assert not t.has_branch("stage")
+    # second run re-creates the branch and fast-forwards again
+    summary2 = runmod.main(
+        [
+            "--synthetic-rows", "150",
+            "--out", str(tmp_path / "out2"),
+            "--n-buckets", "4",
+            "--buckets-per-job", "4",
+            "--no-fuzzy",
+            "--snapshot-table", snap_root,
+            "--snapshot-branch", "stage",
+            "--audit",
+            "--tag", "run-2",
+        ]
+    )
+    assert summary2["snapshot_version"] > summary["snapshot_version"]
+    assert t.tag_version("run-1") != t.tag_version("run-2")
+    # the tagged first run stays byte-readable after GC
+    t.expire_snapshots(keep_last=1)
+    assert t.read(version=t.tag_version("run-1")).count() > 0
