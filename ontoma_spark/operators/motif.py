@@ -341,6 +341,7 @@ def match_bgp(
     obj_col: str = "obj",
     distinct: bool = True,
     allow_product: bool = False,
+    optional: list[list[tuple[str, str, str]]] | None = None,
 ) -> DataFrame:
     """Conjunctive basic-graph-pattern (SPARQL BGP) matching: bindings
     of the variables shared across a list of (s, p, o) triple
@@ -361,6 +362,18 @@ def match_bgp(
     is ever formed; a disconnected pattern group raises unless
     ``allow_product=True`` (deliberate cross products only). AQE
     broadcasts whichever slice turns out small.
+
+    ``optional``: SPARQL OPTIONAL groups — each group is its own
+    pattern list, solved like a BGP and LEFT-joined to the result so
+    far on their shared variables (its new variables NULL where the
+    group found no match). Groups apply in the given order, and later
+    groups may reference variables an earlier optional introduced
+    (SPARQL's sequential semantics); a group sharing no variable with
+    the bindings raises. E.g. mentions with their term and, where one
+    exists, the term's xref::
+
+        match_bgp(t, [("?m", "exactMatch", "?t")],
+                  optional=[[("?t", "xref", "?x")]])
     """
     if not patterns:
         raise ValueError("match_bgp: need at least one pattern")
@@ -393,40 +406,68 @@ def match_bgp(
             return df, set()
         return df, out_vars
 
-    compiled = [compile_pattern(p) for p in patterns]
-    gates = [df for df, vs in compiled if not vs]
-    varpats = [(df, vs) for df, vs in compiled if vs]
-    if not varpats:
-        # pure-ASK: one (__exists) row iff every constant pattern matched
-        out = gates[0]
-        for g in gates[1:]:
-            out = out.crossJoin(g.select(F.col("__exists").alias("__e2"))).drop(
-                "__e2"
+    def solve(pats: list[tuple[str, str, str]]) -> tuple[DataFrame, set]:
+        """Greedy shared-variable join of one pattern group; returns
+        (bindings, bound variable set) — empty set marks pure-ASK."""
+        compiled = [compile_pattern(p) for p in pats]
+        gates = [df for df, vs in compiled if not vs]
+        varpats = [(df, vs) for df, vs in compiled if vs]
+        if not varpats:
+            # pure-ASK: one (__exists) row iff every constant matched
+            out = gates[0]
+            for g in gates[1:]:
+                out = out.crossJoin(
+                    g.select(F.col("__exists").alias("__e2"))
+                ).drop("__e2")
+            return out, set()
+        # most constants (fewest variables) first = smallest start slice
+        remaining = sorted(
+            range(len(varpats)), key=lambda i: (len(varpats[i][1]), i)
+        )
+        first = remaining.pop(0)
+        out, bound = varpats[first]
+        while remaining:
+            pick = next(
+                (i for i in remaining if varpats[i][1] & bound), None
             )
+            if pick is None:
+                if not allow_product:
+                    raise ValueError(
+                        "match_bgp: disconnected pattern groups form a "
+                        "cross product — pass allow_product=True if meant"
+                    )
+                pick = remaining[0]
+            remaining.remove(pick)
+            df, vs = varpats[pick]
+            shared = sorted(vs & bound)
+            if shared:
+                out = out.join(df, on=shared, how="inner")
+            else:
+                out = out.crossJoin(df)
+            bound |= vs
+        for gate in gates:
+            out = out.crossJoin(gate).drop("__exists")
+        return out, bound
+
+    out, bound = solve(patterns)
+    if not bound:
+        if optional:
+            raise ValueError("match_bgp: OPTIONAL needs a variable BGP")
         return out
-    # most constants (fewest variables) first = smallest starting slice
-    remaining = sorted(
-        range(len(varpats)), key=lambda i: (len(varpats[i][1]), i)
-    )
-    first = remaining.pop(0)
-    out, bound = varpats[first]
-    while remaining:
-        pick = next((i for i in remaining if varpats[i][1] & bound), None)
-        if pick is None:
-            if not allow_product:
-                raise ValueError(
-                    "match_bgp: disconnected pattern groups form a "
-                    "cross product — pass allow_product=True if meant"
-                )
-            pick = remaining[0]
-        remaining.remove(pick)
-        df, vs = varpats[pick]
-        shared = sorted(vs & bound)
-        if shared:
-            out = out.join(df, on=shared, how="inner")
-        else:
-            out = out.crossJoin(df)
-        bound |= vs
-    for gate in gates:
-        out = out.crossJoin(gate).drop("__exists")
+    # required part stays a bag until the optionals have joined; the
+    # final distinct covers everything
+    for group in optional or []:
+        g_out, g_vars = solve(group)
+        if not g_vars:
+            raise ValueError(
+                "match_bgp: constant-only OPTIONAL group is meaningless"
+            )
+        shared = sorted(g_vars & bound)
+        if not shared:
+            raise ValueError(
+                "match_bgp: OPTIONAL group shares no variable with the "
+                "bindings so far"
+            )
+        out = out.join(g_out.distinct(), on=shared, how="left")
+        bound |= g_vars
     return out.distinct() if distinct else out

@@ -336,3 +336,88 @@ def test_bgp_disconnected_raises_unless_allowed(spark):
     assert out.count() == 1  # 1x1 product
     with pytest.raises(ValueError, match="at least one pattern"):
         match_bgp(df, [])
+
+
+def _py_bgp_optional(triples, patterns, optional):
+    """Brute-force required + sequential OPTIONAL left-extension."""
+    def unify(binding, pat, triple):
+        b = dict(binding)
+        for term, val in zip(pat, triple):
+            if term.startswith("?"):
+                v = term[1:]
+                if b.get(v, val) != val:
+                    return None
+                b[v] = val
+            elif term != val:
+                return None
+        return b
+
+    def solve(pats, seeds):
+        bindings = seeds
+        for pat in pats:
+            nxt = []
+            for b in bindings:
+                for t in triples:
+                    u = unify(b, pat, t)
+                    if u is not None:
+                        nxt.append(u)
+            bindings = nxt
+        return bindings
+
+    out = solve(patterns, [{}])
+    all_vars = {t[1:] for p in patterns for t in p if t.startswith("?")}
+    for group in optional:
+        g_vars = {t[1:] for p in group for t in p if t.startswith("?")}
+        nxt = []
+        for b in out:
+            ext = solve(group, [b])
+            if ext:
+                nxt.extend(ext)
+            else:
+                nxt.append({**b, **{v: None for v in g_vars - set(b)}})
+        out = nxt
+        all_vars |= g_vars
+    vars_ = sorted(all_vars)
+    return {tuple(b.get(v) for v in vars_) for b in out}, vars_
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bgp_optional_matches_bruteforce(spark, seed):
+    rng = random.Random(500 + seed)
+    nodes = [f"e{i}" for i in range(6)]
+    triples = sorted(
+        {
+            (rng.choice(nodes), rng.choice(["em", "is_a", "xref"]), rng.choice(nodes))
+            for _ in range(18)
+        }
+    )
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    cases = [
+        ([("?m", "em", "?t")], [[("?t", "xref", "?x")]]),
+        ([("?m", "em", "?t")], [[("?t", "is_a", "?a")], [("?a", "xref", "?x")]]),
+        ([("?s", "is_a", "?o")], [[("?o", "is_a", "?g"), ("?g", "xref", "?x")]]),
+    ]
+    for patterns, opt in cases:
+        want, vars_ = _py_bgp_optional(triples, patterns, opt)
+        got_df = match_bgp(df, patterns, optional=opt)
+        assert sorted(got_df.columns) == vars_
+        got = {tuple(r[v] for v in vars_) for r in got_df.collect()}
+        assert got == want, (patterns, opt)
+
+
+def test_bgp_optional_null_extension_and_validation(spark):
+    df = spark.createDataFrame(
+        [("m1", "em", "t1"), ("m2", "em", "t2"), ("t1", "xref", "X1")],
+        TRIPLES_SCHEMA,
+    )
+    out = match_bgp(df, [("?m", "em", "?t")], optional=[[("?t", "xref", "?x")]])
+    got = {(r["m"], r["t"], r["x"]) for r in out.collect()}
+    assert got == {("m1", "t1", "X1"), ("m2", "t2", None)}
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_bgp(
+            df, [("?m", "em", "?t")], optional=[[("?u", "xref", "?v")]]
+        ).collect()
+    with pytest.raises(ValueError, match="constant-only OPTIONAL"):
+        match_bgp(
+            df, [("?m", "em", "?t")], optional=[[("t1", "xref", "X1")]]
+        ).collect()
