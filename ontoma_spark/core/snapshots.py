@@ -425,6 +425,7 @@ class SnapshotTable:
         zorder: list[str] | None = None,
         zorder_files: int | None = None,
         bloom_cols: list[str] | None = None,
+        properties: dict | None = None,
     ) -> int:
         """New snapshot = parent's manifest + one new data dir.
 
@@ -433,7 +434,9 @@ class SnapshotTable:
         rows on an interleaved-bit key first so those stats are tight;
         ``bloom_cols`` attaches per-file Bloom bitmaps for point-lookup
         pruning (``read(where_eq=...)``) on columns min/max can't help
-        with (unsorted high-cardinality keys).
+        with (unsorted high-cardinality keys). ``properties`` overlay
+        the carried parent properties on the new snapshot (e.g. a
+        stream high-water mark).
         """
         parent = self.current_version()
         base: list[str] = []
@@ -463,6 +466,8 @@ class SnapshotTable:
             df, (parent or 0) + 1, stats_cols, bloom_cols
         )
         stats.update(new_stats)
+        if properties:
+            props = {**props, **properties}
         return self._commit(
             [*base, rel], "append", base_rows + n, stats,
             properties=props, delete_files=dels, eq_delete_files=eq,

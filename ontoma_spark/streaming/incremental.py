@@ -443,3 +443,90 @@ def stream_interval_join(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_append_to_branch(
+    spark: SparkSession,
+    input_dir: str,
+    table_root: str,
+    branch: str,
+    checkpoint_dir: str,
+    schema: str,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming ingest into a snapshot-table STAGING BRANCH — the
+    streaming half of write-audit-publish: every micro-batch appends to
+    ``branch`` (created at main's head if missing), so main readers see
+    NOTHING until ``publish_stream_epoch`` fast-forwards main through
+    the audit. The branch lives across epochs: publish keeps the ref
+    (``drop=False``), the next batches diverge from the new main, and
+    the next epoch publishes again — continuous ingestion, gated
+    releases.
+
+    Exactly-once staging under foreachBatch's at-least-once delivery:
+    the same ``stream_batch_id`` high-water mark as
+    ``stream_snapshot_upsert``, recorded on the BRANCH's commit chain
+    (the guard walks parent pointers, so pre-fork main commits and
+    publishes never reset it).
+    """
+    from ontoma_spark.core.snapshots import SnapshotTable
+
+    table = SnapshotTable(spark, table_root)
+    if not table.has_branch(branch):
+        table.create_branch(branch)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch_into_branch(
+            spark, table_root, branch, batch_df, batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def append_batch_into_branch(
+    spark: SparkSession,
+    table_root: str,
+    branch: str,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> int | None:
+    """One micro-batch's guarded append to the staging branch (the
+    foreachBatch body of ``stream_append_to_branch``, exposed for
+    direct testing). Returns the committed version, or None for a
+    retried batch (no-op)."""
+    from ontoma_spark.core.snapshots import SnapshotTable
+
+    table = SnapshotTable(spark, table_root)
+    if not table.has_branch(branch):
+        table.create_branch(branch)
+    b = table.branch(branch)
+    if _stream_batch_already_committed(b, batch_id):
+        return None
+    return b.append(
+        batch_df, properties={"stream_batch_id": int(batch_id)}
+    )
+
+
+def publish_stream_epoch(
+    spark: SparkSession,
+    table_root: str,
+    branch: str,
+    audit=None,
+) -> int:
+    """Audited epoch release: fast-forward main to the staging branch's
+    head (``core/snapshots.py::publish_branch`` semantics — an audit
+    veto or a diverged main raises and main is untouched). The branch
+    ref survives for the next epoch's batches."""
+    from ontoma_spark.core.snapshots import SnapshotTable
+
+    table = SnapshotTable(spark, table_root)
+    return table.publish_branch(branch, audit=audit, drop=False)

@@ -236,3 +236,61 @@ def test_pipeline_wap_publish_with_tag(spark, tmp_path):
     # the tagged first run stays byte-readable after GC
     t.expire_snapshots(keep_last=1)
     assert t.read(version=t.tag_version("run-1")).count() > 0
+
+
+def test_streaming_ingest_into_branch_with_epoch_publish(spark, tmp_path):
+    """Micro-batches stage on the branch (exactly-once under retries),
+    main only moves at the audited epoch publish, the branch survives
+    for the next epoch."""
+    from ontoma_spark.streaming.incremental import (
+        append_batch_into_branch,
+        publish_stream_epoch,
+    )
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, 0, 5))  # pre-existing published data
+
+    v1 = append_batch_into_branch(spark, root, "ingest", _df(spark, 5, 8), 0)
+    v2 = append_batch_into_branch(spark, root, "ingest", _df(spark, 8, 12), 1)
+    assert v1 is not None and v2 is not None
+    # a retried batch is a no-op
+    assert append_batch_into_branch(spark, root, "ingest", _df(spark, 5, 8), 1) is None
+    assert t.read().count() == 5  # main untouched while staging
+    assert t.branch("ingest").read().count() == 12
+
+    checks = [quality.completeness("v"), quality.uniqueness("v")]
+    head = publish_stream_epoch(
+        spark, root, "ingest",
+        audit=lambda df: quality.suite_passed(df, checks),
+    )
+    assert t.current_version() == head
+    assert sorted(r["v"] for r in t.read().collect()) == list(range(12))
+    assert t.has_branch("ingest")  # epoch branch survives
+
+    # epoch 2: more batches + publish again
+    append_batch_into_branch(spark, root, "ingest", _df(spark, 12, 15), 2)
+    assert t.read().count() == 12
+    publish_stream_epoch(spark, root, "ingest")
+    assert t.read().count() == 15
+
+
+def test_streaming_branch_audit_veto_blocks_epoch(spark, tmp_path):
+    from ontoma_spark.streaming.incremental import (
+        append_batch_into_branch,
+        publish_stream_epoch,
+    )
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    append_batch_into_branch(
+        spark, root, "ingest",
+        spark.createDataFrame([(1,), (None,)], "v long"), 0,
+    )
+    checks = [quality.completeness("v")]
+    with pytest.raises(ValueError, match="audit vetoed"):
+        publish_stream_epoch(
+            spark, root, "ingest",
+            audit=lambda df: quality.suite_passed(df, checks),
+        )
+    assert t.current_version() is None  # nothing ever published
