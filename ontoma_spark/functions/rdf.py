@@ -117,3 +117,38 @@ def to_ntriples(
             obj_term, F.lit(" ."),
         ),
     )
+
+
+def to_nquads(
+    triples: DataFrame,
+    graph: str | Column,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    prefixes: dict[str, str] | None = None,
+    out_col: str = "nq",
+) -> DataFrame:
+    """One W3C N-Quads line per row: the N-Triples terms plus a graph
+    label — how provenance-partitioned KG exports ship (one named
+    graph per source, per snapshot tag, or per extraction run).
+    ``graph`` is a CURIE/IRI string applied to every row, or a Column
+    (e.g. ``F.col("source")``) for per-row graph labels; the same
+    CURIE expansion / URN fallback as subjects applies. Still a pure
+    projection — zero shuffles at any scale."""
+    pf = DEFAULT_PREFIXES if prefixes is None else prefixes
+    g = F.lit(graph) if isinstance(graph, str) else graph
+    g_iri = F.coalesce(
+        _expand_curie(g, pf),
+        F.concat(F.lit("urn:kg:graph:"), _encode_iri_part(g)),
+    )
+    nt = to_ntriples(
+        triples, subj_col, pred_col, obj_col, prefixes, out_col="__nt"
+    )
+    return nt.withColumn(
+        out_col,
+        F.concat(
+            # strip the trailing "." from the NT line, add the graph
+            F.col("__nt").substr(F.lit(1), F.length("__nt") - 1),
+            F.lit("<"), g_iri, F.lit("> ."),
+        ),
+    ).drop("__nt")

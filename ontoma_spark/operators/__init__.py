@@ -40,6 +40,14 @@ from ontoma_spark.operators.intervals import (
 )
 from ontoma_spark.operators.infer import rdfs_materialize
 from ontoma_spark.operators.mis import luby_mis
+from ontoma_spark.operators.shapes import (
+    max_count,
+    min_count,
+    object_in,
+    object_pattern,
+    validate_shape,
+    violating_nodes,
+)
 from ontoma_spark.operators.skew import skew_report
 from ontoma_spark.operators.mst import boruvka_msf
 from ontoma_spark.operators.overlap import overlap_matrix
@@ -151,6 +159,8 @@ __all__ = [
     "ktruss",
     "link_prediction_eval",
     "match_bgp",
+    "max_count",
+    "min_count",
     "match_path",
     "match_property_path",
     "merge_embeddings",
@@ -163,8 +173,12 @@ __all__ = [
     "quantile_bins",
     "score_calibration",
     "shortest_paths",
+    "object_in",
+    "object_pattern",
     "star_centers",
     "subtree_rollup",
+    "validate_shape",
+    "violating_nodes",
     "text_embeddings",
     "wl_signatures",
     "clustering_coefficient",

@@ -1,0 +1,183 @@
+"""SHACL-style shape validation over the (subj, pred, obj) triple table.
+
+The tabular quality suite (``operators/quality.py``) gates COLUMNS; a
+knowledge graph's invariants are per-NODE: "every mention has exactly
+one skos:exactMatch", "every exactMatch object is an EFO/MONDO/HP
+CURIE", "every is_a object is a known ontology term". That is what
+W3C SHACL node shapes express; this module implements the useful
+subset — cardinality (sh:minCount / sh:maxCount), object pattern
+(sh:pattern), and object membership in a node table (sh:class /
+sh:in) — compiled to DataFrame algebra.
+
+Scale shape
+-----------
+All cardinality and pattern constraints for one shape fuse into ONE
+``groupBy(subj)`` pass over the focus slice (conditional aggregates,
+map-side combined) — N constraints never cost N scans. Membership
+constraints each add one left-anti join of the relevant object slice
+against the allowed-node table (ontology-sized, broadcastable), then
+fold into the same per-node frame. The report is constraint-sized;
+``violating_nodes`` returns the per-node detail for triage.
+
+Oracle: brute-force per-node evaluation in tests/test_shapes.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+Constraint = dict
+
+
+def min_count(pred: str, n: int) -> Constraint:
+    """Focus node must carry >= n triples of ``pred`` (sh:minCount)."""
+    return {"kind": "min_count", "pred": pred, "n": int(n)}
+
+
+def max_count(pred: str, n: int) -> Constraint:
+    """Focus node must carry <= n triples of ``pred`` (sh:maxCount)."""
+    return {"kind": "max_count", "pred": pred, "n": int(n)}
+
+
+def object_pattern(pred: str, regex: str) -> Constraint:
+    """Every ``pred`` object must rlike ``regex`` (sh:pattern)."""
+    return {"kind": "object_pattern", "pred": pred, "regex": regex}
+
+
+def object_in(pred: str, nodes: DataFrame, node_col: str) -> Constraint:
+    """Every ``pred`` object must appear in ``nodes[node_col]``
+    (sh:class membership against a node table)."""
+    return {
+        "kind": "object_in",
+        "pred": pred,
+        "nodes": nodes,
+        "node_col": node_col,
+    }
+
+
+def _cname(i: int, c: Constraint) -> str:
+    return f"c{i}_{c['kind']}_{c['pred']}"
+
+
+def validate_shape(
+    triples: DataFrame,
+    focus_pred: str,
+    constraints: list[Constraint],
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Validation report for the shape whose focus nodes are all
+    distinct subjects carrying ``focus_pred``. One row per constraint:
+    (constraint, pred, n_focus, n_violating, passed). ``passed`` is
+    SHACL conformance for that constraint: zero violating focus nodes.
+    """
+    per_node = _per_node_violations(
+        triples, focus_pred, constraints, subj_col, pred_col, obj_col
+    )
+    names = [_cname(i, c) for i, c in enumerate(constraints)]
+    agg = per_node.agg(
+        F.count(F.lit(1)).alias("__n_focus"),
+        *[F.sum(F.col(n).cast("int")).alias(n) for n in names],
+    )
+    rows = []
+    for i, (c, n) in enumerate(zip(constraints, names)):
+        rows.append(
+            agg.select(
+                F.lit(n).alias("constraint"),
+                F.lit(c["pred"]).alias("pred"),
+                F.col("__n_focus").cast("long").alias("n_focus"),
+                F.col(n).cast("long").alias("n_violating"),
+                (F.col(n) == 0).alias("passed"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def violating_nodes(
+    triples: DataFrame,
+    focus_pred: str,
+    constraints: list[Constraint],
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Per-node triage detail: focus nodes violating ANY constraint,
+    with one boolean column per constraint."""
+    per_node = _per_node_violations(
+        triples, focus_pred, constraints, subj_col, pred_col, obj_col
+    )
+    names = [_cname(i, c) for i, c in enumerate(constraints)]
+    cond = F.lit(False)
+    for n in names:
+        cond = cond | F.col(n)
+    return per_node.filter(cond)
+
+
+def _per_node_violations(
+    triples: DataFrame,
+    focus_pred: str,
+    constraints: list[Constraint],
+    subj_col: str,
+    pred_col: str,
+    obj_col: str,
+) -> DataFrame:
+    if not constraints:
+        raise ValueError("validate_shape: need at least one constraint")
+    s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
+    focus = (
+        triples.filter(p == focus_pred)
+        .select(s.alias("__node"))
+        .distinct()
+    )
+    scoped = triples.join(
+        focus, triples[subj_col] == focus["__node"], "left_semi"
+    )
+
+    # one fused groupBy(subj) for every counting/pattern constraint
+    aggs = []
+    fold_joins: list[tuple[str, DataFrame]] = []
+    for i, c in enumerate(constraints):
+        name = _cname(i, c)
+        is_pred = p == c["pred"]
+        if c["kind"] == "min_count":
+            aggs.append(
+                (F.sum(is_pred.cast("int")) < c["n"]).alias(name)
+            )
+        elif c["kind"] == "max_count":
+            aggs.append(
+                (F.sum(is_pred.cast("int")) > c["n"]).alias(name)
+            )
+        elif c["kind"] == "object_pattern":
+            bad = is_pred & ~o.rlike(c["regex"])
+            aggs.append((F.sum(bad.cast("int")) > 0).alias(name))
+        elif c["kind"] == "object_in":
+            # membership needs a join: anti-join this pred's object
+            # slice against the allowed nodes, then fold per subject
+            allowed = c["nodes"].select(
+                F.col(c["node_col"]).cast("string").alias("__ok")
+            ).distinct()
+            bad_nodes = (
+                scoped.filter(is_pred)
+                .join(allowed, o.cast("string") == F.col("__ok"), "left_anti")
+                .select(s.alias("__node"))
+                .distinct()
+                .withColumn(name, F.lit(True))
+            )
+            fold_joins.append((name, bad_nodes))
+            aggs.append(F.first(F.lit(False)).alias(name + "__ph"))
+        else:  # pragma: no cover - constructor invariant
+            raise ValueError(f"unknown constraint kind {c['kind']!r}")
+
+    per_node = scoped.groupBy(s.alias("__node")).agg(*aggs)
+    for name, bad_nodes in fold_joins:
+        per_node = (
+            per_node.join(bad_nodes, "__node", "left")
+            .withColumn(name, F.coalesce(F.col(name), F.lit(False)))
+            .drop(name + "__ph")
+        )
+    return per_node

@@ -6,6 +6,7 @@ import pytest
 
 from ontoma_spark.core.planlint import assert_plan_clean
 from ontoma_spark.functions.rdf import to_ntriples
+import pyspark.sql.functions as F
 
 
 def _nt(spark, rows):
@@ -64,3 +65,42 @@ def test_ntriples_custom_prefixes_and_plan(spark):
         "<http://x.org/2> ."
     )
     assert_plan_clean(out)
+
+
+# ------------------------------------------------------------- N-Quads
+
+
+def test_nquads_constant_and_per_row_graph(spark):
+    from ontoma_spark.functions.rdf import to_nquads
+
+    df = spark.createDataFrame(
+        [("EFO:1", "skos:exactMatch", "EFO:2", "srcA")],
+        "subj string, pred string, obj string, source string",
+    )
+    row = to_nquads(df, "EFO:9").select("nq").collect()[0]["nq"]
+    assert row.endswith("<http://www.ebi.ac.uk/efo/EFO_9> .")
+    assert row.startswith("<http://www.ebi.ac.uk/efo/EFO_1> ")
+    # per-row graph column with URN fallback + IRI escaping
+    row2 = (
+        to_nquads(df, F.col("source"))
+        .select("nq")
+        .collect()[0]["nq"]
+    )
+    assert row2.endswith("<urn:kg:graph:srcA> .")
+    # quad = triple terms + graph: the NT prefix is preserved verbatim
+    from ontoma_spark.functions.rdf import to_ntriples
+
+    nt = to_ntriples(df).select("nt").collect()[0]["nt"]
+    assert row2.startswith(nt[:-1])  # same up to the trailing "."
+
+
+def test_nquads_graph_needing_escape(spark):
+    from ontoma_spark.functions.rdf import to_nquads
+
+    df = spark.createDataFrame(
+        [("m 1", "rel", "lit \"x\"", "run 2026<a>")],
+        "subj string, pred string, obj string, g string",
+    )
+    row = to_nquads(df, F.col("g")).select("nq").collect()[0]["nq"]
+    assert "<urn:kg:graph:run%202026%3Ca%3E> ." in row
+    assert row.count("<") == row.count(">")

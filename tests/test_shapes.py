@@ -1,0 +1,127 @@
+"""SHACL-lite shape validation vs a brute-force per-node oracle."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+
+from ontoma_spark.operators.shapes import (
+    max_count,
+    min_count,
+    object_in,
+    object_pattern,
+    validate_shape,
+    violating_nodes,
+)
+
+TRIPLES_SCHEMA = "subj string, pred string, obj string"
+
+
+def _brute(triples, focus_pred, constraints, allowed=None):
+    focus = {s for s, p, _ in triples if p == focus_pred}
+    out = {}
+    for node in focus:
+        mine = [(p, o) for s, p, o in triples if s == node]
+        flags = []
+        for c in constraints:
+            objs = [o for p, o in mine if p == c["pred"]]
+            if c["kind"] == "min_count":
+                flags.append(len(objs) < c["n"])
+            elif c["kind"] == "max_count":
+                flags.append(len(objs) > c["n"])
+            elif c["kind"] == "object_pattern":
+                flags.append(any(not re.search(c["regex"], o) for o in objs))
+            elif c["kind"] == "object_in":
+                flags.append(any(o not in allowed for o in objs))
+        out[node] = flags
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_shape_report_matches_bruteforce(spark, seed):
+    rng = random.Random(600 + seed)
+    subs = [f"m{i}" for i in range(8)]
+    terms = [f"EFO:{i}" for i in range(4)] + ["junk1", "junk2"]
+    triples = sorted(
+        {
+            (
+                rng.choice(subs),
+                rng.choice(["exactMatch", "relatedMatch", "seen_in"]),
+                rng.choice(terms),
+            )
+            for _ in range(30)
+        }
+    )
+    allowed = {t for t in terms if t.startswith("EFO:")}
+    nodes_df = spark.createDataFrame([(t,) for t in allowed], "id string")
+    constraints = [
+        min_count("exactMatch", 1),
+        max_count("exactMatch", 2),
+        object_pattern("exactMatch", "^EFO:"),
+        object_in("exactMatch", nodes_df, "id"),
+    ]
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    want = _brute(triples, "exactMatch", constraints, allowed)
+
+    report = {
+        r["constraint"]: (r["n_focus"], r["n_violating"], r["passed"])
+        for r in validate_shape(df, "exactMatch", constraints).collect()
+    }
+    for i, c in enumerate(constraints):
+        n_viol = sum(1 for flags in want.values() if flags[i])
+        key = [k for k in report if k.startswith(f"c{i}_")][0]
+        assert report[key] == (len(want), n_viol, n_viol == 0), (i, c)
+
+    detail = {
+        r["__node"]: [r[k] for k in sorted(r.asDict()) if k != "__node"]
+        for r in violating_nodes(df, "exactMatch", constraints).collect()
+    }
+    want_bad = {n for n, flags in want.items() if any(flags)}
+    assert set(detail) == want_bad
+
+
+def test_shape_fixture_cardinality_and_membership(spark):
+    triples = [
+        ("m1", "exactMatch", "EFO:1"),
+        ("m2", "exactMatch", "EFO:1"),
+        ("m2", "exactMatch", "EFO:2"),
+        ("m2", "exactMatch", "EFO:3"),
+        ("m3", "exactMatch", "NOT_A_TERM"),
+        ("m4", "relatedMatch", "EFO:1"),  # not a focus node
+    ]
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    nodes = spark.createDataFrame(
+        [("EFO:1",), ("EFO:2",), ("EFO:3",)], "id string"
+    )
+    rep = {
+        r["constraint"]: r
+        for r in validate_shape(
+            df,
+            "exactMatch",
+            [
+                max_count("exactMatch", 2),
+                object_in("exactMatch", nodes, "id"),
+                min_count("relatedMatch", 1),
+            ],
+        ).collect()
+    }
+    mc = rep["c0_max_count_exactMatch"]
+    assert (mc["n_focus"], mc["n_violating"], mc["passed"]) == (3, 1, False)
+    oi = rep["c1_object_in_exactMatch"]
+    assert (oi["n_violating"], oi["passed"]) == (1, False)
+    rm = rep["c2_min_count_relatedMatch"]
+    assert rm["n_violating"] == 3  # no focus node carries relatedMatch
+
+
+def test_shape_all_pass_and_validation(spark):
+    df = spark.createDataFrame(
+        [("m1", "exactMatch", "EFO:1")], TRIPLES_SCHEMA
+    )
+    rep = validate_shape(
+        df, "exactMatch", [min_count("exactMatch", 1)]
+    ).collect()
+    assert rep[0]["passed"] is True
+    with pytest.raises(ValueError, match="at least one constraint"):
+        validate_shape(df, "exactMatch", [])
