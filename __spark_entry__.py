@@ -3248,6 +3248,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_pq_ann": q88_pq_ann,
         "q89_property_paths": q89_property_paths,
         "q90_subtree_rollup": q90_subtree_rollup,
+        "q91_shape_validation": q91_shape_validation,
     }
 
 
@@ -3459,6 +3460,49 @@ def q90_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_extendedprice")).alias("rev"))
     )
     return subtree_rollup(edges, leaf, {"revenue": F.sum("rev")})
+
+
+def q91_shape_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (brute-force per-node oracle in tests/test_shapes.py):
+    SHACL-lite shape report over q89's ~40k-triple table — cardinality
+    (exactly-one exactMatch), object pattern, and membership of every
+    is_a object in the node table. Times the ONE fused groupBy(subj)
+    pass + one broadcast anti-join; a regression means a constraint
+    stopped fusing and added a scan."""
+    from ontoma_spark.operators.shapes import (
+        max_count,
+        min_count,
+        object_in,
+        object_pattern,
+        validate_shape,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    is_a = (
+        part.filter(F.col("p_partkey") > 1)
+        .select(
+            F.col("p_partkey").cast("string").alias("subj"),
+            F.lit("is_a").alias("pred"),
+            (F.col("p_partkey") / 2).cast("long").cast("string").alias("obj"),
+        )
+    )
+    exact = part.select(
+        F.concat(F.lit("m"), F.col("p_partkey")).alias("subj"),
+        F.lit("exactMatch").alias("pred"),
+        F.col("p_partkey").cast("string").alias("obj"),
+    )
+    triples = is_a.unionByName(exact)
+    nodes = part.select(F.col("p_partkey").cast("string").alias("id"))
+    return validate_shape(
+        triples,
+        "exactMatch",
+        [
+            min_count("exactMatch", 1),
+            max_count("exactMatch", 1),
+            object_pattern("exactMatch", "^[0-9]+$"),
+            object_in("exactMatch", nodes, "id"),
+        ],
+    )
 
 
 def q84_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:

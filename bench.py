@@ -131,6 +131,7 @@ HEADLINE = [
     "q88_pq_ann",
     "q89_property_paths",
     "q90_subtree_rollup",
+    "q91_shape_validation",
 ]
 
 T0 = time.time()

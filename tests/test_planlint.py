@@ -447,3 +447,70 @@ def test_round4d_ops_lint_clean(spark):
         ),
         allow=("exchanges", "cartesian"),
     )
+
+
+def test_round4e_ops_lint_clean(spark):
+    """Property paths, BGP (+OPTIONAL), align join, subtree rollup,
+    hierarchical P/R inputs, dict encoding, and shape validation plans
+    are cartesian-free, single-task-free, and Python-row-UDF-free."""
+    from ontoma_spark.core.planlint import assert_plan_clean
+    from ontoma_spark.operators.dictenc import build_term_dict, encode_terms
+    from ontoma_spark.operators.graph import subtree_rollup
+    from ontoma_spark.operators.intervals import align_intervals
+    from ontoma_spark.operators.motif import match_bgp, match_property_path
+    from ontoma_spark.operators.shapes import (
+        min_count,
+        object_in,
+        validate_shape,
+    )
+
+    triples = spark.createDataFrame(
+        [(f"m{i}", "exactMatch", f"t{i % 7}") for i in range(30)]
+        + [(f"t{i}", "is_a", f"t{i + 1}") for i in range(7)],
+        "subj string, pred string, obj string",
+    )
+    assert_plan_clean(
+        match_property_path(triples, "exactMatch/is_a+"),
+        allow=("exchanges", "pushdown_miss"),
+    )
+    assert_plan_clean(
+        match_bgp(
+            triples,
+            [("?m", "exactMatch", "?t")],
+            optional=[[("?t", "is_a", "?a")]],
+        ),
+        allow=("exchanges", "pushdown_miss"),
+    )
+    l = spark.createDataFrame(
+        [("a", 0, 9, "x")],
+        "k string, valid_from long, valid_to long, state string",
+    )
+    r = spark.createDataFrame(
+        [("a", 1, 5, "y")],
+        "k string, valid_from long, valid_to long, owner string",
+    )
+    assert_plan_clean(align_intervals(l, r, ["k"]), allow=("exchanges",))
+    edges = triples.filter("pred = 'is_a'").selectExpr(
+        "subj as src", "obj as dst"
+    )
+    vals = spark.createDataFrame(
+        [(f"t{i}", i) for i in range(8)], "node string, cnt long"
+    )
+    assert_plan_clean(
+        subtree_rollup(edges, vals, {"n": F.sum("cnt")}),
+        allow=("exchanges",),
+    )
+    d = build_term_dict(triples, "subj")
+    assert_plan_clean(d, allow=("exchanges",))
+    assert_plan_clean(
+        encode_terms(triples, ["subj", "obj"], d), allow=("exchanges",)
+    )
+    nodes = spark.createDataFrame([(f"t{i}",) for i in range(8)], "id string")
+    assert_plan_clean(
+        validate_shape(
+            triples,
+            "exactMatch",
+            [min_count("exactMatch", 1), object_in("exactMatch", nodes, "id")],
+        ),
+        allow=("exchanges", "pushdown_miss", "single_partition"),
+    )
