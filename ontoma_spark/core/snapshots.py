@@ -940,7 +940,12 @@ class SnapshotTable:
         while v is not None:
             if v == anc:
                 return True
-            v = self.snapshot(v).get("parent")
+            try:
+                v = self.snapshot(v).get("parent")
+            except FileNotFoundError:
+                # chain truncated by expiry without meeting anc — the
+                # histories have diverged as far as metadata can tell
+                return False
         return anc is None
 
     def publish_branch(
@@ -1163,10 +1168,27 @@ class SnapshotTable:
             keep_versions = set(keep_versions) | {cur}
         # every named ref head (branches AND tags) is always live:
         # expiring a tagged training-run pin or a staged branch head
-        # out from under its pointer would corrupt the ref
+        # out from under its pointer would corrupt the ref. BRANCH refs
+        # additionally retain their whole parent CHAIN: publish_branch
+        # must walk branch-head -> fork-point ancestry, so expiring an
+        # intermediate staging commit mid-WAP would break the publish
+        # (branches are short-lived; the chain is freed when the
+        # publish consumes the ref).
         keep_versions = set(keep_versions) | {
             v for v in self.refs().values() if v is not None
         }
+        walked: set[int] = set()
+        for name, head in self.refs().items():
+            if not name.startswith("branch:") or head is None:
+                continue
+            v: int | None = head
+            while v is not None and v not in walked:
+                walked.add(v)
+                keep_versions.add(v)
+                try:
+                    v = self.snapshot(v).get("parent")
+                except FileNotFoundError:  # already expired earlier
+                    break
         snaps = self.history()
         retained = [s for s in snaps if s["version"] in keep_versions]
         expired = [s for s in snaps if s["version"] not in keep_versions]

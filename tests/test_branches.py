@@ -294,3 +294,19 @@ def test_streaming_branch_audit_veto_blocks_epoch(spark, tmp_path):
             audit=lambda df: quality.suite_passed(df, checks),
         )
     assert t.current_version() is None  # nothing ever published
+
+
+def test_gc_mid_wap_keeps_branch_chain_publishable(spark, table):
+    """expire while a branch is staged: the branch's parent chain up
+    to the fork survives, so the later publish still fast-forwards."""
+    table.append(_df(spark, 0, 5))
+    table.create_branch("stage")
+    b = table.branch("stage")
+    b.append(_df(spark, 5, 8))   # intermediate staging commit
+    b.append(_df(spark, 8, 11))  # branch head
+    table.expire_snapshots(keep_last=1)
+    # intermediate branch commit still readable (not just the head)
+    assert b.read(version=b.current_version()).count() == 11
+    head = table.publish_branch("stage")
+    assert table.current_version() == head
+    assert table.read().count() == 11
