@@ -272,3 +272,38 @@ def infer_broader(
         [*ex_key, obj_col],
         "left_anti",
     )
+
+
+def mention_contexts(
+    triples: DataFrame,
+    repos: DataFrame,
+    window: int = 20,
+    doc_cols: tuple[str, ...] = DOC_COLS,
+    content_col: str = "content",
+) -> DataFrame:
+    """Token-window context around every linked mention — the training/
+    RAG export surface: (doc cols, subj, pred, obj, context) where
+    ``context`` is the ±``window`` tokens surrounding the mention in
+    the source file, mention included.
+
+    The triple table already carries (``start``, ``n``) — the 1-based
+    TOKEN position the extractor matched (``operators/mentions.py``) —
+    so no re-matching happens: the corpus is re-tokenized with the
+    SAME ``tokenize_content`` kernel (pure regexp_extract_all) and the
+    context is one ``slice`` + ``concat_ws`` per mention. One
+    equi-join of triples against the corpus on the doc key (the only
+    shuffle; AQE broadcasts if either side is small), then narrow
+    per-row column algebra — no UDFs, no window functions.
+    """
+    from ontoma_spark.operators.mentions import tokenize_content
+
+    docs = repos.select(
+        *doc_cols, tokenize_content(F.col(content_col)).alias("__toks")
+    )
+    joined = triples.join(docs, list(doc_cols))
+    lo = F.greatest(F.lit(1), F.col("start") - window)
+    hi_len = F.col("start") + F.col("n") - lo + window
+    return joined.withColumn(
+        "context",
+        F.concat_ws(" ", F.slice(F.col("__toks"), lo, hi_len)),
+    ).drop("__toks")

@@ -422,3 +422,41 @@ def test_pass2_filter_empty_match_map_short_circuits(spark):
     assert [f.name for f in out.schema.fields] == [
         "repo", "path", "commit", "start", "n", "surface",
     ]
+
+
+def test_mention_contexts_token_window(spark):
+    from ontoma_spark.pipeline.kg import mention_contexts
+
+    content = " ".join(f"w{i}" for i in range(1, 61))  # w1..w60
+    repos = spark.createDataFrame(
+        [("r", "p", "c", "py", content)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    # mention = tokens 30..31 (w30 w31), 1-based start=30, n=2
+    triples = spark.createDataFrame(
+        [("r", "p", "c", 30, 2, "w30 w31", "skos:exactMatch", "EFO:1")],
+        "repo string, path string, commit string, start int, n int, "
+        "subj string, pred string, obj string",
+    )
+    row = mention_contexts(triples, repos, window=3).collect()[0]
+    assert row["context"] == "w27 w28 w29 w30 w31 w32 w33 w34"
+    # window clipped at document start
+    t2 = spark.createDataFrame(
+        [("r", "p", "c", 2, 1, "w2", "skos:exactMatch", "EFO:1")],
+        "repo string, path string, commit string, start int, n int, "
+        "subj string, pred string, obj string",
+    )
+    row2 = mention_contexts(t2, repos, window=5).collect()[0]
+    assert row2["context"] == "w1 w2 w3 w4 w5 w6 w7"
+
+
+def test_mention_contexts_end_to_end_contains_mention(spark, kg):
+    from ontoma_spark.pipeline.kg import mention_contexts
+
+    triples, repos = kg["triples"], kg["repos"]
+    ctx = mention_contexts(triples, repos, window=8)
+    rows = ctx.limit(50).collect()
+    assert rows, "pipeline produced no triples to contextualise"
+    for r in rows:
+        # the mention surface tokens appear inside their own context
+        assert r["subj"].split()[0].lower() in r["context"].lower()
