@@ -110,8 +110,9 @@ def star_centers(
 #   alt      := seq ('|' seq)*           -- alternation, lowest
 #   seq      := post ('/' post)*         -- sequence
 #   post     := prim ('+' | '*' | '?')*  -- closures, tightest postfix
-#   prim     := '^' prim | '(' path ')' | IRI
-#   IRI      := any run of chars not in  ^ / | + * ? ( ) or whitespace
+#   prim     := '^' prim | '!' negset | '(' path ')' | IRI
+#   negset   := IRI | '(' IRI ('|' IRI)* ')'   -- negated property set
+#   IRI      := any run of chars not in  ^ / | + * ? ( ) ! or whitespace
 #
 # Compilation targets pure DataFrame algebra: a predicate atom is a
 # predicate-FILTERED scan (the filter lands in PushedFilters, so every
@@ -133,7 +134,7 @@ def _tokenize_path(expr: str) -> list[str]:
     toks: list[str] = []
     buf: list[str] = []
     for ch in expr:
-        if ch in "^/|+*?()":
+        if ch in "^/|+*?()!":
             if buf:
                 toks.append("".join(buf))
                 buf = []
@@ -164,6 +165,32 @@ def _parse_path(toks: list[str]):
         pos += 1
         return tok
 
+    def negset():
+        # '!' was consumed: one IRI, or a parenthesised IRI alternation
+        # (forward direction only — W3C's mixed ^-in-negset splits a
+        # forward and a backward set; unsupported, raise clearly)
+        tok = peek()
+        if tok == "(":
+            take()
+            preds = []
+            while True:
+                t = peek()
+                if t is None or t in "^/|+*?()!":
+                    raise _PathSyntaxError(
+                        "negated property set allows only IRIs"
+                    )
+                preds.append(take())
+                if peek() == "|":
+                    take()
+                    continue
+                if peek() == ")":
+                    take()
+                    return ("negset", tuple(preds))
+                raise _PathSyntaxError("unbalanced '(' in negated set")
+        if tok is None or tok in "^/|+*?()!":
+            raise _PathSyntaxError("'!' must be followed by IRI or (IRI|...)")
+        return ("negset", (take(),))
+
     def prim():
         tok = peek()
         if tok is None:
@@ -171,6 +198,9 @@ def _parse_path(toks: list[str]):
         if tok == "^":
             take()
             return ("inv", prim_post())
+        if tok == "!":
+            take()
+            return negset()
         if tok == "(":
             take()
             inner = alt()
@@ -178,7 +208,7 @@ def _parse_path(toks: list[str]):
                 raise _PathSyntaxError("unbalanced '(' in property path")
             take()
             return inner
-        if tok in "/|+*?)":
+        if tok in "/|+*?)!":
             raise _PathSyntaxError(f"unexpected '{tok}' in property path")
         return ("pred", take())
 
@@ -283,6 +313,14 @@ def match_property_path(
         if kind == "pred":
             return (
                 triples.filter(F.col(pred_col) == node[1])
+                .select(
+                    F.col(subj_col).alias("__s"), F.col(obj_col).alias("__d")
+                )
+                .distinct()
+            )
+        if kind == "negset":
+            return (
+                triples.filter(~F.col(pred_col).isin(*node[1]))
                 .select(
                     F.col(subj_col).alias("__s"), F.col(obj_col).alias("__d")
                 )

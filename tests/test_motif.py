@@ -421,3 +421,26 @@ def test_bgp_optional_null_extension_and_validation(spark):
         match_bgp(
             df, [("?m", "em", "?t")], optional=[[("t1", "xref", "X1")]]
         ).collect()
+
+
+def test_property_path_negated_sets(spark):
+    triples = [
+        ("a", "p", "b"),
+        ("a", "q", "c"),
+        ("a", "r", "d"),
+        ("b", "q", "e"),
+    ]
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+
+    def run(expr):
+        return {tuple(r) for r in match_property_path(df, expr).collect()}
+
+    assert run("!p") == {("a", "c"), ("a", "d"), ("b", "e")}
+    assert run("!(p|q)") == {("a", "d")}
+    assert run("p/!p") == {("a", "e")}
+    assert run("!(p|q|r)") == set()
+    # inverse composes outside the negated set
+    assert run("^!p") == {("c", "a"), ("d", "a"), ("e", "b")}
+    for bad in ["!", "!(", "!()", "!(p|^q)", "!+", "!(p", "p!"]:
+        with pytest.raises(ValueError):
+            match_property_path(df, bad).collect()
