@@ -90,7 +90,11 @@ from ontoma_spark.operators.motif import (
     match_property_path,
     star_centers,
 )
-from ontoma_spark.operators.kgqa import degree_powerlaw
+from ontoma_spark.operators.kgqa import (
+    degree_assortativity,
+    degree_powerlaw,
+    entity_summary,
+)
 from ontoma_spark.operators.profile import (
     functional_deps,
     inclusion_deps,
@@ -131,7 +135,9 @@ __all__ = [
     "align_intervals",
     "coalesce_intervals",
     "decode_terms",
+    "degree_assortativity",
     "encode_terms",
+    "entity_summary",
     "covered_length",
     "degree_powerlaw",
     "mad_outliers",

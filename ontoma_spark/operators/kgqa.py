@@ -159,3 +159,104 @@ def degree_powerlaw(
         "max_degree",
         "p99_degree",
     )
+
+
+def entity_summary(
+    triples: DataFrame,
+    k: int = 5,
+    per_pred_cap: int | None = 2,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Top-``k`` most SALIENT facts per subject — the entity-card /
+    summarization read ("show me what matters about EFO:cancer"), RELIN/
+    FACES-style: a fact's salience is the self-information of its
+    (pred, obj) pair, ``-log(p)`` with ``p`` = the pair's share of all
+    triples — "is_a disease" (carried by half the graph) scores near
+    zero, a rare xref scores high. ``per_pred_cap`` bounds how many
+    facts one predicate contributes to a card (diversity, as the
+    summarization literature prescribes); None disables it.
+
+    Returns (subj, pred, obj, salience, rank), rank 1 = most salient;
+    deterministic ties by (pred, obj).
+
+    Scale: one (pred, obj) frequency aggregation (map-side combined,
+    broadcast back), then per-subject window ranking partitioned on
+    the subject — bounded by per-entity fact counts, never a global
+    sort. Hub subjects with 10^5 facts stay one partition's work;
+    cap-then-rank keeps the window's sort local.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
+    pair_freq = triples.groupBy(pred_col, obj_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    total = triples.count()
+    scored = (
+        triples.join(F.broadcast(pair_freq), [pred_col, obj_col])
+        .withColumn(
+            "salience", -F.log(F.col("__n") / F.lit(float(total)))
+        )
+        .drop("__n")
+    )
+    order = [F.desc("salience"), F.asc(pred_col), F.asc(obj_col)]
+    if per_pred_cap is not None:
+        wp = Window.partitionBy(subj_col, pred_col).orderBy(*order)
+        scored = (
+            scored.withColumn("__pr", F.row_number().over(wp))
+            .filter(F.col("__pr") <= per_pred_cap)
+            .drop("__pr")
+        )
+    w = Window.partitionBy(subj_col).orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(subj_col, pred_col, obj_col, "salience", "rank")
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> float:
+    """Pearson degree-assortativity coefficient of the undirected
+    graph (Newman 2002): do high-degree nodes link to high-degree
+    nodes (r > 0, social-network-like) or to leaves (r < 0,
+    hub-and-spoke, typical of ontology / dependency graphs)? One
+    number a KG health dashboard tracks across builds.
+
+    Computed over the edge list's endpoint-degree pairs (each
+    undirected edge contributes both orientations, the standard
+    convention): r = corr(deg(u), deg(v)). Two aggregations — a degree
+    count and one corr() over the joined edge list; degrees broadcast
+    when node-count allows. Returns NaN for degenerate (regular or
+    empty) graphs, matching the estimator's domain.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        und.join(deg.withColumnRenamed("a", "__u"), F.col("a") == F.col("__u"))
+        .withColumnRenamed("d", "du")
+        .join(deg.withColumnRenamed("a", "__v"), F.col("b") == F.col("__v"))
+        .withColumnRenamed("d", "dv")
+    )
+    # corr() under ANSI mode throws DIVIDE_BY_ZERO on a regular graph
+    # (zero degree variance); assemble it from moments and guard
+    row = pairs.agg(
+        F.covar_pop("du", "dv").alias("c"),
+        F.stddev_pop("du").alias("su"),
+        F.stddev_pop("dv").alias("sv"),
+    ).collect()[0]
+    if not (row["su"] and row["sv"]):
+        return float("nan")
+    return float(row["c"] / (row["su"] * row["sv"]))

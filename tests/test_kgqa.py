@@ -192,3 +192,130 @@ def test_degree_powerlaw_degenerate_and_validation(spark):
 
     with pytest.raises(ValueError, match="k_min"):
         degree_powerlaw(df, k_min=0)
+
+
+# ------------------------------------------------------ entity_summary
+
+import math
+import random
+
+
+def _brute_summary(triples, k, cap):
+    n = len(triples)
+    from collections import Counter
+
+    freq = Counter((p, o) for _, p, o in triples)
+    bysub = {}
+    for s, p, o in triples:
+        bysub.setdefault(s, []).append((p, o))
+    out = {}
+    for s, facts in bysub.items():
+        scored = sorted(
+            ((-math.log(freq[(p, o)] / n), p, o) for p, o in facts),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )
+        if cap is not None:
+            kept, per = [], {}
+            for sal, p, o in scored:
+                if per.get(p, 0) < cap:
+                    per[p] = per.get(p, 0) + 1
+                    kept.append((sal, p, o))
+            scored = kept
+        out[s] = [(p, o, round(sal, 9)) for sal, p, o in scored[:k]]
+    return out
+
+
+@pytest.mark.parametrize("seed,cap", [(0, 2), (1, None), (2, 1)])
+def test_entity_summary_vs_bruteforce(spark, seed, cap):
+    from ontoma_spark.operators.kgqa import entity_summary
+
+    rng = random.Random(700 + seed)
+    triples = sorted(
+        {
+            (
+                f"e{rng.randrange(6)}",
+                rng.choice(["is_a", "xref", "seen_in"]),
+                f"o{rng.randrange(8)}",
+            )
+            for _ in range(40)
+        }
+    )
+    df = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    got = {}
+    for r in entity_summary(df, k=3, per_pred_cap=cap).collect():
+        got.setdefault(r["subj"], []).append(
+            (r["rank"], r["pred"], r["obj"], round(r["salience"], 9))
+        )
+    want = _brute_summary(triples, 3, cap)
+    for s in want:
+        got_s = [
+            (p, o, sal) for _, p, o, sal in sorted(got.get(s, []))
+        ]
+        assert got_s == want[s], (s, got_s, want[s])
+
+
+def test_entity_summary_salience_semantics(spark):
+    from ontoma_spark.operators.kgqa import entity_summary
+
+    # 'is_a disease' carried by 3 of 4 triples -> near-zero salience;
+    # the rare xref ranks first
+    triples = [
+        ("a", "is_a", "disease"),
+        ("b", "is_a", "disease"),
+        ("c", "is_a", "disease"),
+        ("a", "xref", "OMIM:1"),
+    ]
+    df = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    rows = {
+        (r["subj"], r["rank"]): (r["pred"], r["salience"])
+        for r in entity_summary(df, k=2).collect()
+    }
+    assert rows[("a", 1)][0] == "xref"
+    assert rows[("a", 1)][1] > rows[("a", 2)][1]
+    with pytest.raises(ValueError):
+        entity_summary(df, k=0)
+
+
+def test_degree_assortativity_known_graphs(spark):
+    from ontoma_spark.operators.kgqa import degree_assortativity
+
+    # star: hub degree n, leaves degree 1 -> strongly negative
+    star = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(6)], "src string, dst string"
+    )
+    r_star = degree_assortativity(star)
+    assert r_star < -0.99
+    # cycle: every node degree 2 -> corr undefined (NaN)
+    cyc = spark.createDataFrame(
+        [(f"n{i}", f"n{(i+1) % 5}") for i in range(5)],
+        "src string, dst string",
+    )
+    assert math.isnan(degree_assortativity(cyc))
+
+
+def test_degree_assortativity_vs_numpy(spark):
+    import numpy as np
+
+    from ontoma_spark.operators.kgqa import degree_assortativity
+
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            (f"n{rng.randrange(10)}", f"n{rng.randrange(10)}")
+            for _ in range(25)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    und = set()
+    for a, b in edges:
+        und.add((a, b)); und.add((b, a))
+    from collections import Counter
+
+    deg = Counter(a for a, _ in und)
+    du = np.array([deg[a] for a, b in sorted(und)], dtype=float)
+    dv = np.array([deg[b] for a, b in sorted(und)], dtype=float)
+    want = float(np.corrcoef(du, dv)[0, 1])
+    got = degree_assortativity(
+        spark.createDataFrame(edges, "src string, dst string")
+    )
+    assert got == pytest.approx(want, abs=1e-9)
