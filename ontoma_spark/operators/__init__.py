@@ -88,6 +88,7 @@ from ontoma_spark.operators.motif import (
     match_bgp,
     match_path,
     match_property_path,
+    match_property_path_from,
     star_centers,
 )
 from ontoma_spark.operators.kgqa import (
@@ -169,6 +170,7 @@ __all__ = [
     "min_count",
     "match_path",
     "match_property_path",
+    "match_property_path_from",
     "merge_embeddings",
     "mine_rules",
     "node_embeddings",

@@ -509,3 +509,151 @@ def match_bgp(
         out = out.join(g_out.distinct(), on=shared, how="left")
         bound |= g_vars
     return out.distinct() if distinct else out
+
+
+def match_property_path_from(
+    triples: DataFrame,
+    path: str,
+    sources: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    source_col: str | None = None,
+    max_iter: int = 40,
+) -> DataFrame:
+    """Seeded property-path evaluation: (subj, obj) pairs of
+    ``match_property_path`` restricted to ``subj`` ∈ ``sources`` —
+    WITHOUT materialising the all-pairs closure. The workhorse for
+    "which terms fall under EFO:cancer" style queries: the all-pairs
+    compiler is right when you need the whole relation; from a seed
+    set it wastes O(V·depth) work computing pairs you discard.
+
+    Evaluation walks the parsed AST left-to-right over a FRONTIER of
+    (seed, current-node) pairs: each atom is one equi-join of the
+    frontier against that predicate's pushed-filter slice; ``+``/``*``
+    run a frontier BFS (one join per DEPTH level, localCheckpoint per
+    round, early stop on no growth — seeded reach is depth-bounded
+    where path doubling is the all-pairs tool); ``|``/``?`` union
+    frontiers. Cost scales with the reachable set, not the graph.
+
+    ``sources``: a one-column DataFrame (default: its only column, or
+    pass ``source_col``). Raises like ``match_property_path`` on
+    syntax errors; ``max_iter`` bounds BFS depth and raises on
+    non-convergence rather than returning a truncated answer.
+    """
+    tree = _parse_path(_tokenize_path(path))
+    col = source_col or sources.columns[0]
+    frontier0 = sources.select(
+        F.col(col).alias("__seed"), F.col(col).alias("__cur")
+    ).distinct()
+
+    nodes = None
+
+    def node_universe() -> DataFrame:
+        nonlocal nodes
+        if nodes is None:
+            nodes = (
+                triples.select(F.col(subj_col).alias("__n"))
+                .union(triples.select(F.col(obj_col).alias("__n")))
+                .distinct()
+            )
+        return nodes
+
+    def slice_pairs(node) -> DataFrame:
+        kind = node[0]
+        if kind == "pred":
+            t = triples.filter(F.col(pred_col) == node[1])
+        elif kind == "negset":
+            t = triples.filter(~F.col(pred_col).isin(*node[1]))
+        else:
+            raise AssertionError(kind)  # pragma: no cover
+        return t.select(F.col(subj_col).alias("__a"), F.col(obj_col).alias("__b"))
+
+    def step(frontier: DataFrame, node) -> DataFrame:
+        """Frontier of (__seed, __cur) -> frontier after ``node``."""
+        kind = node[0]
+        if kind in ("pred", "negset"):
+            sl = slice_pairs(node)
+            return (
+                frontier.join(sl, frontier["__cur"] == sl["__a"])
+                .select("__seed", F.col("__b").alias("__cur"))
+                .distinct()
+            )
+        if kind == "inv":
+            inner = node[1]
+            if inner[0] in ("pred", "negset"):
+                sl = slice_pairs(inner)
+                return (
+                    frontier.join(sl, frontier["__cur"] == sl["__b"])
+                    .select("__seed", F.col("__a").alias("__cur"))
+                    .distinct()
+                )
+            # ^(complex path): evaluate the inverse by pushing ^ inward
+            return step(frontier, _invert(inner))
+        if kind == "seq":
+            return step(step(frontier, node[1]), node[2])
+        if kind == "alt":
+            return (
+                step(frontier, node[1])
+                .unionByName(step(frontier, node[2]))
+                .distinct()
+            )
+        if kind == "opt":
+            return frontier.unionByName(step(frontier, node[1])).distinct()
+        if kind in ("plus", "star"):
+            # frontier BFS: expand until no new (seed, node) pairs
+            total = (
+                step(frontier, node[1])
+                if kind == "plus"
+                else frontier.unionByName(step(frontier, node[1])).distinct()
+            ).localCheckpoint(eager=False)
+            n = total.count()
+            for _ in range(max_iter):
+                grown = (
+                    total.unionByName(step(total, node[1]))
+                    .distinct()
+                    .localCheckpoint(eager=False)
+                )
+                m = grown.count()
+                if m == n:
+                    return grown
+                total, n = grown, m
+            raise RuntimeError(
+                f"match_property_path_from: no convergence in {max_iter} "
+                "BFS rounds — raise max_iter"
+            )
+        raise _PathSyntaxError(f"unknown path node {kind!r}")  # pragma: no cover
+
+    def _invert(node):
+        kind = node[0]
+        if kind in ("pred", "negset"):
+            return ("inv", node)
+        if kind == "inv":
+            return node[1]
+        if kind == "seq":
+            return ("seq", _invert(node[2]), _invert(node[1]))
+        if kind == "alt":
+            return ("alt", _invert(node[1]), _invert(node[2]))
+        if kind in ("plus", "star", "opt"):
+            return (kind, _invert(node[1]))
+        raise _PathSyntaxError(f"unknown path node {kind!r}")  # pragma: no cover
+
+    # star/opt at the TOP level: the zero-length path holds only for
+    # seeds that are graph terms (W3C: zero-length ranges over graph
+    # terms), so build it from seeds ∩ universe rather than letting
+    # step()'s frontier-inclusion admit non-term seeds. Nested star/opt
+    # inside step() is unaffected — mid-path nodes are graph terms by
+    # construction.
+    if tree[0] in ("star", "opt"):
+        inner = ("plus", tree[1]) if tree[0] == "star" else tree[1]
+        expanded = step(frontier0, inner)
+        u = node_universe()
+        seed_terms = frontier0.join(
+            u, frontier0["__cur"] == u["__n"], "left_semi"
+        )
+        out = expanded.unionByName(seed_terms).distinct()
+    else:
+        out = step(frontier0, tree)
+    return out.select(
+        F.col("__seed").alias(subj_col), F.col("__cur").alias(obj_col)
+    )

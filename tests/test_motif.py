@@ -444,3 +444,80 @@ def test_property_path_negated_sets(spark):
     for bad in ["!", "!(", "!()", "!(p|^q)", "!+", "!(p", "p!"]:
         with pytest.raises(ValueError):
             match_property_path(df, bad).collect()
+
+
+# ------------------------------------------------- seeded path queries
+
+from ontoma_spark.operators.motif import match_property_path_from  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize(
+    "expr",
+    [
+        "is_a",
+        "^is_a",
+        "exactMatch/is_a",
+        "exactMatch|seeAlso",
+        "is_a+",
+        "is_a*",
+        "seeAlso?",
+        "exactMatch/is_a+",
+        "(exactMatch|^exactMatch)/is_a",
+        "^(exactMatch/is_a)",
+        "(is_a|^is_a)+",
+        "!is_a",
+        "!(is_a|seeAlso)+",
+    ],
+)
+def test_seeded_path_equals_allpairs_restriction(spark, seed, expr):
+    rng = random.Random(800 + seed)
+    nodes = [f"e{i}" for i in range(7)]
+    triples = sorted(
+        {
+            (
+                rng.choice(nodes),
+                rng.choice(["exactMatch", "is_a", "seeAlso"]),
+                rng.choice(nodes),
+            )
+            for _ in range(18)
+        }
+    )
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    seeds = ["e0", "e1", "e2", "zzz_not_a_term"]
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {
+        tuple(r)
+        for r in match_property_path_from(df, expr, sdf).collect()
+    }
+    want = {
+        (s, o)
+        for s, o in (
+            tuple(r) for r in match_property_path(df, expr).collect()
+        )
+        if s in seeds
+    }
+    assert got == want, expr
+
+
+def test_seeded_path_deep_chain_and_nonterm_seed(spark):
+    triples = [(f"n{i}", "is_a", f"n{i+1}") for i in range(30)]
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    sdf = spark.createDataFrame([("n0",), ("ghost",)], "node string")
+    got = {
+        tuple(r) for r in match_property_path_from(df, "is_a+", sdf).collect()
+    }
+    assert got == {("n0", f"n{j}") for j in range(1, 31)}
+    # star includes the zero-length pair for the term seed only
+    got_star = {
+        tuple(r) for r in match_property_path_from(df, "is_a*", sdf).collect()
+    }
+    assert got_star == got | {("n0", "n0")}
+
+
+def test_seeded_path_nonconvergence_raises(spark):
+    triples = [(f"n{i}", "p", f"n{i+1}") for i in range(10)]
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    sdf = spark.createDataFrame([("n0",)], "node string")
+    with pytest.raises(RuntimeError, match="no convergence"):
+        match_property_path_from(df, "p+", sdf, max_iter=3).collect()
