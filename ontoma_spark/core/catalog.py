@@ -115,11 +115,23 @@ class Catalog:
 
     # ------------------------------------------------------------- reads
 
-    def read(self, name: str, tx: int | None = None, **read_kwargs) -> DataFrame:
+    def read(
+        self,
+        name: str,
+        tx: int | None = None,
+        tag: str | None = None,
+        **read_kwargs,
+    ) -> DataFrame:
         """Scan ``name`` at the snapshot the (current or given)
         transaction published — never a half-committed newer version.
-        ``read_kwargs`` pass through to ``SnapshotTable.read``
-        (``where=`` pruning, ``merge_schema=``)."""
+        ``tag="run-1"`` resolves through a whole-graph tag (mutually
+        exclusive with ``tx``). ``read_kwargs`` pass through to
+        ``SnapshotTable.read`` (``where=`` pruning, ``merge_schema=``).
+        """
+        if tag is not None:
+            if tx is not None:
+                raise ValueError("read: pass tx or tag, not both")
+            tx = self.tag_tx(tag)
         versions = self.tx_versions(tx)
         if name not in versions:
             raise ValueError(

@@ -292,3 +292,16 @@ def test_catalog_tag_validation(spark, tmp_path):
         cat.create_tag("t")
     with pytest.raises(ValueError, match="does not exist"):
         cat.tag_tx("missing")
+
+
+def test_catalog_read_by_tag(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    with cat.transaction() as tx:
+        tx.append("nodes", _nodes(spark, [1, 2]))
+    cat.create_tag("run-1")
+    with cat.transaction() as tx:
+        tx.overwrite("nodes", _nodes(spark, [9]))
+    assert cat.read("nodes", tag="run-1").count() == 2
+    assert cat.read("nodes").count() == 1
+    with pytest.raises(ValueError, match="not both"):
+        cat.read("nodes", tx=1, tag="run-1")

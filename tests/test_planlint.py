@@ -514,3 +514,18 @@ def test_round4e_ops_lint_clean(spark):
         ),
         allow=("exchanges", "pushdown_miss", "single_partition"),
     )
+
+
+def test_seeded_path_lint_clean(spark):
+    from ontoma_spark.core.planlint import assert_plan_clean
+    from ontoma_spark.operators.motif import match_property_path_from
+
+    triples = spark.createDataFrame(
+        [(f"t{i}", "is_a", f"t{i + 1}") for i in range(12)],
+        "subj string, pred string, obj string",
+    )
+    seeds = spark.createDataFrame([("t0",)], "node string")
+    assert_plan_clean(
+        match_property_path_from(triples, "is_a+", seeds),
+        allow=("exchanges", "pushdown_miss"),
+    )
