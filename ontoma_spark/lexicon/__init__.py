@@ -4,5 +4,13 @@ from ontoma_spark.lexicon.build import (
     as_label_lut,
     build_lexicon,
 )
+from ontoma_spark.lexicon.diff import lexicon_churn_summary, lexicon_diff
 
-__all__ = ["READY_LEXICON_SCHEMA", "as_id_lut", "as_label_lut", "build_lexicon"]
+__all__ = [
+    "READY_LEXICON_SCHEMA",
+    "as_id_lut",
+    "as_label_lut",
+    "build_lexicon",
+    "lexicon_churn_summary",
+    "lexicon_diff",
+]

@@ -1,0 +1,67 @@
+"""Ontology-release mapping churn: diff two Ready lexicons.
+
+The reference maps against a LIVE ontology (EFO ships monthly
+releases); every release silently changes what some surface forms map
+to. Before swapping the lexicon a pipeline wants the churn report:
+which normalized surfaces appeared, vanished, or RETARGETED (same
+surface, different entity-id set — the dangerous class: downstream
+triples silently change meaning). This is the operator form of the
+question OnToma users answer by re-running their whole mapping and
+eyeballing (reference has no counterpart; `ontoma.py` always maps
+against whatever the OLS/cache state is).
+
+One full-outer join on the lexicon key (ontology-sized — broadcastable
+either side), id sets compared order-insensitively via sorted id
+arrays. Pure Catalyst; zero UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+KEY = ["entityKind", "entityType", "entityLabelNormalised"]
+
+
+def _id_set(col: str):
+    return F.array_sort(
+        F.transform(F.col(col), lambda x: x["entityId"])
+    )
+
+
+def lexicon_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-surface churn between two Ready lexicons
+    (``build_lexicon`` outputs). One row per (kind, type, signature)
+    present in either side:
+
+    * ``status`` — ``added`` / ``removed`` / ``retargeted`` /
+      ``unchanged``
+    * ``old_ids`` / ``new_ids`` — sorted entity-id arrays (NULL on the
+      absent side)
+
+    ``retargeted`` is an exact set comparison: a surface that gains OR
+    loses any mapping lands here — multi-mapping ties are part of the
+    contract (dense_rank ties ARE kept by design, so a new tie is a
+    semantic change worth surfacing).
+    """
+    o = old.select(*KEY, _id_set("entityIds").alias("old_ids"))
+    n = new.select(*KEY, _id_set("entityIds").alias("new_ids"))
+    j = o.join(n, KEY, "full_outer")
+    status = (
+        F.when(F.col("old_ids").isNull(), F.lit("added"))
+        .when(F.col("new_ids").isNull(), F.lit("removed"))
+        .when(F.col("old_ids") == F.col("new_ids"), F.lit("unchanged"))
+        .otherwise(F.lit("retargeted"))
+    )
+    return j.select(*KEY, status.alias("status"), "old_ids", "new_ids")
+
+
+def lexicon_churn_summary(old: DataFrame, new: DataFrame) -> DataFrame:
+    """One row per status with surface counts — the go/no-go number
+    for an ontology upgrade ("0.3% retargeted" vs "14% retargeted").
+    """
+    return (
+        lexicon_diff(old, new)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_surfaces"))
+    )

@@ -85,3 +85,61 @@ def test_stemming_unifies_plural_queries(spark, lexicon):
     )
     sig = normalise_entities(df).first()["entityLabelNormalised"]
     assert _ids(lexicon, "label", sig) == ["EFO_0001071"]
+
+
+# --------------------------------------------------------- release diff
+
+
+def test_lexicon_diff_statuses(spark):
+    from ontoma_spark.datagen import ontology_terms_df
+    from ontoma_spark.lexicon import as_id_lut, as_label_lut, build_lexicon
+    from ontoma_spark.lexicon.diff import lexicon_churn_summary, lexicon_diff
+    import pyspark.sql.functions as F
+
+    terms = ontology_terms_df(spark)
+    lex_old = build_lexicon([as_label_lut(terms), as_id_lut(terms)])
+
+    # release 2: drop one term, relabel another (retarget its surface)
+    t2 = terms.filter(F.col("id") != terms.limit(1).collect()[0]["id"])
+    lex_new = build_lexicon([as_label_lut(t2), as_id_lut(t2)])
+
+    d = lexicon_diff(lex_old, lex_new)
+    by = {r["status"] for r in d.select("status").distinct().collect()}
+    assert "removed" in by and "unchanged" in by
+    # removed surfaces: every surface that only the dropped term carried
+    removed = d.filter(F.col("status") == "removed")
+    assert removed.count() > 0
+    assert removed.filter(F.col("new_ids").isNotNull()).count() == 0
+    # identity diff: everything unchanged
+    ident = lexicon_diff(lex_old, lex_old)
+    assert (
+        ident.filter(F.col("status") != "unchanged").count() == 0
+    )
+    summ = {
+        r["status"]: r["n_surfaces"]
+        for r in lexicon_churn_summary(lex_old, lex_new).collect()
+    }
+    assert summ.get("removed", 0) == removed.count()
+    assert sum(summ.values()) == d.count()
+
+
+def test_lexicon_diff_retargeted_on_tie_change(spark):
+    from ontoma_spark.lexicon.diff import lexicon_diff
+    import pyspark.sql.functions as F
+
+    def lex(rows):
+        return spark.createDataFrame(
+            [
+                (k, t, s, [{"entityId": i, "entitySource": "x"} for i in ids])
+                for k, t, s, ids in rows
+            ],
+            "entityKind string, entityType string, "
+            "entityLabelNormalised string, "
+            "entityIds array<struct<entityId string, entitySource string>>",
+        )
+
+    old = lex([("DS", "exact", "melanoma", ["EFO:1"])])
+    new = lex([("DS", "exact", "melanoma", ["EFO:1", "EFO:2"])])  # new tie
+    row = lexicon_diff(old, new).collect()[0]
+    assert row["status"] == "retargeted"
+    assert row["old_ids"] == ["EFO:1"] and row["new_ids"] == ["EFO:1", "EFO:2"]
