@@ -65,3 +65,51 @@ def lexicon_churn_summary(old: DataFrame, new: DataFrame) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_surfaces"))
     )
+
+
+def docs_affected_by_churn(
+    triples: DataFrame,
+    diff: DataFrame,
+    doc_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    mention_col: str = "subj",
+    stem: bool = True,
+) -> DataFrame:
+    """Distinct documents whose links an ontology upgrade invalidates —
+    the scope of a churn-driven RE-LINK: after ``lexicon_diff``, only
+    docs carrying a surface whose mapping changed (``retargeted`` or
+    ``removed``) need re-linking; everything else keeps its triples.
+    At 10^12 files an EFO point release typically touches a few hundred
+    surfaces, so this turns "re-run the corpus" into "re-run the
+    affected slice" — the same files-not-table economics as the
+    snapshot layer's incremental relink, applied to ontology changes.
+
+    Mention surfaces run through the linker's OWN query prep
+    (``candidate_queries``: id/label dispatch, translation fan-out,
+    track heuristic) and the same memoised two-track normalisation, so
+    the comparison key is identical to the lexicon's by construction —
+    a churn surface can never be missed to a normalisation mismatch.
+    One semi-join of the triple table against the (tiny, broadcast)
+    changed-surface set; returns distinct ``doc_cols`` rows.
+    """
+    from ontoma_spark.functions.normalize import normalise_entities
+    from ontoma_spark.operators.linker import candidate_queries
+
+    changed = (
+        diff.filter(F.col("status").isin("retargeted", "removed"))
+        .select(F.col("entityLabelNormalised").alias("__sig"))
+        .distinct()
+    )
+    mentions = triples.select(
+        *doc_cols, F.col(mention_col).alias("surface")
+    )
+    queries = candidate_queries(mentions)
+    normed = normalise_entities(queries, stem=stem)
+    return (
+        normed.join(
+            F.broadcast(changed),
+            normed["entityLabelNormalised"] == changed["__sig"],
+            "left_semi",
+        )
+        .select(*doc_cols)
+        .distinct()
+    )

@@ -143,3 +143,47 @@ def test_lexicon_diff_retargeted_on_tie_change(spark):
     row = lexicon_diff(old, new).collect()[0]
     assert row["status"] == "retargeted"
     assert row["old_ids"] == ["EFO:1"] and row["new_ids"] == ["EFO:1", "EFO:2"]
+
+
+def test_docs_affected_by_churn_controlled(spark):
+    """Two-term ontology, one dropped: exactly the docs mentioning the
+    dropped term's label are flagged; an identity release flags none.
+    (Dropping a term does NOT flag docs that reach its canonical id
+    through OTHER surfaces — that is canonicalization churn, a
+    different input — so the fixture pins surface-level semantics.)"""
+    from ontoma_spark.lexicon import as_id_lut, as_label_lut, build_lexicon
+    from ontoma_spark.lexicon.diff import docs_affected_by_churn, lexicon_diff
+
+    from ontoma_spark.datagen.fixtures import ONTOLOGY_SCHEMA
+
+    def terms_df(rows):
+        return spark.createDataFrame(
+            [(i, n, [], [], [], [], [], [], []) for i, n in rows],
+            ONTOLOGY_SCHEMA,
+        )
+
+    t1 = terms_df([("EFO:1", "melanoma"), ("EFO:2", "asthma")])
+    t2 = terms_df([("EFO:2", "asthma")])  # EFO:1 dropped
+    lex1 = build_lexicon([as_label_lut(t1), as_id_lut(t1)])
+    lex2 = build_lexicon([as_label_lut(t2), as_id_lut(t2)])
+
+    triples = spark.createDataFrame(
+        [
+            ("r1", "a.py", "c", "melanoma", "skos:exactMatch", "EFO:1"),
+            ("r2", "b.py", "c", "asthma", "skos:exactMatch", "EFO:2"),
+            ("r3", "c.py", "c", "asthma", "skos:exactMatch", "EFO:2"),
+        ],
+        "repo string, path string, commit string, "
+        "subj string, pred string, obj string",
+    )
+    # identity release: nothing to re-link
+    assert (
+        docs_affected_by_churn(triples, lexicon_diff(lex1, lex1)).count() == 0
+    )
+    affected = {
+        tuple(r)
+        for r in docs_affected_by_churn(
+            triples, lexicon_diff(lex1, lex2)
+        ).collect()
+    }
+    assert affected == {("r1", "a.py", "c")}
