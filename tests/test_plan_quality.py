@@ -217,3 +217,24 @@ def test_subtree_rollup_final_agg_map_side_combined(spark):
     plan = _plan(out)
     # the ancestor aggregation must partial-combine before its exchange
     assert "partial_sum" in plan, plan
+
+
+def test_churn_scope_join_is_broadcast(spark):
+    from ontoma_spark.lexicon.diff import docs_affected_by_churn
+
+    triples = spark.createDataFrame(
+        [("r", "p", "c", "melanoma", "skos:exactMatch", "EFO:1")],
+        "repo string, path string, commit string, "
+        "subj string, pred string, obj string",
+    )
+    diff = spark.createDataFrame(
+        [("DS", "exact", "melanoma", "removed")],
+        "entityKind string, entityType string, "
+        "entityLabelNormalised string, status string",
+    ).withColumn("old_ids", F.array(F.lit("EFO:1"))).withColumn(
+        "new_ids", F.lit(None).cast("array<string>")
+    )
+    plan = _plan(docs_affected_by_churn(triples, diff))
+    # the changed-surface set must ride a BROADCAST semi-join: the
+    # corpus-scale triple table is never shuffled to scope a re-link
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
