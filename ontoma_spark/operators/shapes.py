@@ -62,16 +62,19 @@ def _cname(i: int, c: Constraint) -> str:
 
 def validate_shape(
     triples: DataFrame,
-    focus_pred: str,
+    focus_pred: str | DataFrame,
     constraints: list[Constraint],
     subj_col: str = "subj",
     pred_col: str = "pred",
     obj_col: str = "obj",
 ) -> DataFrame:
-    """Validation report for the shape whose focus nodes are all
-    distinct subjects carrying ``focus_pred``. One row per constraint:
-    (constraint, pred, n_focus, n_violating, passed). ``passed`` is
-    SHACL conformance for that constraint: zero violating focus nodes.
+    """Validation report for a node shape. Focus nodes are either all
+    distinct subjects carrying predicate ``focus_pred`` (sh:targetsSubjectsOf)
+    or, when a one-column DataFrame is passed, exactly those nodes
+    (sh:targetNode / class-targeting via a membership table). One row
+    per constraint: (constraint, pred, n_focus, n_violating, passed).
+    ``passed`` is SHACL conformance for that constraint: zero violating
+    focus nodes.
     """
     per_node = _per_node_violations(
         triples, focus_pred, constraints, subj_col, pred_col, obj_col
@@ -100,7 +103,7 @@ def validate_shape(
 
 def violating_nodes(
     triples: DataFrame,
-    focus_pred: str,
+    focus_pred: str | DataFrame,
     constraints: list[Constraint],
     subj_col: str = "subj",
     pred_col: str = "pred",
@@ -120,7 +123,7 @@ def violating_nodes(
 
 def _per_node_violations(
     triples: DataFrame,
-    focus_pred: str,
+    focus_pred: str | DataFrame,
     constraints: list[Constraint],
     subj_col: str,
     pred_col: str,
@@ -129,11 +132,15 @@ def _per_node_violations(
     if not constraints:
         raise ValueError("validate_shape: need at least one constraint")
     s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
-    focus = (
-        triples.filter(p == focus_pred)
-        .select(s.alias("__node"))
-        .distinct()
-    )
+    if isinstance(focus_pred, DataFrame):
+        fcol = focus_pred.columns[0]
+        focus = focus_pred.select(F.col(fcol).alias("__node")).distinct()
+    else:
+        focus = (
+            triples.filter(p == focus_pred)
+            .select(s.alias("__node"))
+            .distinct()
+        )
     scoped = triples.join(
         focus, triples[subj_col] == focus["__node"], "left_semi"
     )
@@ -174,6 +181,22 @@ def _per_node_violations(
             raise ValueError(f"unknown constraint kind {c['kind']!r}")
 
     per_node = scoped.groupBy(s.alias("__node")).agg(*aggs)
+    # explicit target nodes carrying ZERO triples never reach the
+    # groupBy — per SHACL they still violate any min_count > 0 (and
+    # trivially satisfy max/pattern/membership)
+    per_node = focus.join(per_node, "__node", "left")
+    for i, c in enumerate(constraints):
+        name = _cname(i, c)
+        if c["kind"] == "min_count":
+            fill = F.lit(c["n"] > 0)
+        elif c["kind"] == "object_in":
+            name = name + "__ph"
+            fill = F.lit(False)
+        else:
+            fill = F.lit(False)
+        per_node = per_node.withColumn(
+            name, F.coalesce(F.col(name), fill)
+        )
     for name, bad_nodes in fold_joins:
         per_node = (
             per_node.join(bad_nodes, "__node", "left")

@@ -125,3 +125,28 @@ def test_shape_all_pass_and_validation(spark):
     assert rep[0]["passed"] is True
     with pytest.raises(ValueError, match="at least one constraint"):
         validate_shape(df, "exactMatch", [])
+
+
+def test_shape_explicit_focus_nodes_and_missing_node(spark):
+    """sh:targetNode-style focus: a listed node with zero triples still
+    violates min_count; nodes outside the target list are ignored."""
+    triples = [
+        ("m1", "exactMatch", "EFO:1"),
+        ("m9", "exactMatch", "JUNK"),  # not targeted -> ignored
+    ]
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    targets = spark.createDataFrame([("m1",), ("m2",)], "node string")
+    rep = {
+        r["constraint"]: r
+        for r in validate_shape(
+            df,
+            targets,
+            [min_count("exactMatch", 1), object_pattern("exactMatch", "^EFO:")],
+        ).collect()
+    }
+    mc = rep["c0_min_count_exactMatch"]
+    assert (mc["n_focus"], mc["n_violating"]) == (2, 1)  # m2 has none
+    pat = rep["c1_object_pattern_exactMatch"]
+    assert pat["n_violating"] == 0  # m9's JUNK is out of scope
+    bad = {r["__node"] for r in violating_nodes(df, targets, [min_count("exactMatch", 1)]).collect()}
+    assert bad == {"m2"}
