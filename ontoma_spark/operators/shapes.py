@@ -80,9 +80,14 @@ def validate_shape(
         triples, focus_pred, constraints, subj_col, pred_col, obj_col
     )
     names = [_cname(i, c) for i, c in enumerate(constraints)]
+    # coalesce: an EMPTY focus set (e.g. an empty micro-batch) conforms
+    # vacuously — sum over zero rows is NULL, not 0
     agg = per_node.agg(
         F.count(F.lit(1)).alias("__n_focus"),
-        *[F.sum(F.col(n).cast("int")).alias(n) for n in names],
+        *[
+            F.coalesce(F.sum(F.col(n).cast("int")), F.lit(0)).alias(n)
+            for n in names
+        ],
     )
     rows = []
     for i, (c, n) in enumerate(zip(constraints, names)):

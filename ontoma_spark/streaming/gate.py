@@ -91,3 +91,62 @@ def stream_quality_gated(
         .queryName(query_name)
         .start()
     )
+
+
+def shape_gate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    focus_pred,
+    constraints: list,
+    good_dir: str,
+    quarantine_dir: str,
+) -> bool:
+    """The KG twin of ``gate_batch``: admission control for a TRIPLE
+    stream by SHACL node-shape conformance (``operators/shapes.py``)
+    instead of tabular column metrics — "every mention in this batch
+    has exactly one exactMatch and every object is a known term" is a
+    per-NODE invariant the column suite cannot express. Same
+    batch-granular routing and idempotent ``batchId`` commits; the
+    quarantine report is the per-constraint shape verdict."""
+    from ontoma_spark.operators.shapes import validate_shape
+
+    report = validate_shape(batch_df, focus_pred, constraints).collect()
+    passed = all(r["passed"] for r in report)
+    if passed:
+        write_batch_idempotent(batch_df, batch_id, good_dir)
+        return True
+    write_batch_idempotent(
+        batch_df, batch_id, os.path.join(quarantine_dir, "data")
+    )
+    spark = batch_df.sparkSession
+    report_df = spark.createDataFrame(report)
+    write_batch_idempotent(
+        report_df, batch_id, os.path.join(quarantine_dir, "report")
+    )
+    return False
+
+
+def stream_shape_gated(
+    stream: DataFrame,
+    focus_pred,
+    constraints: list,
+    good_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "shape_gate",
+):
+    """Attach the SHACL shape gate to a streaming triple DataFrame —
+    same contract as ``stream_quality_gated``."""
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        shape_gate_batch(
+            batch_df, batch_id, focus_pred, constraints,
+            good_dir, quarantine_dir,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

@@ -98,3 +98,70 @@ def test_stream_gates_waves_independently(spark, tmp_path):
         .count()
         > 0
     )
+
+
+# ---------------------------------------------------------- shape gate
+
+
+def test_shape_gate_routes_triple_batches(spark, tmp_path):
+    from ontoma_spark.operators.shapes import max_count, min_count, object_pattern
+    from ontoma_spark.streaming.gate import shape_gate_batch
+
+    constraints = [
+        min_count("exactMatch", 1),
+        max_count("exactMatch", 1),
+        object_pattern("exactMatch", "^EFO:"),
+    ]
+    good = spark.createDataFrame(
+        [("m1", "exactMatch", "EFO:1"), ("m2", "exactMatch", "EFO:2")],
+        "subj string, pred string, obj string",
+    )
+    bad = spark.createDataFrame(
+        [
+            ("m1", "exactMatch", "EFO:1"),
+            ("m1", "exactMatch", "EFO:2"),  # violates max_count 1
+            ("m3", "exactMatch", "JUNK"),   # violates pattern
+        ],
+        "subj string, pred string, obj string",
+    )
+    g, q = str(tmp_path / "good"), str(tmp_path / "quarantine")
+    assert shape_gate_batch(good, 0, "exactMatch", constraints, g, q)
+    assert not shape_gate_batch(bad, 1, "exactMatch", constraints, g, q)
+    assert spark.read.parquet(g).count() == 2
+    qd = spark.read.parquet(os.path.join(q, "data"))
+    assert qd.count() == 3
+    rep = spark.read.parquet(os.path.join(q, "report"))
+    failed = {r["constraint"] for r in rep.filter(~F.col("passed")).collect()}
+    assert failed == {"c1_max_count_exactMatch", "c2_object_pattern_exactMatch"}
+    # retry of the bad batch overwrites its partition, no duplicates
+    assert not shape_gate_batch(bad, 1, "exactMatch", constraints, g, q)
+    assert spark.read.parquet(os.path.join(q, "data")).count() == 3
+
+
+def test_shape_gate_live_stream(spark, tmp_path):
+    import time
+
+    from ontoma_spark.operators.shapes import min_count
+    from ontoma_spark.streaming.gate import stream_shape_gated
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("m1", "exactMatch", "EFO:1")], "subj string, pred string, obj string"
+    ).write.parquet(os.path.join(src, "w1"))
+    stream = spark.readStream.schema(
+        "subj string, pred string, obj string"
+    ).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    q = stream_shape_gated(
+        stream,
+        "exactMatch",
+        [min_count("exactMatch", 1)],
+        str(tmp_path / "good"),
+        str(tmp_path / "quarantine"),
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(str(tmp_path / "good")).count() == 1
