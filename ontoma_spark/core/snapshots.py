@@ -203,9 +203,15 @@ class SnapshotTable:
         # O_EXCL; a taken id just means another branch committed — not
         # a conflict — so re-scan and retry.
         while True:
-            version = 1 + max(
-                (s["version"] for s in self.history()), default=0
-            )
+            # max over snap FILENAMES, not parsed jsons: a streaming
+            # table commits per micro-batch, and parsing every
+            # snapshot per commit would make commit cost O(history)
+            taken = [
+                int(n[5:11])
+                for n in os.listdir(self._meta)
+                if n.startswith("snap-") and n.endswith(".json")
+            ]
+            version = 1 + max(taken, default=0)
             snap = {
                 "version": version,
                 "parent": parent,
