@@ -76,6 +76,7 @@ from ontoma_spark.operators.graph import (
     ktruss,
     shortest_paths,
     subtree_rollup,
+    triangle_count_sampled,
 )
 from ontoma_spark.operators.graphsig import wl_signatures
 from ontoma_spark.operators.joins import asof_join, range_join
@@ -185,6 +186,7 @@ __all__ = [
     "object_pattern",
     "star_centers",
     "subtree_rollup",
+    "triangle_count_sampled",
     "validate_shape",
     "violating_nodes",
     "text_embeddings",

@@ -1882,3 +1882,39 @@ def subtree_rollup(
         joined.groupBy(F.col("__anc").alias(node_col))
         .agg(*[expr.alias(name) for name, expr in measures.items()])
     )
+
+
+def triangle_count_sampled(
+    edges: DataFrame,
+    p: float,
+    seed: int = 0,
+    src: str = "src",
+    dst: str = "dst",
+) -> float:
+    """DOULION (Tsourakakis et al. KDD'09) global triangle-count
+    estimate: keep each undirected edge independently with probability
+    ``p`` (deterministic per-edge coin from a seeded xxhash64 — re-runs
+    reproduce), run the exact m^1.5 counter on the sparsified graph,
+    and scale by 1/p^3 (a triangle survives iff all three edges do, so
+    the estimator is unbiased). At p=0.1 the wedge join touches ~1% of
+    the pairs the exact count would — the standard first lever when
+    the exact counter's sum-of-forward-degree^2 bound is still too big
+    at web scale. Variance falls as triangles stop sharing edges;
+    p=1 degrades to the exact count exactly.
+    """
+    if not (0 < p <= 1):
+        raise ValueError("p must be in (0, 1]")
+    if p < 1:
+        # uniform in [0,1) from the edge identity + seed
+        coin = (
+            F.pmod(
+                F.xxhash64(F.col(src), F.col(dst), F.lit(seed)),
+                F.lit(1_000_000_007),
+            )
+            / F.lit(1_000_000_007.0)
+        )
+        edges = edges.filter(coin < p)
+    tri = triangle_counts(edges)
+    row = tri.agg(F.sum("n_triangles").alias("s")).collect()[0]
+    total = (row["s"] or 0) / 3  # each triangle counted at its 3 corners
+    return float(total) / (p ** 3)

@@ -1096,3 +1096,38 @@ def test_subtree_rollup_exclude_self(spark):
         ).collect()
     }
     assert got == {("a", 2)}
+
+
+# ------------------------------------------------- sampled triangles
+
+
+def test_triangle_sampled_exact_at_p1(spark):
+    from ontoma_spark.operators.graph import triangle_count_sampled
+
+    # K5: C(5,3) = 10 triangles
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{j}") for i in range(5) for j in range(i + 1, 5)],
+        "src string, dst string",
+    )
+    assert triangle_count_sampled(edges, p=1.0) == 10.0
+    with pytest.raises(ValueError):
+        triangle_count_sampled(edges, p=0.0)
+
+
+def test_triangle_sampled_unbiased_and_deterministic(spark):
+    from ontoma_spark.operators.graph import triangle_count_sampled
+
+    # disjoint triangles: independent edges, low estimator variance
+    tri_edges = []
+    for t in range(30):
+        a, b, c = f"t{t}a", f"t{t}b", f"t{t}c"
+        tri_edges += [(a, b), (a, c), (b, c)]
+    edges = spark.createDataFrame(tri_edges, "src string, dst string")
+    ests = [
+        triangle_count_sampled(edges, p=0.7, seed=s) for s in range(12)
+    ]
+    mean = sum(ests) / len(ests)
+    # true count 30; mean of 12 unbiased estimates within 35%
+    assert 0.65 * 30 <= mean <= 1.35 * 30, ests
+    # same seed -> bit-identical estimate
+    assert triangle_count_sampled(edges, p=0.7, seed=3) == ests[3]
