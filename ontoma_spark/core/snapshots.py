@@ -487,9 +487,12 @@ class SnapshotTable:
         zorder: list[str] | None = None,
         zorder_files: int | None = None,
         bloom_cols: list[str] | None = None,
+        properties: dict | None = None,
     ) -> int:
         """New snapshot referencing ONLY the new data dir; prior data
-        dirs stay on disk so older snapshots remain readable."""
+        dirs stay on disk so older snapshots remain readable.
+        ``properties`` land on the new snapshot (overwrite carries
+        nothing forward — the table is replaced)."""
         parent = self.current_version()
         if zorder:
             df = cluster_by_zorder(df, zorder, zorder_files)
@@ -498,7 +501,8 @@ class SnapshotTable:
             df, (parent or 0) + 1, stats_cols, bloom_cols
         )
         return self._commit(
-            [rel], "overwrite", n, stats, expected_parent=parent
+            [rel], "overwrite", n, stats, properties=properties,
+            expected_parent=parent,
         )
 
     # ----------------------------------------------------- row-level ops

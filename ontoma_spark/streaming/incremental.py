@@ -530,3 +530,69 @@ def publish_stream_epoch(
 
     table = SnapshotTable(spark, table_root)
     return table.publish_branch(branch, audit=audit, drop=False)
+
+
+def hll_batch_into_snapshot(
+    spark: SparkSession,
+    table_root: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    col: str,
+) -> int | None:
+    """Continuously-maintained distinct-count sketch: merge one
+    micro-batch's HLL register table (functions/sketches.py) into a
+    SnapshotTable holding the running 256-row register state — the
+    streaming form of "how many distinct entities has this ingest ever
+    seen" that neither recounts history (the registers ARE the
+    history) nor grows state (256 rows forever, vs dropDuplicates'
+    unbounded key set). Readers call ``hll_estimate(table.read())`` at
+    any time, or time-travel the table for the cardinality as of any
+    earlier batch — sketches as snapshots.
+
+    Exactly-once via the same ``stream_batch_id`` guard as the other
+    sinks; the commit is an overwrite of a 256-row table, metadata-
+    dominated. Returns the committed version, or None for a retried
+    batch."""
+    from ontoma_spark.core.snapshots import SnapshotTable
+    from ontoma_spark.functions.sketches import hll_merge, hll_registers
+
+    table = SnapshotTable(spark, table_root)
+    if _stream_batch_already_committed(table, batch_id):
+        return None
+    batch_regs = hll_registers(batch_df, col)
+    if table.current_version() is not None:
+        merged = hll_merge(table.read(), batch_regs)
+    else:
+        merged = batch_regs
+    return table.overwrite(
+        merged.coalesce(1),
+        properties={"stream_batch_id": int(batch_id)},
+    )
+
+
+def stream_hll_cardinality(
+    spark: SparkSession,
+    input_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    schema: str,
+    col: str,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Attach ``hll_batch_into_snapshot`` to a file-source stream —
+    the running-cardinality front-end (foreachBatch; at-least-once
+    retries are no-ops via the batch-id guard)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        hll_batch_into_snapshot(spark, table_root, batch_df, batch_id, col)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

@@ -512,3 +512,34 @@ def test_stream_interval_join_matches_batch_twin(spark, tmp_path):
     assert len(got) == 2  # (u1, 00:05) and the late (u2, 00:09)
     users = [g[0] for g in got]
     assert users == [1, 2]
+
+
+def test_streaming_hll_cardinality_snapshot(spark, tmp_path):
+    """Running distinct-count sketch as a snapshot table: exact-ish
+    estimate after two batches, retry no-op, time travel gives the
+    as-of-batch-1 cardinality, state stays 256 rows."""
+    from ontoma_spark.functions.sketches import hll_estimate
+    from ontoma_spark.streaming.incremental import hll_batch_into_snapshot
+
+    root = str(tmp_path / "card")
+    b1 = spark.createDataFrame(
+        [(f"E{i}",) for i in range(500)], "entity string"
+    )
+    b2 = spark.createDataFrame(
+        [(f"E{i}",) for i in range(300, 900)], "entity string"
+    )
+    v1 = hll_batch_into_snapshot(spark, root, b1, 0, "entity")
+    v2 = hll_batch_into_snapshot(spark, root, b2, 1, "entity")
+    assert v1 is not None and v2 is not None
+    # retried batch: no-op
+    assert hll_batch_into_snapshot(spark, root, b2, 1, "entity") is None
+
+    from ontoma_spark.core.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, root)
+    est_now = hll_estimate(t.read())
+    est_v1 = hll_estimate(t.read(version=v1))
+    assert abs(est_v1 - 500) / 500 < 0.15
+    assert abs(est_now - 900) / 900 < 0.15
+    assert est_now > est_v1
+    assert t.read().count() <= 256  # bounded register state forever
