@@ -421,6 +421,33 @@ def match_bgp(
 
     def compile_pattern(pat: tuple[str, str, str]) -> tuple[DataFrame, set]:
         s, p, o = pat
+        # a constant predicate containing path syntax is a PROPERTY
+        # PATH atom (SPARQL paths-in-patterns): its compiled (subj,
+        # obj) relation replaces the triple scan for this pattern
+        if (
+            not is_var(p)
+            and any(ch in p for ch in "/|+*?^!()")
+        ):
+            rel = match_property_path(
+                triples, p, subj_col, pred_col, obj_col
+            )
+            df = rel
+            seen: dict[str, str] = {}
+            for term, col in ((s, subj_col), (o, obj_col)):
+                if not is_var(term):
+                    df = df.filter(F.col(col) == term)
+                elif term in seen:
+                    df = df.filter(F.col(seen[term]) == F.col(col))
+                else:
+                    seen[term] = col
+            out_vars = {v[1:] for v in seen}
+            df = df.select(
+                *[F.col(col).alias(var[1:]) for var, col in seen.items()]
+            )
+            if not out_vars:
+                df = df.limit(1).select(F.lit(1).alias("__exists"))
+                return df, set()
+            return df, out_vars
         df = triples
         for term, col in ((s, subj_col), (p, pred_col), (o, obj_col)):
             if not is_var(term):

@@ -521,3 +521,66 @@ def test_seeded_path_nonconvergence_raises(spark):
     sdf = spark.createDataFrame([("n0",)], "node string")
     with pytest.raises(RuntimeError, match="no convergence"):
         match_property_path_from(df, "p+", sdf, max_iter=3).collect()
+
+
+def test_bgp_with_property_path_atoms(spark):
+    """SPARQL paths-in-patterns: a pattern predicate containing path
+    syntax compiles through the path evaluator and joins like any
+    other relation."""
+    triples = [
+        ("m1", "exactMatch", "t1"),
+        ("m2", "exactMatch", "t3"),
+        ("t1", "is_a", "t2"),
+        ("t2", "is_a", "cancer"),
+        ("t3", "is_a", "benign"),
+        ("cancer", "label", "Cancer"),
+    ]
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    # mentions whose term rolls up under 'cancer'
+    got = {
+        tuple(r[v] for v in ["m", "t"])
+        for r in match_bgp(
+            df,
+            [("?m", "exactMatch", "?t"), ("?t", "is_a+", "cancer")],
+        ).collect()
+    }
+    assert got == {("m1", "t1")}
+    # path atom with constant subject = existence gate
+    assert match_bgp(
+        df, [("?m", "exactMatch", "?t"), ("t1", "is_a+", "cancer")]
+    ).count() == 2
+    assert match_bgp(
+        df, [("?m", "exactMatch", "?t"), ("t3", "is_a+", "cancer")]
+    ).count() == 0
+    # inverse path atom binds in the other direction
+    got2 = {
+        r["x"]
+        for r in match_bgp(df, [("cancer", "^is_a+", "?x")]).collect()
+    }
+    assert got2 == {"t1", "t2"}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bgp_path_atoms_vs_composition_oracle(spark, seed):
+    """BGP with a path atom == manual join of the path relation."""
+    rng = random.Random(900 + seed)
+    nodes = [f"e{i}" for i in range(6)]
+    triples = sorted(
+        {
+            (rng.choice(nodes), rng.choice(["em", "is_a"]), rng.choice(nodes))
+            for _ in range(16)
+        }
+    )
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    got = {
+        (r["m"], r["a"])
+        for r in match_bgp(
+            df, [("?m", "em", "?t"), ("?t", "is_a+", "?a")]
+        ).collect()
+    }
+    em = {(s, o) for s, p, o in triples if p == "em"}
+    closure = {
+        tuple(r) for r in match_property_path(df, "is_a+").collect()
+    }
+    want = {(m, a) for m, t in em for t2, a in closure if t == t2}
+    assert got == want
