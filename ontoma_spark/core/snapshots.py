@@ -244,16 +244,43 @@ class SnapshotTable:
             raise
         return version
 
+    # A writer crashing between acquiring .refs.lock and its finally
+    # block must not wedge the table forever (round-4 ADVICE): the lock
+    # file carries its owner's pid + acquire time, and any waiter
+    # breaks a lock older than this many seconds (the CAS body is
+    # microseconds of local-file work, so an expired lock can only be
+    # a dead owner).
+    _LOCK_BREAK_SEC = 30.0
+
     def _cas_ref(
         self, ref_path: str, expected: int | None, new: int
     ) -> None:
         lock = os.path.join(self._meta, ".refs.lock")
-        deadline = time.time() + 30.0
+        deadline = time.time() + self._LOCK_BREAK_SEC
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as lf:
+                    json.dump(
+                        {"pid": os.getpid(), "acquired": time.time()}, lf
+                    )
+                fd = None
                 break
             except FileExistsError:
+                # break a stale lock left by a crashed owner
+                try:
+                    with open(lock) as lf:
+                        owner = json.load(lf)
+                    age = time.time() - float(owner.get("acquired", 0.0))
+                except (OSError, ValueError):
+                    # racing with removal or a partial write: re-probe
+                    age = 0.0
+                if age > self._LOCK_BREAK_SEC:
+                    try:
+                        os.remove(lock)
+                    except FileNotFoundError:  # pragma: no cover - race
+                        pass
+                    continue
                 if time.time() > deadline:  # pragma: no cover - stuck lock
                     raise CommitConflict(f"ref lock {lock} is stuck")
                 time.sleep(0.01)
@@ -269,8 +296,10 @@ class SnapshotTable:
                 f.write(str(new))
             os.replace(tmp, ref_path)
         finally:
-            os.close(fd)
-            os.remove(lock)
+            try:
+                os.remove(lock)
+            except FileNotFoundError:  # pragma: no cover - broken by peer
+                pass
 
     def _write_data(
         self,

@@ -181,11 +181,16 @@ def entity_summary(
     Returns (subj, pred, obj, salience, rank), rank 1 = most salient;
     deterministic ties by (pred, obj).
 
-    Scale: one (pred, obj) frequency aggregation (map-side combined,
-    broadcast back), then per-subject window ranking partitioned on
-    the subject — bounded by per-entity fact counts, never a global
-    sort. Hub subjects with 10^5 facts stay one partition's work;
-    cap-then-rank keeps the window's sort local.
+    Scale: one (pred, obj) frequency aggregation (map-side combined),
+    joined back on its own grouping key, then per-subject window
+    ranking partitioned on the subject — bounded by per-entity fact
+    counts, never a global sort. Hub subjects with 10^5 facts stay one
+    partition's work; cap-then-rank keeps the window's sort local.
+    The freq join is deliberately NOT hint-forced broadcast: the
+    distinct (pred, obj) set is corpus-scale when objects are
+    high-cardinality (xrefs, ids), so a forced broadcast would OOM —
+    AQE picks broadcast itself whenever the pair table is actually
+    small (round-4 ADVICE).
     """
     from pyspark.sql import Window
 
@@ -197,7 +202,7 @@ def entity_summary(
     )
     total = triples.count()
     scored = (
-        triples.join(F.broadcast(pair_freq), [pred_col, obj_col])
+        triples.join(pair_freq, [pred_col, obj_col])
         .withColumn(
             "salience", -F.log(F.col("__n") / F.lit(float(total)))
         )

@@ -59,33 +59,54 @@ def random_walks(
 
     Returns (start, rep, walk array, walk_len_actual).
 
-    Scale: the adjacency table is one groupBy of the edge list
-    (node-vocabulary-sized output); the walk state is
-    |start nodes| x num_walks rows joined against it once per step —
-    for an ontology-sized graph the adjacency auto-broadcasts and the
-    state never shuffles; for a web-scale graph each step is one
-    shuffle join on the current node, which is the inherent cost of
-    distributed walk generation (walk_len is small and fixed).
-    ``localCheckpoint`` per step cuts the iterative lineage, same
-    stance as ``transitive_closure``.
+    Scale — hub-safe by construction: neighbor lists are NEVER
+    materialised as per-node arrays (no ``collect_list``, plan-pinned
+    in tests/test_kgtrain.py). The adjacency is kept as an INDEXED edge
+    table — one ``row_number`` window per source node over the sorted
+    dst list (one shuffle, rows stay edge-narrow even for a degree-10^6
+    hub) — plus a node-vocabulary-sized degree table. Step ``t``
+    computes ``idx = md5(...) mod degree`` against the degree table and
+    equi-joins the walker state on ``(cur, idx)`` against the indexed
+    edges, so a hub walker pulls exactly ONE edge row per step instead
+    of shipping the hub's whole neighbor array to every walker parked
+    on it. Both per-step joins are plain keyed equi-joins that AQE can
+    broadcast when the graph is ontology-sized. ``localCheckpoint``
+    per step cuts the iterative lineage, same stance as
+    ``transitive_closure``.
     """
-    nbrs = (
-        edges.select(F.col(src).alias("__node"), F.col(dst).alias("__d"))
-        .distinct()
-        .groupBy("__node")
-        .agg(F.sort_array(F.collect_list("__d")).alias("__nbrs"))
+    dedges = edges.select(
+        F.col(src).alias("__node"), F.col(dst).alias("__d")
+    ).distinct()
+    # 1-based position of __d in the node's SORTED neighbor list:
+    # identical indexing to sort_array(collect_list(dst))[i], without
+    # ever building the array (hub rows stay one-edge narrow).
+    indexed = dedges.withColumn(
+        "__idx",
+        F.row_number().over(
+            Window.partitionBy("__node").orderBy("__d")
+        ),
+    ).select(
+        F.col("__node").alias("__e_node"),
+        F.col("__idx").alias("__e_idx"),
+        F.col("__d").alias("__e_dst"),
+    )
+    degrees = dedges.groupBy("__node").agg(
+        F.count(F.lit(1)).alias("__deg")
     )
     state = (
-        nbrs.select(F.col("__node").alias("start"))
+        degrees.select(F.col("__node").alias("start"))
         .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(num_walks))))
         .withColumn("__cur", F.col("start"))
         .withColumn("walk", F.array(F.col("start")))
     )
+    deg_lut = degrees.select(
+        F.col("__node").alias("__d_node"), "__deg"
+    )
     for t in range(1, walk_len):
-        joined = state.join(
-            nbrs, state["__cur"] == nbrs["__node"], "left"
+        with_deg = state.join(
+            deg_lut, state["__cur"] == F.col("__d_node"), "left"
         )
-        idx = (
+        pick = (
             det_hash(
                 F.lit(seed),
                 F.col("start"),
@@ -93,12 +114,19 @@ def random_walks(
                 F.lit(t),
                 F.col("__cur"),
             )
-            % F.size("__nbrs")
+            % F.col("__deg")
             + 1
         ).cast("int")
-        nxt = F.when(
-            F.col("__nbrs").isNotNull(), F.element_at("__nbrs", idx)
+        with_idx = with_deg.withColumn(
+            "__pick", F.when(F.col("__deg").isNotNull(), pick)
+        ).drop("__d_node", "__deg")
+        joined = with_idx.join(
+            indexed,
+            (with_idx["__cur"] == F.col("__e_node"))
+            & (with_idx["__pick"] == F.col("__e_idx")),
+            "left",
         )
+        nxt = F.col("__e_dst")
         state = (
             joined.withColumn(
                 "walk",
@@ -107,7 +135,7 @@ def random_walks(
                 ).otherwise(F.col("walk")),
             )
             .withColumn("__cur", nxt)
-            .drop("__node", "__nbrs")
+            .drop("__e_node", "__e_idx", "__e_dst", "__pick")
             .localCheckpoint(eager=False)
         )
     return state.select(

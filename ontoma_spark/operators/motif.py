@@ -130,10 +130,38 @@ class _PathSyntaxError(ValueError):
     pass
 
 
+class PathExpr(str):
+    """Explicit property-path marker for ``match_bgp`` predicates.
+
+    ``match_bgp`` treats a bare-string predicate containing path
+    metacharacters as a path atom ONLY for short local names (the
+    ``is_a+`` idiom); a full IRI (contains ``://``) or an
+    angle-bracket-quoted term (``<...>``) is always a literal
+    constant, because IRIs legitimately contain ``/ ( ) ?``. Wrap the
+    string in ``PathExpr`` to force path interpretation regardless —
+    e.g. ``PathExpr("<http://x/p>/<http://x/q>+")`` (inside a path
+    expression, ``<...>`` quotes one IRI atom)."""
+
+
 def _tokenize_path(expr: str) -> list[str]:
     toks: list[str] = []
     buf: list[str] = []
-    for ch in expr:
+    i = 0
+    n = len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch == "<":
+            # angle-bracket-quoted IRI atom: metacharacters inside are
+            # literal (SPARQL IRIREF syntax); brackets are stripped
+            end = expr.find(">", i + 1)
+            if end < 0:
+                raise _PathSyntaxError("unbalanced '<' in property path")
+            if buf:
+                toks.append("".join(buf))
+                buf = []
+            toks.append(expr[i + 1 : end])
+            i = end + 1
+            continue
         if ch in "^/|+*?()!":
             if buf:
                 toks.append("".join(buf))
@@ -145,6 +173,7 @@ def _tokenize_path(expr: str) -> list[str]:
                 buf = []
         else:
             buf.append(ch)
+        i += 1
     if buf:
         toks.append("".join(buf))
     return toks
@@ -412,6 +441,14 @@ def match_bgp(
 
         match_bgp(t, [("?m", "exactMatch", "?t")],
                   optional=[[("?t", "xref", "?x")]])
+
+    Path atoms in patterns: a constant predicate is a PROPERTY PATH
+    when wrapped in :class:`PathExpr`, or — bare-string convenience —
+    when it is a short local name containing path metacharacters
+    (``"is_a+"``). A predicate containing ``://`` or quoted as
+    ``<...>`` is ALWAYS a literal constant (full IRIs legitimately
+    contain ``/ ( ) ?``); the angle brackets are stripped before
+    matching, and the same quoting works for subject/object constants.
     """
     if not patterns:
         raise ValueError("match_bgp: need at least one pattern")
@@ -419,15 +456,38 @@ def match_bgp(
     def is_var(t: str) -> bool:
         return isinstance(t, str) and t.startswith("?")
 
+    def is_path_atom(p) -> bool:
+        # PROPERTY PATH atoms (SPARQL paths-in-patterns): explicit via
+        # PathExpr; a BARE string with path metacharacters is a path
+        # only when it cannot be a full IRI — '://' or an
+        # angle-bracket-quoted term is always a literal constant
+        # (IRIs legitimately contain '/ ( ) ?'; round-4 ADVICE).
+        if is_var(p):
+            return False
+        if isinstance(p, PathExpr):
+            return True
+        if "://" in p or (p.startswith("<") and p.endswith(">")):
+            return False
+        return any(ch in p for ch in "/|+*?^!()")
+
+    def const_term(t: str) -> str:
+        # '<iri>' quoting escapes a literal term containing path
+        # metacharacters; brackets are stripped before matching
+        if (
+            isinstance(t, str)
+            and not isinstance(t, PathExpr)
+            and len(t) >= 2
+            and t.startswith("<")
+            and t.endswith(">")
+        ):
+            return t[1:-1]
+        return t
+
     def compile_pattern(pat: tuple[str, str, str]) -> tuple[DataFrame, set]:
         s, p, o = pat
-        # a constant predicate containing path syntax is a PROPERTY
-        # PATH atom (SPARQL paths-in-patterns): its compiled (subj,
-        # obj) relation replaces the triple scan for this pattern
-        if (
-            not is_var(p)
-            and any(ch in p for ch in "/|+*?^!()")
-        ):
+        # path atom: its compiled (subj, obj) relation replaces the
+        # triple scan for this pattern
+        if is_path_atom(p):
             rel = match_property_path(
                 triples, p, subj_col, pred_col, obj_col
             )
@@ -435,7 +495,7 @@ def match_bgp(
             seen: dict[str, str] = {}
             for term, col in ((s, subj_col), (o, obj_col)):
                 if not is_var(term):
-                    df = df.filter(F.col(col) == term)
+                    df = df.filter(F.col(col) == const_term(term))
                 elif term in seen:
                     df = df.filter(F.col(seen[term]) == F.col(col))
                 else:
@@ -451,7 +511,7 @@ def match_bgp(
         df = triples
         for term, col in ((s, subj_col), (p, pred_col), (o, obj_col)):
             if not is_var(term):
-                df = df.filter(F.col(col) == term)
+                df = df.filter(F.col(col) == const_term(term))
         # repeated variables inside one pattern = equality constraints
         terms = [(s, subj_col), (p, pred_col), (o, obj_col)]
         seen: dict[str, str] = {}

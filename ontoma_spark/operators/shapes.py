@@ -24,6 +24,8 @@ Oracle: brute-force per-node evaluation in tests/test_shapes.py.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
@@ -57,7 +59,13 @@ def object_in(pred: str, nodes: DataFrame, node_col: str) -> Constraint:
 
 
 def _cname(i: int, c: Constraint) -> str:
-    return f"c{i}_{c['kind']}_{c['pred']}"
+    # Column names must stay parseable by F.col(): a raw predicate
+    # containing '.' or backticks (full IRIs like 'http://x.y/p') would
+    # make later references parse as nested-field access and fail with
+    # AnalysisException (round-4 ADVICE) — keep [A-Za-z0-9_] only; the
+    # real predicate is reported verbatim in the output's `pred` column.
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", str(c["pred"]))
+    return f"c{i}_{c['kind']}_{safe}"
 
 
 def validate_shape(

@@ -123,6 +123,11 @@ def main(argv: list[str] | None = None) -> dict:
         "finding aborts the run",
     )
     args = ap.parse_args(argv)
+    if args.tag and not (args.snapshot_table or args.catalog):
+        raise SystemExit(
+            "--tag requires a sink to pin: pass --snapshot-table "
+            "and/or --catalog"
+        )
 
     spark = get_spark(app_name="ontoma_spark_kg", master=args.master)
     if args.input:
@@ -225,6 +230,11 @@ def main(argv: list[str] | None = None) -> dict:
             tx.overwrite("triple_stats", stats)
             tx.overwrite("lineage", read_lineage(spark, args.out))
         summary["catalog_tx"] = cat.current_tx()
+        if args.tag:
+            # Whole-graph reproducibility pin promised by --tag's help:
+            # tag the just-committed transaction so expire/GC retains it.
+            cat.create_tag(args.tag, summary["catalog_tx"])
+            summary["catalog_tag"] = args.tag
     print(json.dumps(summary))
     return summary
 

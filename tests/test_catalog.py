@@ -216,6 +216,48 @@ def test_pipeline_publishes_atomic_graph_transaction(spark, tmp_path):
         assert n_triples == n_stats == n_lineage > 0
 
 
+def test_pipeline_catalog_tag_created(spark, tmp_path):
+    """--tag with --catalog alone (no --snapshot-table) must create the
+    whole-graph catalog tag the help text promises (round-4 ADVICE
+    finding: it was only wired under the --snapshot-table block)."""
+    from ontoma_spark.pipeline import run as runmod
+
+    cat_root = str(tmp_path / "graph_catalog")
+    summary = runmod.main(
+        [
+            "--synthetic-rows", "150",
+            "--out", str(tmp_path / "out"),
+            "--n-buckets", "2",
+            "--buckets-per-job", "2",
+            "--no-fuzzy",
+            "--catalog", cat_root,
+            "--tag", "release-1",
+        ]
+    )
+    assert summary["catalog_tag"] == "release-1"
+    cat = Catalog(spark, cat_root)
+    assert cat.tags() == {"release-1": summary["catalog_tx"]}
+    assert (
+        cat.read("triples", tag="release-1").count()
+        == summary["triples_written"]
+    )
+
+
+def test_pipeline_tag_without_sink_rejected(spark, tmp_path):
+    """--tag with neither sink would silently pin nothing; the CLI now
+    fails fast before any data moves."""
+    from ontoma_spark.pipeline import run as runmod
+
+    with pytest.raises(SystemExit, match="requires a sink"):
+        runmod.main(
+            [
+                "--synthetic-rows", "10",
+                "--out", str(tmp_path / "out"),
+                "--tag", "dangling",
+            ]
+        )
+
+
 def test_expire_transactions_cascades_to_table_gc(spark, tmp_path):
     """Catalog GC drops old transactions and the table snapshots only
     they referenced (data files gone), keeps every version a retained

@@ -133,6 +133,23 @@ def test_negative_samples_entity_pool_override(spark):
     } == want
 
 
+def test_random_walks_no_neighbor_arrays(spark):
+    """Hub-safety pin (round-4 verdict): the walk dataflow must never
+    materialise a node's neighbor list as an array — a degree-10^6 hub
+    would become one multi-MB row shipped to every walker parked on it.
+    The indexed-edge formulation keeps rows edge-narrow; pin that no
+    collect_list appears anywhere in the physical plan (mirrors
+    test_funnel's pin)."""
+    from ontoma_spark.core.planlint import plan_text
+
+    edges = spark.range(200).selectExpr(
+        "CAST(id % 20 AS LONG) AS src", "CAST(id % 13 + 3 AS LONG) AS dst"
+    )
+    plan = plan_text(random_walks(edges, walk_len=3))
+    assert "collect_list" not in plan
+    assert "sort_array" not in plan
+
+
 def test_kgtrain_lints_clean(spark):
     from ontoma_spark.core.planlint import assert_plan_clean
 

@@ -560,6 +560,56 @@ def test_bgp_with_property_path_atoms(spark):
     assert got2 == {"t1", "t2"}
 
 
+def test_bgp_full_iri_predicate_is_literal(spark):
+    """Round-4 ADVICE: a full-IRI predicate containing path
+    metacharacters ('/', '(' ...) must match as a CONSTANT, not be
+    silently reparsed as a property path."""
+    from ontoma_spark.operators.motif import PathExpr
+
+    iri = "http://purl.obolibrary.org/obo/RO_0000052"
+    triples = [
+        ("a", iri, "b"),
+        ("b", iri, "c"),
+        ("a", "other", "z"),
+    ]
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    got = {
+        (r["s"], r["o"])
+        for r in match_bgp(df, [("?s", iri, "?o")]).collect()
+    }
+    assert got == {("a", "b"), ("b", "c")}
+    # angle-bracket quoting: same literal semantics, brackets stripped
+    got_q = {
+        (r["s"], r["o"])
+        for r in match_bgp(df, [("?s", f"<{iri}>", "?o")]).collect()
+    }
+    assert got_q == got
+    # explicit PathExpr opt-in: full-IRI atoms inside a real path,
+    # quoted per-atom — two-hop closure over the IRI predicate
+    got_p = {
+        (r["s"], r["o"])
+        for r in match_bgp(
+            df, [("?s", PathExpr(f"<{iri}>+"), "?o")]
+        ).collect()
+    }
+    assert got_p == {("a", "b"), ("b", "c"), ("a", "c")}
+    # quoted constants work in subject/object position too
+    assert match_bgp(df, [("<a>", iri, "?o")]).count() == 1
+
+
+def test_path_tokenizer_angle_quoting():
+    from ontoma_spark.operators.motif import (
+        _PathSyntaxError,
+        _tokenize_path,
+    )
+
+    assert _tokenize_path("<http://x/p>/<http://x/q>+") == [
+        "http://x/p", "/", "http://x/q", "+",
+    ]
+    with pytest.raises(_PathSyntaxError, match="unbalanced '<'"):
+        _tokenize_path("<http://x/p")
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_bgp_path_atoms_vs_composition_oracle(spark, seed):
     """BGP with a path atom == manual join of the path relation."""

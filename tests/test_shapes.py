@@ -39,6 +39,30 @@ def _brute(triples, focus_pred, constraints, allowed=None):
     return out
 
 
+def test_shape_iri_predicates(spark):
+    """Round-4 ADVICE: predicates containing '.' / '/' / ':' (full
+    IRIs) must not break the internal constraint column references —
+    names are sanitized, the report's `pred` column stays verbatim."""
+    iri = "http://purl.obolibrary.org/obo/RO_0000052"
+    triples = [
+        ("m1", iri, "EFO:1"),
+        ("m1", iri, "EFO:2"),
+        ("m2", iri, "junk"),
+    ]
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    rep = {
+        r["constraint"]: r
+        for r in validate_shape(
+            df, iri, [min_count(iri, 1), object_pattern(iri, "^EFO:")]
+        ).collect()
+    }
+    assert all(r["pred"] == iri for r in rep.values())
+    mc = next(r for k, r in rep.items() if "min_count" in k)
+    assert (mc["n_focus"], mc["n_violating"], mc["passed"]) == (2, 0, True)
+    pat = next(r for k, r in rep.items() if "object_pattern" in k)
+    assert (pat["n_violating"], pat["passed"]) == (1, False)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_shape_report_matches_bruteforce(spark, seed):
     rng = random.Random(600 + seed)

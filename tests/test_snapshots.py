@@ -25,6 +25,35 @@ def table(spark, tmp_path):
     return SnapshotTable(spark, str(tmp_path / "t"))
 
 
+def test_stale_ref_lock_is_broken(spark, table):
+    """Round-4 ADVICE: a writer that crashed after acquiring .refs.lock
+    must not wedge the table forever — a waiter breaks a lock older
+    than the break window and commits normally."""
+    import time as _time
+
+    v1 = table.append(_df(spark, 0, 5))
+    lock = os.path.join(table._meta, ".refs.lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": 999999, "acquired": _time.time() - 120.0}, f)
+    v2 = table.append(_df(spark, 5, 8))  # breaks the stale lock
+    assert v2 > v1
+    assert not os.path.exists(lock)  # released after commit
+    assert table.read().count() == 8
+    # a malformed (partially written) lock file is treated as live,
+    # not crashed: the waiter re-probes and times out with the
+    # documented conflict rather than breaking a lock it can't judge
+    with open(lock, "w") as f:
+        f.write("{not json")
+    old = SnapshotTable._LOCK_BREAK_SEC
+    SnapshotTable._LOCK_BREAK_SEC = 0.2
+    try:
+        with pytest.raises(CommitConflict, match="stuck"):
+            table.append(_df(spark, 8, 9))
+    finally:
+        SnapshotTable._LOCK_BREAK_SEC = old
+        os.remove(lock)
+
+
 def test_append_chain_and_time_travel(spark, table):
     v1 = table.append(_df(spark, 0, 10))
     v2 = table.append(_df(spark, 10, 15))
