@@ -3224,6 +3224,15 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     would risk the round-2 failure mode where the driver's row budget
     left queries unreached)."""
     return {
+        # rotated out of the round-5 driver budget (still timed so
+        # bench walls stay comparable with rounds 1-4; their operators
+        # remain pytest- and formerly driver-oracled)
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_revenue_by_nation": q02_revenue_by_nation,
+        "q03_top_orders_per_priority": q03_top_orders_per_priority,
+        "q07_blocklist_filter": q07_blocklist_filter,
+        "q13_kg_exact_link": q13_kg_exact_link,
+        "q55_bucketed_join": q55_bucketed_join,
         "q67_transitive_closure": q67_transitive_closure,
         "q68_token_budget_mix": q68_token_budget_mix,
         "q69_cc_twostar": q69_cc_twostar,
@@ -3800,22 +3809,220 @@ def q70_bm25_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, q, k=20)
 
 
+# ---------------------------------------------------------------------------
+# Round-5 driver-oracle rotation: the rows below replace the long-stable
+# q01/q02/q03/q07/q13/q55 in queries() (those move to bench_queries(), so
+# bench walls stay round-over-round comparable) and put the round-3/4
+# operator waves — subtree rollup, SHACL shapes, interval coalescing,
+# SCD2, BGP property paths, and the snapshot/catalog WAP family — under
+# the DRIVER's DuckDB value oracle, not just pytest.
+
+
+def q92_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-ORACLED (DuckDB recursive-CTE twin): ontology subtree
+    rollup (operators/graph.py::subtree_rollup) over the p_partkey/2
+    binary hierarchy with integer lineitem leaf measures — "item count
+    and total quantity under every part family". Measures are exact
+    integers (count + cast-to-long quantity) so the value hash is
+    bit-stable across engines."""
+    from ontoma_spark.operators.graph import subtree_rollup
+
+    edges = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") > 1)
+        .select(
+            F.col("p_partkey").alias("src"),
+            F.floor(F.col("p_partkey") / 2).cast("long").alias("dst"),
+        )
+    )
+    leaf = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+    )
+    return subtree_rollup(
+        edges, leaf, {"n_under": F.sum("n_items"), "qty_under": F.sum("qty")}
+    )
+
+
+def q93_shape_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-ORACLED (DuckDB group-by + regex twin): SHACL-lite shape
+    report (operators/shapes.py) over a mention->part triple table
+    BUILT WITH violations: mention ids collide mod 1500 (max_count 1
+    broken), the object pattern caps at 3 digits (4-digit part ids
+    break it), and the membership table stops at 1800."""
+    from ontoma_spark.operators.shapes import (
+        max_count,
+        min_count,
+        object_in,
+        object_pattern,
+        validate_shape,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    triples = part.select(
+        F.concat(F.lit("m"), (F.col("p_partkey") % 1500)).alias("subj"),
+        F.lit("exactMatch").alias("pred"),
+        F.col("p_partkey").cast("string").alias("obj"),
+    )
+    nodes = part.filter(F.col("p_partkey") <= 1800).select(
+        F.col("p_partkey").cast("string").alias("id")
+    )
+    return validate_shape(
+        triples,
+        "exactMatch",
+        [
+            min_count("exactMatch", 1),
+            max_count("exactMatch", 1),
+            object_pattern("exactMatch", "^[0-9]{1,3}$"),
+            object_in("exactMatch", nodes, "id"),
+        ],
+    )
+
+
+def q94_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-ORACLED (DuckDB gaps-and-islands twin): per-user activity
+    interval coalescing (operators/intervals.py) over events — start =
+    whole-second event time, end = start + floor(|value|*60) seconds,
+    both longs so endpoint arithmetic is exact in both engines."""
+    from ontoma_spark.operators.intervals import coalesce_intervals
+
+    start = F.unix_timestamp("ts").cast("long")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        start.alias("valid_from"),
+        (start + F.floor(F.abs(F.col("value")) * 60)).alias("valid_to"),
+    )
+    return coalesce_intervals(ev, ["user_id"])
+
+
+def q95_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-ORACLED (DuckDB lead-window twin): SCD2 first-load
+    history (operators/scd.py::scd2_plan) over per-(customer, day)
+    order rollups, then the as-of point-in-time read at 1998-01-01 —
+    the "dimension as the training run saw it" view."""
+    import datetime
+
+    from ontoma_spark.operators.scd import scd2_asof, scd2_plan
+
+    upd = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.min("o_orderkey").alias("first_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    hist = scd2_plan(None, upd, ["o_custkey"], ts_col="o_orderdate")
+    return scd2_asof(hist, datetime.datetime(1998, 1, 1))
+
+
+def q96_bgp_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-ORACLED (DuckDB recursive-CTE twin): conjunctive BGP with
+    a property-path atom (operators/motif.py::match_bgp) — every
+    (mention, term, ancestor) binding of
+    [(?m exactMatch ?t), (?t is_a+ ?a)] over the part hierarchy's
+    triple table; the path atom runs the log-depth doubling closure."""
+    from ontoma_spark.operators.motif import match_bgp
+
+    part = _t(spark, sf_dir, "part")
+    is_a = part.filter(F.col("p_partkey") > 1).select(
+        F.col("p_partkey").cast("string").alias("subj"),
+        F.lit("is_a").alias("pred"),
+        F.floor(F.col("p_partkey") / 2)
+        .cast("long")
+        .cast("string")
+        .alias("obj"),
+    )
+    exact = part.select(
+        F.concat(F.lit("m"), F.col("p_partkey")).alias("subj"),
+        F.lit("exactMatch").alias("pred"),
+        F.col("p_partkey").cast("string").alias("obj"),
+    )
+    return match_bgp(
+        is_a.unionByName(exact),
+        [("?m", "exactMatch", "?t"), ("?t", "is_a+", "?a")],
+    )
+
+
+def q97_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-ORACLED (plain-SQL expected-final-state twin): the full
+    write-audit-publish + time-travel flow on the REAL snapshot/catalog
+    layer (core/snapshots.py refs + core/catalog.py): commit nation as
+    catalog tx 1 (tagged 'base'), stage a rename of regions 0-1 on a
+    snapshot-table BRANCH, publish it through a quality-suite audit,
+    commit the published set as tx 2 (tagged 'release'), and return
+    base-vs-release rows via the two tag reads."""
+    import os as _os
+    import tempfile
+
+    from ontoma_spark.core.catalog import Catalog
+    from ontoma_spark.core.snapshots import SnapshotTable
+    from ontoma_spark.operators import quality
+
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="q97_")
+    cat = Catalog(spark, _os.path.join(root, "catalog"))
+    with cat.transaction() as tx:
+        tx.append("dim_nation", nat)
+    cat.create_tag("base")
+
+    table = SnapshotTable(spark, _os.path.join(root, "dim_nation_wap"))
+    table.append(cat.read("dim_nation", tag="base"))
+    table.create_branch("audit")
+    staged = nat.withColumn(
+        "n_name",
+        F.when(
+            F.col("n_regionkey") < 2, F.concat(F.col("n_name"), F.lit("#2"))
+        ).otherwise(F.col("n_name")),
+    )
+    table.branch("audit").overwrite(staged)
+    table.publish_branch(
+        "audit",
+        audit=lambda df: quality.suite_passed(
+            df, [quality.completeness("n_name"), quality.size_between(1)]
+        ),
+    )
+    with cat.transaction() as tx:
+        tx.overwrite("dim_nation", table.read())
+    cat.create_tag("release")
+
+    base = cat.read("dim_nation", tag="base").select(
+        "n_nationkey", F.col("n_name").alias("name_base")
+    )
+    rel = cat.read("dim_nation", tag="release").select(
+        "n_nationkey",
+        F.col("n_name").alias("name_release"),
+        "n_regionkey",
+    )
+    return base.join(rel, "n_nationkey").select(
+        "n_nationkey",
+        "name_base",
+        "name_release",
+        (F.col("name_base") != F.col("name_release")).alias("changed"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triples over the synthetic repo table at sf0.001 scale."""
     return q23_kg_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Round-5 rotation: q01/q02/q03/q07/q13/q55 (long-green, 4-25 row
+    # TPC-H-ish rows whose operators are covered elsewhere) moved to
+    # bench_queries(); q92-q97 put the round-3/4 operator waves under
+    # the driver's value oracle. Count stays 50.
     return {
-        "q01_pricing_summary": q01_pricing_summary,
-        "q02_revenue_by_nation": q02_revenue_by_nation,
-        "q03_top_orders_per_priority": q03_top_orders_per_priority,
         "q04_union_distinct": q04_union_distinct,
         "q06_collect_set_statuses": q06_collect_set_statuses,
-        "q07_blocklist_filter": q07_blocklist_filter,
         "q08_event_props_stats": q08_event_props_stats,
         "q10_doc_features": q10_doc_features,
-        "q13_kg_exact_link": q13_kg_exact_link,
         "q18_exact_dup_clusters": q18_exact_dup_clusters,
         "q19_neardup_minhash_jaccard": q19_neardup_minhash_jaccard,
         "q20_ann_topk": q20_ann_topk,
@@ -3848,7 +4055,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_latest_snapshot": q52_latest_snapshot,
         "q53_snapshot_merge": q53_snapshot_merge,
         "q54_snapshot_diff": q54_snapshot_diff,
-        "q55_bucketed_join": q55_bucketed_join,
         "q56_code_comments": q56_code_comments,
         "q57_sampling_suite": q57_sampling_suite,
         "q60_triangle_count": q60_triangle_count,
@@ -3857,6 +4063,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_chunk_overlap": q63_chunk_overlap,
         "q64_window_suite": q64_window_suite,
         "q66_contamination": q66_contamination,
+        "q92_subtree_rollup": q92_subtree_rollup,
+        "q93_shape_report": q93_shape_report,
+        "q94_interval_coalesce": q94_interval_coalesce,
+        "q95_scd2_asof": q95_scd2_asof,
+        "q96_bgp_paths": q96_bgp_paths,
+        "q97_wap_publish": q97_wap_publish,
     }
 
 
@@ -3884,8 +4096,6 @@ def oracle_sql() -> dict[str, str]:
         )
         lsh_proj_terms.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
     lsh_bucket_sql = " || ".join(lsh_proj_terms)
-
-    lex_values = ", ".join(f"('{s}', '{i}')" for s, i in MINI_LEX)
 
     # q10_doc_features: all per-document text features in one SELECT
     # over one derived table (mirrors the single-pass Spark projection).
@@ -3939,33 +4149,6 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
-        "q01_pricing_summary": """
-            SELECT l_returnflag, l_linestatus,
-                   CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_extendedprice), 4) AS avg_price,
-                   count(*) AS count_order
-            FROM lineitem WHERE l_quantity > 0
-            GROUP BY 1, 2
-        """,
-        "q02_revenue_by_nation": """
-            SELECT r.r_name AS region, n.n_name AS nation,
-                   round(sum(o.o_totalprice), 2) AS revenue,
-                   count(*) AS n_orders
-            FROM orders o
-            JOIN customer c ON o.o_custkey = c.c_custkey
-            JOIN nation n ON c.c_nationkey = n.n_nationkey
-            JOIN region r ON n.n_regionkey = r.r_regionkey
-            GROUP BY 1, 2
-        """,
-        "q03_top_orders_per_priority": """
-            SELECT priority, orderkey, totalprice, rk FROM (
-              SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
-                     o_totalprice AS totalprice,
-                     dense_rank() OVER (PARTITION BY o_orderpriority
-                                        ORDER BY o_totalprice DESC) AS rk
-              FROM orders) WHERE rk <= 2
-        """,
         "q04_union_distinct": """
             SELECT returnflag, linestatus, count(*) AS n FROM (
               SELECT DISTINCT l_orderkey,
@@ -3986,11 +4169,6 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_partkey) AS n_parts
             FROM lineitem GROUP BY 1
         """,
-        "q07_blocklist_filter": f"""
-            SELECT lang, count(*) AS n_clean FROM documents
-            WHERE NOT ({" OR ".join(f"text LIKE '%{t}%'" for t in JUNK_TERMS)})
-            GROUP BY 1
-        """,
         "q08_event_props_stats": """
             SELECT event_type, count(*) AS n,
                    CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
@@ -4005,18 +4183,6 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "q10_doc_features": doc_features_sql,
-        "q13_kg_exact_link": f"""
-            WITH lex(term, term_id) AS (VALUES {lex_values}),
-            mentions AS (
-              SELECT doc_id,
-                     unnest(regexp_extract_all(lower(text), '{MINI_LEX_PATTERN}', 1)) AS term
-              FROM documents)
-            SELECT m.term AS term, l.term_id AS term_id,
-                   count(DISTINCT m.doc_id) AS n_docs,
-                   count(*) AS n_mentions
-            FROM mentions m JOIN lex l ON m.term = l.term
-            GROUP BY 1, 2
-        """,
         "q18_exact_dup_clusters": f"""
             WITH docs AS ({_DOCS_NEARDUP_SQL}),
             exact AS (
@@ -4267,7 +4433,6 @@ def oracle_sql() -> dict[str, str]:
         "q52_latest_snapshot": _Q52_ORACLE_SQL,
         "q53_snapshot_merge": _Q53_ORACLE_SQL,
         "q54_snapshot_diff": _Q54_ORACLE_SQL,
-        "q55_bucketed_join": _Q55_ORACLE_SQL,
         "q56_code_comments": _Q56_ORACLE_SQL,
         "q57_sampling_suite": f"""
             SELECT 'hash' AS method, doc_id, lang,
@@ -4294,4 +4459,137 @@ def oracle_sql() -> dict[str, str]:
             fmt_id=_FMT_ID_SQL.format(col="upper(trim(raw_id))")
         ),
         "q66_contamination": _Q66_ORACLE_SQL,
+        "q92_subtree_rollup": """
+            WITH RECURSIVE
+            edges AS (
+              SELECT p_partkey AS child,
+                     CAST(FLOOR(p_partkey / 2.0) AS BIGINT) AS parent
+              FROM part WHERE p_partkey > 1),
+            leaf AS (
+              SELECT l_partkey AS node, count(*) AS n_items,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem GROUP BY 1),
+            anc AS (
+              SELECT child AS descn, parent AS anc FROM edges
+              UNION
+              SELECT a.descn, e.parent
+              FROM anc a JOIN edges e ON a.anc = e.child),
+            -- NB: chained multi-branch UNION inside a WITH RECURSIVE
+            -- block fails to dedupe across all branches in DuckDB 1.0;
+            -- UNION ALL + explicit DISTINCT is the portable spelling
+            nodes AS (
+              SELECT DISTINCT n FROM (
+                SELECT child AS n FROM edges
+                UNION ALL SELECT parent FROM edges
+                UNION ALL SELECT node FROM leaf)),
+            closure AS (
+              SELECT DISTINCT descn, anc FROM (
+                SELECT descn, anc FROM anc
+                UNION ALL SELECT n, n FROM nodes))
+            SELECT c.anc AS node,
+                   CAST(sum(l.n_items) AS BIGINT) AS n_under,
+                   CAST(sum(l.qty) AS BIGINT) AS qty_under
+            FROM closure c JOIN leaf l ON c.descn = l.node
+            GROUP BY 1
+        """,
+        "q93_shape_report": """
+            WITH em AS (
+              SELECT 'm' || CAST(p_partkey % 1500 AS VARCHAR) AS subj,
+                     CAST(p_partkey AS VARCHAR) AS obj,
+                     p_partkey AS k
+              FROM part),
+            per AS (
+              SELECT subj,
+                     count(*) AS n_em,
+                     sum(CASE WHEN NOT regexp_matches(obj, '^[0-9]{1,3}$')
+                              THEN 1 ELSE 0 END) AS n_badpat,
+                     sum(CASE WHEN k > 1800 THEN 1 ELSE 0 END) AS n_out
+              FROM em GROUP BY subj)
+            SELECT 'c0_min_count_exactMatch' AS "constraint",
+                   'exactMatch' AS pred,
+                   (SELECT count(*) FROM per) AS n_focus,
+                   (SELECT count(*) FROM per WHERE n_em < 1) AS n_violating,
+                   (SELECT count(*) FROM per WHERE n_em < 1) = 0 AS passed
+            UNION ALL
+            SELECT 'c1_max_count_exactMatch', 'exactMatch',
+                   (SELECT count(*) FROM per),
+                   (SELECT count(*) FROM per WHERE n_em > 1),
+                   (SELECT count(*) FROM per WHERE n_em > 1) = 0
+            UNION ALL
+            SELECT 'c2_object_pattern_exactMatch', 'exactMatch',
+                   (SELECT count(*) FROM per),
+                   (SELECT count(*) FROM per WHERE n_badpat > 0),
+                   (SELECT count(*) FROM per WHERE n_badpat > 0) = 0
+            UNION ALL
+            SELECT 'c3_object_in_exactMatch', 'exactMatch',
+                   (SELECT count(*) FROM per),
+                   (SELECT count(*) FROM per WHERE n_out > 0),
+                   (SELECT count(*) FROM per WHERE n_out > 0) = 0
+        """,
+        "q94_interval_coalesce": """
+            WITH iv AS (
+              SELECT user_id,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       + CAST(FLOOR(abs(value) * 60) AS BIGINT) AS e
+              FROM events),
+            m AS (
+              SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_e
+              FROM iv),
+            isl AS (
+              SELECT user_id, s, e,
+                     sum(CASE WHEN prev_e IS NULL OR s > prev_e
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+              FROM m)
+            SELECT user_id,
+                   min(s) AS valid_from,
+                   max(e) AS valid_to,
+                   count(*) AS n_merged
+            FROM isl GROUP BY user_id, island
+        """,
+        "q95_scd2_asof": """
+            WITH upd AS (
+              SELECT o_custkey, o_orderdate,
+                     min(o_orderkey) AS first_order,
+                     count(*) AS n_orders
+              FROM orders GROUP BY 1, 2),
+            hist AS (
+              SELECT o_custkey, first_order, n_orders,
+                     o_orderdate AS vf,
+                     lead(o_orderdate) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate) AS vt
+              FROM upd)
+            SELECT o_custkey, first_order, n_orders,
+                   vf AS "_valid_from", vt AS "_valid_to",
+                   (vt IS NULL) AS "_is_current"
+            FROM hist
+            WHERE vf <= TIMESTAMP '1998-01-01'
+              AND (vt IS NULL OR vt > TIMESTAMP '1998-01-01')
+        """,
+        "q96_bgp_paths": """
+            WITH RECURSIVE e AS (
+              SELECT CAST(p_partkey AS VARCHAR) AS child,
+                     CAST(CAST(FLOOR(p_partkey / 2.0) AS BIGINT)
+                          AS VARCHAR) AS parent
+              FROM part WHERE p_partkey > 1),
+            anc AS (
+              SELECT child AS t, parent AS a FROM e
+              UNION
+              SELECT x.t, e.parent FROM anc x JOIN e ON x.a = e.child)
+            SELECT 'm' || t AS m, t, a FROM anc
+        """,
+        "q97_wap_publish": """
+            SELECT n_nationkey,
+                   n_name AS name_base,
+                   CASE WHEN n_regionkey < 2 THEN n_name || '#2'
+                        ELSE n_name END AS name_release,
+                   (n_regionkey < 2) AS changed
+            FROM nation
+        """,
     }

@@ -132,6 +132,14 @@ HEADLINE = [
     "q89_property_paths",
     "q90_subtree_rollup",
     "q91_shape_validation",
+    # round-5 driver-oracle rotation rows (also correctness-gated by
+    # the driver at sf0.01; timed here so every driver row has a wall)
+    "q92_subtree_rollup",
+    "q93_shape_report",
+    "q94_interval_coalesce",
+    "q95_scd2_asof",
+    "q96_bgp_paths",
+    "q97_wap_publish",
 ]
 
 T0 = time.time()
@@ -197,9 +205,32 @@ def _print_final() -> None:
     if "kg_triples" in STATE:
         out["kg_triples"] = STATE["kg_triples"]
     line = json.dumps(out)
-    # Hard guard: the driver's tail window is ~2 KB. If the compact line
-    # ever outgrows it, drop the per-query map (partial.json has it)
-    # rather than lose the whole record again.
+    # Hard guard: the driver's tail window is ~2 KB. Shrink GRADUALLY —
+    # round-5 added 6 headline queries, so first cut scaling verbosity
+    # and query-wall precision (partial.json keeps everything raw);
+    # dropping the whole per-query map is the last resort.
+    if len(line) > 1900 and compact_scaling:
+        out["scaling"] = {
+            "efficiency": s.get("efficiency"),
+            "speedup": s.get("speedup"),
+            "executor_ratio": s.get("executor_ratio"),
+            "rows": s.get("rows"),
+            "low": {k: low.get(k) for k in ("sec", "triples_per_sec")},
+            "high": {k: high.get(k) for k in ("sec", "triples_per_sec")},
+            "reference_trials": {
+                "median_efficiency": (s.get("reference_trials") or {}).get(
+                    "median_efficiency"
+                )
+            },
+        }
+        line = json.dumps(out)
+    if len(line) > 1900:
+        out.pop("detail", None)  # partial.json path is fixed anyway
+        out["queries"] = {
+            k: (round(v, 1) if isinstance(v, float) else v)
+            for k, v in STATE["queries"].items()
+        }
+        line = json.dumps(out)
     if len(line) > 1900:
         out["queries"] = {"see": "BENCH/partial.json"}
         line = json.dumps(out)
@@ -545,13 +576,24 @@ def main() -> None:
         queries[name](spark, WARM_DIR).count()
     STATE["phases_done"].append("warmup")
     _emit_partial()
+    # iterative graph benches: per-round kernel walls (graph.py's
+    # LAST_RUN_STATS) go into partial.json so a wall regression is
+    # attributable to kernel time vs a round-count change
+    from ontoma_spark.operators import graph as graphmod
+
+    STATE.setdefault("iter_rounds", {})
     for name in HEADLINE:
         if time.time() > deadline - 60:
             STATE["queries"][name] = None  # skipped: budget
             continue
+        graphmod.LAST_RUN_STATS.clear()
         t0 = time.time()
         queries[name](spark, SF_DIR).count()
         STATE["queries"][name] = round(time.time() - t0, 2)
+        if graphmod.LAST_RUN_STATS:
+            STATE["iter_rounds"][name] = {
+                op: recs for op, recs in graphmod.LAST_RUN_STATS.items()
+            }
         _emit_partial()
     # full KG pipeline at sf scale (includes lexicon build + linking)
     if time.time() <= deadline - 60:

@@ -55,6 +55,8 @@ Scale notes
 
 from __future__ import annotations
 
+from time import time as _now
+
 from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
@@ -146,7 +148,11 @@ def louvain(
         asg = deg.select("node", "k", F.col("node").alias("comm"))
         asg = asg.localCheckpoint(eager=True)
         level_moves = 0
+        from ontoma_spark.operators.graph import _stats_record
+
+        _rec = _stats_record("louvain")
         for rnd in range(max_rounds_per_level):
+            _r0 = _now()
             sigma = asg.groupBy("comm").agg(F.sum("k").alias("tot"))
             # neighbour-community weight per node: far endpoint's label
             nbr = (
@@ -219,6 +225,8 @@ def louvain(
             # round, and no wasted parity-empty rounds.
             wanted = best_all.count()
             if wanted == 0:
+                _rec["round_walls"].append(round(_now() - _r0, 3))
+                _rec["rounds"] = len(_rec["round_walls"])
                 break
             level_moves += wanted
             best = best_all.filter(
@@ -233,6 +241,8 @@ def louvain(
                 )
                 .localCheckpoint(eager=True)
             )
+            _rec["round_walls"].append(round(_now() - _r0, 3))
+            _rec["rounds"] = len(_rec["round_walls"])
 
         if level_moves == 0:
             break

@@ -31,8 +31,25 @@ Scale notes
 
 from __future__ import annotations
 
+import time as _time
+
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
+
+# Per-operator telemetry for the ITERATIVE dataflows: each eager-round
+# call (two-star CC — also the kernel inside incremental_components —
+# and community.py's louvain) APPENDS {"rounds": k, "round_walls":
+# [...s]} under its operator name, so a bench wall regression can be
+# attributed to kernel time vs a round-count change (round-4 verdict
+# stretch task). bench.py clears this before a query and snapshots it
+# after. Best-effort observability; never consumed by the operators.
+LAST_RUN_STATS: dict[str, list] = {}
+
+
+def _stats_record(name: str) -> dict:
+    rec = {"rounds": 0, "round_walls": []}
+    LAST_RUN_STATS.setdefault(name, []).append(rec)
+    return rec
 
 
 def comention_edges(
@@ -600,7 +617,10 @@ def connected_components_twostar(
     )
     if cur.isEmpty():
         return cur.select(u.alias("node"), v.alias("component"))
+    _rec = _stats_record("connected_components_twostar")
+    round_walls: list[float] = _rec["round_walls"]
     for _ in range(max_iter):
+        _r0 = _time.time()
         # large-star: connect every neighbor w > x to
         # m(x) = min(neighborhood(x) + x); symmetric view of cur
         sym = cur.union(cur.select(v.alias("u"), u.alias("v")))
@@ -632,6 +652,8 @@ def connected_components_twostar(
             small.exceptAll(cur).limit(1).count()
             + cur.exceptAll(small).limit(1).count()
         )
+        round_walls.append(round(_time.time() - _r0, 3))
+        _rec["rounds"] = len(round_walls)
         prev, cur = cur, small
         if changed == 0:
             return cur.select(u.alias("node"), v.alias("component")).union(

@@ -515,8 +515,15 @@ def link_matches(
     lex_rows: list | None = None,
     candidates_factory=None,
     pass2_token_cap: int = PASS2_TOKEN_CAP,
+    return_match_map: bool = False,
 ) -> DataFrame:
     """Candidate n-gram stream -> per-span matches.
+
+    ``return_match_map=True`` returns ``(matches, match_map)`` — the
+    vocabulary-sized (surface, tier, entityType, entityIds, score) map
+    the matches were joined against, so callers (pipeline/kg.py's
+    dictionary-encoded shuffle path) can derive term dictionaries from
+    the CLOSED matched vocabulary without a second corpus pass.
 
     Corpus cost: one narrow pass ending in the distinct-surface hash
     aggregate (shuffle payload = per-partition vocabulary), one narrow
@@ -621,10 +628,13 @@ def link_matches(
                 candidates = candidates_factory(
                     sorted(r["t"] for r in tok_rows)
                 )
-    return candidates.join(F.broadcast(smap), on="surface", how="inner").select(
+    out = candidates.join(F.broadcast(smap), on="surface", how="inner").select(
         *doc_cols, "start", "n", "surface", "entityType", "entityIds",
         "tier", "score"
     )
+    if return_match_map:
+        return out, smap
+    return out
 
 
 def link_exact(

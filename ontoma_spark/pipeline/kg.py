@@ -49,6 +49,10 @@ from ontoma_spark.functions.text import format_identifier
 PRED_EXACT = "skos:exactMatch"
 PRED_RELATED = "skos:relatedMatch"
 
+# _triples_encoded: inline a term dictionary as a literal DataFrame when
+# it fits (vocabulary-sized by contract); past this the lazy plan stands
+_DICT_INLINE_CAP = 200_000
+
 
 def resolve_overlaps(
     matches: DataFrame, doc_cols: tuple[str, ...] = DOC_COLS
@@ -172,10 +176,17 @@ def build_triples(
     match_strategy: str = "auto",
     lex_rows: list | None = None,
     content_col: str = "content",
+    encode_ids: bool = True,
 ) -> DataFrame:
     """Full linker: returns the triple table with provenance columns
     (repo, path, commit, start, n, subj/mention, entityType, pred, obj,
     tier, score).
+
+    ``encode_ids`` (default on) runs the post-match corpus shuffles
+    (overlap groupBy, triple dedup) on dictionary-encoded 64-bit ids
+    instead of surface strings / CURIE structs — identical output,
+    ~3-10x narrower shuffle rows (see ``_triples_encoded``). Set False
+    for the plain string dataflow (debugging, plan comparison).
 
     Corpus cost = exactly two narrow passes over the candidate stream
     (one ending in the distinct-vocabulary hash aggregate, one carrying
@@ -194,7 +205,7 @@ def build_triples(
     candidates = extract_candidates(
         repos, token_bloom=token_bloom, content_col=content_col
     )
-    matches = link_matches(
+    matches, smap = link_matches(
         candidates,
         lexicon,
         threshold=fuzzy_threshold,
@@ -209,9 +220,196 @@ def build_triples(
         candidates_factory=lambda toks: extract_candidates(
             repos, keep_tokens=toks, content_col=content_col
         ),
+        return_match_map=True,
     )
-    resolved = resolve_overlaps(matches)
-    return matches_to_triples(resolved, canonical)
+    if not encode_ids:
+        resolved = resolve_overlaps(matches)
+        return matches_to_triples(resolved, canonical)
+    return _triples_encoded(matches, smap, canonical)
+
+
+def _triples_encoded(
+    matches: DataFrame,
+    smap: DataFrame,
+    canonical: DataFrame,
+    doc_cols: tuple[str, ...] = DOC_COLS,
+) -> DataFrame:
+    """The same matches -> triples dataflow, but with every corpus-keyed
+    SHUFFLE running on dictionary-encoded 64-bit ids instead of surface
+    strings and CURIE structs (operators/dictenc.py — the shuffle-width
+    lever; at the sf where the scaling gate runs, the per-doc overlap
+    groupBy and the triple dedup are the only corpus shuffles, and a
+    mention surface + its array<struct<string,string>> ids average
+    ~10x the bytes of a long + array<long>).
+
+    Mechanics: the matched vocabulary is CLOSED (every match row's
+    surface/ids come from the broadcastable match map), so verified
+    injective term dictionaries are vocabulary-sized and never touch
+    the corpus. One extra broadcast join swaps (surface, entityIds)
+    for (sid, array<struct<entityId:long>>) BEFORE the overlap groupBy
+    (fused by Catalyst into the same stage as the match join);
+    canonicalisation and dedup run in id space; two broadcast decode
+    joins AFTER the last shuffle restore the exact strings. Output is
+    byte-identical to the unencoded path (column names, order, types,
+    values) — pinned by tests/test_kg_pipeline.py.
+    """
+    from ontoma_spark.operators.dictenc import build_term_dict
+
+    def fmt(c):
+        return format_identifier(F.upper(F.trim(c)))
+
+    raw_terms = (
+        smap.select(F.explode("entityIds").alias("e"))
+        .select(fmt(F.col("e.entityId")).alias("term"))
+        .union(canonical.select(F.col("node").alias("term")))
+        .union(canonical.select(F.col("canonicalId").alias("term")))
+    )
+    spark = matches.sparkSession
+
+    # Dictionary ids are INTERNAL to this dataflow (encode + decode use
+    # the same table), so when the term domain fits the cap the cheapest
+    # verified-injective id assignment is sorted enumeration of ONE
+    # collected distinct set — a single tiny job, vs build_term_dict's
+    # hash-verify loop (several eager vocab jobs of pure SERIAL latency,
+    # which is exactly what caps N->4N strong scaling; same Amdahl
+    # argument as link_matches' driver path). Past the cap, the lazy
+    # verified xxhash64 dictionary stands (the cap is a size guard, not
+    # an estimate). The formatted entity terms are still computed by the
+    # same Spark `fmt` expression the encode join uses, so the collected
+    # domain and the join-side terms can never disagree.
+    def _dict_for(domain: DataFrame, col: str) -> DataFrame:
+        rows = domain.select(
+            F.col(col).alias("term")
+        ).distinct().limit(_DICT_INLINE_CAP + 1).collect()
+        if len(rows) > _DICT_INLINE_CAP:
+            return build_term_dict(domain, col)
+        terms = sorted(r["term"] for r in rows if r["term"] is not None)
+        return spark.createDataFrame(
+            [(t, i) for i, t in enumerate(terms)], "term string, id long"
+        )
+
+    id_dict = _dict_for(raw_terms, "term")
+    surf_dict = _dict_for(smap.select("surface"), "surface")
+
+    # vocabulary-sized encoded match map: (surface, tier, entityType) ->
+    # (sid, eids) — entity-id array order is irrelevant downstream
+    # (exists() in overlap resolution, explode before dedup), so a
+    # sorted set is the deterministic choice
+    # every join below is vocab-dict x vocab-map — broadcast by
+    # contract (the match map is already broadcast to the corpus join)
+    smap_enc = (
+        smap.select(
+            "surface", "tier", "entityType", F.explode("entityIds").alias("e")
+        )
+        .withColumn("term", fmt(F.col("e.entityId")))
+        .join(F.broadcast(id_dict), "term")
+        .groupBy("surface", "tier", "entityType")
+        .agg(F.sort_array(F.collect_set("id")).alias("__eids"))
+        .join(
+            F.broadcast(
+                surf_dict.select(
+                    F.col("term").alias("surface"), F.col("id").alias("__sid")
+                )
+            ),
+            "surface",
+        )
+    )
+    enc = matches.join(
+        F.broadcast(smap_enc), ["surface", "tier", "entityType"]
+    ).select(
+        *doc_cols,
+        "start",
+        "n",
+        # same column names/shape as the string path so resolve_overlaps
+        # (which compares y.entityId = x.entityId) runs unchanged
+        F.col("__sid").alias("surface"),
+        "entityType",
+        F.expr(
+            "transform(__eids, x -> struct(x AS entityId))"
+        ).alias("entityIds"),
+        "tier",
+        "score",
+    )
+    resolved = resolve_overlaps(enc, doc_cols=doc_cols)
+
+    canon_enc = (
+        canonical.join(
+            F.broadcast(
+                id_dict.select(
+                    F.col("term").alias("node"), F.col("id").alias("__node_id")
+                )
+            ),
+            "node",
+        )
+        .join(
+            F.broadcast(
+                id_dict.select(
+                    F.col("term").alias("canonicalId"),
+                    F.col("id").alias("__canon_id"),
+                )
+            ),
+            "canonicalId",
+        )
+        .select("__node_id", "__canon_id")
+    )
+    exploded = resolved.select(
+        *doc_cols,
+        "start",
+        "n",
+        F.col("surface").alias("__sid"),
+        "entityType",
+        "tier",
+        "score",
+        F.explode("entityIds").alias("e"),
+    ).withColumn("__raw_id", F.col("e.entityId"))
+    deduped = (
+        exploded.join(
+            F.broadcast(canon_enc),
+            exploded["__raw_id"] == canon_enc["__node_id"],
+            "left",
+        )
+        .withColumn("__obj_id", F.coalesce("__canon_id", "__raw_id"))
+        .withColumn(
+            "pred",
+            F.when(F.col("tier") >= 2, F.lit(PRED_EXACT)).otherwise(
+                F.lit(PRED_RELATED)
+            ),
+        )
+        .dropDuplicates(
+            [*doc_cols, "start", "n", "__sid", "pred", "__obj_id",
+             "entityType"]
+        )
+    )
+    return (
+        deduped.join(
+            F.broadcast(
+                surf_dict.select(
+                    F.col("id").alias("__sid"), F.col("term").alias("mention")
+                )
+            ),
+            "__sid",
+        )
+        .join(
+            F.broadcast(
+                id_dict.select(
+                    F.col("id").alias("__obj_id"), F.col("term").alias("obj")
+                )
+            ),
+            "__obj_id",
+        )
+        .select(
+            *doc_cols,
+            "start",
+            "n",
+            "mention",
+            "entityType",
+            "tier",
+            "score",
+            "obj",
+            "pred",
+            F.col("mention").alias("subj"),
+        )
+    )
 
 
 PRED_BROAD = "skos:broadMatch"

@@ -460,3 +460,45 @@ def test_mention_contexts_end_to_end_contains_mention(spark, kg):
     for r in rows:
         # the mention surface tokens appear inside their own context
         assert r["subj"].split()[0].lower() in r["context"].lower()
+
+
+def test_encoded_path_byte_identical_to_string_path(spark, kg):
+    """The dictionary-encoded shuffle path (round-5 scaling lever) must
+    be indistinguishable from the plain string dataflow: same columns,
+    same types, same row multiset."""
+    enc = kg["triples"]  # fixture builds with encode_ids=True (default)
+    plain = build_triples(
+        kg["repos"], kg["lex"], kg["canon"], token_bloom=kg["bloom"],
+        encode_ids=False,
+    )
+    assert enc.columns == plain.columns
+    assert enc.schema == plain.schema
+    cols = enc.columns
+    a = sorted(tuple(r[c] for c in cols) for r in enc.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in plain.collect())
+    assert a == b
+
+
+def test_encoded_path_shuffles_carry_no_surface_strings(spark, kg):
+    """Plan pin: in the encoded path the overlap groupBy's exchange and
+    the dedup exchange must not partition on / carry the mention string
+    — the pre-shuffle projection exposes only the encoded long
+    (surface: bigint) and struct<entityId:bigint> arrays."""
+    import re as _re
+
+    enc = kg["triples"]
+    plan = enc._jdf.queryExecution().optimizedPlan().toString()
+    # the overlap groupBy's collect_list payload must reference the
+    # ENCODED surface (a long attribute, printed `surface#NNNL`), not
+    # the mention string (`surface#NNN` with no L suffix)
+    m = _re.search(r"collect_list\(struct\([^)]*?surface, surface#(\d+)(L?)", plan)
+    assert m, "overlap groupBy payload not found in plan"
+    assert m.group(2) == "L", "overlap shuffle still carries the surface STRING"
+    # the dedup aggregate must key on the encoded ids (__sid/__obj_id
+    # longs), never the decoded mention/obj strings
+    m2 = _re.search(
+        r"HashAggregate\(keys=\[([^\]]*__obj_id#\d+L[^\]]*)\]", plan
+    ) or _re.search(r"Aggregate \[([^\]]*__obj_id#\d+L[^\]]*)\]", plan)
+    assert m2, "encoded dedup aggregate not found in plan"
+    assert _re.search(r"__sid#\d+L", m2.group(1))
+    assert "mention" not in m2.group(1) and "obj#" not in m2.group(1)
