@@ -3258,6 +3258,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_property_paths": q89_property_paths,
         "q90_subtree_rollup": q90_subtree_rollup,
         "q91_shape_validation": q91_shape_validation,
+        "q98_quality_sf1": q98_quality_sf1,
+        "q99_drift_sf1": q99_drift_sf1,
     }
 
 
@@ -3512,6 +3514,71 @@ def q91_shape_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             object_in("exactMatch", nodes, "id"),
         ],
     )
+
+
+def _docs_sf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 100x amplification of the documents table (~500k
+    rows at sf0.1) for the large-slice quality benches: each copy gets
+    a distinct doc_id band and a perturbed text/n_chars so exact
+    distinct aggregates and histograms do 100x the real work instead of
+    collapsing onto 100 identical groups. Pure narrow explode — no
+    shuffle, no extra input files."""
+    docs = _t(spark, sf_dir, "documents")
+    n = 100
+    return (
+        docs.withColumn(
+            "__copy", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .withColumn(
+            "doc_id", F.col("doc_id") * n + F.col("__copy")
+        )
+        .withColumn(
+            "text", F.concat(F.col("text"), F.lit(" #"), F.col("__copy"))
+        )
+        .withColumn("n_chars", F.col("n_chars") + F.col("__copy"))
+        .drop("__copy")
+    )
+
+
+def q98_quality_sf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (same operator as q86, which is brute-force- and
+    DuckDB-oracled in tests/test_quality.py): the 10-rule single-scan
+    constraint suite at a 100x-amplified slice (~500k docs at sf0.1 —
+    an sf1-scale corpus), so the wall measures the fused aggregation's
+    throughput rather than fixed job overhead (round-4 verdict task 7).
+    The plan still contains exactly ONE scan of the amplified corpus."""
+    from ontoma_spark.operators import quality as Q
+
+    docs = _docs_sf1(spark, sf_dir)
+    return Q.verify(
+        docs,
+        [
+            Q.size_between(1),
+            Q.completeness("doc_id"),
+            Q.completeness("text"),
+            Q.completeness("lang", 0.95),
+            Q.uniqueness("doc_id"),
+            Q.uniqueness("text", 0.5),
+            Q.in_range("n_chars", 1, 10_000_000, 0.99),
+            Q.matches("lang", "[a-z]{2}", 0.95),
+            Q.isin("source", [f"src{i}" for i in range(20)], 0.99),
+            Q.satisfies("length(text) >= 10", "min_text_len", 0.9),
+        ],
+    )
+
+
+def q99_drift_sf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (same operator as q87, numpy-oracled in
+    tests/test_drift.py): PSI/JS drift at the 100x-amplified slice —
+    one approxQuantile pass + one stacked single-scan histogram per
+    side over ~250k rows each (two corpus scans total, plan shape
+    unchanged from q87)."""
+    from ontoma_spark.operators.drift import drift_report
+
+    docs = _docs_sf1(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    return drift_report(ref, cur, ["lang", "source", "n_chars", "doc_id"])
 
 
 def q84_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -176,17 +176,24 @@ def build_triples(
     match_strategy: str = "auto",
     lex_rows: list | None = None,
     content_col: str = "content",
-    encode_ids: bool = True,
+    encode_ids: bool = False,
 ) -> DataFrame:
     """Full linker: returns the triple table with provenance columns
     (repo, path, commit, start, n, subj/mention, entityType, pred, obj,
     tier, score).
 
-    ``encode_ids`` (default on) runs the post-match corpus shuffles
-    (overlap groupBy, triple dedup) on dictionary-encoded 64-bit ids
-    instead of surface strings / CURIE structs — identical output,
-    ~3-10x narrower shuffle rows (see ``_triples_encoded``). Set False
-    for the plain string dataflow (debugging, plan comparison).
+    ``encode_ids=True`` runs the post-match corpus shuffles (overlap
+    groupBy, triple dedup) on dictionary-encoded 64-bit ids instead of
+    surface strings / CURIE structs — byte-identical output (test-
+    pinned), ~3-10x narrower shuffle rows (see ``_triples_encoded``).
+    The default was chosen BY MEASUREMENT, not assumption: on a real
+    multi-node cluster the match shuffle crosses a NETWORK and
+    narrower rows are the win, so flip it on there; on this repo's
+    single-JVM bench host the shuffle is a local memcpy dwarfed by the
+    regex candidate pass, and the id path's extra vocab-stage work
+    made it ~3%% slower at every probed size with no efficiency gain
+    (A/B table in BENCH/BASELINE.md), so local runs default to the
+    string dataflow.
 
     Corpus cost = exactly two narrow passes over the candidate stream
     (one ending in the distinct-vocabulary hash aggregate, one carrying

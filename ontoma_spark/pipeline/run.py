@@ -79,6 +79,16 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--buckets-per-job", type=int, default=8)
     ap.add_argument("--no-fuzzy", action="store_true")
     ap.add_argument(
+        "--encode-ids",
+        action="store_true",
+        help="run the post-match corpus shuffles on dictionary-encoded "
+        "64-bit ids (pipeline/kg.py::_triples_encoded) — byte-identical "
+        "output, ~3-10x narrower shuffle rows; flip this ON for "
+        "multi-node clusters where the match shuffle crosses a network "
+        "(measured OFF-is-faster on a single-JVM host, see "
+        "BENCH/BASELINE.md)",
+    )
+    ap.add_argument(
         "--snapshot-table",
         help="publish the finished triple set as a new snapshot of this "
         "versioned table (core/snapshots.py) — consumers keep reading "
@@ -150,6 +160,7 @@ def main(argv: list[str] | None = None) -> dict:
         preview = build_triples(
             repos, lexicon, canonical,
             with_fuzzy=not args.no_fuzzy, token_bloom=bloom,
+            encode_ids=args.encode_ids,
         )
         try:
             assert_plan_clean(
@@ -165,6 +176,7 @@ def main(argv: list[str] | None = None) -> dict:
         lambda part: build_triples(
             part, lexicon, canonical,
             with_fuzzy=not args.no_fuzzy, token_bloom=bloom,
+            encode_ids=args.encode_ids,
         ),
         args.out,
         n_buckets=args.n_buckets,

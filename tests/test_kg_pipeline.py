@@ -463,14 +463,15 @@ def test_mention_contexts_end_to_end_contains_mention(spark, kg):
 
 
 def test_encoded_path_byte_identical_to_string_path(spark, kg):
-    """The dictionary-encoded shuffle path (round-5 scaling lever) must
-    be indistinguishable from the plain string dataflow: same columns,
-    same types, same row multiset."""
-    enc = kg["triples"]  # fixture builds with encode_ids=True (default)
-    plain = build_triples(
+    """The dictionary-encoded shuffle path (the at-scale network-
+    shuffle option; default-off locally, see build_triples docstring)
+    must be indistinguishable from the plain string dataflow: same
+    columns, same types, same row multiset."""
+    enc = build_triples(
         kg["repos"], kg["lex"], kg["canon"], token_bloom=kg["bloom"],
-        encode_ids=False,
+        encode_ids=True,
     )
+    plain = kg["triples"]  # fixture builds the default (string) path
     assert enc.columns == plain.columns
     assert enc.schema == plain.schema
     cols = enc.columns
@@ -486,7 +487,10 @@ def test_encoded_path_shuffles_carry_no_surface_strings(spark, kg):
     (surface: bigint) and struct<entityId:bigint> arrays."""
     import re as _re
 
-    enc = kg["triples"]
+    enc = build_triples(
+        kg["repos"], kg["lex"], kg["canon"], token_bloom=kg["bloom"],
+        encode_ids=True,
+    )
     plan = enc._jdf.queryExecution().optimizedPlan().toString()
     # the overlap groupBy's collect_list payload must reference the
     # ENCODED surface (a long attribute, printed `surface#NNNL`), not
