@@ -689,14 +689,33 @@ def _burn_mem(_: int) -> float:
 # side). The trial count was fixed at three BEFORE any trial ran; all
 # readings are listed; the committed number is the median.
 _R3_TRIALS_SECTION = """\
-### Committed 3-trial reference (fixed count, median)
+### Committed 3-trial reference (fixed count, median) — round 5
 
-Measured 2026-08-18 on an idle box with the current kernel (pass-2
-matched-token runtime filter, commit 564e09c) under protocol v2
-(fixed repetitions per side, fastest-pairing — see above); raw
-per-trial JSONs in BENCH/trials_r3d/. The trial count was fixed at
+Measured 2026-08-21 on an idle box with the round-5 kernel (string
+shuffle path, encode_ids=False by the A/B above) under the
+PRE-REGISTERED protocol v2 (fixed repetitions per side,
+fastest-pairing — see above; registered in round 4, not switchable);
+raw per-trial JSONs in BENCH/trials_r5/. The trial count was fixed at
 three before any trial ran; every reading is listed (no selection);
 the committed number is the median:
+
+| trial | N triples/sec | 4N triples/sec | efficiency | N walls (s) | 4N round walls (s) |
+| --- | --- | --- | --- | --- | --- |
+| A | 9080.3 | 33279.4 | 0.916 | [271.27, 253.07] | [81.74, 69.05] |
+| B | 9111.2 | 32562.6 | 0.893 | [267.04, 252.21] | [76.78, 70.57] |
+| C | 8799.3 | 31695.8 | 0.901 | [263.91, 261.15] | [79.47, 72.5] |
+
+Median efficiency **0.901**; narrowest reading 0.893; every reading
+clears the 0.8 gate with >= 0.09 margin (the round-4 verdict asked
+for median >= 0.85 and narrowest >= 0.82 — both met). N-side
+throughput also improved over the r4 reference (9080-9111 vs
+7959-8890 triples/sec).
+
+### Prior committed reference (round 3/4 kernel)
+
+Measured 2026-08-18 on an idle box (pass-2 matched-token runtime
+filter, commit 564e09c), same protocol v2; raw JSONs in
+BENCH/trials_r3d/:
 
 | trial | N triples/sec | 4N triples/sec | efficiency | N walls (s) | 4N round walls (s) |
 | --- | --- | --- | --- | --- | --- |
@@ -704,14 +723,13 @@ the committed number is the median:
 | B | 8890.2 | 30208.3 | 0.849 | [315.2, 258.48] | [91.17, 76.07] |
 | C | 8320.1 | 29758.4 | 0.894 | [291.78, 276.19] | [85.52, 77.22] |
 
-Median efficiency **0.849**; every reading clears the 0.8 gate. The
-per-repetition walls show why the fixed-count fastest-pairing
-estimator exists: identical deterministic runs spread 258-315 s (N)
-and 76-93 s (4N round walls) with per-core busy fractions ~1.0 —
-host-neighbor bandwidth noise, which only ever SLOWS a run, so the
-fastest repetition per side is the defensible estimate of each side's
-uncontended cost and their ratio cannot be inflated by a noisy-slow
-baseline.
+Median efficiency **0.849**. The per-repetition walls show why the
+fixed-count fastest-pairing estimator exists: identical deterministic
+runs spread 258-315 s (N) and 76-93 s (4N round walls) with per-core
+busy fractions ~1.0 — host-neighbor bandwidth noise, which only ever
+SLOWS a run, so the fastest repetition per side is the defensible
+estimate of each side's uncontended cost and their ratio cannot be
+inflated by a noisy-slow baseline.
 
 History (same box, same day): single-repetition protocol read
 [0.819, 0.839, 0.812] (median 0.819, trials_r3, pre-ad974a7 kernel),
@@ -735,6 +753,53 @@ be switched again regardless of what it reads — and the v2 rationale
 (min of a fixed count estimates the uncontended cost of a
 deterministic dataflow on a noisy shared host; fastest-pairing cannot
 inflate the ratio) stands on its own, independent of r3c.
+"""
+
+
+_R5_ENCODE_AB_SECTION = """\
+## Round-5 A/B: dictionary-encoded shuffle path (pipeline/kg.py encode_ids)
+
+The round-4 verdict prescribed wiring `operators/dictenc.py` 64-bit ids
+into `build_triples`' corpus shuffles to cut shuffle bytes. It is wired
+(`_triples_encoded`: verified-injective dictionaries over the CLOSED
+matched vocabulary; the overlap groupBy and triple dedup run on longs;
+broadcast decode joins after the last shuffle; byte-identical output
+and no-surface-string-in-exchange plan pins in tests/test_kg_pipeline.py)
+— and then the DEFAULT was chosen by measurement, not assumption.
+Measured 2026-08-21 (idle box, taskset-pinned single-core executor
+processes, 2 reps each, fastest shown; identical 574418/1148720 triple
+outputs on both paths at the two sizes):
+
+| rows | string path best s | encoded path best s | encoded delta |
+| --- | --- | --- | --- |
+| 300k, 1 proc | 70.5 | 72.2 | +2.4% |
+| 300k x 4 concurrent procs (worst proc) | 70.7 | 79.2 | +12% |
+| 600k, 1 proc | 132.3 | 142.4 | +7.6% |
+
+Reading: on this single-JVM host the match shuffle is a LOCAL memcpy
+dwarfed by the regex candidate passes, so narrower shuffle rows buy
+nothing here, while the id path pays real per-row work (one extra
+broadcast probe before the shuffle, two decode probes after) — the
+delta grows with input size and with core contention, i.e. it is
+per-row, not fixed. The 4-way concurrency A/B also shows the string
+path's contention penalty on this box is ~nil (70.7 vs 70.5), so the
+encoded path cannot improve the measured N->4N efficiency either.
+Therefore `encode_ids` defaults to False locally; on a real multi-node
+cluster, where the same shuffle crosses a NETWORK at 10^12-file scale,
+flipping it on (`--encode-ids` in the pipeline CLI) is the intended
+configuration — that is the regime the operator was built for, and the
+byte-equality + plan pins are the evidence it can be flipped safely.
+
+## Watch notes
+
+- q21_lsh_buckets read 1.73 s in the r4 driver run vs 1.08 s in r3
+  with no LSH code change — sub-2 s walls sit inside the disclosed
+  host-noise band. If a round-5+ reading is again >1.5x the r3 wall on
+  an idle box, profile the bucket explode.
+- q69/q84/q85 (iterative graph benches): per-round kernel walls are
+  recorded in BENCH/partial.json under `iter_rounds` (operator ->
+  rounds + round_walls), so a wall regression is attributable to
+  kernel time vs a round-count change.
 """
 
 
@@ -857,6 +922,8 @@ def _write_bench_md(result: dict) -> None:
         "",
         "",
         _R3_TRIALS_SECTION,
+        "",
+        _R5_ENCODE_AB_SECTION,
         "",
         "## Per-query wall seconds",
         "",
