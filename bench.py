@@ -543,15 +543,15 @@ def _scaling_phase() -> dict:
         "efficiency": round(t4 / (N_EXECUTORS * t1), 3),
         "reps": {"n": REPS_N, "4n": REPS_4N},
         # Committed fixed-count 3-trial reference measured idle on
-        # 2026-08-18 with the current gram kernel (raw JSONs in
-        # BENCH/trials_r3b/): context for this run's single trial, NOT
+        # 2026-08-21 with the round-5 kernel (raw JSONs in
+        # BENCH/trials_r5/): context for this run's single trial, NOT
         # a substitute for it. The count was fixed at three before any
         # trial ran; every reading is listed; the committed number is
-        # the median. An earlier 3-trial set on the pre-ad974a7 kernel
-        # (BENCH/trials_r3/) read median 0.819 [0.819, 0.839, 0.812].
+        # the median. Prior sets: r3d (r3/4 kernel) median 0.849
+        # [0.833, 0.849, 0.894]; r3b median 0.844; r3 median 0.819.
         "reference_trials": {
-            "median_efficiency": 0.849,
-            "readings": [0.833, 0.849, 0.894],
+            "median_efficiency": 0.901,
+            "readings": [0.916, 0.893, 0.901],
         },
     }
 
@@ -794,8 +794,9 @@ byte-equality + plan pins are the evidence it can be flipped safely.
 
 - q21_lsh_buckets read 1.73 s in the r4 driver run vs 1.08 s in r3
   with no LSH code change — sub-2 s walls sit inside the disclosed
-  host-noise band. If a round-5+ reading is again >1.5x the r3 wall on
-  an idle box, profile the bucket explode.
+  host-noise band. RESOLVED round 5: the idle-box r5 run read 0.9 s
+  (below even the r3 wall), confirming the r4 reading was
+  host-neighbor noise, not an LSH regression.
 - q69/q84/q85 (iterative graph benches): per-round kernel walls are
   recorded in BENCH/partial.json under `iter_rounds` (operator ->
   rounds + round_walls), so a wall regression is attributable to
