@@ -648,9 +648,23 @@ def connected_components_twostar(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # convergence = multiset equality of consecutive small-star
+        # outputs, checked EXACTLY in ONE job: signed-count symmetric
+        # difference (both sides are distinct pair sets, so +1/-1 per
+        # side cancels iff the sets agree). Replaces the former
+        # two-directional exceptAll probe: one job instead of two per
+        # round, and the probe's shuffle volume halves (each exceptAll
+        # shuffled both inputs; the union-groupBy shuffles them once)
+        # — identical semantics, measured wall-neutral at sf0.1 where
+        # rounds are scheduling-bound, strictly cheaper at scale.
         changed = (
-            small.exceptAll(cur).limit(1).count()
-            + cur.exceptAll(small).limit(1).count()
+            small.withColumn("__side", F.lit(1))
+            .unionByName(cur.withColumn("__side", F.lit(-1)))
+            .groupBy("u", "v")
+            .agg(F.sum("__side").alias("__s"))
+            .filter(F.col("__s") != 0)
+            .limit(1)
+            .count()
         )
         round_walls.append(round(_time.time() - _r0, 3))
         _rec["rounds"] = len(round_walls)
