@@ -409,6 +409,8 @@ def match_bgp(
     distinct: bool = True,
     allow_product: bool = False,
     optional: list[list[tuple[str, str, str]]] | None = None,
+    filters: list[str] | None = None,
+    values: "DataFrame | dict[str, list] | None" = None,
 ) -> DataFrame:
     """Conjunctive basic-graph-pattern (SPARQL BGP) matching: bindings
     of the variables shared across a list of (s, p, o) triple
@@ -449,6 +451,24 @@ def match_bgp(
     ``<...>`` is ALWAYS a literal constant (full IRIs legitimately
     contain ``/ ( ) ?``); the angle brackets are stripped before
     matching, and the same quoting works for subject/object constants.
+
+    ``filters``: SPARQL FILTER — each entry is a SQL boolean
+    expression over binding columns (variable names sans ``?``),
+    e.g. ``"t != a"`` or ``"m LIKE 'm1%'"``. Applied after the
+    required patterns and every OPTIONAL has joined (group-level
+    scope), so a filter may reference optional variables (NULL where
+    the group found no match — SPARQL's error-is-false semantics
+    falls out of SQL NULL comparison). An expression naming an
+    unbound variable raises AnalysisException rather than silently
+    matching nothing.
+
+    ``values``: SPARQL VALUES — an inline solution sequence joined
+    INNER on its variables: a DataFrame whose column names are
+    variable names (sans ``?``), rows = allowed tuples; or, for the
+    common one-var-each case, ``{"t": ["EFO:1", "EFO:2"]}`` (each key
+    constrains independently, i.e. a cross product of the lists).
+    Every VALUES variable must be bound by the patterns (raises
+    otherwise); the (vocabulary-sized) solution table is broadcast.
     """
     if not patterns:
         raise ValueError("match_bgp: need at least one pattern")
@@ -595,6 +615,30 @@ def match_bgp(
             )
         out = out.join(g_out.distinct(), on=shared, how="left")
         bound |= g_vars
+    if values is not None:
+        if isinstance(values, dict):
+            spark = triples.sparkSession
+            vdfs = []
+            for var, allowed in values.items():
+                vdfs.append(
+                    spark.createDataFrame([(v,) for v in allowed])
+                    .toDF(var.lstrip("?"))
+                    .distinct()
+                )
+            vdf = vdfs[0]
+            for d in vdfs[1:]:
+                vdf = vdf.crossJoin(d)
+        else:
+            vdf = values
+        vvars = set(vdf.columns)
+        if not vvars <= bound:
+            raise ValueError(
+                "match_bgp: VALUES variables "
+                f"{sorted(vvars - bound)} are not bound by the patterns"
+            )
+        out = out.join(F.broadcast(vdf.distinct()), on=sorted(vvars))
+    for expr in filters or []:
+        out = out.filter(F.expr(expr))
     return out.distinct() if distinct else out
 
 

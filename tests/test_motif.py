@@ -634,3 +634,62 @@ def test_bgp_path_atoms_vs_composition_oracle(spark, seed):
     }
     want = {(m, a) for m, t in em for t2, a in closure if t == t2}
     assert got == want
+
+
+def test_bgp_values_and_filter(spark):
+    """SPARQL VALUES (inline solution join) + FILTER (SQL boolean over
+    bindings, group-level scope incl. optional NULLs) vs brute force."""
+    triples = [
+        ("m1", "em", "t1"), ("m2", "em", "t2"), ("m3", "em", "t3"),
+        ("t1", "xref", "x1"), ("t2", "xref", "x2"),
+    ]
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    # VALUES as dict: restrict ?t
+    got = {
+        (r["m"], r["t"])
+        for r in match_bgp(
+            df, [("?m", "em", "?t")], values={"t": ["t1", "t3", "zz"]}
+        ).collect()
+    }
+    assert got == {("m1", "t1"), ("m3", "t3")}
+    # VALUES as DataFrame with a multi-var solution sequence
+    vdf = spark.createDataFrame(
+        [("m1", "t1"), ("m2", "t1")], "m string, t string"
+    )
+    got2 = {
+        (r["m"], r["t"])
+        for r in match_bgp(df, [("?m", "em", "?t")], values=vdf).collect()
+    }
+    assert got2 == {("m1", "t1")}  # (m2,t1) is not a binding
+    # FILTER over required + optional vars: NULL comparison = false
+    got3 = {
+        (r["m"], r["t"], r["x"])
+        for r in match_bgp(
+            df,
+            [("?m", "em", "?t")],
+            optional=[[("?t", "xref", "?x")]],
+            filters=["x = 'x2'"],
+        ).collect()
+    }
+    assert got3 == {("m2", "t2", "x2")}
+    # plain inequality filter
+    got4 = {
+        r["m"]
+        for r in match_bgp(
+            df, [("?m", "em", "?t")], filters=["t != 't2'"]
+        ).collect()
+    }
+    assert got4 == {"m1", "m3"}
+    # VALUES var not bound -> raises
+    with pytest.raises(ValueError, match="not bound"):
+        match_bgp(df, [("?m", "em", "?t")], values={"zzz": ["a"]})
+    # dict with two keys = independent constraints (cross product)
+    got5 = {
+        (r["m"], r["t"])
+        for r in match_bgp(
+            df,
+            [("?m", "em", "?t")],
+            values={"m": ["m1", "m2"], "t": ["t2", "t3"]},
+        ).collect()
+    }
+    assert got5 == {("m2", "t2")}
