@@ -23,6 +23,8 @@ single walk or sample.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
@@ -136,6 +138,197 @@ def random_walks(
             )
             .withColumn("__cur", nxt)
             .drop("__e_node", "__e_idx", "__e_dst", "__pick")
+            .localCheckpoint(eager=False)
+        )
+    return state.select(
+        "start", "rep", "walk", F.size("walk").alias("walk_len_actual")
+    )
+
+
+def biased_random_walks(
+    edges: DataFrame,
+    p: float = 1.0,
+    q: float = 1.0,
+    src: str = "src",
+    dst: str = "dst",
+    walk_len: int = 8,
+    num_walks: int = 1,
+    seed: int = 17,
+    volley: int = 32,
+    max_volleys: int = 8,
+) -> DataFrame:
+    """node2vec second-order biased walks (Grover & Leskovec 2016):
+    step t from ``cur`` with previous node ``prev`` prefers returning
+    (weight 1/p for ``prev`` itself), staying local (weight 1 for
+    neighbors of ``prev``), or exploring outward (weight 1/q), the
+    BFS/DFS interpolation that plain DeepWalk (= ``random_walks``,
+    the p=q=1 special case) cannot express.
+
+    Sampling is KnightKing-style REJECTION sampling, the published
+    scale answer: per try, propose a UNIFORM neighbor through the same
+    hub-safe indexed-edge table as ``random_walks`` (one narrow
+    equi-join — the per-(prev, cur) alias tables of a direct sampler
+    are quadratic state, and a weighted scan of the neighbor list
+    ships a hub's whole adjacency), then accept with probability
+    w/w_max, where w needs only (a) is the proposal ``prev`` and (b)
+    does edge (prev, proposal) exist — one more keyed equi-join.
+    Tries are vectorised ``volley`` at a time (explode, one join
+    volley, keep the first accepting try), so a step costs 1-2
+    volleys for moderate p/q instead of one barrier per try; walkers
+    still undecided after ``max_volleys`` volleys raise loudly
+    (acceptance ratio >= min(1/p,1,1/q)/max(1/p,1,1/q), so leftovers
+    mean p/q are extreme — raise ``volley``/``max_volleys``).
+
+    Determinism (and the test oracle's mirror spec): the first step is
+    uniform (no prev); try r at step t proposes
+    ``sorted_neighbors[md5(seed|start|rep|t|cur|r|"prop") mod deg]``
+    and accepts iff ``md5(seed|start|rep|t|cur|r|"acc") mod 10^6 <
+    floor(10^6 * w / w_max)`` — the three thresholds are computed ONCE
+    in Python from (p, q) and injected as integer literals, so there
+    is no cross-engine float arithmetic to disagree on. Output is a
+    pure function of (edge set, p, q, seed): partitioning-invariant
+    and resume-safe, same stance as ``random_walks``.
+
+    Returns (start, rep, walk array, walk_len_actual).
+    """
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be > 0")
+    w_ret, w_edge, w_far = 1.0 / p, 1.0, 1.0 / q
+    w_max = max(w_ret, w_edge, w_far)
+    _M = 1_000_000
+    thr_ret = int(math.floor(_M * w_ret / w_max))
+    thr_edge = int(math.floor(_M * w_edge / w_max))
+    thr_far = int(math.floor(_M * w_far / w_max))
+
+    dedges = edges.select(
+        F.col(src).alias("__node"), F.col(dst).alias("__d")
+    ).distinct()
+    indexed = dedges.withColumn(
+        "__idx",
+        F.row_number().over(Window.partitionBy("__node").orderBy("__d")),
+    ).select(
+        F.col("__node").alias("__e_node"),
+        F.col("__idx").alias("__e_idx"),
+        F.col("__d").alias("__e_dst"),
+    ).localCheckpoint(eager=False)
+    degrees = dedges.groupBy("__node").agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    deg_lut = degrees.select(F.col("__node").alias("__d_node"), "__deg")
+    # (prev, candidate) edge-existence probe table
+    emark = dedges.select(
+        F.col("__node").alias("__m_prev"),
+        F.col("__d").alias("__m_x"),
+        F.lit(1).alias("__has_edge"),
+    )
+
+    state = (
+        degrees.select(F.col("__node").alias("start"))
+        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(num_walks))))
+        .withColumn("__prev", F.lit(None).cast(degrees.schema["__node"].dataType))
+        .withColumn("__cur", F.col("start"))
+        .withColumn("walk", F.array(F.col("start")))
+    )
+    for t in range(1, walk_len):
+        with_deg = state.join(
+            deg_lut, state["__cur"] == F.col("__d_node"), "left"
+        ).drop("__d_node")
+        stopped = with_deg.filter(F.col("__deg").isNull()).select(
+            "start", "rep", "__prev", "__cur", "walk"
+        ).withColumn("__nxt", F.lit(None).cast(state.schema["__cur"].dataType))
+        undecided = with_deg.filter(F.col("__deg").isNotNull())
+        decided = None
+        for v in range(max_volleys):
+            if undecided.isEmpty():
+                break
+            r0 = v * volley
+            tries = undecided.withColumn(
+                "__r",
+                F.explode(F.sequence(F.lit(r0), F.lit(r0 + volley - 1))),
+            )
+            idx = (
+                det_hash(
+                    F.lit(seed), F.col("start"), F.col("rep"), F.lit(t),
+                    F.col("__cur"), F.col("__r"), F.lit("prop"),
+                )
+                % F.col("__deg")
+                + 1
+            ).cast("int")
+            acc = det_hash(
+                F.lit(seed), F.col("start"), F.col("rep"), F.lit(t),
+                F.col("__cur"), F.col("__r"), F.lit("acc"),
+            ) % _M
+            cand = (
+                tries.withColumn("__idx", idx)
+                .withColumn("__u", acc)
+                .join(
+                    indexed,
+                    (F.col("__cur") == F.col("__e_node"))
+                    & (F.col("__idx") == F.col("__e_idx")),
+                )
+                .join(
+                    emark,
+                    (F.col("__prev") == F.col("__m_prev"))
+                    & (F.col("__e_dst") == F.col("__m_x")),
+                    "left",
+                )
+            )
+            thr = (
+                F.when(F.col("__prev").isNull(), F.lit(_M))  # uniform 1st step
+                .when(F.col("__e_dst") == F.col("__prev"), F.lit(thr_ret))
+                .when(F.col("__has_edge").isNotNull(), F.lit(thr_edge))
+                .otherwise(F.lit(thr_far))
+            )
+            accepted = (
+                cand.filter(F.col("__u") < thr)
+                .groupBy("start", "rep")
+                .agg(
+                    F.min_by(
+                        F.struct(
+                            F.col("__prev"), F.col("__cur"), F.col("walk"),
+                            F.col("__e_dst").alias("__nxt"),
+                        ),
+                        F.col("__r"),
+                    ).alias("__w")
+                )
+                .select(
+                    "start", "rep", F.col("__w.__prev").alias("__prev"),
+                    F.col("__w.__cur").alias("__cur"),
+                    F.col("__w.walk").alias("walk"),
+                    F.col("__w.__nxt").alias("__nxt"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            decided = (
+                accepted if decided is None
+                else decided.unionByName(accepted)
+            )
+            undecided = undecided.join(
+                accepted.select("start", "rep"), ["start", "rep"], "left_anti"
+            ).localCheckpoint(eager=True)
+        if not undecided.isEmpty():
+            raise RuntimeError(
+                "biased_random_walks: walkers undecided after "
+                f"{max_volleys * volley} tries at step {t} — p/q are "
+                "extreme; raise volley/max_volleys"
+            )
+        stepped = stopped if decided is None else stopped.unionByName(decided)
+        state = (
+            stepped.withColumn(
+                "walk",
+                F.when(
+                    F.col("__nxt").isNotNull(),
+                    F.concat("walk", F.array(F.col("__nxt"))),
+                ).otherwise(F.col("walk")),
+            )
+            .select(
+                "start",
+                "rep",
+                F.when(F.col("__nxt").isNotNull(), F.col("__cur"))
+                .otherwise(F.col("__prev")).alias("__prev"),
+                F.col("__nxt").alias("__cur"),
+                "walk",
+            )
             .localCheckpoint(eager=False)
         )
     return state.select(

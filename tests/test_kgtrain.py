@@ -6,6 +6,8 @@ from __future__ import annotations
 import hashlib
 import random
 
+import pytest
+
 from ontoma_spark.operators.kgtrain import negative_samples, random_walks
 
 
@@ -168,3 +170,103 @@ def test_kgtrain_lints_clean(spark):
         negative_samples(triples, n_neg=2),
         allow=("exchanges", "single_partition"),
     )
+
+
+def _brute_biased(edges, p, q, walk_len, num_walks, seed,
+                  volley=32, max_volleys=8):
+    import math as _math
+
+    eset = set(edges)
+    nbrs: dict = {}
+    for s, d in eset:
+        nbrs.setdefault(s, set()).add(d)
+    nbrs = {s: sorted(ds) for s, ds in nbrs.items()}
+    M = 10 ** 6
+    wmax = max(1.0 / p, 1.0, 1.0 / q)
+    thr_ret = _math.floor(M * (1.0 / p) / wmax)
+    thr_edge = _math.floor(M * 1.0 / wmax)
+    thr_far = _math.floor(M * (1.0 / q) / wmax)
+    out = {}
+    for start in nbrs:
+        for rep in range(1, num_walks + 1):
+            path, prev, cur = [start], None, start
+            for t in range(1, walk_len):
+                ds = nbrs.get(cur)
+                if not ds:
+                    break
+                chosen = None
+                for r in range(volley * max_volleys):
+                    x = ds[_h(seed, start, rep, t, cur, r, "prop") % len(ds)]
+                    if prev is None:
+                        chosen = x
+                        break
+                    u = _h(seed, start, rep, t, cur, r, "acc") % M
+                    thr = (
+                        thr_ret if x == prev
+                        else thr_edge if (prev, x) in eset
+                        else thr_far
+                    )
+                    if u < thr:
+                        chosen = x
+                        break
+                assert chosen is not None
+                path.append(chosen)
+                prev, cur = cur, chosen
+            out[(start, rep)] = path
+    return out
+
+
+@pytest.mark.parametrize("p,q", [(0.5, 2.0), (4.0, 0.25)])
+def test_biased_walks_vs_bruteforce(spark, p, q):
+    from ontoma_spark.operators.kgtrain import biased_random_walks
+
+    rng = random.Random(31)
+    edges = list(
+        {
+            (f"n{rng.randrange(15)}", f"n{rng.randrange(18)}")
+            for _ in range(70)
+        }
+    )
+    edges = [(s, d) for s, d in edges if s != d and s != "n17"]
+    edges += [("n0", "n17")]  # dead end
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["start"], r["rep"]): list(r["walk"])
+        for r in biased_random_walks(
+            df, p=p, q=q, walk_len=5, num_walks=2, seed=23
+        ).collect()
+    }
+    assert got == _brute_biased(edges, p, q, 5, 2, 23)
+
+
+def test_biased_walks_long_ids_partitioning_and_plan(spark):
+    from ontoma_spark.core.planlint import plan_text
+    from ontoma_spark.operators.kgtrain import biased_random_walks
+
+    rng = random.Random(41)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(50)})
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = biased_random_walks(df, p=0.5, q=2.0, walk_len=4, seed=3)
+    got = {(r["start"], r["rep"]): list(r["walk"]) for r in res.collect()}
+    assert got == _brute_biased(edges, 0.5, 2.0, 4, 1, 3)
+    re_got = {
+        (r["start"], r["rep"]): list(r["walk"])
+        for r in biased_random_walks(
+            df.repartition(5), p=0.5, q=2.0, walk_len=4, seed=3
+        ).collect()
+    }
+    assert re_got == got
+    # hub-safety pin: same no-neighbor-array rule as random_walks
+    plan = plan_text(
+        biased_random_walks(df, p=0.5, q=2.0, walk_len=3, seed=3)
+    )
+    assert "collect_list" not in plan and "sort_array" not in plan
+
+
+def test_biased_walks_validation(spark):
+    from ontoma_spark.operators.kgtrain import biased_random_walks
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="p and q"):
+        biased_random_walks(df, p=0.0)
